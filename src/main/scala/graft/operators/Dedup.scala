@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Document deduplication for LLM training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard with stop-shingle capping, and
+  * MinHash+LSH banding. Not in the reference (its dedup surface is the
+  * keyed window dedup, SURVEY.md §2.4 A3) — added per the north-star
+  * extension list (BASELINE.json).
+  *
+  * Determinism design: MinHash usually uses random permutations; here each
+  * hash family member is `md5(i + ":" + shingle)` and the signature is the
+  * lexicographic min — fully deterministic, identical in any engine, so
+  * the DuckDB oracle can hash-check real MinHash/LSH output.
+  *
+  * Scale design: exact dedup is one hash-shuffle on md5(text). Jaccard
+  * pairing joins on shingles, which explodes on hot shingles — so q18 caps
+  * shingle document-frequency (stop-shingle removal, standard practice);
+  * the true 100 TB path is q19's LSH banding, where the join key is a band
+  * bucket and cost is proportional to collisions, not |docs|².
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Word k-shingles of a whitespace-tokenized text column (empty array
+    * when the doc has fewer than k tokens — NB sequence(0, n-k) would flip
+    * to a descending range there).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*)))
+      .otherwise(expr("array()").cast("array<string>"))
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh")).distinct()
+
+  /** q17: exact dedup via content-hash groupBy — the survivor (min doc_id)
+    * per distinct md5(text), with the cluster size. One shuffle on the
+    * 128-bit content hash; at 100 TB this is the canonical first pass.
+    */
+  def q17DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_doc_id", $"n_copies")
+      .orderBy($"keep_doc_id")
+  }
+
+  private val q17Sql =
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_doc_id""".stripMargin
+
+  // Shared DuckDB CTE: distinct word-3-shingles per doc.
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** q18: n-gram Jaccard near-dup pairs. Shingle-frequency cap (<= 50 docs
+    * per shingle) bounds the self-join fan-out; Jaccard is exact
+    * small-integer arithmetic so the double is engine-identical.
+    */
+  def q18DedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(t(s, dir, "documents"))
+    val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
+    val shf = sh.join(keep, "sh")
+    val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select($"doc_id".as("doc_a"), $"sh")
+    val b = shf.select($"doc_id".as("doc_b"), $"sh")
+    val inter = a.join(b, a("sh") === b("sh") && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    val jac = $"n_common".cast("double") / ($"na" + $"nb" - $"n_common")
+    inter
+      .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
+      .join(sz.select($"doc_id", $"n".as("nb")), $"doc_b" === $"doc_id").drop("doc_id")
+      .select($"doc_a", $"doc_b", $"n_common", jac.as("jaccard"))
+      .filter($"jaccard" >= 0.6)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q18Sql =
+    s"""WITH $shinglesCte,
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val NumHashes = 8
+  val BandSize = 2 // 4 bands of 2 rows
+
+  /** q19: MinHash + LSH banding. Signature_i = min over shingles of
+    * md5(i + ":" + shingle); 4 bands of 2 signature rows; docs sharing a
+    * band bucket become candidates, then true Jaccard verifies. The join
+    * is on band buckets — the piece that survives 1000 executors and
+    * billions of docs — not on raw shingles.
+    */
+  def q19DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(t(s, dir, "documents"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"s$i"))
+    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until NumHashes / BandSize).map { bnd =>
+      sig.select($"doc_id", lit(bnd).as("band"),
+        md5(concat_ws("|", (0 until BandSize).map(r => col(s"s${bnd * BandSize + r}")): _*))
+          .as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .filter($"sh_a" === $"sh_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
+      .join(sz.select($"doc_id", $"n".as("nb")), $"doc_b" === $"doc_id").drop("doc_id")
+      .select($"doc_a", $"doc_b", $"n_common",
+        ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q19Sql = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
+      val cols = (0 until BandSize).map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+      |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val SimhashBits = 32
+
+  /** q20: SimHash near-dup. Token hash = first 8 hex chars of md5(token);
+    * bit b contributes +count/-count to component b; the sign vector packs
+    * into a 32-bit value; near-dups share at least one of four 8-bit bands
+    * and have Hamming distance <= 2. Bit extraction is pure arithmetic on
+    * hex-digit positions so any engine reproduces it bit-for-bit.
+    */
+  def q20DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", substring(md5($"tok"), 1, 8))
+    // nibble value of hex char b/4 (instr is 1-based): pure arithmetic
+    // bit extraction, reproducible in any engine
+    val bitSums = (0 until SimhashBits).map { b =>
+      val v = (instr(lit("0123456789abcdef"), substring($"h", b / 4 + 1, 1)) - 1)
+      val bit = floor(v / math.pow(2, b % 4).toInt).cast("long") % 2
+      sum($"cnt" * (bit * 2 - 1)).as(s"c$b")
+    }
+    val comp = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimhashBits).map(b =>
+      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = comp.select($"doc_id", simhash.as("simhash"))
+    val withBands = (0 until 4).map(k =>
+      sigs.select($"doc_id", $"simhash", lit(k).as("band"),
+        (floor($"simhash" / math.pow(2, 8 * k).toLong).cast("long") % 256).as("bkey")))
+      .reduce(_ unionByName _)
+    withBands.as("x").join(withBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q20Sql = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+      val bit = s"(CAST(floor($nib / ${math.pow(2, b % 4).toInt}) AS BIGINT) % 2)"
+      s"sum(cnt * ($bit * 2 - 1)) AS c$b"
+    }.mkString(",\n    ")
+    val pack = (0 until SimhashBits)
+      .map(b => s"CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map(k =>
+      s"SELECT doc_id, simhash, $k AS band, CAST(floor(simhash / ${1L << (8 * k)}) AS BIGINT) % 256 AS bkey FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, tok, count(*) AS cnt,
+      |    substring(md5(tok), 1, 8) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |comp AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM toks GROUP BY doc_id),
+      |sigs AS (SELECT doc_id, $pack AS simhash FROM comp),
+      |bands AS (
+      |  $bandSelects)
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+      |FROM bands x JOIN bands y
+      |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q17_dedup_exact", Seq("EXT-dedup"),
+      "exact dedup via content-hash groupBy", q17DedupExact, Some(q17Sql)),
+    GraftQuery("q18_dedup_jaccard", Seq("EXT-dedup"),
+      "n-gram Jaccard near-dup pairs (capped shingle join)", q18DedupJaccard, Some(q18Sql)),
+    GraftQuery("q19_dedup_minhash_lsh", Seq("EXT-dedup"),
+      "deterministic MinHash + LSH banding", q19DedupMinhashLsh, Some(q19Sql)),
+    GraftQuery("q20_dedup_simhash", Seq("EXT-dedup"),
+      "SimHash near-dup with banded Hamming search", q20DedupSimhash, Some(q20Sql)))
+}

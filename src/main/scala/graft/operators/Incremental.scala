@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Fns._
+
+/** Incremental materialization machinery (SURVEY.md §2.1 S6 + §2.3 J4):
+  * dbt's `materialized: incremental` + `unique_key` MERGE, re-expressed
+  * for plain Parquet as keyed upsert = left-anti(existing) ∪ incoming.
+  * Signature kept MERGE-shaped so a Delta `MERGE INTO` can be swapped in
+  * unchanged on a lakehouse deployment (SURVEY.md §7.3).
+  *
+  * Scale: the anti-join shuffles both sides on the key once; with the
+  * target bucketed by key (Pipeline writes bucketed at scale) the existing
+  * side's shuffle disappears. Incoming batches are typically small
+  * relative to the target → AQE picks a broadcast anti-join.
+  */
+object Incremental {
+
+  /** MERGE-on-key semantics: rows of `existing` whose key appears in
+    * `incoming` are replaced; all `incoming` rows land. Matches the
+    * reference's dbt-snowflake merge strategy (dbt_project.yml:38-56).
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(incoming, keys, "left_anti").unionByName(incoming)
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Per-customer order summary restricted to a date window — the
+    * batch-shaped input both incremental queries build on.
+    */
+  private def custSummary(s: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+        $"o_orderdate" < lit(hi).cast("timestamp"))
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum2($"o_totalprice").as("total_spend"),
+        max($"o_orderdate").as("last_order"))
+  }
+
+  /** q15: keyed upsert (S6/J4): the pre-1995 per-customer summary is the
+    * existing target; the 1995+ summary is the incoming batch; matched
+    * keys are replaced, unmatched existing rows survive.
+    */
+  def q15Upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val existing = custSummary(s, dir, "1990-01-01", "1995-01-01")
+    val incoming = custSummary(s, dir, "1995-01-01", "2000-01-01")
+    upsert(existing, incoming, Seq("o_custkey")).orderBy($"o_custkey")
+  }
+
+  private val q15Sql =
+    """WITH existing AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |    max(o_orderdate) AS last_order
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1990-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |incoming AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |    max(o_orderdate) AS last_order
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT * FROM (
+      |  SELECT * FROM existing WHERE o_custkey NOT IN (SELECT o_custkey FROM incoming)
+      |  UNION ALL
+      |  SELECT * FROM incoming)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Latest order state per customer within a date window — the
+    * snapshot-batch shape (one row per key, business updated_at).
+    */
+  private def custState(s: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(lo).cast("timestamp") &&
+        $"o_orderdate" < lit(hi).cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"o_custkey".as("custkey"),
+        $"o_orderstatus".as("status"),
+        $"o_totalprice".as("totalprice"),
+        $"o_orderdate".as("last_updated"))
+  }
+
+  /** q16: two-run SCD2 snapshot (§2.9): run 1 ingests each customer's 1994
+    * state; run 2 ingests the 1995-1996 state as-of 1997-01-01. Exercises
+    * all three mutation paths deterministically: newer-timestamp
+    * supersede (close + new version), brand-new key insert, and
+    * hard-delete invalidation (customer active in 1994, silent after).
+    */
+  def q16Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b1 = custState(s, dir, "1994-01-01", "1995-01-01")
+    val b2 = custState(s, dir, "1995-01-01", "1997-01-01")
+    val run1 = Scd2.firstRun(b1, Seq("custkey"), "last_updated")
+    val run2 = Scd2.snapshot(run1, b2, Seq("custkey"), "last_updated",
+      asOf = lit("1997-01-01 00:00:00").cast("timestamp"))
+    run2
+      .select($"custkey", $"status", $"totalprice", $"dbt_updated_at",
+        $"dbt_valid_from", $"dbt_valid_to", $"dbt_scd_id")
+      .orderBy($"custkey", $"dbt_valid_from")
+  }
+
+  private val q16Sql =
+    """WITH b1 AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status, o_totalprice AS totalprice,
+      |         o_orderdate AS last_updated
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
+      |  WHERE rn = 1),
+      |b2 AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status, o_totalprice AS totalprice,
+      |         o_orderdate AS last_updated
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |        FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |  WHERE rn = 1),
+      |v1 AS (
+      |  SELECT b1.custkey, b1.status, b1.totalprice,
+      |         b1.last_updated AS dbt_updated_at,
+      |         b1.last_updated AS dbt_valid_from,
+      |         CASE WHEN b2.custkey IS NULL THEN TIMESTAMP '1997-01-01 00:00:00'
+      |              WHEN b2.last_updated > b1.last_updated THEN b2.last_updated
+      |              ELSE NULL END AS dbt_valid_to
+      |  FROM b1 LEFT JOIN b2 ON b1.custkey = b2.custkey),
+      |v2 AS (
+      |  SELECT b2.custkey, b2.status, b2.totalprice,
+      |         b2.last_updated AS dbt_updated_at,
+      |         b2.last_updated AS dbt_valid_from,
+      |         CAST(NULL AS TIMESTAMP) AS dbt_valid_to
+      |  FROM b2 LEFT JOIN b1 ON b2.custkey = b1.custkey
+      |  WHERE b1.custkey IS NULL OR b2.last_updated > b1.last_updated)
+      |SELECT custkey, status, totalprice, dbt_updated_at, dbt_valid_from, dbt_valid_to,
+      |  md5(concat_ws('|', CAST(custkey AS VARCHAR), CAST(dbt_updated_at AS VARCHAR))) AS dbt_scd_id
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |ORDER BY custkey, dbt_valid_from""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q15_upsert", Seq("S6", "J4"),
+      "keyed upsert (incremental MERGE semantics)", q15Upsert, Some(q15Sql)),
+    GraftQuery("q16_scd2_snapshot", Seq("S8", "A7", "J4", "P4"),
+      "two-run SCD2 timestamp snapshot with hard-delete invalidation",
+      q16Scd2Snapshot, Some(q16Sql)))
+}

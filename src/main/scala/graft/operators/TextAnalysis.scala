@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Text analysis for training-data curation: token statistics, quality
+  * scoring, regex tokenization, stopword-profile language ID, and document
+  * fingerprinting — the north-star text extensions (BASELINE.json).
+  *
+  * Every measure is integer counting + a fixed-order arithmetic formula:
+  * no transcendental functions, so the doubles are IEEE-identical across
+  * engines and the oracle can hash-check them. All single-pass narrow
+  * projections — at 100 TB these run at scan speed with no shuffle
+  * (final ORDER BY aside, which exists for oracle determinism).
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** q23: per-document token/char statistics and a composite quality score
+    * (length + lexical-diversity + stopword-balance), the
+    * filter-before-training staple.
+    */
+  def q23TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val nTokens = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        nTokens.as("n_tokens"),
+        nUniq.as("n_unique_tokens"),
+        nStop.as("n_stopwords"),
+        (nUniq.cast("double") / nTokens).as("lexical_diversity"),
+        (nStop.cast("double") / nTokens).as("stopword_ratio"),
+        ((nUniq.cast("double") / nTokens) * 0.5 +
+          (nStop.cast("double") / nTokens) * 0.3 +
+          when(nTokens >= 20 && nTokens <= 1000, 0.2).otherwise(0.0))
+          .as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val q23Sql = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS n_stopwords
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tokens, n_unique_tokens, n_stopwords,
+      |  CAST(n_unique_tokens AS DOUBLE) / n_tokens AS lexical_diversity,
+      |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  (CAST(n_unique_tokens AS DOUBLE) / n_tokens) * 0.5 +
+      |  (CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+      |  (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.2 ELSE 0.0 END) AS quality_score
+      |FROM base
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer regex shared by Spark and the oracle: letter runs, digit
+    * runs, or single non-space symbols — the BPE-ish pre-tokenization
+    * shape.
+    */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** q24: token counting two ways — whitespace tokens vs regex
+    * pre-tokenization — plus their ratio (a cheap tokens-per-word proxy
+    * for BPE fertility).
+    */
+  def q24TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = size(split($"text", " ")).cast("long")
+    val re = size(regexp_extract_all($"text", lit(TokenRegex), lit(0))).cast("long")
+    t(s, dir, "documents")
+      .select($"doc_id", ws.as("ws_tokens"), re.as("re_tokens"),
+        (re.cast("double") / ws).as("fertility"))
+      .orderBy($"doc_id")
+  }
+
+  private val q24Sql =
+    s"""SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '$TokenRegex')) AS re_tokens,
+      |  CAST(len(regexp_extract_all(text, '$TokenRegex')) AS DOUBLE) /
+      |    len(string_split(text, ' ')) AS fertility
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stopword profiles per language for the n-gram-free heuristic
+    * language ID (tiny fixed lists — the deterministic skeleton of a real
+    * fasttext-style classifier).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "une"))
+
+  /** q25: heuristic language ID — score = matching-stopword count per
+    * language profile; argmax with fixed precedence (en>es>de>fr, 'und'
+    * when all zero), compared against the labeled lang column.
+    */
+  def q25LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val scores = LangProfiles.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isInCollection(ws))).cast("long")
+    }
+    val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
+    val base = t(s, dir, "documents")
+      .select(($"doc_id" +: $"lang".as("labeled_lang") +: scoreCols): _*)
+    val best = LangProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
+    // right fold => en-first precedence: en wins ties over es, etc.
+    val predicted = LangProfiles.reverse.foldLeft(lit("und"): Column) {
+      case (el, (l, _)) => when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(el)
+    }
+    base
+      .select($"doc_id", $"labeled_lang",
+        col("score_en"), col("score_es"), col("score_de"), col("score_fr"),
+        predicted.as("predicted_lang"))
+      .withColumn("matches_label", $"predicted_lang" === $"labeled_lang")
+      .orderBy($"doc_id")
+  }
+
+  private val q25Sql = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val scoreExprs = LangProfiles.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> x IN (${lst(ws)}))) AS score_$l"
+    }.mkString(",\n    ")
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    $scoreExprs
+      |  FROM documents),
+      |best AS (
+      |  SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best_score
+      |  FROM scored)
+      |SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_fr,
+      |  CASE WHEN best_score = 0 THEN 'und'
+      |       WHEN score_en = best_score THEN 'en'
+      |       WHEN score_es = best_score THEN 'es'
+      |       WHEN score_de = best_score THEN 'de'
+      |       ELSE 'fr' END AS predicted_lang,
+      |  (CASE WHEN best_score = 0 THEN 'und'
+      |       WHEN score_en = best_score THEN 'en'
+      |       WHEN score_es = best_score THEN 'es'
+      |       WHEN score_de = best_score THEN 'de'
+      |       ELSE 'fr' END) = labeled_lang AS matches_label
+      |FROM best
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q26: document fingerprinting — md5 of whitespace-normalized
+    * lowercased text (the canonical-form fingerprint used for
+    * cross-corpus dedup joins), plus a short prefix fingerprint and a
+    * length bucket for sharding.
+    */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val normalized = trim(regexp_replace(lower($"text"), "\\s+", " "))
+    t(s, dir, "documents")
+      .select($"doc_id",
+        md5(normalized).as("fingerprint"),
+        substring(md5(normalized), 1, 8).as("short_fp"),
+        floor(length($"text") / 100).cast("long").as("len_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val q26Sql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |  substring(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS short_fp,
+      |  CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q23_text_stats", Seq("EXT-text"),
+      "token/char stats + quality score", q23TextStats, Some(q23Sql)),
+    GraftQuery("q24_token_count", Seq("EXT-text"),
+      "whitespace vs regex token counting", q24TokenCount, Some(q24Sql)),
+    GraftQuery("q25_lang_id", Seq("EXT-text"),
+      "stopword-profile language ID", q25LangId, Some(q25Sql)),
+    GraftQuery("q26_fingerprint", Seq("EXT-text"),
+      "document fingerprinting (normalized md5)", q26Fingerprint, Some(q26Sql)))
+}
