@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry for the firmographic pipeline — the analog of one Airflow
+  * DAG run (SURVEY.md §3.1): ingest a landing dir, run every layer, print
+  * the test-stage results and a small run manifest (S9 parity: model
+  * list + row counts + test results).
+  *
+  * Usage: runMain graft.pipeline.RunPipeline <landingDir> <workDir> [asOf]
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val landingDir = args(0)
+    val workDir = args(1)
+    // remaining args joined: lets "2025-06-01 00:00:00" arrive unquoted
+    val asOf = if (args.length > 2) Timestamp.valueOf(args.drop(2).mkString(" "))
+      else new Timestamp(System.currentTimeMillis())
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-firmographics")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pipe = new Pipeline(spark, workDir)
+    val results = pipe.run(landingDir, asOf)
+
+    val tables = Seq(
+      ("raw", "wiki_sp500"), ("raw", "fortune_500"),
+      ("staging", "stg_wiki_sp500"), ("staging", "stg_fortune500"),
+      ("core", "cr_company_complete"),
+      ("snapshots", "company_location_snapshot"),
+      ("snapshots", "fortune_metrics_snapshot"),
+      ("analytics", "dim_company"), ("analytics", "dim_location"),
+      ("analytics", "dim_fortune_metrics"),
+      ("analytics", "fact_company_performance"))
+    println(s"=== graft firmographics run @ $asOf ===")
+    tables.foreach { case (layer, t) =>
+      println(f"$layer%-10s $t%-30s ${pipe.read(layer, t).count()}%6d rows")
+    }
+    val failed = results.filterNot(_.passed)
+    println(s"tests: ${results.size - failed.size}/${results.size} passed")
+    failed.foreach(r => println(s"  FAIL ${r.table}.${r.name}: ${r.violations} violations"))
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pipeline
+
+/** End-to-end pipeline runs over the FIXTURES.md landing fixtures:
+  * run 1 (initial load) then run 2 (HQ move, company dropped from the
+  * ranking, new company, re-ingest of unchanged values), asserting the
+  * staging/core/star semantics and the SCD2 state transitions the
+  * reference produces (SURVEY.md §3.1, §2.9; FIXTURES.md §4).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def res(p: String): String =
+    getClass.getClassLoader.getResource(p).getPath
+
+  private lazy val work = Files.createTempDirectory("graft-pipe").toString
+  private lazy val pipe = new Pipeline(spark, work)
+  private val t1 = Timestamp.valueOf("2025-06-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2025-07-01 00:00:00")
+
+  private lazy val run1 = pipe.run(res("landing1"), t1)
+  private lazy val run2 = pipe.run(res("landing2"), t2)
+
+  test("run 1: all declared data-quality checks pass") {
+    val failed = run1.filterNot(_.passed)
+    assert(failed.isEmpty, s"failed checks: $failed")
+  }
+
+  test("run 1: wiki staging dedups by cik (earliest date_added, NULLS LAST)") {
+    run1
+    val wiki = pipe.read("staging", "stg_wiki_sp500")
+    assert(wiki.count() == 5) // 7 records, two dup-cik pairs collapsed
+    val acme = wiki.filter(col("cik") === 111).first()
+    assert(acme.getAs[String]("symbol") == "ACME") // 1957 beats 1960
+    val umb = wiki.filter(col("cik") === 444).first()
+    assert(umb.getAs[String]("symbol") == "UMB") // dated row beats NULL date
+  }
+
+  test("run 1: string surgery and drift tolerance") {
+    run1
+    val wiki = pipe.read("staging", "stg_wiki_sp500")
+    val acme = wiki.filter(col("cik") === 111).first()
+    assert(acme.getAs[String]("company_name") == "Acme Corp") // ' (' split
+    assert(acme.getAs[Int]("founded_year") == 1902) // substring(1,4) of '1902 (1888)'
+    val glx = wiki.filter(col("cik") === 222).first()
+    assert(glx.isNullAt(glx.fieldIndex("headquarters_location_city"))) // 'none' -> NULL
+    assert(glx.isNullAt(glx.fieldIndex("date_added"))) // '' -> NULL
+    val wayne = wiki.filter(col("cik") === 555).first() // missing JSON keys
+    assert(wayne.isNullAt(wayne.fieldIndex("founded_year")))
+    assert(wayne.isNullAt(wayne.fieldIndex("date_added")))
+  }
+
+  test("run 1: fortune staging money/pct/flag cleaning") {
+    run1
+    val f = pipe.read("staging", "stg_fortune500")
+    val acme = f.filter(col("company_name") === "Acme Corp").first()
+    assert(acme.getAs[Double]("revenues_m") == 648125.0)
+    assert(acme.getAs[Double]("market_value_m") == 483153.6)
+    assert(acme.getAs[Int]("employees") == 2100000)
+    assert(acme.getAs[Double]("revenue_pct_change") == 6.0)
+    assert(acme.getAs[Double]("change_rank_1000") == 0.0) // '' -> 0
+    val glx = f.filter(col("company_name") === "Globex").first()
+    assert(glx.getAs[Double]("profits_m") == -1.5) // '-$1.5'
+    assert(glx.isNullAt(glx.fieldIndex("market_value_m"))) // '' -> NULL
+    assert(glx.isNullAt(glx.fieldIndex("employees")))
+    assert(glx.getAs[Double]("revenue_pct_change") == 0.0) // '' -> 0
+    assert(!glx.getAs[Boolean]("is_best_company")) // missing flag -> false
+    assert(!glx.getAs[Boolean]("is_profitable")) // 'no' -> false
+    assert(glx.getAs[Double]("change_rank_500") == -12.0)
+  }
+
+  test("run 1: core is the inner-join intersection, latest per company") {
+    run1
+    val core = pipe.read("core", "cr_company_complete")
+    val names = core.select("company_name").collect().map(_.getString(0)).toSet
+    // Hooli: fortune-only; Wayne: wiki-only -> excluded by J1
+    assert(names == Set("Acme Corp", "Globex", "Initech", "Umbrella"))
+  }
+
+  test("run 2: all declared data-quality checks still pass") {
+    run1
+    val failed = run2.filterNot(_.passed)
+    assert(failed.isEmpty, s"failed checks: $failed")
+  }
+
+  test("run 2: HQ move = hard-delete of old location key + new open key") {
+    run1; run2
+    val snap = pipe.read("snapshots", "company_location_snapshot")
+    val acme = snap.filter(col("headquarters_city").isin("Springfield", "Shelbyville"))
+    val old = acme.filter(col("headquarters_city") === "Springfield").first()
+    assert(old.getAs[Timestamp]("dbt_valid_to") == t2) // invalidate_hard_deletes at run ts
+    val nw = acme.filter(col("headquarters_city") === "Shelbyville").first()
+    assert(nw.isNullAt(nw.fieldIndex("dbt_valid_to")))
+    // dim_location shows only the new location (current-only, P4)
+    val dim = pipe.read("analytics", "dim_location")
+    val cities = dim.select("headquarters_city").collect().map(_.getString(0)).toSet
+    assert(cities.contains("Shelbyville") && !cities.contains("Springfield"))
+  }
+
+  test("run 2: re-ingest with newer timestamp versions even identical values") {
+    run1; run2
+    val snap = pipe.read("snapshots", "fortune_metrics_snapshot")
+    // Globex re-ingested with identical metrics -> 2 versions (timestamp strategy)
+    val glx = snap.filter(col("slug") === "globex")
+    assert(glx.count() == 2)
+    assert(glx.filter(col("dbt_valid_to").isNull).count() == 1)
+  }
+
+  test("run 2: company absent from new batch but still in core is a no-op") {
+    run1; run2
+    val snap = pipe.read("snapshots", "fortune_metrics_snapshot")
+    // Initech dropped from fortune ranking but its staging/core row remains
+    // with the old last_updated -> single open version, no spurious close
+    val ini = snap.filter(col("slug") === "initech")
+    assert(ini.count() == 1)
+    assert(ini.filter(col("dbt_valid_to").isNull).count() == 1)
+  }
+
+  test("run 2: new company lands across all layers") {
+    run1; run2
+    assert(pipe.read("core", "cr_company_complete")
+      .filter(col("company_name") === "Stark Industries").count() == 1)
+    assert(pipe.read("analytics", "dim_company")
+      .filter(col("company_name") === "Stark Industries").count() == 1)
+    assert(pipe.read("analytics", "fact_company_performance").count() == 5)
+  }
+
+  test("run 2: RAW identity ids keep increasing across loads") {
+    run1; run2
+    val raw = pipe.read("raw", "fortune_500")
+    assert(raw.count() == 2)
+    assert(raw.select(max(col("id"))).first().getLong(0) == 2L)
+    assert(raw.select("id").distinct().count() == 2)
+  }
+}
