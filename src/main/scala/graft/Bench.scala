@@ -12,7 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional regex filter for iterating on individual queries
+    val selected = args.headOption
+      .map(p => SparkEntry.queries.filter { case (n, _) => n.matches(p) })
+      .getOrElse(SparkEntry.queries)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

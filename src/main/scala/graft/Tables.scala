@@ -23,4 +23,15 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
+
+  /** Load + spread across all cores. The test tables arrive as a single
+    * row group, so scans parallelize to ONE task; for CPU-bound per-row
+    * work (sketches, pairwise similarity) that serializes the whole
+    * query. One round-robin repartition unlocks the other N-1 cores — on
+    * a real cluster the equivalent is writing the source with sane file
+    * sizes, but an engine must handle pathological layouts it didn't
+    * write.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

@@ -1,0 +1,181 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Custom Catalyst expressions for the sketch operators where composing
+  * builtins forces a plan-shape penalty (SURVEY.md preference order (b)):
+  * computing a MinHash signature or SimHash via builtins needs
+  * explode(shingles) → groupBy(doc) with N aggregates — an extra shuffle
+  * of |docs|·|shingles| rows. These evaluate in ONE pass over the array,
+  * inside the scan's projection: no explode, no shuffle.
+  *
+  * Both produce byte-identical results to the md5()-composed SQL (the
+  * DuckDB oracles in operators.Dedup prove it per round): hashes are
+  * md5 hex of UTF-8, bit extraction is plain hex-nibble arithmetic.
+  *
+  * CodegenFallback is deliberate: the per-row work is MD5-dominated, so
+  * interpreted dispatch is noise; keeping the expression a leaf inside
+  * the projection keeps the surrounding plan whole-stage-codegen'd.
+  */
+object NativeExpressions {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** minhash_signature(shingles, n): array of n min-hashes, where family
+    * member i is md5(i + ":" + shingle) and the signature element is the
+    * lexicographic min over the DISTINCT shingle set — identical to
+    * `min(md5(concat(lit(s"i:"), sh)))` grouped per doc.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val seen = new java.util.HashSet[String]()
+      val mins = Array.fill[String](numHashes)(null)
+      var i = 0
+      while (i < n) {
+        val sh = arr.getUTF8String(i).toString
+        if (seen.add(sh)) {
+          var h = 0
+          while (h < numHashes) {
+            val hex = md5hex(s"$h:$sh")
+            if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
+            h += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash32(tokens): 32-bit SimHash over the token multiset. Token
+    * hash = first 8 hex chars of md5(token); bit b of the packed result
+    * is the sign of sum(count * (2*bit_b(hash) - 1)) — identical to the
+    * 32-aggregate SQL formulation in operators.Dedup.q20.
+    */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "simhash32"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < n) {
+        val tok = arr.getUTF8String(i).toString
+        counts.merge(tok, 1L, (a, b) => a + b)
+        i += 1
+      }
+      val comp = new Array[Long](32)
+      counts.forEach { (tok, cnt) =>
+        val h = md5hex(tok)
+        var b = 0
+        while (b < 32) {
+          val v = Character.digit(h.charAt(b / 4), 16)
+          val bit = (v >> (b % 4)) & 1
+          comp(b) += cnt * (2L * bit - 1L)
+          b += 1
+        }
+      }
+      var packed = 0L
+      var b = 0
+      while (b < 32) {
+        if (comp(b) > 0) packed |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(packed)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** word_shingles(text, k): whitespace-split word k-grams in one tight
+    * pass. Equivalent to transform(sequence(0, n-k), i -> concat_ws(' ',
+    * toks[i..i+k-1])) but those higher-order builtins are CodegenFallback
+    * with per-element interpreted dispatch — measured 7x slower on the
+    * shingle workload. Split semantics match Spark's split(text, " ")
+    * (limit -1: trailing empties kept).
+    */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "word_shingles"
+
+    private val space = java.util.regex.Pattern.compile(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = space.split(input.asInstanceOf[UTF8String].toString, -1)
+      val n = toks.length - k + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordShingles(text: Column, k: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), k))
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shingles), numHashes))
+
+  def simhash32(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(tokens)))
+}

@@ -26,17 +26,15 @@ object Dedup {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** spread variant for the CPU-bound sketch queries (see Tables.loadSpread) */
+  private def tSpread(s: SparkSession, dir: String, n: String) = Tables.loadSpread(s, dir, n)
+
   /** Word k-shingles of a whitespace-tokenized text column (empty array
-    * when the doc has fewer than k tokens — NB sequence(0, n-k) would flip
-    * to a descending range there).
+    * when the doc has fewer than k tokens). Native single-pass expression
+    * — see NativeExpressions.WordShingles for why not transform/sequence.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => get(toks, i + lit(j))): _*)))
-      .otherwise(expr("array()").cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.NativeExpressions.wordShingles(text, k)
 
   /** Distinct (doc_id, shingle) pairs. */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
@@ -76,9 +74,13 @@ object Dedup {
     */
   def q18DedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(t(s, dir, "documents"))
+    // The (doc, shingle) set feeds four consumers (freq filter, sizes,
+    // both join sides) — persist it once instead of re-exploding per
+    // consumer; ~|docs|·|shingles| rows, comfortably in memory per
+    // executor even at large scale since it is partitioned by shingle.
+    val sh = docShingles(tSpread(s, dir, "documents"))
     val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
-    val shf = sh.join(keep, "sh")
+    val shf = sh.join(broadcast(keep), "sh").persist()
     val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = shf.select($"doc_id".as("doc_a"), $"sh")
     val b = shf.select($"doc_id".as("doc_b"), $"sh")
@@ -121,29 +123,38 @@ object Dedup {
     */
   def q19DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(t(s, dir, "documents"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), $"sh"))).as(s"s$i"))
-    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bands = (0 until NumHashes / BandSize).map { bnd =>
-      sig.select($"doc_id", lit(bnd).as("band"),
-        md5(concat_ws("|", (0 until BandSize).map(r => col(s"s${bnd * BandSize + r}")): _*))
-          .as("bkey"))
-    }.reduce(_ unionByName _)
+    import graft.functions.NativeExpressions.minhashSignature
+    // Signature computed in ONE pass inside the scan projection (custom
+    // Expression) — no explode, no |docs|x|shingles| shuffle. The only
+    // shuffles left are the band-bucket join and the final sort.
+    val docs = tSpread(s, dir, "documents")
+      .select($"doc_id", array_distinct(shingles($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", $"shs", minhashSignature($"shs", NumHashes).as("sig"))
+      .persist()
+    // All band keys in one pass over the signature array (posexplode) —
+    // a 4-way union would recompute the signatures once per band.
+    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => element_at($"sig", bnd * BandSize + r + 1)): _*))
+    }: _*)
+    val bands = docs
+      .select($"doc_id", posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
-      .filter($"sh_a" === $"sh_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
-      .join(sz.select($"doc_id", $"n".as("nb")), $"doc_b" === $"doc_id").drop("doc_id")
+    // Verify candidates with exact set intersection on the shingle arrays
+    // (array_intersect on the two broadcast-joined arrays — no re-explode).
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"shs".as("shs_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shs".as("shs_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"shs_a", $"shs_b")).cast("long").as("n_common"),
+        size($"shs_a").as("na"), size($"shs_b").as("nb"))
+      .filter($"n_common" > 0)
       .select($"doc_a", $"doc_b", $"n_common",
         ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
@@ -189,25 +200,17 @@ object Dedup {
     */
   def q20DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", substring(md5($"tok"), 1, 8))
-    // nibble value of hex char b/4 (instr is 1-based): pure arithmetic
-    // bit extraction, reproducible in any engine
-    val bitSums = (0 until SimhashBits).map { b =>
-      val v = (instr(lit("0123456789abcdef"), substring($"h", b / 4 + 1, 1)) - 1)
-      val bit = floor(v / math.pow(2, b % 4).toInt).cast("long") % 2
-      sum($"cnt" * (bit * 2 - 1)).as(s"c$b")
-    }
-    val comp = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until SimhashBits).map(b =>
-      when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = comp.select($"doc_id", simhash.as("simhash"))
-    val withBands = (0 until 4).map(k =>
-      sigs.select($"doc_id", $"simhash", lit(k).as("band"),
-        (floor($"simhash" / math.pow(2, 8 * k).toLong).cast("long") % 256).as("bkey")))
-      .reduce(_ unionByName _)
+    import graft.functions.NativeExpressions.simhash32
+    // One-pass SimHash inside the scan projection (custom Expression) —
+    // replaces explode + groupBy with 32 bit-sum aggregates. The oracle
+    // SQL keeps the 32-aggregate formulation and must agree bit-for-bit.
+    val sigs = tSpread(s, dir, "documents")
+      .select($"doc_id", simhash32(split($"text", " ")).as("simhash"))
+      .persist()
+    val withBands = sigs.select($"doc_id", $"simhash",
+        posexplode(array((0 until 4).map(k =>
+          (floor($"simhash" / math.pow(2, 8 * k).toLong).cast("long") % 256)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     withBands.as("x").join(withBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -19,7 +19,7 @@ import graft.{GraftQuery, Tables}
   */
 object Similarity {
 
-  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+  private def t(s: SparkSession, dir: String, n: String) = Tables.loadSpread(s, dir, n)
 
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -38,14 +38,18 @@ object Similarity {
     */
   def q21EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Norms are computed once per vector BEFORE the pairwise join (O(n)
+    // instead of O(pairs) sqrt-folds) — same arithmetic as
+    // dot/(sqrt(aa)*sqrt(bb)), so oracle-identical.
     val e = t(s, dir, "embeddings")
       .select($"vec_id", $"label", d($"embedding").as("v"))
-    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"))
-    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"))
+      .withColumn("nrm", norm($"v"))
+    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm".as("nrm_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm".as("nrm_b"))
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b", $"label",
-        round(cosine($"va", $"vb"), 6).as("cos_sim"))
+        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"))
       .filter($"cos_sim" >= 0.35)
       .orderBy($"vec_a", $"vec_b")
   }
@@ -67,14 +71,17 @@ object Similarity {
     */
   def q22AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
     val q = e.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    q.crossJoin(e.select($"vec_id".as("neighbor_id"), $"v"))
+    q.crossJoin(e.select($"vec_id".as("neighbor_id"), $"v", $"nrm"))
       .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id", round(cosine($"qv", $"v"), 6).as("cos_sim"))
+      .select($"query_id", $"neighbor_id",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .orderBy($"query_id", $"rank")
