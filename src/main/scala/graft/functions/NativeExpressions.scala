@@ -173,6 +173,65 @@ object NativeExpressions {
   def wordShingles(text: Column, k: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(text), k))
 
+  /** cosine_lsh_signature(vec, numPlanes): random-hyperplane LSH signature
+    * for cosine similarity. Plane p's coefficient for dimension d is ±1 by
+    * the parity of the first hex nibble of md5(p + ":" + d) — a
+    * deterministic pseudo-random hyperplane any engine can reproduce (the
+    * DuckDB oracle builds the same planes in SQL). Bit p of the signature
+    * = sign of <plane_p, vec>.
+    */
+  case class CosineLshSignature(child: Expression, numPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "cosine_lsh_signature"
+
+    // coefficient matrix is tiny (planes x dims) and lazily cached per dim
+    @transient private lazy val coefCache =
+      new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+    private def coefs(dims: Int): Array[Double] =
+      coefCache.computeIfAbsent(dims, { _ =>
+        val arr = new Array[Double](numPlanes * dims)
+        var p = 0
+        while (p < numPlanes) {
+          var d = 0
+          while (d < dims) {
+            val nib = Character.digit(md5hex(s"$p:$d").charAt(0), 16)
+            arr(p * dims + d) = if (nib % 2 == 0) 1.0 else -1.0
+            d += 1
+          }
+          p += 1
+        }
+        arr
+      })
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dims = arr.numElements()
+      val v = new Array[Double](dims)
+      var d = 0
+      while (d < dims) { v(d) = arr.getDouble(d); d += 1 }
+      val c = coefs(dims)
+      var packed = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var s = 0.0
+        var i = 0
+        while (i < dims) { s += c(p * dims + i) * v(i); i += 1 }
+        if (s > 0) packed |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(packed)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cosineLshSignature(vec: Column, numPlanes: Int): Column =
+    GraftColumnBridge.column(CosineLshSignature(GraftColumnBridge.expression(vec), numPlanes))
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shingles), numHashes))
 

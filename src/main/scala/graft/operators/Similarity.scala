@@ -104,9 +104,82 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  val NumPlanes = 16
+  val LshBands = 4 // 4 bands of 4 signature bits
+
+  /** q29: random-hyperplane LSH ANN — the 100 TB path: vectors sharing
+    * any 4-bit signature band become candidates (join on band buckets,
+    * cost ∝ collisions, never |vecs|²); exact cosine then verifies, same
+    * 0.35 threshold as q21 so recall is directly comparable. Signature
+    * computed by a one-pass custom Expression with md5-derived
+    * deterministic hyperplanes (see NativeExpressions.CosineLshSignature).
+    */
+  def q29AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeExpressions.cosineLshSignature
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .withColumn("sig", cosineLshSignature($"v", NumPlanes))
+      .persist()
+    val bandBits = NumPlanes / LshBands
+    val bands = e.select($"vec_id",
+        posexplode(array((0 until LshBands).map(k =>
+          shiftright($"sig", k * bandBits).bitwiseAND(lit((1 << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("nrm_a")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrm_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.35)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val q29Sql = {
+    val bandBits = NumPlanes / LshBands
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 64),
+      |    d -> CASE WHEN (strpos('0123456789abcdef',
+      |           substring(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS coefs
+      |  FROM range(0, $NumPlanes) t(p)),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN list_dot_product(coefs, v) > 0
+      |        THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS sig
+      |  FROM e CROSS JOIN planes
+      |  GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, b.band,
+      |    (sig // CAST(pow(2, b.band * $bandBits) AS BIGINT)) % ${1 << bandBits} AS bkey
+      |  FROM sigs CROSS JOIN range(0, $LshBands) b(band)),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+      |SELECT vec_a, vec_b,
+      |  round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |FROM cand
+      |JOIN e a ON a.vec_id = vec_a
+      |JOIN e b ON b.vec_id = vec_b
+      |WHERE round(list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q21_embedding_near_dup", Seq("EXT-similarity", "EXT-dedup"),
       "label-blocked embedding near-dup (IVF-shaped)", q21EmbeddingNearDup, Some(q21Sql)),
     GraftQuery("q22_ann_brute_force", Seq("EXT-similarity"),
-      "brute-force cosine top-k baseline", q22AnnBruteForce, Some(q22Sql)))
+      "brute-force cosine top-k baseline", q22AnnBruteForce, Some(q22Sql)),
+    GraftQuery("q29_ann_lsh", Seq("EXT-similarity"),
+      "random-hyperplane LSH ANN (banded signature buckets)", q29AnnLsh, Some(q29Sql)))
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions.Fns.exactSum2
+
+/** Structured Streaming surface (SURVEY.md §2.8). The reference is
+  * batch-only; its incremental models are the "streaming-shaped" surface
+  * (high-water-mark + keyed upsert + SCD2 state). These are the idiomatic
+  * Spark streaming twins of the batch operators — the same event
+  * analytics q13/q14 compute, expressed as continuous queries:
+  *
+  *  - hourlyCounts: watermarked tumbling-window aggregation
+  *    (readStream → window agg → append sink);
+  *  - sessionize: custom per-key state via flatMapGroupsWithState,
+  *    closing a session after a 30-minute event-time gap.
+  *
+  * Scale: streaming state lives in the state store partitioned by
+  * grouping key — the watermark bounds it; sessionize keeps one open
+  * session per user, so state is O(active users), not O(events).
+  */
+object StreamingOps {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read raw
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet (nanos → µs
+    * conversion mirrors Tables.load).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour event-time window with a 2-hour watermark: counts
+    * and exact value sums per (window, event_type). Append mode — a
+    * window emits once its watermark passes.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), exactSum2(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      sessionSeq: Long, start: Timestamp, last: Timestamp, n: Long)
+
+  final case class Session(
+      user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom keyed state: fold each user's events in event-time order,
+    * emitting a session whenever a >30min gap closes it; the open session
+    * survives in the state store across micro-batches. (The batch
+    * equivalent is q14's gaps-and-islands — same session boundaries.)
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) {
+              st = SessionState(1L, e.ts, e.ts, 1L)
+            } else if (e.ts.getTime - st.last.getTime > SessionGapMs) {
+              closed += Session(userId, st.sessionSeq, st.n, st.start, st.last)
+              st = SessionState(st.sessionSeq + 1, e.ts, e.ts, 1L)
+            } else {
+              st = st.copy(last = e.ts, n = st.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+/** Drives the streaming operators with the real events table through a
+  * file-source → memory-sink query (Trigger.AvailableNow) and checks the
+  * results against the equivalent batch computation.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  test("watermarked hourly window agg matches the batch aggregation") {
+    import spark.implicits._
+    val q = StreamingOps.hourlyCounts(StreamingOps.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("hourly")
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    // append mode holds back windows newer than the final watermark;
+    // every emitted window must match its batch twin, and most windows
+    // must have been emitted
+    val joined = got.as("s").join(batch.as("b"),
+      $"s.hour" === $"b.hour" && $"s.event_type" === $"b.event_type")
+    assert(got.count() > 0)
+    assert(joined.filter($"s.n" =!= $"b.n").count() == 0)
+    assert(joined.count() == got.count()) // every streamed window exists in batch
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingOps.Event]
+    // run the same stateful logic in batch mode (flatMapGroupsWithState
+    // works on batch Datasets too); closed sessions = all but each
+    // user's last open session
+    val closed = StreamingOps.sessionize(events)
+    val batch = graft.operators.Relational.q14Sessionize(spark, "/root/testdata/sf0.001")
+    val lastPerUser = batch.groupBy($"user_id")
+      .agg(max($"session_seq").as("last_seq"))
+    val expectedClosed = batch.join(lastPerUser, Seq("user_id"))
+      .filter($"session_seq" =!= $"last_seq")
+    assert(closed.count() == expectedClosed.count())
+    val joined = closed.toDF().as("s").join(expectedClosed.as("b"),
+      Seq("user_id", "session_seq"))
+    assert(joined.count() == closed.count())
+    assert(joined.filter($"s.n_events" =!= $"b.n_events").count() == 0)
+    assert(joined.filter($"s.session_start" =!= $"b.session_start").count() == 0)
+    assert(joined.filter($"s.session_end" =!= $"b.session_end").count() == 0)
+  }
+}
