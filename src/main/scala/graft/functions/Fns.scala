@@ -36,6 +36,15 @@ object Fns {
   def parseMoneyToFloat(c: Column): Column =
     nullif(regexp_replace(c.cast("string"), "[$,]", ""), lit("")).cast("double")
 
+  /** Lenient variant: malformed residue → NULL instead of an ANSI cast
+    * error. The strict version matches Snowflake `::float` (which also
+    * errors on garbage — reference parity); this is the
+    * dirty-data-at-scale path where one bad row must not kill a 100 TB
+    * job.
+    */
+  def parseMoneyToFloatLenient(c: Column): Column =
+    nullif(regexp_replace(c.cast("string"), "[$,]", ""), lit("")).try_cast("double")
+
   /** IFF(x = 'yes', true, false) parity (SURVEY.md §2.7 F5): NULL condition
     * takes the else branch, so a missing flag becomes false, not NULL.
     * Reference: firmographics_dbt/models/staging/stg_fortune500.sql:50-60.

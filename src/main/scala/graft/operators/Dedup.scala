@@ -36,9 +36,13 @@ object Dedup {
   def shingles(text: Column, k: Int = 3): Column =
     graft.functions.NativeExpressions.wordShingles(text, k)
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. Dedup happens per-doc in the
+    * array BEFORE exploding (doc_id is unique per row), so no global
+    * distinct shuffle is needed — the generate output is already the
+    * distinct set.
+    */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh")).distinct()
+    docs.select(col("doc_id"), explode(array_distinct(shingles(col("text"), k))).as("sh"))
 
   /** q17: exact dedup via content-hash groupBy — the survivor (min doc_id)
     * per distinct md5(text), with the cluster size. One shuffle on the

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.NativeExpressions._
+
+/** Differential tests: each native expression must produce EXACTLY the
+  * value of the builtin-composed formulation it replaced (that is the
+  * oracle-parity contract), checked over the real documents/embeddings
+  * tables.
+  */
+class NativeExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("WordShingles == transform/sequence formulation") {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val builtin = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+      .otherwise(expr("array()").cast("array<string>"))
+    val diff = Tables.load(spark, dir, "documents")
+      .select($"doc_id", wordShingles($"text", 3).as("native"), builtin.as("ref"))
+      .filter(!($"native" <=> $"ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("WordShingles edge cases: short text, multiple/trailing spaces") {
+    import spark.implicits._
+    val rows = Seq("a b", "a b c", "a  b  c", "a b c ", "", "x")
+      .toDF("text")
+      .select($"text", wordShingles($"text", 3).as("native"),
+        split($"text", " ").as("toks"))
+      .collect()
+    assert(rows(0).getSeq[String](1) == Seq.empty) // 2 tokens
+    assert(rows(1).getSeq[String](1) == Seq("a b c"))
+    assert(rows(2).getSeq[String](1) == Seq("a  b", " b ", "b  c")) // empties kept
+    assert(rows(3).getSeq[String](1) == Seq("a b c", "b c ")) // trailing empty kept
+    assert(rows(4).getSeq[String](1) == Seq.empty)
+    assert(rows(5).getSeq[String](1) == Seq.empty)
+  }
+
+  test("MinHashSignature == min(md5(i:sh)) groupBy formulation") {
+    import spark.implicits._
+    val sh = operators.Dedup.docShingles(Tables.load(spark, dir, "documents"))
+    val ref = sh.groupBy($"doc_id").agg(
+      (0 until 8).map(i => min(md5(concat(lit(s"$i:"), $"sh"))).as(s"s$i")).head,
+      (0 until 8).map(i => min(md5(concat(lit(s"$i:"), $"sh"))).as(s"s$i")).tail: _*)
+    val native = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        minhashSignature(array_distinct(operators.Dedup.shingles($"text")), 8).as("sig"))
+      .filter(size($"sig") === 8)
+      .select(($"doc_id" +: (0 until 8).map(i => element_at($"sig", i + 1).as(s"s$i"))): _*)
+    val diff = ref.as("r").join(native.as("n"), "doc_id")
+      .filter((0 until 8).map(i => col(s"r.s$i") =!= col(s"n.s$i")).reduce(_ || _))
+    assert(ref.count() == native.count())
+    assert(diff.count() == 0)
+  }
+
+  test("SimHash32 == 32-aggregate bit-sum formulation") {
+    import spark.implicits._
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", substring(md5($"tok"), 1, 8))
+    val bitSums = (0 until 32).map { b =>
+      val v = (instr(lit("0123456789abcdef"), substring($"h", b / 4 + 1, 1)) - 1)
+      val bit = floor(v / math.pow(2, b % 4).toInt).cast("long") % 2
+      sum($"cnt" * (bit * 2 - 1)).as(s"c$b")
+    }
+    val ref = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", (0 until 32).map(b =>
+        when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("ref"))
+    val native = Tables.load(spark, dir, "documents")
+      .select($"doc_id", simhash32(split($"text", " ")).as("native"))
+    val diff = ref.join(native, "doc_id").filter($"ref" =!= $"native")
+    assert(diff.count() == 0)
+  }
+
+  test("CosineLshSignature is deterministic and bit-bounded") {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val s1 = e.select($"vec_id", cosineLshSignature($"v", 16).as("sig"))
+    val s2 = e.select($"vec_id", cosineLshSignature($"v", 16).as("sig2"))
+    assert(s1.join(s2, "vec_id").filter($"sig" =!= $"sig2").count() == 0)
+    assert(s1.filter($"sig" < 0 || $"sig" >= (1L << 16)).count() == 0)
+    // signatures spread across buckets (not degenerate)
+    assert(s1.select($"sig").distinct().count() > 10)
+  }
+}
