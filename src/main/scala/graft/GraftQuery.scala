@@ -26,5 +26,6 @@ object Registry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++
-      graft.operators.Multimodal.queries
+      graft.operators.Multimodal.queries ++
+      graft.operators.Extended.queries
 }

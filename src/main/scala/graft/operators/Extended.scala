@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.Fns._
+
+/** Capability extensions beyond the reference's declared surface —
+  * operators SURVEY.md §2.4/§2.6 lists as "absent but free from Spark",
+  * declared and oracle-checked here so a reference user gains them when
+  * switching: set operations, hierarchical rollup aggregation,
+  * approximate distinct counting, and Spark 4 native VARIANT handling
+  * (the direct analog of the reference's Snowflake VARIANT payloads).
+  */
+object Extended {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q30: set operations (SURVEY §2.6): customers active in 1994 vs 1995
+    * — intersect (both years), except (churned), union (either). Spark
+    * INTERSECT/EXCEPT are set-semantics (dedup), same as SQL.
+    */
+  def q30SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def active(year: Int) = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val a94 = active(1994)
+    val a95 = active(1995)
+    a94.intersect(a95).select($"o_custkey", lit("both").as("cohort"))
+      .unionByName(a94.except(a95).select($"o_custkey", lit("churned").as("cohort")))
+      .unionByName(a95.except(a94).select($"o_custkey", lit("new").as("cohort")))
+      .orderBy($"cohort", $"o_custkey")
+  }
+
+  private val q30Sql =
+    """WITH a94 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+      |a95 AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT o_custkey, cohort FROM (
+      |  SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM a94 INTERSECT SELECT o_custkey FROM a95)
+      |  UNION ALL
+      |  SELECT o_custkey, 'churned' FROM (SELECT o_custkey FROM a94 EXCEPT SELECT o_custkey FROM a95)
+      |  UNION ALL
+      |  SELECT o_custkey, 'new' FROM (SELECT o_custkey FROM a95 EXCEPT SELECT o_custkey FROM a94))
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** q31: hierarchical rollup (SURVEY §2.4 "absent" list): revenue by
+    * (region, nation) with subtotals and grand total. grouping() flags
+    * disambiguate NULL-as-subtotal from NULL data.
+    */
+  def q31Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"), exactSum2($"o_totalprice").as("revenue"),
+        grouping($"r_name").cast("int").as("g_region"),
+        grouping($"n_name").cast("int").as("g_nation"))
+      .orderBy($"g_region", $"g_nation", $"r_name", $"n_name")
+  }
+
+  private val q31Sql =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(grouping(r_name) AS INTEGER) AS g_region,
+      |  CAST(grouping(n_name) AS INTEGER) AS g_nation
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin
+
+  /** q32: approximate distinct counting (HLL). Sketch internals differ
+    * per engine, so the oracle checks the EXACT side columns and the
+    * approximate column is validated relationally in-plan: the query
+    * returns rows only where the approx estimate strays beyond 5% of the
+    * exact count — correct behavior = empty result, which both engines
+    * agree on.
+    */
+  def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .filter(abs($"approx_parts" - $"exact_parts") >
+        $"exact_parts" * 0.05)
+      .select($"l_returnflag", $"exact_parts")
+      .orderBy($"l_returnflag")
+  }
+
+  private val q32Sql =
+    """SELECT l_returnflag, exact_parts FROM (
+      |  SELECT l_returnflag,
+      |    count(DISTINCT l_partkey) AS exact_parts,
+      |    approx_count_distinct(l_partkey) AS approx_parts
+      |  FROM lineitem GROUP BY l_returnflag)
+      |WHERE abs(approx_parts - exact_parts) > exact_parts * 0.05
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q33: Spark 4 native VARIANT (the reference's Snowflake VARIANT
+    * analog, SURVEY §1.2): parse_json into VariantType, path-extract with
+    * variant_get — schema-on-read without a declared StructType.
+    */
+  def q33VariantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q33Sql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q30_set_ops", Seq("EXT-setops"),
+      "intersect/except/union cohort analysis", q30SetOps, Some(q30Sql)),
+    GraftQuery("q31_rollup", Seq("EXT-rollup"),
+      "hierarchical rollup with grouping flags", q31Rollup, Some(q31Sql)),
+    GraftQuery("q32_approx_distinct", Seq("EXT-approx"),
+      "HLL approx distinct within 5% of exact (empty = pass)", q32ApproxDistinct, Some(q32Sql)),
+    GraftQuery("q33_variant_json", Seq("F1", "EXT-variant"),
+      "Spark 4 VARIANT parse + path extraction", q33VariantJson, Some(q33Sql)))
+}

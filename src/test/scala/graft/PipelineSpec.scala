@@ -132,6 +132,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.read("analytics", "fact_company_performance").count() == 5)
   }
 
+  test("run 3 with no new data is a no-op (dbt re-run idempotency)") {
+    run1; run2
+    val before = Seq(
+      pipe.read("staging", "stg_fortune500").count(),
+      pipe.read("core", "cr_company_complete").count(),
+      pipe.read("snapshots", "company_location_snapshot").count(),
+      pipe.read("snapshots", "fortune_metrics_snapshot").count(),
+      pipe.read("analytics", "fact_company_performance").count())
+    val emptyLanding = Files.createTempDirectory("graft-empty").toString
+    val run3 = pipe.run(emptyLanding, Timestamp.valueOf("2025-08-01 00:00:00"))
+    assert(run3.filterNot(_.passed).isEmpty)
+    val after = Seq(
+      pipe.read("staging", "stg_fortune500").count(),
+      pipe.read("core", "cr_company_complete").count(),
+      pipe.read("snapshots", "company_location_snapshot").count(),
+      pipe.read("snapshots", "fortune_metrics_snapshot").count(),
+      pipe.read("analytics", "fact_company_performance").count())
+    assert(after == before)
+    // no spurious SCD2 closes: same set of open versions
+    assert(pipe.read("snapshots", "fortune_metrics_snapshot")
+      .filter(col("dbt_valid_to").isNull).count() == 5)
+  }
+
   test("run 2: RAW identity ids keep increasing across loads") {
     run1; run2
     val raw = pipe.read("raw", "fortune_500")
