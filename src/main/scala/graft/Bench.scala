@@ -12,12 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet-reader paths once so the first timed
-    // query isn't charged for session initialization
+    // warm the JVM/codegen/parquet-reader/shuffle paths once so the first
+    // timed query isn't charged for session initialization (deliberately
+    // NOT a registry query: their persisted caches would rig their own
+    // timings)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
+    try graft.Tables.load(spark, sfDir, "customer")
+      .groupBy("c_mktsegment").count().count()
+    catch { case _: Throwable => () }
     // optional regex filter for iterating on individual queries
     val selected = args.headOption
       .map(p => SparkEntry.queries.filter { case (n, _) => n.matches(p) })

@@ -130,7 +130,37 @@ object Extended {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  val SaltBuckets = 8
+
+  /** q34: skew-resistant two-phase aggregation — the salting pattern for
+    * hot keys at scale: phase 1 aggregates on (key, salt) spreading a hot
+    * key over SaltBuckets reducers, phase 2 merges the partials. The
+    * oracle is the PLAIN single-phase GROUP BY — proving the salted plan
+    * is semantics-preserving (counts/sums compose; the decimal sum keeps
+    * the merge exact).
+    */
+  def q34SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("salt", pmod($"event_id", lit(SaltBuckets)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(18,2)")).as("pv"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n"), sum($"pv").cast("double").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  private val q34Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q34_salted_agg", Seq("EXT-skew"),
+      "two-phase salted aggregation == plain GROUP BY", q34SaltedAgg, Some(q34Sql)),
     GraftQuery("q30_set_ops", Seq("EXT-setops"),
       "intersect/except/union cohort analysis", q30SetOps, Some(q30Sql)),
     GraftQuery("q31_rollup", Seq("EXT-rollup"),

@@ -43,6 +43,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == got.count()) // every streamed window exists in batch
   }
 
+  test("watermarked streaming dedup keeps one row per event_id") {
+    import spark.implicits._
+    val q = StreamingOps.dedupStream(StreamingOps.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("deduped")
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert(got.count() == src.select("event_id").distinct().count())
+    assert(got.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
