@@ -27,5 +27,6 @@ object Registry {
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Multimodal.queries ++
-      graft.operators.Extended.queries
+      graft.operators.Extended.queries ++
+      graft.operators.AsOf.queries
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+import graft.{GraftQuery, Tables}
+
+/** As-of (point-in-time) left join — for each left row, the latest right
+  * row with rightTime <= leftTime for the same key. Absent from both the
+  * reference (SURVEY.md §2.3 "absent" list) and Spark's built-in join
+  * types; per the preference order it is COMPOSED from built-ins (tagged
+  * union + sorted window carry-forward) rather than a custom SparkPlan:
+  *
+  *   1. tag left/right rows and union them;
+  *   2. within each key, sort by (time, side) — right rows sort before
+  *      left rows at equal times, so `rt <= lt` matches inclusively;
+  *   3. carry the right row forward as ONE struct with
+  *      last(_, ignoreNulls) — a struct, not per-column carries, so a
+  *      NULL inside a newer right row can never tear across rows;
+  *   4. keep left rows, unpack the carried struct.
+  *
+  * Cost: one shuffle per side on the key + one window pass — never the
+  * per-key cross product of the naive join-filter-argmax; state per key
+  * during the pass is a single carried row, so the plan survives any
+  * key cardinality (DuckDB executes its native ASOF JOIN — q35's oracle
+  * — with the same merge shape).
+  */
+object AsOf {
+
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val payload = right.columns.filterNot(_ == rightKey).toSeq // incl rightTime
+    val leftCols = left.columns.toSeq
+    val payloadType = StructType(payload.map(c => right.schema(c)))
+
+    val lTagged = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("__k"),
+        col(leftTime).as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__r"))): _*)
+    val rTagged = right.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightKey).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__r"))): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col("__c").getField(c).as(c))): _*)
+  }
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q35: point-in-time enrichment — each order gets the customer's
+    * latest event at or before the order date (NULLs when none). The
+    * right side is first reduced to one row per (user, ts) with max_by
+    * so the as-of match is unambiguous in any engine; the oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def q35AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val events = t(s, dir, "events")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("event_id"),
+        max_by($"event_type", $"event_id").as("event_type"))
+      .select($"user_id", $"event_id", $"event_type", $"ts")
+    AsOf.join(orders, events,
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTime = "o_orderdate", rightTime = "ts")
+      .withColumnRenamed("ts", "event_ts")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q35Sql =
+    """WITH ev AS (
+      |  SELECT user_id, ts, max(event_id) AS event_id,
+      |         arg_max(event_type, event_id) AS event_type
+      |  FROM events GROUP BY user_id, ts)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |       e.event_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS event_ts
+      |FROM orders o ASOF LEFT JOIN ev e
+      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q36: range (interval) join — events within the 7 days BEFORE each
+    * order, per customer. A naive range join is a per-key cross product;
+    * the scalable Spark formulation bins the time axis by the interval
+    * width and equi-joins on (key, bin) with the exact predicate applied
+    * after (each right row lands in 2 bins; candidate set per left row is
+    * 2 bins instead of the whole key history). The oracle is the plain
+    * range-predicate join — proving the binned rewrite is lossless.
+    */
+  def q36RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val WindowDays = 7L
+    val binSecs = WindowDays * 86400L
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        floor(unix_timestamp($"o_orderdate") / binSecs).as("bin"))
+    // each event is a candidate for order-bins [its bin, its bin + 1]
+    val events = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        explode(array(floor(unix_timestamp($"ts") / binSecs),
+          floor(unix_timestamp($"ts") / binSecs) + 1)).as("bin"))
+    orders
+      .join(events, orders("o_custkey") === events("user_id") &&
+        orders("bin") === events("bin") &&
+        events("ts") > orders("o_orderdate") - expr(s"INTERVAL $WindowDays DAYS") &&
+        events("ts") <= orders("o_orderdate"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_recent_events"), max($"event_id").as("last_event_id"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q36Sql =
+    """SELECT o_orderkey, count(*) AS n_recent_events, max(event_id) AS last_event_id
+      |FROM orders JOIN events
+      |  ON o_custkey = user_id
+      | AND ts > o_orderdate - INTERVAL 7 DAY
+      | AND ts <= o_orderdate
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q35_asof_join", Seq("EXT-asof"),
+      "point-in-time as-of left join (union + window carry-forward)",
+      q35AsOfJoin, Some(q35Sql)),
+    GraftQuery("q36_range_join", Seq("EXT-range"),
+      "interval range join via time-binned equi-join", q36RangeJoin, Some(q36Sql)))
+}
