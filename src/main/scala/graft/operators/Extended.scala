@@ -158,7 +158,81 @@ object Extended {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q37: exact interpolated percentiles (R-7 definition in both Spark's
+    * `percentile` and DuckDB's `quantile_cont`): order-value quartiles per
+    * order status. Interpolation is fixed-order arithmetic on the two
+    * neighbors of a sorted sequence — deterministic across engines.
+    */
+  def q37Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q37Sql =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q38: fixed-width histogram — floor-binning is exact integer
+    * arithmetic on identical doubles, the distributed-histogram staple.
+    */
+  def q38Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select((floor($"o_totalprice" / 50000.0) * 50000).cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
+  private val q38Sql =
+    """SELECT CAST(floor(o_totalprice / 50000.0) * 50000 AS BIGINT) AS bucket, count(*) AS n
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** q39: pivot — event counts per user-id decade, one column per event
+    * type (the DataFrame `pivot` API; the oracle spells it as CASE
+    * aggregations, which is also what Catalyst compiles pivot into).
+    */
+  def q39Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("user_decade", (floor($"user_id" / 100) * 100).cast("long"))
+      .groupBy($"user_decade")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_decade")
+  }
+
+  private val q39Sql =
+    """SELECT CAST(floor(user_id / 100) * 100 AS BIGINT) AS user_decade,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY user_decade""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q37_percentiles", Seq("EXT-percentile"),
+      "exact interpolated quartiles per group", q37Percentiles, Some(q37Sql)),
+    GraftQuery("q38_histogram", Seq("EXT-histogram"),
+      "fixed-width histogram via floor binning", q38Histogram, Some(q38Sql)),
+    GraftQuery("q39_pivot", Seq("EXT-pivot"),
+      "pivot to one column per event type", q39Pivot, Some(q39Sql)),
     GraftQuery("q34_salted_agg", Seq("EXT-skew"),
       "two-phase salted aggregation == plain GROUP BY", q34SaltedAgg, Some(q34Sql)),
     GraftQuery("q30_set_ops", Seq("EXT-setops"),
