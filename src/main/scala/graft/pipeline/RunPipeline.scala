@@ -47,6 +47,27 @@ object RunPipeline {
     val failed = results.filterNot(_.passed)
     println(s"tests: ${results.size - failed.size}/${results.size} passed")
     failed.foreach(r => println(s"  FAIL ${r.table}.${r.name}: ${r.violations} violations"))
+
+    // S9 parity: per-run manifest artifact (model list + row counts +
+    // test results, keyed by invocation id — the spirit of the
+    // reference's manifest/run_results S3 upload, DAG:66-107)
+    val invocationId = java.util.UUID.randomUUID().toString
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val models = tables.map { case (layer, t) =>
+      s"""{"layer": ${q(layer)}, "table": ${q(t)}, "rows": ${pipe.read(layer, t).count()}}"""
+    }.mkString("[", ",", "]")
+    val testsJson = results.map(r =>
+      s"""{"table": ${q(r.table)}, "test": ${q(r.name)}, "violations": ${r.violations}}""")
+      .mkString("[", ",", "]")
+    val manifest =
+      s"""{"invocation_id": ${q(invocationId)}, "as_of": ${q(asOf.toString)},
+         | "models": $models, "tests": $testsJson}""".stripMargin
+    val manifestDir = java.nio.file.Paths.get(workDir, "manifests")
+    java.nio.file.Files.createDirectories(manifestDir)
+    java.nio.file.Files.writeString(
+      manifestDir.resolve(s"run_$invocationId.json"), manifest)
+    println(s"manifest: $manifestDir/run_$invocationId.json")
+
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
