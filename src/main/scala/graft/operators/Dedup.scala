@@ -256,7 +256,78 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Min-label propagation connected components over an undirected edge
+    * list — converges to the same fixed point in any evaluation order
+    * (labels only decrease toward the component minimum), so the output
+    * is engine-deterministic. Iterations ~ graph diameter; each is one
+    * join + one aggregation, the standard large-scale CC loop.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** q40: near-dup clustering — connected components over the q18
+    * Jaccard pairs; each document maps to its component's minimum doc_id
+    * (the canonical survivor a dedup pipeline keeps). Oracle: recursive
+    * CTE transitive closure + min per node.
+    */
+  def q40DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q18DedupJaccard(s, dir).select($"doc_a", $"doc_b")
+    connectedComponents(pairs).orderBy($"doc_id")
+  }
+
+  private val q40Sql =
+    s"""WITH RECURSIVE $shinglesCte,
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS src, a AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS doc_id, min(dst) AS canonical_id
+      |FROM reach
+      |GROUP BY src
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q40_dedup_components", Seq("EXT-dedup"),
+      "near-dup clustering: connected components + canonical ids",
+      q40DedupComponents, Some(q40Sql)),
     GraftQuery("q17_dedup_exact", Seq("EXT-dedup"),
       "exact dedup via content-hash groupBy", q17DedupExact, Some(q17Sql)),
     GraftQuery("q18_dedup_jaccard", Seq("EXT-dedup"),
