@@ -164,14 +164,17 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private val q19Sql = {
+  /** Shared oracle CTE chain: shingles → minhash signatures → LSH bands
+    * → candidate pairs → verified jaccard (used by q19 and q40).
+    */
+  private lazy val minhashCtes: String = {
     val sigExprs = (0 until NumHashes)
       .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
     val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
       val cols = (0 until BandSize).map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
       |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
       |bands AS (
       |  $bandSelects),
@@ -185,14 +188,20 @@ object Dedup {
       |  FROM cand c
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_common,
-      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-      |FROM inter
-      |JOIN sz sa ON sa.doc_id = doc_a
-      |JOIN sz sb ON sb.doc_id = doc_b
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT doc_a, doc_b, n_common,
+      |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  private val q19Sql =
+    s"""WITH $minhashCtes
+      |SELECT doc_a, doc_b, n_common, jaccard
+      |FROM verified
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val SimhashBits = 32
 
@@ -256,13 +265,46 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Min-label propagation connected components over an undirected edge
-    * list — converges to the same fixed point in any evaluation order
-    * (labels only decrease toward the component minimum), so the output
-    * is engine-deterministic. Iterations ~ graph diameter; each is one
-    * join + one aggregation, the standard large-scale CC loop.
+  /** Connected components over an undirected near-dup pair list, with the
+    * canonical label = component minimum. The result is the same fixed
+    * point in any evaluation order, so it is engine-deterministic.
+    *
+    * Adaptive execution: the pair graph of a dedup pass is typically
+    * minuscule relative to the corpus (it holds only near-duplicates), so
+    * when it fits comfortably on the driver we run union-find locally —
+    * one collect, zero iterative jobs. Past the threshold we fall back to
+    * distributed min-label propagation (one join + one aggregation per
+    * iteration, iterations ~ graph diameter) — the loop that scales to
+    * billions of edges.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeRows = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    val n = edgeRows.persist().count()
+    if (n <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edgeRows.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edgeRows.unpersist()
+      val out = parent.keys.toSeq.map(k => (k, find(k))).sortBy(_._1)
+      spark.createDataFrame(out).toDF("doc_id", "canonical_id")
+    } else distributedCC(pairs, maxIter)
+  }
+
+  private def distributedCC(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist()
@@ -287,31 +329,24 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
-  /** q40: near-dup clustering — connected components over the q18
-    * Jaccard pairs; each document maps to its component's minimum doc_id
-    * (the canonical survivor a dedup pipeline keeps). Oracle: recursive
-    * CTE transitive closure + min per node.
+  /** q40: near-dup clustering — connected components over the
+    * LSH-verified Jaccard pairs (the q19 production path, not the
+    * all-pairs baseline); each document maps to its component's minimum
+    * doc_id (the canonical survivor a dedup pipeline keeps). Oracle:
+    * recursive-CTE transitive closure + min per node over the same
+    * minhash CTE chain.
     */
   def q40DedupComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = q18DedupJaccard(s, dir).select($"doc_a", $"doc_b")
+    val pairs = q19DedupMinhashLsh(s, dir)
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b")
     connectedComponents(pairs).orderBy($"doc_id")
   }
 
   private val q40Sql =
-    s"""WITH RECURSIVE $shinglesCte,
-      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
-      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT doc_a, doc_b FROM inter
-      |  JOIN sz sa ON sa.doc_id = doc_a
-      |  JOIN sz sb ON sb.doc_id = doc_b
-      |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6),
+    s"""WITH RECURSIVE $minhashCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
       |edges AS (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
