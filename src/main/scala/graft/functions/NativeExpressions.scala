@@ -232,6 +232,27 @@ object NativeExpressions {
   def cosineLshSignature(vec: Column, numPlanes: Int): Column =
     GraftColumnBridge.column(CosineLshSignature(GraftColumnBridge.expression(vec), numPlanes))
 
+  /** Register the native expressions in a session's FunctionRegistry so
+    * `spark.sql` queries can call them by name:
+    * word_shingles(text, k), minhash_signature(shingles, n),
+    * simhash32(tokens), cosine_lsh_signature(vec, planes).
+    * (The int arguments must be literals, like any expression-building
+    * parameter.)
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int =
+      e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => SimHash32(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_lsh_signature",
+      es => CosineLshSignature(es.head, intArg(es(1))), "scala_udf")
+  }
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shingles), numHashes))
 
