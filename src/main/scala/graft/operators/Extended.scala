@@ -226,7 +226,75 @@ object Extended {
       |GROUP BY 1
       |ORDER BY user_decade""".stripMargin
 
+  /** q41: full cube over (status, priority-class) — all four grouping-set
+    * combinations with grouping flags.
+    */
+  def q41Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("prio", substring($"o_orderpriority", 1, 1))
+      .cube($"o_orderstatus", $"prio")
+      .agg(count(lit(1)).as("n"), exactSum2($"o_totalprice").as("revenue"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"prio").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"prio")
+  }
+
+  private val q41Sql =
+    """SELECT o_orderstatus, prio, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(grouping(prio) AS INTEGER) AS g_prio
+      |FROM (SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio, o_totalprice FROM orders)
+      |GROUP BY CUBE (o_orderstatus, prio)
+      |ORDER BY g_status, g_prio, o_orderstatus, prio""".stripMargin
+
+  /** q42: int8 embedding quantization — the memory-compression step of a
+    * large-scale ANN index (4x smaller vectors). Per-vector symmetric
+    * scale = 127/max|v|; code = floor(v*scale + 0.5) (explicit floor
+    * form, not round(), so the halfway rule is pinned to identical
+    * arithmetic in every engine). Output: per-vector quantization error
+    * stats, exact-deterministic doubles.
+    */
+  def q42QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val codes = transform(v, x => floor(x * scale + 0.5))
+    val dequant = zip_with(codes, v, (c, x) => abs(c / scale - x))
+    t(s, dir, "embeddings")
+      .select($"vec_id",
+        round(maxAbs, 6).as("max_abs"),
+        array_max(codes).cast("long").as("max_code"),
+        array_min(codes).cast("long").as("min_code"),
+        round(array_max(dequant), 6).as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
+  private val q42Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS max_abs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, max_abs, v, 127.0 / max_abs AS scale,
+      |    list_transform(v, x -> floor(x * (127.0 / max_abs) + 0.5)) AS codes
+      |  FROM e)
+      |SELECT vec_id,
+      |  round(max_abs, 6) AS max_abs,
+      |  CAST(list_max(codes) AS BIGINT) AS max_code,
+      |  CAST(list_min(codes) AS BIGINT) AS min_code,
+      |  round(list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(codes[i] / scale - v[i]))), 6) AS max_abs_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q41_cube", Seq("EXT-cube"),
+      "full cube with grouping flags", q41Cube, Some(q41Sql)),
+    GraftQuery("q42_quantize_embeddings", Seq("EXT-similarity"),
+      "deterministic int8 embedding quantization stats", q42QuantizeEmbeddings, Some(q42Sql)),
     GraftQuery("q37_percentiles", Seq("EXT-percentile"),
       "exact interpolated quartiles per group", q37Percentiles, Some(q37Sql)),
     GraftQuery("q38_histogram", Seq("EXT-histogram"),
