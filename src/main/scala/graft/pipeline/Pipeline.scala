@@ -31,27 +31,14 @@ final class Pipeline(spark: SparkSession, workDir: String) {
     s"$workDir/$layer/$table"
 
   def exists(layer: String, table: String): Boolean =
-    Files.exists(Paths.get(path(layer, table), "_SUCCESS"))
+    ParquetIO.exists(path(layer, table))
 
   def read(layer: String, table: String): DataFrame =
-    spark.read.parquet(path(layer, table))
+    ParquetIO.read(spark, path(layer, table))
 
-  /** Atomic overwrite: write to a tmp sibling (materializing any
-    * self-referencing read), then swap directories.
-    */
-  def overwriteSwap(df: DataFrame, layer: String, table: String): Unit = {
-    val target = Paths.get(path(layer, table))
-    val tmp = Paths.get(path(layer, table) + ".tmp")
-    deleteRecursive(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursive(target)
-    Files.createDirectories(target.getParent)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  /** Atomic overwrite via [[ParquetIO.overwriteSwap]]. */
+  def overwriteSwap(df: DataFrame, layer: String, table: String): Unit =
+    ParquetIO.overwriteSwap(df, path(layer, table))
 
   /** dbt incremental materialization: first run writes full; later runs
     * watermark-filter on `ingested_at > max(watermarkCol)` (P3, strictly

@@ -57,6 +57,32 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming keyed upsert sink (foreachBatch): every micro-batch is
+    * MERGE-upserted into a parquet target on `keys` — the streaming form
+    * of the reference's incremental materialization (SURVEY.md §2.1 S6 /
+    * §2.8: the incremental models ARE the streaming-shaped surface; this
+    * closes the loop with a real continuous query). In-batch duplicates
+    * of a key are resolved last-write-wins by `orderCol` before the
+    * merge so the sink state stays one row per key.
+    */
+  def upsertSink(
+      stream: DataFrame, keys: Seq[String], orderCol: String,
+      targetDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      import org.apache.spark.sql.expressions.Window
+      val spark = batch.sparkSession
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val deduped = batch.toDF()
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val merged =
+        if (!graft.pipeline.ParquetIO.exists(targetDir)) deduped
+        else graft.operators.Incremental.upsert(
+          graft.pipeline.ParquetIO.read(spark, targetDir), deduped, keys)
+      graft.pipeline.ParquetIO.overwriteSwap(merged, targetDir)
+    }
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on the
     * event id — the streaming twin of q17's content-hash dedup; state
     * holds only ids inside the watermark horizon.

@@ -55,6 +55,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("foreachBatch upsert sink merges micro-batches on the key") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // micro-batch 1: users 1,2; micro-batch 2 arrives later: user 2
+    // updated + user 3 new -> target must hold exactly one latest row
+    // per user
+    val srcDir = Files.createTempDirectory("graft-upsert-src")
+    val tgtRoot = Files.createTempDirectory("graft-upsert-tgt")
+    val target = tgtRoot.resolve("t").toString
+    val chk = tgtRoot.resolve("_chk").toString // outside the source glob
+    def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("user_id", "ver", "state")
+        .coalesce(1).write.mode("overwrite").parquet(srcDir.resolve(name).toString)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ver LONG, state STRING")
+        .parquet(srcDir.toString + "/*")
+      val q = StreamingOps.upsertSink(stream, Seq("user_id"), "ver", target)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", chk)
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch("b1", Seq((1L, 1L, "a"), (2L, 1L, "b")))
+    runOnce()
+    writeBatch("b2", Seq((2L, 2L, "b2"), (3L, 1L, "c"), (3L, 2L, "c2")))
+    runOnce()
+
+    val got = spark.read.parquet(target).orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 2L, "c2")))
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
