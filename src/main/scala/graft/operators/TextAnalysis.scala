@@ -181,6 +181,46 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q43: intra-document repetition signals (the Gopher/C4-style
+    * quality-filter family): shingle duplication ratio and the hottest
+    * shingle's share of the document. High values flag boilerplate /
+    * template text before training. Integer counting + fixed-order
+    * division — engine-exact.
+    */
+  def q43Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exploded = t(s, dir, "documents")
+      .select($"doc_id", Dedup.shingles($"text").as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", size($"shs").as("n_shingles"), explode($"shs").as("sh"))
+    exploded
+      .groupBy($"doc_id", $"n_shingles", $"sh")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_shingles")
+      .agg(count(lit(1)).as("n_distinct"), max($"c").as("max_shingle_count"))
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_shingles").as("dup_ratio"),
+        ($"max_shingle_count".cast("double") / $"n_shingles").as("top_shingle_share"))
+      .orderBy($"doc_id")
+  }
+
+  private val q43Sql =
+    """WITH exploded AS (
+      |  SELECT doc_id, len(t) - 2 AS n_shingles,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |per_shingle AS (
+      |  SELECT doc_id, n_shingles, sh, count(*) AS c
+      |  FROM exploded GROUP BY doc_id, n_shingles, sh)
+      |SELECT doc_id, n_shingles, count(*) AS n_distinct,
+      |  1.0 - CAST(count(*) AS DOUBLE) / n_shingles AS dup_ratio,
+      |  CAST(max(c) AS DOUBLE) / n_shingles AS top_shingle_share
+      |FROM per_shingle
+      |GROUP BY doc_id, n_shingles
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q23_text_stats", Seq("EXT-text"),
       "token/char stats + quality score", q23TextStats, Some(q23Sql)),
@@ -189,5 +229,7 @@ object TextAnalysis {
     GraftQuery("q25_lang_id", Seq("EXT-text"),
       "stopword-profile language ID", q25LangId, Some(q25Sql)),
     GraftQuery("q26_fingerprint", Seq("EXT-text"),
-      "document fingerprinting (normalized md5)", q26Fingerprint, Some(q26Sql)))
+      "document fingerprinting (normalized md5)", q26Fingerprint, Some(q26Sql)),
+    GraftQuery("q43_repetition", Seq("EXT-text"),
+      "Gopher-style intra-doc repetition signals", q43Repetition, Some(q43Sql)))
 }
