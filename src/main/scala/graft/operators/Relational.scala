@@ -384,7 +384,7 @@ object Relational {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -414,7 +414,7 @@ object Relational {
   }
 
   private val q14Sql =
-    """SELECT user_id, session_seq, count(*) AS n_events,
+    """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
       |  CAST(min(ts) AS TIMESTAMP) AS session_start,
       |  CAST(max(ts) AS TIMESTAMP) AS session_end
       |FROM (

@@ -31,6 +31,14 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         return f"SCHEMA: spark={list(a.columns)} oracle={list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS: spark={len(a)} oracle={len(b)}"
+    # dtype-KIND strictness: the driver hashes values, so int64 vs float64
+    # ("123" vs "123.0") is a real mismatch even when numerically equal.
+    # DuckDB sum(INTEGER/BIGINT) returns HUGEINT -> pandas float64; oracle
+    # SQL must CAST such sums to BIGINT to match Spark's LongType.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            return f"DTYPE[{c}]: spark={a[c].dtype} oracle={b[c].dtype} (int-vs-float hashes differently)"
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
