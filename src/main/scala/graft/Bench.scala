@@ -26,7 +26,11 @@ object Bench {
       .getOrElse(SparkEntry.queries)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force FULL materialization of every column with the noop sink:
+      // a bare .count() lets Catalyst prune unreferenced projections, so
+      // projection-heavy queries would be timed as scan+count only.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -5,8 +5,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -232,6 +232,54 @@ object NativeExpressions {
   def cosineLshSignature(vec: Column, numPlanes: Int): Column =
     GraftColumnBridge.column(CosineLshSignature(GraftColumnBridge.expression(vec), numPlanes))
 
+  /** dot_product(a, b): sequential left-to-right fold of a[i]*b[i] over two
+    * double arrays — bit-identical to `aggregate(zip_with(a, b, _*_), 0.0,
+    * _+_)` and to DuckDB's list_dot_product, but with REAL `doGenCode`: the
+    * higher-order builtins are CodegenFallback with a per-element lambda
+    * dispatch (~7x slower on this workload); this compiles to a tight Java
+    * loop inside whole-stage codegen. The similarity family (q21/q22/q29)
+    * is dot-product-bound, so this is its hot path.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "dot_product"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Register the native expressions in a session's FunctionRegistry so
     * `spark.sql` queries can call them by name:
     * word_shingles(text, k), minhash_signature(shingles, n),
@@ -251,6 +299,8 @@ object NativeExpressions {
       es => SimHash32(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_lsh_signature",
       es => CosineLshSignature(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
   }
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =

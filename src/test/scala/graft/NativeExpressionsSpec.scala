@@ -90,4 +90,21 @@ class NativeExpressionsSpec extends AnyFunSuite {
     // signatures spread across buckets (not degenerate)
     assert(s1.select($"sig").distinct().count() > 10)
   }
+
+  test("DotProduct == aggregate/zip_with fold, bit-exact, null-safe") {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val a = e.select($"vec_id".as("ida"), $"v".as("va"))
+    val b = e.select($"vec_id".as("idb"), $"v".as("vb"))
+    val pairs = a.join(b, $"ida" % 7 === $"idb" % 7 && $"ida" < $"idb")
+    val fold = aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    // bit-exact (=!=, no tolerance): both are the same sequential fold
+    assert(pairs.select(dotProduct($"va", $"vb").as("n"), fold.as("r"))
+      .filter($"n" =!= $"r").count() == 0)
+    val nulls = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+      .toDF("x", "y").select(dotProduct($"x", $"y").as("d")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
 }
