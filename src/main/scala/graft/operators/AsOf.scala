@@ -62,16 +62,36 @@ object AsOf {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Deterministic domain alignment for the orders→events time axis: the
+    * test orders span 1995–2001 while events span 2024-01 only, so a join
+    * on the raw dates can never match (the round-1 oracle was vacuous —
+    * all payloads NULL). `order_ts` folds each order date into the events
+    * month with pure integer day arithmetic (days-since-1995 mod 28,
+    * added to 2024-01-02) — identical in any engine, and starting at
+    * Jan 2 so every aligned order has events strictly before it.
+    */
+  private def orderTs(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_timestamp(lit("2024-01-02 00:00:00")) +
+      make_dt_interval(pmod(datediff(o, to_date(lit("1995-01-01"))), lit(28)))
+
+  private val orderTsSql =
+    "TIMESTAMP '2024-01-02 00:00:00' + to_days(CAST(" +
+      "date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) % 28 AS INTEGER))"
+
   /** q35: point-in-time enrichment — each order gets the customer's
-    * latest event at or before the order date (NULLs when none). The
-    * right side is first reduced to one row per (user, ts) with max_by
-    * so the as-of match is unambiguous in any engine; the oracle is
-    * DuckDB's native ASOF LEFT JOIN.
+    * latest event at or before the order's aligned timestamp. Events only
+    * cover the first 10% of the custkey range, so ~1.4k of 15k rows carry
+    * a real matched payload (the round-1 all-NULL vacuity is gone) and
+    * the rest exercise the left-join NULL path. The right side is first
+    * reduced to one row per
+    * (user, ts) with max_by so the as-of match is unambiguous in any
+    * engine; the oracle is DuckDB's native ASOF LEFT JOIN.
     */
   def q35AsOfJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = t(s, dir, "orders")
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        orderTs($"o_orderdate").as("order_ts"))
     val events = t(s, dir, "events")
       .groupBy($"user_id", $"ts")
       .agg(max($"event_id").as("event_id"),
@@ -79,20 +99,24 @@ object AsOf {
       .select($"user_id", $"event_id", $"event_type", $"ts")
     AsOf.join(orders, events,
         leftKey = "o_custkey", rightKey = "user_id",
-        leftTime = "o_orderdate", rightTime = "ts")
+        leftTime = "order_ts", rightTime = "ts")
       .withColumnRenamed("ts", "event_ts")
       .orderBy($"o_orderkey")
   }
 
   private val q35Sql =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT user_id, ts, max(event_id) AS event_id,
       |         arg_max(event_type, event_id) AS event_type
-      |  FROM events GROUP BY user_id, ts)
+      |  FROM events GROUP BY user_id, ts),
+      |o AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, $orderTsSql AS order_ts
+      |  FROM orders)
       |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+      |       CAST(o.order_ts AS TIMESTAMP) AS order_ts,
       |       e.event_id, e.event_type, CAST(e.ts AS TIMESTAMP) AS event_ts
-      |FROM orders o ASOF LEFT JOIN ev e
-      |  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      |FROM o ASOF LEFT JOIN ev e
+      |  ON o.o_custkey = e.user_id AND e.ts <= o.order_ts
       |ORDER BY o_orderkey""".stripMargin
 
   /** q36: range (interval) join — events within the 7 days BEFORE each
@@ -108,8 +132,9 @@ object AsOf {
     val WindowDays = 7L
     val binSecs = WindowDays * 86400L
     val orders = t(s, dir, "orders")
-      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
-        floor(unix_timestamp($"o_orderdate") / binSecs).as("bin"))
+      .select($"o_orderkey", $"o_custkey",
+        orderTs($"o_orderdate").as("order_ts"))
+      .withColumn("bin", floor(unix_timestamp($"order_ts") / binSecs))
     // each event is a candidate for order-bins [its bin, its bin + 1]
     val events = t(s, dir, "events")
       .select($"event_id", $"user_id", $"ts",
@@ -118,19 +143,21 @@ object AsOf {
     orders
       .join(events, orders("o_custkey") === events("user_id") &&
         orders("bin") === events("bin") &&
-        events("ts") > orders("o_orderdate") - expr(s"INTERVAL $WindowDays DAYS") &&
-        events("ts") <= orders("o_orderdate"))
+        events("ts") > orders("order_ts") - expr(s"INTERVAL $WindowDays DAYS") &&
+        events("ts") <= orders("order_ts"))
       .groupBy($"o_orderkey")
       .agg(count(lit(1)).as("n_recent_events"), max($"event_id").as("last_event_id"))
       .orderBy($"o_orderkey")
   }
 
   private val q36Sql =
-    """SELECT o_orderkey, count(*) AS n_recent_events, max(event_id) AS last_event_id
-      |FROM orders JOIN events
+    s"""WITH o AS (
+      |  SELECT o_orderkey, o_custkey, $orderTsSql AS order_ts FROM orders)
+      |SELECT o_orderkey, count(*) AS n_recent_events, max(event_id) AS last_event_id
+      |FROM o JOIN events
       |  ON o_custkey = user_id
-      | AND ts > o_orderdate - INTERVAL 7 DAY
-      | AND ts <= o_orderdate
+      | AND ts > order_ts - INTERVAL 7 DAY
+      | AND ts <= order_ts
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
