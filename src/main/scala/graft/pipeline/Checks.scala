@@ -23,8 +23,12 @@ object Checks {
   def unique(c: String): DataFrame => DataFrame =
     df => df.groupBy(col(c)).count().filter(col("count") > 1)
 
+  /** dbt accepted_values compiles to `where c not in (...)` — a NULL value
+    * yields NULL, which the WHERE drops, so NULLs PASS (pair with not_null
+    * to forbid them, exactly as dbt schemas do).
+    */
   def acceptedValues(c: String, values: Seq[Any]): DataFrame => DataFrame =
-    df => df.filter(!col(c).isin(values: _*) || col(c).isNull)
+    df => df.filter(col(c).isNotNull && !col(c).isin(values: _*))
 
   /** dbt_utils.accepted_range: violation = outside [min,max] (bounds
     * optional, inclusive; NULLs pass, matching dbt_utils).

@@ -43,13 +43,18 @@ final class Pipeline(spark: SparkSession, workDir: String) {
   /** dbt incremental materialization: first run writes full; later runs
     * watermark-filter on `ingested_at > max(watermarkCol)` (P3, strictly
     * greater — dbt's is_incremental branch) then MERGE-upsert on the
-    * unique key (S6).
+    * unique key (S6). Under `fullRefresh` the is_incremental() guard is
+    * false even when the target exists (dbt --full-refresh,
+    * reference: DBT/models/staging/stg_wiki_sp500.sql:5-7): the table is
+    * rebuilt from the complete upstream — the recovery path for schema
+    * changes and bad backfills.
     */
   private def writeIncremental(
       layer: String, table: String, key: Seq[String],
       watermarkCol: String, batch: DataFrame,
-      transform: Option[java.sql.Timestamp] => DataFrame): Unit = {
-    if (!exists(layer, table)) {
+      transform: Option[java.sql.Timestamp] => DataFrame,
+      fullRefresh: Boolean = false): Unit = {
+    if (fullRefresh || !exists(layer, table)) {
       overwriteSwap(transform(None), layer, table)
     } else {
       val existing = read(layer, table)
@@ -81,19 +86,30 @@ final class Pipeline(spark: SparkSession, workDir: String) {
     * @param at logical run timestamp (ingested_at for this batch and the
     *           snapshot hard-delete invalidation time) — injectable so
     *           runs are deterministic and replayable.
+    * @param fullRefresh rebuild every incremental model from its complete
+    *           upstream (dbt --full-refresh). RAW stays append-only and
+    *           snapshots keep their history — dbt --full-refresh does not
+    *           drop snapshots either.
     * @return test results of the final `dbt test` stage.
     */
-  def run(landingDir: String, at: java.sql.Timestamp): Seq[Checks.CheckResult] = {
+  def run(landingDir: String, at: java.sql.Timestamp,
+      fullRefresh: Boolean = false): Seq[Checks.CheckResult] = {
     // ---- extract/load: landing JSON → RAW (S4/S5, DAG:111-136) ----
+    // RAW is append-only: later batches APPEND new parquet files next to
+    // the existing ones (job-committed, so readers never see a partial
+    // batch) instead of rewriting the accumulated history — O(batch) per
+    // ingest run, not O(history). Only the scalar max(id) reads the
+    // existing table (S5's persisted identity).
     def loadRaw(table: String, glob: String, source: String): Unit = {
-      val startId =
-        if (!exists("raw", table)) 1L
-        else read("raw", table).agg(coalesce(max(col("id")), lit(0L))).first().getLong(0) + 1L
-      val batch = RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId)
-      val merged =
-        if (!exists("raw", table)) batch
-        else read("raw", table).unionByName(batch)
-      overwriteSwap(merged, "raw", table)
+      if (!exists("raw", table)) {
+        overwriteSwap(RawIngest.ingest(spark, landingDir, glob, source, lit(at), 1L),
+          "raw", table)
+      } else {
+        val startId =
+          read("raw", table).agg(coalesce(max(col("id")), lit(0L))).first().getLong(0) + 1L
+        RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId)
+          .write.mode("append").parquet(path("raw", table))
+      }
     }
     loadRaw("fortune_500", "*fortune500*.json", "fortune500")
     loadRaw("wiki_sp500", "*sp500.json", "wikipedia_sp500")
@@ -102,17 +118,18 @@ final class Pipeline(spark: SparkSession, workDir: String) {
     writeIncremental("staging", "stg_wiki_sp500", Seq("cik"), "ingested_at",
       read("raw", "wiki_sp500"),
       hwm => Staging.stgWikiSp500(hwm.foldLeft(read("raw", "wiki_sp500"))(
-        (df, ts) => df.filter(col("ingested_at") > lit(ts)))))
+        (df, ts) => df.filter(col("ingested_at") > lit(ts)))), fullRefresh)
     writeIncremental("staging", "stg_fortune500", Seq("company_name"), "ingested_at",
       read("raw", "fortune_500"),
       hwm => Staging.stgFortune500(hwm.foldLeft(read("raw", "fortune_500"))(
-        (df, ts) => df.filter(col("ingested_at") > lit(ts)))))
+        (df, ts) => df.filter(col("ingested_at") > lit(ts)))), fullRefresh)
 
     // ---- core (incremental on cik, cross-source watermark quirk) ----
     writeIncremental("core", "cr_company_complete", Seq("cik"), "last_updated",
       read("staging", "stg_fortune500"),
       hwm => Core.crCompanyComplete(
-        read("staging", "stg_fortune500"), read("staging", "stg_wiki_sp500"), hwm))
+        read("staging", "stg_fortune500"), read("staging", "stg_wiki_sp500"), hwm),
+      fullRefresh)
 
     // ---- snapshots (between core and star, DAG:201) ----
     val core = read("core", "cr_company_complete")
@@ -130,7 +147,7 @@ final class Pipeline(spark: SparkSession, workDir: String) {
     writeIncremental("analytics", "fact_company_performance", Seq("company_key"),
       "last_updated", core,
       hwm => Star.factCompanyPerformance(hwm.foldLeft(core)(
-        (df, ts) => df.filter(col("last_updated") > lit(ts)))))
+        (df, ts) => df.filter(col("last_updated") > lit(ts)))), fullRefresh)
 
     // ---- test stage, once at the end (DAG:177-180, ordering DAG:201) ----
     val tables = Map(

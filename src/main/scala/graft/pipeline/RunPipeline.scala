@@ -9,14 +9,16 @@ import org.apache.spark.sql.SparkSession
   * the test-stage results and a small run manifest (S9 parity: model
   * list + row counts + test results).
   *
-  * Usage: runMain graft.pipeline.RunPipeline <landingDir> <workDir> [asOf]
+  * Usage: runMain graft.pipeline.RunPipeline [--full-refresh] <landingDir> <workDir> [asOf]
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
-    val landingDir = args(0)
-    val workDir = args(1)
+    val fullRefresh = args.contains("--full-refresh")
+    val pos = args.filterNot(_ == "--full-refresh")
+    val landingDir = pos(0)
+    val workDir = pos(1)
     // remaining args joined: lets "2025-06-01 00:00:00" arrive unquoted
-    val asOf = if (args.length > 2) Timestamp.valueOf(args.drop(2).mkString(" "))
+    val asOf = if (pos.length > 2) Timestamp.valueOf(pos.drop(2).mkString(" "))
       else new Timestamp(System.currentTimeMillis())
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -29,8 +31,23 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     val pipe = new Pipeline(spark, workDir)
-    val results = pipe.run(landingDir, asOf)
+    val results = pipe.run(landingDir, asOf, fullRefresh)
 
+    // model -> upstream lineage, mirroring the reference DAG's edges
+    // (DAG:199-201; dbt graph in dbt_project.yml:35-56)
+    val lineage: Map[(String, String), Seq[String]] = Map(
+      ("raw", "wiki_sp500") -> Seq("landing"),
+      ("raw", "fortune_500") -> Seq("landing"),
+      ("staging", "stg_wiki_sp500") -> Seq("raw.wiki_sp500"),
+      ("staging", "stg_fortune500") -> Seq("raw.fortune_500"),
+      ("core", "cr_company_complete") ->
+        Seq("staging.stg_fortune500", "staging.stg_wiki_sp500"),
+      ("snapshots", "company_location_snapshot") -> Seq("core.cr_company_complete"),
+      ("snapshots", "fortune_metrics_snapshot") -> Seq("core.cr_company_complete"),
+      ("analytics", "dim_company") -> Seq("core.cr_company_complete"),
+      ("analytics", "dim_location") -> Seq("snapshots.company_location_snapshot"),
+      ("analytics", "dim_fortune_metrics") -> Seq("snapshots.fortune_metrics_snapshot"),
+      ("analytics", "fact_company_performance") -> Seq("core.cr_company_complete"))
     val tables = Seq(
       ("raw", "wiki_sp500"), ("raw", "fortune_500"),
       ("staging", "stg_wiki_sp500"), ("staging", "stg_fortune500"),
@@ -54,7 +71,8 @@ object RunPipeline {
     val invocationId = java.util.UUID.randomUUID().toString
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val models = tables.map { case (layer, t) =>
-      s"""{"layer": ${q(layer)}, "table": ${q(t)}, "rows": ${pipe.read(layer, t).count()}}"""
+      val deps = lineage.getOrElse((layer, t), Seq.empty).map(q).mkString("[", ",", "]")
+      s"""{"layer": ${q(layer)}, "table": ${q(t)}, "rows": ${pipe.read(layer, t).count()}, "depends_on": $deps}"""
     }.mkString("[", ",", "]")
     val testsJson = results.map(r =>
       s"""{"table": ${q(r.table)}, "test": ${q(r.name)}, "violations": ${r.violations}}""")

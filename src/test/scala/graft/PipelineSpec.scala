@@ -162,4 +162,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw.select(max(col("id"))).first().getLong(0) == 2L)
     assert(raw.select("id").distinct().count() == 2)
   }
+
+  test("RAW ingest appends: run 2 leaves run-1 parquet files untouched") {
+    import scala.jdk.CollectionConverters._
+    val w = Files.createTempDirectory("graft-raw-append").toString
+    val p = new Pipeline(spark, w)
+    p.run(res("landing1"), t1)
+    def parts: Map[String, java.nio.file.attribute.FileTime] =
+      Files.list(java.nio.file.Paths.get(w, "raw", "fortune_500")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
+    val before = parts
+    assert(before.nonEmpty)
+    p.run(res("landing2"), t2)
+    val after = parts
+    // every run-1 file survives byte-identical (same name, same mtime) —
+    // the batch was appended, not union-rewritten
+    before.foreach { case (name, mtime) =>
+      assert(after.get(name).contains(mtime), s"run-1 file $name was rewritten")
+    }
+    assert(after.size > before.size)
+    assert(p.read("raw", "fortune_500").count() == 2)
+  }
+
+  test("--full-refresh rebuilds poisoned incremental state from the full upstream") {
+    val w = Files.createTempDirectory("graft-fullrefresh").toString
+    val p = new Pipeline(spark, w)
+    p.run(res("landing1"), t1)
+    val healthy = p.read("staging", "stg_fortune500").count()
+    assert(healthy > 1)
+    // poison: truncate staging to one row with a far-future watermark, the
+    // state a bad backfill leaves behind
+    p.overwriteSwap(
+      p.read("staging", "stg_fortune500").limit(1)
+        .withColumn("ingested_at", lit(Timestamp.valueOf("2099-01-01 00:00:00"))),
+      "staging", "stg_fortune500")
+    val emptyLanding = Files.createTempDirectory("graft-empty-fr").toString
+    // a plain incremental re-run can never recover: the watermark filter
+    // sees no rows newer than 2099
+    p.run(emptyLanding, Timestamp.valueOf("2025-08-01 00:00:00"))
+    assert(p.read("staging", "stg_fortune500").count() == 1)
+    // --full-refresh ignores is_incremental() and rebuilds from complete RAW
+    val results = p.run(emptyLanding, Timestamp.valueOf("2025-09-01 00:00:00"),
+      fullRefresh = true)
+    assert(p.read("staging", "stg_fortune500").count() == healthy)
+    assert(results.filterNot(_.passed).isEmpty)
+  }
+
+  test("acceptedValues passes NULLs (dbt compiled not-in semantics)") {
+    import spark.implicits._
+    val df = Seq(Some("A"), Some("X"), None).toDF("c")
+    val violations = pipeline.Checks.acceptedValues("c", Seq("A", "B"))(df)
+    assert(violations.count() == 1) // only "X"; the NULL row passes
+  }
 }
