@@ -86,9 +86,11 @@ object Dedup {
     val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
     val shf = sh.join(broadcast(keep), "sh").persist()
     val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select($"doc_id".as("doc_a"), $"sh")
-    val b = shf.select($"doc_id".as("doc_b"), $"sh")
-    val inter = a.join(b, a("sh") === b("sh") && $"doc_a" < $"doc_b")
+    // explicit .as aliases (not dataset-id disambiguation, which emits the
+    // "trivially true predicate" analyzer warning on self-joins)
+    val a = shf.select($"doc_id".as("doc_a"), $"sh").as("a")
+    val b = shf.select($"doc_id".as("doc_b"), $"sh").as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && $"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
     val jac = $"n_common".cast("double") / ($"na" + $"nb" - $"n_common")
     inter
