@@ -85,16 +85,18 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  /** simhash32(tokens): 32-bit SimHash over the token multiset. Token
-    * hash = first 8 hex chars of md5(token); bit b of the packed result
-    * is the sign of sum(count * (2*bit_b(hash) - 1)) — identical to the
-    * 32-aggregate SQL formulation in operators.Dedup.q20.
+  /** simhash(tokens, bits): SimHash over the token multiset, bits <= 64.
+    * Token hash = first bits/4 hex chars of md5(token); bit b of the
+    * packed result is the sign of sum(count * (2*bit_b(hash) - 1)) —
+    * identical to the per-bit-aggregate SQL formulation in
+    * operators.Dedup.q20/q44.
     */
-  case class SimHash32(child: Expression)
+  case class SimHashN(child: Expression, bits: Int)
       extends UnaryExpression with CodegenFallback {
+    require(bits > 0 && bits <= 64 && bits % 4 == 0)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-    override def prettyName: String = "simhash32"
+    override def prettyName: String = s"simhash$bits"
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -107,11 +109,11 @@ object NativeExpressions {
         counts.merge(tok, 1L, (a, b) => a + b)
         i += 1
       }
-      val comp = new Array[Long](32)
+      val comp = new Array[Long](bits)
       counts.forEach { (tok, cnt) =>
         val h = md5hex(tok)
         var b = 0
-        while (b < 32) {
+        while (b < bits) {
           val v = Character.digit(h.charAt(b / 4), 16)
           val bit = (v >> (b % 4)) & 1
           comp(b) += cnt * (2L * bit - 1L)
@@ -120,7 +122,7 @@ object NativeExpressions {
       }
       var packed = 0L
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         if (comp(b) > 0) packed |= (1L << b)
         b += 1
       }
@@ -296,7 +298,9 @@ object NativeExpressions {
     reg.createOrReplaceTempFunction("minhash_signature",
       es => MinHashSignature(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("simhash32",
-      es => SimHash32(es.head), "scala_udf")
+      es => SimHashN(es.head, 32), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHashN(es.head, 64), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_lsh_signature",
       es => CosineLshSignature(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
@@ -307,5 +311,8 @@ object NativeExpressions {
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(shingles), numHashes))
 
   def simhash32(tokens: Column): Column =
-    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(tokens)))
+    GraftColumnBridge.column(SimHashN(GraftColumnBridge.expression(tokens), 32))
+
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHashN(GraftColumnBridge.expression(tokens), 64))
 }

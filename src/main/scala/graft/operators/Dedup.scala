@@ -267,6 +267,77 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q44: 64-bit SimHash near-dup with 4 tables of 16-bit bands — the
+    * corpus-scale geometry q20's 32-bit/8-bit-band layout can't reach:
+    * 2¹⁶ = 65,536 buckets per band means within-bucket pairing is
+    * O(n²/65,536) per band (vs n²/256), and by pigeonhole any pair at
+    * Hamming distance <= 3 still agrees on at least one of the 4 bands —
+    * the standard simhash dedup contract (Charikar '02 / the Google
+    * near-dup setup: 64-bit fingerprints, k-band exact-match tables).
+    * The 64-bit signature packs into one long (bit 63 handled with
+    * unsigned shifts); the oracle mirrors band keys directly so no
+    * engine touches a 2⁶³ literal.
+    */
+  def q44DedupSimhash64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeExpressions.simhash64
+    val sigs = tSpread(s, dir, "documents")
+      .select($"doc_id", simhash64(split($"text", " ")).as("simhash"))
+      .persist()
+    val withBands = sigs.select($"doc_id", $"simhash",
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned($"simhash", 16 * k).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    withBands.as("x").join(withBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q44Sql = {
+    val bitSums = (0 until 64).map { b =>
+      val nib = s"(strpos('0123456789abcdef', substring(h, ${b / 4 + 1}, 1)) - 1)"
+      val bit = s"(CAST(floor($nib / ${math.pow(2, b % 4).toInt}) AS BIGINT) % 2)"
+      s"sum(cnt * ($bit * 2 - 1)) AS c$b"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until 4).map { k =>
+      (0 until 16).map(j => s"CASE WHEN c${16 * k + j} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString("(", " + ", s") AS bk$k")
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map(k =>
+      s"SELECT doc_id, $k AS band, bk$k AS bkey FROM sigs").mkString("\n  UNION ALL ")
+    val hamming = (0 until 4)
+      .map(k => s"bit_count(xor(a.bk$k, b.bk$k))").mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, tok, count(*) AS cnt,
+      |    substring(md5(tok), 1, 16) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |comp AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM toks GROUP BY doc_id),
+      |sigs AS (SELECT doc_id,
+      |    $bandKeys
+      |  FROM comp),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST($hamming AS INTEGER) AS hamming
+      |FROM cand
+      |JOIN sigs a ON a.doc_id = doc_a
+      |JOIN sigs b ON b.doc_id = doc_b
+      |WHERE $hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Connected components over an undirected near-dup pair list, with the
     * canonical label = component minimum. The result is the same fixed
     * point in any evaluation order, so it is engine-deterministic.
@@ -372,5 +443,8 @@ object Dedup {
     GraftQuery("q19_dedup_minhash_lsh", Seq("EXT-dedup"),
       "deterministic MinHash + LSH banding", q19DedupMinhashLsh, Some(q19Sql)),
     GraftQuery("q20_dedup_simhash", Seq("EXT-dedup"),
-      "SimHash near-dup with banded Hamming search", q20DedupSimhash, Some(q20Sql)))
+      "SimHash near-dup with banded Hamming search", q20DedupSimhash, Some(q20Sql)),
+    GraftQuery("q44_dedup_simhash64", Seq("EXT-dedup"),
+      "64-bit SimHash, 4x16-bit band tables (Hamming<=3 guarantee)",
+      q44DedupSimhash64, Some(q44Sql)))
 }

@@ -185,11 +185,73 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q45: IVF-style ANN with DETERMINISTIC coarse centroids — the missing
+    * piece of q21's "IVF-shaped" blocking, which leaned on a label column.
+    * Seeds are the vectors with `vec_id % 100 == 0` (k ≈ n/100, no RNG so
+    * the oracle reproduces the cells exactly); every vector routes to its
+    * max-cosine seed (rounded to 6 digits, seed-id tiebreak), then
+    * near-dup pairs are found WITHIN cells only. The plumbing is real
+    * IVF: broadcast the (small) centroid table, one n·k scoring pass, one
+    * shuffle on cell id, cell-local pairing — at production scale the
+    * seeds would come from k-means (k ≈ √n) and a multiprobe would scan
+    * the top-p cells, but the plan shape is exactly this one.
+    */
+  def q45IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .persist()
+    val cent = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"v", $"nrm", $"centroid_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"centroid_id".as("cell"))
+    val a = cells.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("nrm_a"), $"cell")
+    val b = cells.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrm_b"), $"cell")
+    a.join(b, Seq("cell"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", $"cell",
+        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.35)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val q45Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT e.vec_id, centroid_id,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN c),
+      |cells AS (
+      |  SELECT vec_id, centroid_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, centroid_id ASC) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b, ca.cell,
+      |  round(list_dot_product(ea.v, eb.v) /
+      |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+      |FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      |JOIN e ea ON ea.vec_id = ca.vec_id
+      |JOIN e eb ON eb.vec_id = cb.vec_id
+      |WHERE round(list_dot_product(ea.v, eb.v) /
+      |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q21_embedding_near_dup", Seq("EXT-similarity", "EXT-dedup"),
       "label-blocked embedding near-dup (IVF-shaped)", q21EmbeddingNearDup, Some(q21Sql)),
     GraftQuery("q22_ann_brute_force", Seq("EXT-similarity"),
       "brute-force cosine top-k baseline", q22AnnBruteForce, Some(q22Sql)),
     GraftQuery("q29_ann_lsh", Seq("EXT-similarity"),
-      "random-hyperplane LSH ANN (banded signature buckets)", q29AnnLsh, Some(q29Sql)))
+      "random-hyperplane LSH ANN (banded signature buckets)", q29AnnLsh, Some(q29Sql)),
+    GraftQuery("q45_ivf_ann", Seq("EXT-similarity"),
+      "IVF ANN with deterministic coarse centroids (cell-local search)",
+      q45IvfAnn, Some(q45Sql)))
 }
