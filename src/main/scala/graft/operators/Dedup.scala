@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -432,7 +433,56 @@ object Dedup {
       |GROUP BY src
       |ORDER BY doc_id""".stripMargin
 
+  /** q46: survivor selection — the last stage of a production dedup
+    * pipeline (pairs → components → ONE kept doc per cluster). Every
+    * document joins its component label (left join: singletons form their
+    * own cluster); within a cluster the survivor is the longest text,
+    * doc_id ascending as the tiebreak — a deterministic rule both engines
+    * evaluate identically (the corpus is ASCII, so char-length agrees
+    * across engines). Cost beyond q40: one broadcast-joinable label table
+    * + one window pass over the corpus, partitioned by cluster.
+    */
+  def q46DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q19DedupMinhashLsh(s, dir)
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b")
+    val labels = connectedComponents(pairs)
+    val docs = graft.Tables.load(s, dir, "documents")
+      .select($"doc_id", length($"text").as("text_len"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"text_len".desc, $"doc_id".asc)
+    docs.join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"canonical_id", $"doc_id"))
+      .withColumn("is_survivor", row_number().over(w) === 1)
+      .select($"doc_id", $"cluster_id", $"text_len", $"is_survivor")
+      .orderBy($"doc_id")
+  }
+
+  private val q46Sql =
+    s"""WITH RECURSIVE $minhashCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS src, a AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |labels AS (SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src),
+      |clustered AS (
+      |  SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS cluster_id,
+      |         length(d.text) AS text_len
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+      |SELECT doc_id, cluster_id, CAST(text_len AS INTEGER) AS text_len,
+      |  (row_number() OVER (PARTITION BY cluster_id
+      |     ORDER BY text_len DESC, doc_id ASC) = 1) AS is_survivor
+      |FROM clustered
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q46_dedup_survivors", Seq("EXT-dedup"),
+      "dedup survivor selection: cluster labels + longest-text-wins window",
+      q46DedupSurvivors, Some(q46Sql)),
     GraftQuery("q40_dedup_components", Seq("EXT-dedup"),
       "near-dup clustering: connected components + canonical ids",
       q40DedupComponents, Some(q40Sql)),

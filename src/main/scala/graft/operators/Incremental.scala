@@ -151,10 +151,57 @@ object Incremental {
       |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
       |ORDER BY custkey, dbt_valid_from""".stripMargin
 
+  /** CDC apply: collapse an ordered change stream (upserts + deletes per
+    * key) into final table state — MERGE's three-way semantics
+    * (WHEN MATCHED UPDATE / WHEN MATCHED AND op='D' DELETE / WHEN NOT
+    * MATCHED INSERT) after the per-key latest-wins collapse. One shuffle
+    * on the key, one window pass; at 100 TB the change stream is tiny
+    * next to the target, so the collapsed batch feeds [[upsert]] (or a
+    * Delta MERGE) unchanged.
+    *
+    * @param orderCols latest-wins ordering (applied descending); include
+    *                  a unique column last for determinism.
+    */
+  def applyCdc(changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      opCol: String = "op", deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn", opCol)
+  }
+
+  /** q47: CDC apply over the events table read as a change stream:
+    * 'error' events are deletes, everything else an upsert; each user's
+    * final state is the latest non-superseded change, and a user whose
+    * last event errored is absent from the result.
+    */
+  def q47CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val changes = t(s, dir, "events").select(
+      $"user_id", $"ts", $"event_id",
+      when($"event_type" === "error", "D").otherwise("U").as("op"),
+      $"event_type", $"value")
+    applyCdc(changes, Seq("user_id"), Seq("ts", "event_id"))
+      .select($"user_id", $"event_type", $"value", $"ts".as("updated_at"))
+      .orderBy($"user_id")
+  }
+
+  private val q47Sql =
+    """SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS updated_at
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q15_upsert", Seq("S6", "J4"),
       "keyed upsert (incremental MERGE semantics)", q15Upsert, Some(q15Sql)),
     GraftQuery("q16_scd2_snapshot", Seq("S8", "A7", "J4", "P4"),
       "two-run SCD2 timestamp snapshot with hard-delete invalidation",
-      q16Scd2Snapshot, Some(q16Sql)))
+      q16Scd2Snapshot, Some(q16Sql)),
+    GraftQuery("q47_cdc_apply", Seq("S6", "J4", "W2"),
+      "CDC apply: latest-wins collapse + delete-op MERGE semantics",
+      q47CdcApply, Some(q47Sql)))
 }

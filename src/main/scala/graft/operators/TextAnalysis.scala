@@ -221,7 +221,62 @@ object TextAnalysis {
       |GROUP BY doc_id, n_shingles
       |ORDER BY doc_id""".stripMargin
 
+  /** q48: composite keep/reject filter — the C4/Gopher-style rule chain a
+    * curation pipeline actually ships: every rule is named, every
+    * rejection carries its reasons (comma-joined in fixed rule order, so
+    * the audit trail is deterministic), and `keep` is simply "no reasons".
+    * All rules are integer counts and single-divide ratios over one scan
+    * projection — scan-speed, no shuffle, engine-identical doubles.
+    */
+  def q48QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val nTokens = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val nChars = length($"text").cast("long")
+    val nSym = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (nTokens < 20),
+      "too_long" -> (nTokens > 10000),
+      "low_diversity" -> (nUniq.cast("double") / nTokens < 0.3),
+      "stopword_sparse" -> (nStop < 2),
+      "symbol_heavy" -> (nSym.cast("double") / nChars > 0.1))
+    val reasons = concat_ws(",", rules.map { case (n, c) =>
+      when(c, lit(n)) }: _*) // concat_ws drops the NULLs of passing rules
+    t(s, dir, "documents")
+      .select($"doc_id", nTokens.as("n_tokens"), reasons.as("reasons"))
+      .withColumn("keep", $"reasons" === "")
+      .orderBy($"doc_id")
+  }
+
+  private val q48Sql = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_unique,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS n_stop,
+      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_sym
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT doc_id, n_tokens,
+      |    concat_ws(',',
+      |      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |      CASE WHEN n_tokens > 10000 THEN 'too_long' END,
+      |      CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens < 0.3 THEN 'low_diversity' END,
+      |      CASE WHEN n_stop < 2 THEN 'stopword_sparse' END,
+      |      CASE WHEN CAST(n_sym AS DOUBLE) / n_chars > 0.1 THEN 'symbol_heavy' END) AS reasons
+      |  FROM base)
+      |SELECT doc_id, n_tokens, reasons, (reasons = '') AS keep
+      |FROM flagged
+      |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q48_quality_filter", Seq("EXT-text"),
+      "C4/Gopher-style keep/reject filter with per-rule reasons",
+      q48QualityFilter, Some(q48Sql)),
     GraftQuery("q23_text_stats", Seq("EXT-text"),
       "token/char stats + quality score", q23TextStats, Some(q23Sql)),
     GraftQuery("q24_token_count", Seq("EXT-text"),

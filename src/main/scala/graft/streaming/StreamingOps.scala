@@ -92,6 +92,30 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join — the continuous form of q36's range
+    * join: each left event pairs with the same user's right-side events
+    * from the preceding 10 minutes. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark can expire join
+    * state (state ≈ one watermark horizon per side per key — the ONLY
+    * stream-stream join shape that is safe unbounded; an un-bounded
+    * condition would grow state forever).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", "2 hours")
+    val r = right.select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("r_ts") < col("l_ts"))
+      .select(col("l_event_id"), col("r_event_id"), col("user_id"),
+        col("l_ts"), col("r_ts"), col("l_type"), col("r_type"))
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

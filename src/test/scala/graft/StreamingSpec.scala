@@ -89,6 +89,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 2L, "c2")))
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    val q = StreamingOps.intervalJoin(
+        StreamingOps.readEvents(spark, streamDir),
+        StreamingOps.readEvents(spark, streamDir))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ivjoin")
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = ev.select($"event_id".as("l_event_id"), $"user_id", $"ts".as("l_ts"))
+      .join(ev.select($"event_id".as("r_event_id"), $"user_id".as("r_uid"), $"ts".as("r_ts")),
+        $"user_id" === $"r_uid" &&
+          $"r_ts" >= $"l_ts" - expr("INTERVAL 10 MINUTES") && $"r_ts" < $"l_ts")
+    assert(got.count() > 0)
+    assert(got.count() == batch.count())
+    assert(got.select("l_event_id", "r_event_id")
+      .exceptAll(batch.select("l_event_id", "r_event_id")).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
