@@ -282,6 +282,109 @@ object NativeExpressions {
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** quantize_stats(vec): one-pass int8 symmetric-quantization statistics
+    * over a double array — struct(max_abs, max_code, min_code,
+    * max_abs_err) with scale = 127/max|v|, code = floor(v*scale + 0.5),
+    * err = |code/scale - v|. Bit-identical to the builtin formulation
+    * (4 transforms + zip_with + 3 array_max/min) it replaces in q42, but
+    * those higher-order builtins are interpreted per element AND the
+    * shared subtrees (codes, scale) are re-evaluated per consumer; this
+    * is one tight loop per row.
+    */
+  case class QuantizeStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("max_abs", DoubleType),
+      StructField("max_code", LongType),
+      StructField("min_code", LongType),
+      StructField("max_abs_err", DoubleType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "quantize_stats"
+
+    // accepts array<float> directly (float->double widening is IEEE-exact,
+    // so results match the cast-then-compute formulation bit for bit)
+    @transient private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      def elem(i: Int): Double =
+        if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var maxAbs = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(elem(i))
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      val scale = 127.0 / maxAbs
+      var maxCode = Double.NegativeInfinity
+      var minCode = Double.PositiveInfinity
+      var maxErr = 0.0
+      i = 0
+      while (i < n) {
+        val x = elem(i)
+        val c = math.floor(x * scale + 0.5)
+        if (c > maxCode) maxCode = c
+        if (c < minCode) minCode = c
+        val e = math.abs(c / scale - x)
+        if (e > maxErr) maxErr = e
+        i += 1
+      }
+      InternalRow(maxAbs, maxCode.toLong, minCode.toLong, maxErr)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def quantizeStats(vec: Column): Column =
+    GraftColumnBridge.column(QuantizeStats(GraftColumnBridge.expression(vec)))
+
+  /** repetition_stats(items): per-row multiset statistics —
+    * struct(n_items, n_distinct, max_count) over a string array in ONE
+    * hash pass. Replaces the explode → groupBy(doc, item) → groupBy(doc)
+    * chain (two SHUFFLES of |docs|·|items| rows) with scan-local work:
+    * the repetition signals of a document never need cross-row state, so
+    * at 100 TB this is the difference between a shuffle-bound job and a
+    * scan-bound one.
+    */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_items", LongType),
+      StructField("n_distinct", LongType),
+      StructField("max_count", LongType)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "repetition_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < n) {
+        counts.merge(arr.getUTF8String(i).toString, 1L, (a, b) => a + b)
+        i += 1
+      }
+      var maxC = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
+      InternalRow(n.toLong, counts.size.toLong, maxC)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def repetitionStats(items: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(items)))
+
   /** Register the native expressions in a session's FunctionRegistry so
     * `spark.sql` queries can call them by name:
     * word_shingles(text, k), minhash_signature(shingles, n),

@@ -258,17 +258,18 @@ object Extended {
     */
   def q42QuantizeEmbeddings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = transform($"embedding", x => x.cast("double"))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = lit(127.0) / maxAbs
-    val codes = transform(v, x => floor(x * scale + 0.5))
-    val dequant = zip_with(codes, v, (c, x) => abs(c / scale - x))
+    import graft.functions.NativeExpressions.quantizeStats
+    // One-pass native expression over the raw float array
+    // (differential-tested against the builtin transform/zip_with
+    // formulation in NativeExpressionsSpec).
+    val q = quantizeStats($"embedding")
     t(s, dir, "embeddings")
+      .select($"vec_id", q.as("q"))
       .select($"vec_id",
-        round(maxAbs, 6).as("max_abs"),
-        array_max(codes).cast("long").as("max_code"),
-        array_min(codes).cast("long").as("min_code"),
-        round(array_max(dequant), 6).as("max_abs_err"))
+        round($"q.max_abs", 6).as("max_abs"),
+        $"q.max_code".as("max_code"),
+        $"q.min_code".as("min_code"),
+        round($"q.max_abs_err", 6).as("max_abs_err"))
       .orderBy($"vec_id")
   }
 

@@ -189,18 +189,18 @@ object TextAnalysis {
     */
   def q43Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exploded = t(s, dir, "documents")
-      .select($"doc_id", Dedup.shingles($"text").as("shs"))
-      .filter(size($"shs") > 0)
-      .select($"doc_id", size($"shs").as("n_shingles"), explode($"shs").as("sh"))
-    exploded
-      .groupBy($"doc_id", $"n_shingles", $"sh")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_shingles")
-      .agg(count(lit(1)).as("n_distinct"), max($"c").as("max_shingle_count"))
-      .select($"doc_id", $"n_shingles", $"n_distinct",
-        (lit(1.0) - $"n_distinct".cast("double") / $"n_shingles").as("dup_ratio"),
-        ($"max_shingle_count".cast("double") / $"n_shingles").as("top_shingle_share"))
+    import graft.functions.NativeExpressions.repetitionStats
+    // One-pass per-row multiset stats (no explode, no shuffle) — the
+    // explode → double-groupBy formulation this replaced shuffled
+    // |docs|·|shingles| rows twice; differential-tested in
+    // NativeExpressionsSpec.
+    t(s, dir, "documents")
+      .select($"doc_id", repetitionStats(Dedup.shingles($"text")).as("r"))
+      .filter($"r".isNotNull)
+      .select($"doc_id", $"r.n_items".as("n_shingles"),
+        $"r.n_distinct".as("n_distinct"),
+        (lit(1.0) - $"r.n_distinct".cast("double") / $"r.n_items").as("dup_ratio"),
+        ($"r.max_count".cast("double") / $"r.n_items").as("top_shingle_share"))
       .orderBy($"doc_id")
   }
 

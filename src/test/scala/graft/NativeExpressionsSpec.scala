@@ -91,6 +91,45 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(s1.select($"sig").distinct().count() > 10)
   }
 
+  test("QuantizeStats == builtin transform/zip_with formulation, bit-exact") {
+    import spark.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val codes = transform(v, x => floor(x * scale + 0.5))
+    val dequant = zip_with(codes, v, (c, x) => abs(c / scale - x))
+    val diff = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", quantizeStats($"embedding").as("q"),
+        maxAbs.as("r_max_abs"),
+        array_max(codes).cast("long").as("r_max_code"),
+        array_min(codes).cast("long").as("r_min_code"),
+        array_max(dequant).as("r_max_err"))
+      .filter($"q.max_abs" =!= $"r_max_abs" || $"q.max_code" =!= $"r_max_code" ||
+        $"q.min_code" =!= $"r_min_code" || $"q.max_abs_err" =!= $"r_max_err")
+    assert(diff.count() == 0)
+  }
+
+  test("RepetitionStats == explode/groupBy formulation") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val ref = docs
+      .select($"doc_id", operators.Dedup.shingles($"text").as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", size($"shs").cast("long").as("n_items"), explode($"shs").as("sh"))
+      .groupBy($"doc_id", $"n_items", $"sh").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_items")
+      .agg(count(lit(1)).as("n_distinct"), max($"c").as("max_count"))
+    val native = docs
+      .select($"doc_id", repetitionStats(operators.Dedup.shingles($"text")).as("r"))
+      .filter($"r".isNotNull)
+      .select($"doc_id", $"r.n_items", $"r.n_distinct", $"r.max_count")
+    assert(native.count() == ref.count())
+    val joined = native.as("n").join(ref.as("r"), Seq("doc_id"))
+    assert(joined.filter($"n.n_items" =!= $"r.n_items" ||
+      $"n.n_distinct" =!= $"r.n_distinct" ||
+      $"n.max_count" =!= $"r.max_count").count() == 0)
+  }
+
   test("DotProduct == aggregate/zip_with fold, bit-exact, null-safe") {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
