@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExtensions
+
+/** A session built with `.withExtensions(new GraftExtensions)` (the
+  * builder twin of `spark.sql.extensions=graft.functions.GraftExtensions`)
+  * exposes every native function to pure SQL with no application code —
+  * the cluster-wide deployment path.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("SparkSessionExtensions injects the native functions into SQL") {
+    // SparkTestSession's context is shared; Builder.create() makes a NEW
+    // session (reusing the running SparkContext) so the extensions are
+    // actually applied — getOrCreate() would return the existing default
+    // session and silently skip them.
+    SparkTestSession.spark
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .create()
+    try {
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .createOrReplaceTempView("docs_ext")
+      val row = spark.sql(
+        """SELECT simhash64(split(text, ' ')) AS sh64,
+          |  repetition_stats(word_shingles(text, 3)).n_distinct AS nd,
+          |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+          |FROM docs_ext WHERE doc_id = 0""".stripMargin).first()
+      assert(!row.isNullAt(0))
+      assert(row.getLong(1) > 0)
+      assert(row.getDouble(2) == 11.0)
+      // DESCRIBE FUNCTION works like a builtin
+      val desc = spark.sql("DESCRIBE FUNCTION quantize_stats")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("quantize_stats"))
+    } finally {
+      // do NOT stop() this session: it shares the suite-wide SparkContext
+      // (stop would kill every later suite); just detach it
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(SparkTestSession.spark)
+    }
+  }
+}
