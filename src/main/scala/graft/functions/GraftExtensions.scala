@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     import NativeExpressions._
+    ext.injectOptimizerRule(_ => GraftRules.DotProductRewrite)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[NativeExpressions.type].getName, null, name, usage, "")
 

@@ -245,16 +245,25 @@ object NativeExpressions {
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullable: Boolean = left.nullable || right.nullable
+    override def nullable: Boolean = true // also NULL on length mismatch
     override def prettyName: String = "dot_product"
 
+    // Length mismatch and NULL elements yield NULL — matching the builtin
+    // fold it stands in for (zip_with pads the shorter array with NULLs
+    // and a NULL product poisons the running sum), so the
+    // DotProductRewrite optimizer rule is semantics-preserving.
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       java.lang.Double.valueOf(s)
     }
 
@@ -264,12 +273,17 @@ object NativeExpressions {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $s = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $a.getDouble($i) * $b.getDouble($i);
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
            |}
-           |${ev.value} = $s;
          """.stripMargin
       })
 

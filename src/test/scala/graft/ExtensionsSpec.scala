@@ -36,6 +36,24 @@ class ExtensionsSpec extends AnyFunSuite {
       val desc = spark.sql("DESCRIBE FUNCTION quantize_stats")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("quantize_stats"))
+
+      // injected optimizer rule: the builtin fold over a parquet-backed
+      // table (a literal Seq would be constant-folded whole) is rewritten
+      // to the native DotProduct and produces the identical value
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val v = transform($"embedding", x => x.cast("double"))
+      val folded = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select($"vec_id", aggregate(zip_with(v, v, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      val optimized = folded.queryExecution.optimizedPlan
+      val rewritten = optimized.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.NativeExpressions.DotProduct]))
+      assert(rewritten, s"DotProductRewrite did not fire:\n$optimized")
+      val native = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select($"vec_id", graft.functions.NativeExpressions.dotProduct(v, v).as("d"))
+      assert(folded.join(native.withColumnRenamed("d", "nd"), "vec_id")
+        .filter($"d" =!= $"nd").count() == 0)
     } finally {
       // do NOT stop() this session: it shares the suite-wide SparkContext
       // (stop would kill every later suite); just detach it
