@@ -158,4 +158,48 @@ object StreamingOps {
           closed.result().iterator
       }
   }
+
+  /** Production sessionize: same gaps-and-islands semantics, plus an
+    * EVENT-TIME TIMEOUT — when the stream's watermark passes a user's
+    * last event + the session gap, the open session is emitted and its
+    * state REMOVED. Without this, a one-visit user's session (and its
+    * state-store entry) lives forever; with it, state is strictly
+    * O(users active inside the watermark horizon). Requires an upstream
+    * `withWatermark` on the event-time column.
+    */
+  def sessionizeWithTimeout(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: close and drop the open session
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.sessionSeq, st.n, st.start, st.last))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (st == null) {
+                st = SessionState(1L, e.ts, e.ts, 1L)
+              } else if (e.ts.getTime - st.last.getTime > SessionGapMs) {
+                closed += Session(userId, st.sessionSeq, st.n, st.start, st.last)
+                st = SessionState(st.sessionSeq + 1, e.ts, e.ts, 1L)
+              } else {
+                st = st.copy(last = e.ts, n = st.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last.getTime + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

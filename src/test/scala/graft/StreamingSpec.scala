@@ -109,6 +109,30 @@ class StreamingSpec extends AnyFunSuite {
       .exceptAll(batch.select("l_event_id", "r_event_id")).count() == 0)
   }
 
+  test("EventTimeTimeout sessionize emits timed-out open sessions, state removed") {
+    import spark.implicits._
+    val events = StreamingOps.readEvents(spark, streamDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[StreamingOps.Event]
+    val q = StreamingOps.sessionizeWithTimeout(events)
+      .writeStream.format("memory").queryName("sessions_to")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sessions_to")
+    val batch = graft.operators.Relational.q14Sessionize(spark, "/root/testdata/sf0.001")
+    val closedOnly = batch.count() - batch.select("user_id").distinct().count()
+    // timeouts emitted sessions beyond the gap-closed ones (each user's
+    // final session only closes via the watermark timeout)
+    assert(got.count() > closedOnly,
+      s"timeouts did not fire: ${got.count()} <= $closedOnly")
+    // every emitted session is exactly its batch twin
+    val joined = got.as("s").join(batch.as("b"), Seq("user_id", "session_seq"))
+    assert(joined.count() == got.count())
+    assert(joined.filter($"s.n_events" =!= $"b.n_events" ||
+      $"s.session_start" =!= $"b.session_start" ||
+      $"s.session_end" =!= $"b.session_end").count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
