@@ -399,6 +399,44 @@ object NativeExpressions {
   def repetitionStats(items: Column): Column =
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(items)))
 
+  /** count_in_set(tokens, words): how many array elements are in a fixed
+    * word set — one hash-set pass, replacing
+    * `size(filter(toks, _.isInCollection(words)))` whose higher-order
+    * filter is interpreted per element with a per-element Catalyst eval.
+    * Used by the stopword-ratio (q23), language-ID profile scores (q25 —
+    * four instances per row), and quality-filter (q48) hot paths.
+    */
+  case class CountInSet(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "count_in_set"
+
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach(s.add)
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var c = 0L
+      var i = 0
+      while (i < n) {
+        if (set.contains(arr.getUTF8String(i).toString)) c += 1
+        i += 1
+      }
+      java.lang.Long.valueOf(c)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(CountInSet(GraftColumnBridge.expression(tokens), words))
+
   /** Register the native expressions in a session's FunctionRegistry so
     * `spark.sql` queries can call them by name:
     * word_shingles(text, k), minhash_signature(shingles, n),

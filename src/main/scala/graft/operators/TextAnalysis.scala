@@ -30,7 +30,7 @@ object TextAnalysis {
     val toks = split($"text", " ")
     val nTokens = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")
-    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val nStop = graft.functions.NativeExpressions.countInSet(toks, Stopwords)
     t(s, dir, "documents")
       .select(
         $"doc_id",
@@ -112,7 +112,7 @@ object TextAnalysis {
     import s.implicits._
     val toks = split($"text", " ")
     val scores = LangProfiles.map { case (l, ws) =>
-      l -> size(filter(toks, t => t.isInCollection(ws))).cast("long")
+      l -> graft.functions.NativeExpressions.countInSet(toks, ws)
     }
     val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
     val base = t(s, dir, "documents")
@@ -233,7 +233,7 @@ object TextAnalysis {
     val toks = split($"text", " ")
     val nTokens = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")
-    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("long")
+    val nStop = graft.functions.NativeExpressions.countInSet(toks, Stopwords)
     val nChars = length($"text").cast("long")
     val nSym = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long")
     val rules: Seq[(String, Column)] = Seq(

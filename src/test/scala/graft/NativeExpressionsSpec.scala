@@ -130,6 +130,20 @@ class NativeExpressionsSpec extends AnyFunSuite {
       $"n.max_count" =!= $"r.max_count").count() == 0)
   }
 
+  test("CountInSet == size(filter(isInCollection)) formulation") {
+    import spark.implicits._
+    val toks = split($"text", " ")
+    val ws = operators.TextAnalysis.Stopwords
+    val ref = size(filter(toks, t => t.isInCollection(ws))).cast("long")
+    val diff = Tables.load(spark, dir, "documents")
+      .select(countInSet(toks, ws).as("native"), ref.as("ref"))
+      .filter($"native" =!= $"ref")
+    assert(diff.count() == 0)
+    val edge = Seq("", "the the a zzz").toDF("text")
+      .select(countInSet(split($"text", " "), ws)).collect().map(_.getLong(0))
+    assert(edge.toSeq == Seq(0L, 3L))
+  }
+
   test("DotProduct == aggregate/zip_with fold, bit-exact, null-safe") {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
