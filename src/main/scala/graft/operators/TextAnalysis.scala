@@ -273,7 +273,56 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
   }
 
+  val ShardTokenBudget = 2048L
+
+  /** q51: shard packing — assign documents to fixed-token-budget training
+    * shards. Greedy running-sum packing WITHIN each train/val/test split
+    * (the q50 hash assignment): shard index = the 2048-token bucket the
+    * document's cumulative start offset falls in. Partitioned by split so
+    * the window never needs a global sort — at corpus scale the
+    * partitioning key would also carry a hash prefix (split, doc_id mod
+    * N) so each packer sees a bounded slice; the within-slice plan is
+    * identical. Deterministic: ordering is (doc_id), arithmetic is
+    * integer.
+    */
+  def q51ShardPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = substring(md5($"doc_id".cast("string")), 1, 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"doc_id", $"split", $"n_tokens", $"cum_tokens",
+        (($"cum_tokens" - $"n_tokens") / ShardTokenBudget).cast("long").as("shard_idx"))
+      .orderBy($"doc_id")
+  }
+
+  private val q51Sql =
+    s"""WITH assigned AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, split, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM assigned)
+      |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_idx
+      |FROM packed
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q51_shard_pack", Seq("EXT-text", "EXT-split"),
+      "fixed-token-budget shard packing per split (running-sum window)",
+      q51ShardPack, Some(q51Sql)),
     GraftQuery("q48_quality_filter", Seq("EXT-text"),
       "C4/Gopher-style keep/reject filter with per-rule reasons",
       q48QualityFilter, Some(q48Sql)),
