@@ -105,9 +105,15 @@ final class Pipeline(spark: SparkSession, workDir: String) {
         overwriteSwap(RawIngest.ingest(spark, landingDir, glob, source, lit(at), 1L),
           "raw", table)
       } else {
+        val existing = read("raw", table)
         val startId =
-          read("raw", table).agg(coalesce(max(col("id")), lit(0L))).first().getLong(0) + 1L
-        RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId)
+          existing.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0) + 1L
+        // COPY INTO load history: files already in RAW are not re-loaded
+        val history =
+          if (existing.columns.contains("source_file"))
+            Some(existing.select(col("source_file")))
+          else None
+        RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId, history)
           .write.mode("append").parquet(path("raw", table))
       }
     }

@@ -24,6 +24,13 @@ object RawIngest {
     * @param at   ingestion timestamp (CURRENT_TIMESTAMP() at COPY time,
     *             DAG:116 — injectable for deterministic replays/tests)
     * @param startId first id to assign (pass existing max+1)
+    * @param alreadyLoaded COPY INTO load-history parity: a one-column
+    *             (`source_file`) frame of previously ingested file paths;
+    *             those files are skipped, so re-running a DAG over an
+    *             unchanged landing area is a no-op exactly like
+    *             Snowflake's COPY (which consults its load history and
+    *             loads each file once). Anti-join, not a collected set —
+    *             the history can be millions of files at scale.
     */
   def ingest(
       spark: SparkSession,
@@ -31,16 +38,22 @@ object RawIngest {
       glob: String,
       source: String,
       at: Column = current_timestamp(),
-      startId: Long = 1L): DataFrame = {
-    val w = Window.orderBy(input_file_name())
-    spark.read
+      startId: Long = 1L,
+      alreadyLoaded: Option[DataFrame] = None): DataFrame = {
+    val files = spark.read
       .option("wholetext", "true")
       .option("pathGlobFilter", glob)
       .text(landingDir)
-      .select(
-        (row_number().over(w) + lit(startId - 1)).as("id"),
-        lit(source).as("source"),
-        at.cast("timestamp").as("ingested_at"),
-        col("value").as("payload"))
+      .select(input_file_name().as("source_file"), col("value"))
+    val fresh = alreadyLoaded.foldLeft(files)((df, loaded) =>
+      df.join(loaded.select(col("source_file")).distinct(),
+        Seq("source_file"), "left_anti"))
+    val w = Window.orderBy(col("source_file"))
+    fresh.select(
+      (row_number().over(w) + lit(startId - 1)).as("id"),
+      lit(source).as("source"),
+      at.cast("timestamp").as("ingested_at"),
+      col("source_file"),
+      col("value").as("payload"))
   }
 }

@@ -209,6 +209,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.filterNot(_.passed).isEmpty)
   }
 
+  test("re-ingesting the same landing files is a no-op (COPY load history)") {
+    val w = Files.createTempDirectory("graft-copy-idem").toString
+    val p = new Pipeline(spark, w)
+    p.run(res("landing1"), t1)
+    val rawBefore = p.read("raw", "fortune_500").count()
+    // same landing dir again, later timestamp: COPY consults its load
+    // history and skips every file -> RAW unchanged, and a --full-refresh
+    // rebuild over the accumulated RAW still passes the unique tests
+    val results = p.run(res("landing1"),
+      Timestamp.valueOf("2025-06-02 00:00:00"), fullRefresh = true)
+    assert(p.read("raw", "fortune_500").count() == rawBefore)
+    assert(results.filterNot(_.passed).isEmpty,
+      s"failed: ${results.filterNot(_.passed)}")
+  }
+
   test("acceptedValues passes NULLs (dbt compiled not-in semantics)") {
     import spark.implicits._
     val df = Seq(Some("A"), Some("X"), None).toDF("c")
