@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.functions.Fns.exactSum2
@@ -201,5 +202,70 @@ object StreamingOps {
             closed.result().iterator
           }
       }
+  }
+
+  /** Spark 4 `transformWithState` sessionizer — the same semantics as
+    * [[sessionizeWithTimeout]] on the new arbitrary-stateful-processing
+    * API (StatefulProcessor + typed ValueState + first-class event-time
+    * TIMERS, successor to flatMapGroupsWithState). Each key keeps one
+    * open-session ValueState and exactly one registered timer at
+    * last + gap; new events delete/re-register the timer, and an expiry
+    * whose timestamp still matches the state closes and clears it (a
+    * stale timer that raced a newer event is ignored). Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, evs: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[Session]
+      var st = if (state.exists()) state.get() else null
+      if (st != null) getHandle.deleteTimer(st.last.getTime + SessionGapMs)
+      sorted.foreach { e =>
+        if (st == null) {
+          st = SessionState(1L, e.ts, e.ts, 1L)
+        } else if (e.ts.getTime - st.last.getTime > SessionGapMs) {
+          closed += Session(userId, st.sessionSeq, st.n, st.start, st.last)
+          st = SessionState(st.sessionSeq + 1, e.ts, e.ts, 1L)
+        } else {
+          st = st.copy(last = e.ts, n = st.n + 1)
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        getHandle.registerTimer(st.last.getTime + SessionGapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (state.exists()) {
+        val st = state.get()
+        if (expiredTimerInfo.getExpiryTimeInMs >= st.last.getTime + SessionGapMs) {
+          state.clear()
+          return Iterator.single(Session(userId, st.sessionSeq, st.n, st.start, st.last))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  def sessionizeTransformWithState(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

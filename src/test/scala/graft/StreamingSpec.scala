@@ -133,6 +133,37 @@ class StreamingSpec extends AnyFunSuite {
       $"s.session_end" =!= $"b.session_end").count() == 0)
   }
 
+  test("transformWithState sessionize (timers + RocksDB) matches batch") {
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = StreamingOps.readEvents(spark, streamDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[StreamingOps.Event]
+      val q = StreamingOps.sessionizeTransformWithState(events)
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("sessions_tws")
+      val batch = graft.operators.Relational.q14Sessionize(spark, "/root/testdata/sf0.001")
+      val closedOnly = batch.count() - batch.select("user_id").distinct().count()
+      assert(got.count() > closedOnly,
+        s"timers did not fire: ${got.count()} <= $closedOnly")
+      val joined = got.as("s").join(batch.as("b"), Seq("user_id", "session_seq"))
+      assert(joined.count() == got.count())
+      assert(joined.filter($"s.n_events" =!= $"b.n_events" ||
+        $"s.session_start" =!= $"b.session_start" ||
+        $"s.session_end" =!= $"b.session_end").count() == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
