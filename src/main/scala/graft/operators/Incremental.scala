@@ -95,19 +95,19 @@ object Incremental {
         $"o_orderdate".as("last_updated"))
   }
 
-  /** q16: two-run SCD2 snapshot (§2.9): run 1 ingests each customer's 1994
-    * state; run 2 ingests the 1995-1996 state as-of 1997-01-01. Exercises
+  /** q16: two-run SCD2 snapshot (§2.9): run 1 ingests each customer's 1995
+    * state; run 2 ingests the 1996-1997 state as-of 1998-01-01. Exercises
     * all three mutation paths deterministically: newer-timestamp
     * supersede (close + new version), brand-new key insert, and
-    * hard-delete invalidation (customer active in 1994, silent after).
+    * hard-delete invalidation (customer active in 1995, silent after).
     */
   def q16Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b1 = custState(s, dir, "1994-01-01", "1995-01-01")
-    val b2 = custState(s, dir, "1995-01-01", "1997-01-01")
+    val b1 = custState(s, dir, "1995-01-01", "1996-01-01")
+    val b2 = custState(s, dir, "1996-01-01", "1998-01-01")
     val run1 = Scd2.firstRun(b1, Seq("custkey"), "last_updated")
     val run2 = Scd2.snapshot(run1, b2, Seq("custkey"), "last_updated",
-      asOf = lit("1997-01-01 00:00:00").cast("timestamp"))
+      asOf = lit("1998-01-01 00:00:00").cast("timestamp"))
     run2
       .select($"custkey", $"status", $"totalprice", $"dbt_updated_at",
         $"dbt_valid_from", $"dbt_valid_to", $"dbt_scd_id")
@@ -121,7 +121,7 @@ object Incremental {
       |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |        FROM orders
-      |        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
+      |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
       |  WHERE rn = 1),
       |b2 AS (
       |  SELECT o_custkey AS custkey, o_orderstatus AS status, o_totalprice AS totalprice,
@@ -129,13 +129,13 @@ object Incremental {
       |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
       |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |        FROM orders
-      |        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
       |  WHERE rn = 1),
       |v1 AS (
       |  SELECT b1.custkey, b1.status, b1.totalprice,
       |         b1.last_updated AS dbt_updated_at,
       |         b1.last_updated AS dbt_valid_from,
-      |         CASE WHEN b2.custkey IS NULL THEN TIMESTAMP '1997-01-01 00:00:00'
+      |         CASE WHEN b2.custkey IS NULL THEN TIMESTAMP '1998-01-01 00:00:00'
       |              WHEN b2.last_updated > b1.last_updated THEN b2.last_updated
       |              ELSE NULL END AS dbt_valid_to
       |  FROM b1 LEFT JOIN b2 ON b1.custkey = b2.custkey),
@@ -195,7 +195,38 @@ object Incremental {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** q52: SCD2 point-in-time read — the consumer side of the snapshot
+    * machinery (q16 is the write side): reconstruct the dimension as it
+    * was at time T by slicing the version intervals,
+    * `valid_from <= T < coalesce(valid_to, +inf)`. Exactly one version
+    * per key present at T survives; keys first seen after T are absent.
+    * At scale this filter sits on top of the snapshot scan and prunes
+    * with min/max stats on valid_from — no join, no shuffle.
+    */
+  def q52Scd2AsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t0 = lit("1996-06-01 00:00:00").cast("timestamp")
+    q16Scd2Snapshot(s, dir)
+      .filter($"dbt_valid_from" <= t0 &&
+        ($"dbt_valid_to".isNull || $"dbt_valid_to" > t0))
+      .select($"custkey", $"status", $"totalprice",
+        $"dbt_valid_from", $"dbt_valid_to")
+      .orderBy($"custkey")
+  }
+
+  private val q52Sql =
+    s"""SELECT custkey, status, totalprice, dbt_valid_from, dbt_valid_to
+      |FROM (
+      |$q16Sql
+      |)
+      |WHERE dbt_valid_from <= TIMESTAMP '1996-06-01 00:00:00'
+      |  AND (dbt_valid_to IS NULL OR dbt_valid_to > TIMESTAMP '1996-06-01 00:00:00')
+      |ORDER BY custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q52_scd2_asof", Seq("S8", "P4", "EXT-timetravel"),
+      "SCD2 point-in-time dimension reconstruction",
+      q52Scd2AsOf, Some(q52Sql)),
     GraftQuery("q15_upsert", Seq("S6", "J4"),
       "keyed upsert (incremental MERGE semantics)", q15Upsert, Some(q15Sql)),
     GraftQuery("q16_scd2_snapshot", Seq("S8", "A7", "J4", "P4"),
