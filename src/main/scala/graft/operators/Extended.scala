@@ -17,9 +17,10 @@ object Extended {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
-  /** q30: set operations (SURVEY §2.6): customers active in 1994 vs 1995
-    * — intersect (both years), except (churned), union (either). Spark
-    * INTERSECT/EXCEPT are set-semantics (dedup), same as SQL.
+  /** q30: set operations (SURVEY §2.6): customers active in 1995 vs 1996
+    * — intersect (both years), except (churned), union (either); the
+    * years sit inside the 1995+ order data so all three cohorts carry
+    * rows. Spark INTERSECT/EXCEPT are set-semantics (dedup), same as SQL.
     */
   def q30SetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -27,8 +28,8 @@ object Extended {
       .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
         $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
       .select($"o_custkey")
-    val a94 = active(1994)
-    val a95 = active(1995)
+    val a94 = active(1995)
+    val a95 = active(1996)
     a94.intersect(a95).select($"o_custkey", lit("both").as("cohort"))
       .unionByName(a94.except(a95).select($"o_custkey", lit("churned").as("cohort")))
       .unionByName(a95.except(a94).select($"o_custkey", lit("new").as("cohort")))
@@ -37,9 +38,9 @@ object Extended {
 
   private val q30Sql =
     """WITH a94 AS (SELECT o_custkey FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
       |a95 AS (SELECT o_custkey FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
       |SELECT o_custkey, cohort FROM (
       |  SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM a94 INTERSECT SELECT o_custkey FROM a95)
       |  UNION ALL

@@ -44,14 +44,15 @@ object Incremental {
         max($"o_orderdate").as("last_order"))
   }
 
-  /** q15: keyed upsert (S6/J4): the pre-1995 per-customer summary is the
-    * existing target; the 1995+ summary is the incoming batch; matched
-    * keys are replaced, unmatched existing rows survive.
+  /** q15: keyed upsert (S6/J4): the 1995-96 per-customer summary is the
+    * existing target; the 1997-98 summary is the incoming batch; matched
+    * keys are replaced, unmatched existing rows survive (the windows sit
+    * inside the 1995+ order data so BOTH merge branches carry rows).
     */
   def q15Upsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val existing = custSummary(s, dir, "1990-01-01", "1995-01-01")
-    val incoming = custSummary(s, dir, "1995-01-01", "2000-01-01")
+    val existing = custSummary(s, dir, "1995-01-01", "1997-01-01")
+    val incoming = custSummary(s, dir, "1997-01-01", "1999-01-01")
     upsert(existing, incoming, Seq("o_custkey")).orderBy($"o_custkey")
   }
 
@@ -61,14 +62,14 @@ object Incremental {
       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
       |    max(o_orderdate) AS last_order
       |  FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1990-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |  GROUP BY o_custkey),
       |incoming AS (
       |  SELECT o_custkey, count(*) AS n_orders,
       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
       |    max(o_orderdate) AS last_order
       |  FROM orders
-      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       |  GROUP BY o_custkey)
       |SELECT * FROM (
       |  SELECT * FROM existing WHERE o_custkey NOT IN (SELECT o_custkey FROM incoming)
