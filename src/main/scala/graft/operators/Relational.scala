@@ -271,7 +271,7 @@ object Relational {
       .select(
         $"p_partkey",
         splitPart($"p_name", " ", 0).as("first_word"),
-        splitPart($"p_type", " ", 2).as("type_word3"),
+        splitPart($"p_name", " ", 1).as("name_word2"),
         substring($"p_brand", 7, 2).cast("int").as("brand_num"),
         coalesce(nullif(splitPart($"p_type", " ", 0), lit("STANDARD")), lit("other")).as("type_class"),
         parseMoneyToFloat(concat(lit("$"), $"p_retailprice".cast("decimal(18,2)").cast("string")))
@@ -282,7 +282,7 @@ object Relational {
   private val q10Sql =
     """SELECT p_partkey,
       |  string_split(p_name, ' ')[1] AS first_word,
-      |  string_split(p_type, ' ')[3] AS type_word3,
+      |  string_split(p_name, ' ')[2] AS name_word2,
       |  CAST(substring(p_brand, 7, 2) AS INTEGER) AS brand_num,
       |  coalesce(nullif(string_split(p_type, ' ')[1], 'STANDARD'), 'other') AS type_class,
       |  CAST(nullif(regexp_replace('$' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '[$,]', '', 'g'), '') AS DOUBLE) AS retail_parsed
