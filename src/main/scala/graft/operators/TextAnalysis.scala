@@ -73,25 +73,37 @@ object TextAnalysis {
 
   /** q24: token counting two ways — whitespace tokens vs regex
     * pre-tokenization — plus their ratio (a cheap tokens-per-word proxy
-    * for BPE fertility).
+    * for BPE fertility). Runs over a HETEROGENEOUS corpus: the prose
+    * documents (fertility 1.0 — clean lowercase words) unioned with
+    * entity strings from the customer table ("customer#000000042" →
+    * 3 regex tokens per whitespace word, fertility 3.0) — the mix a
+    * curation pipeline sees, where fertility is exactly the signal that
+    * separates prose from id-heavy text.
     */
   def q24TokenCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ws = size(split($"text", " ")).cast("long")
     val re = size(regexp_extract_all($"text", lit(TokenRegex), lit(0))).cast("long")
-    t(s, dir, "documents")
+    val prose = t(s, dir, "documents").select($"doc_id", $"text")
+    val entities = t(s, dir, "customer")
+      .select(($"c_custkey" + 1000000L).as("doc_id"), lower($"c_name").as("text"))
+    prose.unionByName(entities)
       .select($"doc_id", ws.as("ws_tokens"), re.as("re_tokens"),
         (re.cast("double") / ws).as("fertility"))
       .orderBy($"doc_id")
   }
 
   private val q24Sql =
-    s"""SELECT doc_id,
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, lower(c_name) FROM customer)
+      |SELECT doc_id,
       |  len(string_split(text, ' ')) AS ws_tokens,
       |  len(regexp_extract_all(text, '$TokenRegex')) AS re_tokens,
       |  CAST(len(regexp_extract_all(text, '$TokenRegex')) AS DOUBLE) /
       |    len(string_split(text, ' ')) AS fertility
-      |FROM documents
+      |FROM corpus
       |ORDER BY doc_id""".stripMargin
 
   /** Stopword profiles per language for the n-gram-free heuristic
