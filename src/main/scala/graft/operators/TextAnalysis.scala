@@ -116,6 +116,16 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "une"))
 
+  /** Per-language probe documents (stopword-dense sentences from each
+    * profile) appended to the corpus so each detection path has a
+    * positive example.
+    */
+  val ProbeSentences: Seq[(Long, String, String)] = Seq(
+    (2000001L, "en", "the cat of a house and the dog in a garden is to play"),
+    (2000002L, "es", "el gato de la casa que juega y corre en un jardin"),
+    (2000003L, "de", "der hund und die katze das haus ist ein garten zu sehen"),
+    (2000004L, "fr", "le chien et la maison de un chat est une belle chose"))
+
   /** q25: heuristic language ID — score = matching-stopword count per
     * language profile; argmax with fixed precedence (en>es>de>fr, 'und'
     * when all zero), compared against the labeled lang column.
@@ -127,7 +137,13 @@ object TextAnalysis {
       l -> graft.functions.NativeExpressions.countInSet(toks, ws)
     }
     val scoreCols = scores.map { case (l, c) => c.as(s"score_$l") }
-    val base = t(s, dir, "documents")
+    // The synthetic corpus never contains the es/de/fr stopwords, so the
+    // non-English score columns would be identically zero — union four
+    // deterministic probe sentences (one per profile) so every profile's
+    // detection path is exercised and verifiable.
+    val probes = ProbeSentences.toDF("doc_id", "lang", "text")
+    val base = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+      .unionByName(probes)
       .select(($"doc_id" +: $"lang".as("labeled_lang") +: scoreCols): _*)
     val best = LangProfiles.map(p => col(s"score_${p._1}")).reduce(greatest(_, _))
     // right fold => en-first precedence: en wins ties over es, etc.
@@ -147,10 +163,17 @@ object TextAnalysis {
     val scoreExprs = LangProfiles.map { case (l, ws) =>
       s"len(list_filter(string_split(text, ' '), x -> x IN (${lst(ws)}))) AS score_$l"
     }.mkString(",\n    ")
-    s"""WITH scored AS (
+    val probeValues = ProbeSentences.map { case (id, l, txt) =>
+      s"($id, '$l', '$txt')"
+    }.mkString(", ")
+    s"""WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT * FROM (VALUES $probeValues) t(doc_id, lang, text)),
+      |scored AS (
       |  SELECT doc_id, lang AS labeled_lang,
       |    $scoreExprs
-      |  FROM documents),
+      |  FROM corpus),
       |best AS (
       |  SELECT *, greatest(score_en, score_es, score_de, score_fr) AS best_score
       |  FROM scored)
