@@ -104,9 +104,15 @@ object Incremental {
     */
   def q16Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persist both window-derived inputs: Scd2.snapshot references the
+    // history twice (closed/current split) and the batch three times
+    // (supersede join, insert anti-join, hard-delete anti-join) — without
+    // this each reference recomputes the orders window from the scan
+    // (the Pipeline caller reads history from parquet, so the library
+    // correctly leaves caching to the caller)
     val b1 = custState(s, dir, "1995-01-01", "1996-01-01")
-    val b2 = custState(s, dir, "1996-01-01", "1998-01-01")
-    val run1 = Scd2.firstRun(b1, Seq("custkey"), "last_updated")
+    val b2 = custState(s, dir, "1996-01-01", "1998-01-01").persist()
+    val run1 = Scd2.firstRun(b1, Seq("custkey"), "last_updated").persist()
     val run2 = Scd2.snapshot(run1, b2, Seq("custkey"), "last_updated",
       asOf = lit("1998-01-01 00:00:00").cast("timestamp"))
     run2

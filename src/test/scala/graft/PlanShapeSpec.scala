@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the physical-plan properties the 100 TB design depends on
+  * (PLANS.md) so a refactor can't silently regress them: filter pushdown
+  * reaching the scan, column pruning, broadcast dim joins, and the
+  * absence of cross products outside the two documented baselines.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String = {
+    val q = Registry.all.find(_.name == name).get
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  test("q01: ship-date filter is pushed to the parquet scan") {
+    val plan = physicalPlan("q01_pricing_summary")
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("l_shipdate"), "pushed filter should reference l_shipdate")
+  }
+
+  test("q02: column pruning — orders scan reads only the 2 needed columns") {
+    val plan = physicalPlan("q02_revenue_by_nation")
+    val orderScans = plan.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("o_custkey"))
+    assert(orderScans.exists(l => !l.contains("o_orderdate") && !l.contains("o_comment")),
+      "orders ReadSchema should exclude unreferenced columns")
+  }
+
+  test("q02: dim joins broadcast, no sort-merge join") {
+    val plan = physicalPlan("q02_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("only the documented baselines use a cartesian product") {
+    // q22 (brute-force ANN ground truth) is crossJoin BY DESIGN; every
+    // other registered query must be free of cartesian/broadcast-nested-
+    // loop products (q21/q29/q45 etc. must stay blocked/banded joins)
+    val offenders = Registry.all
+      .filterNot(q => Set("q22_ann_brute_force").contains(q.name))
+      .flatMap { q =>
+        val plan =
+          try q.fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case _: Throwable => "" }
+        if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) Some(q.name) else None
+      }
+    // q45's centroid scoring is an intentional broadcast nested-loop
+    // (n x k with tiny broadcast k — the IVF coarse-quantizer shape)
+    assert(offenders.toSet.subsetOf(Set("q45_ivf_ann")),
+      s"unexpected cross products in: $offenders")
+  }
+}

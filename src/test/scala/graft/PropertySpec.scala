@@ -80,4 +80,30 @@ class PropertySpec extends AnyFunSuite {
       assert(got == allKeys, "every key ever seen is present in history")
     }
   }
+
+  test("applyCdc invariants under randomized change streams") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // random ops over a small key space; seq is the unique total order
+    val changes = (1 to 500).map { seq =>
+      (rnd.nextInt(20).toLong,
+        if (rnd.nextInt(4) == 0) "D" else "U",
+        rnd.nextInt(1000), seq.toLong)
+    }
+    val df = changes.toDF("key", "op", "payload", "seq")
+    val got = Incremental.applyCdc(df, Seq("key"), Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // reference: sequential fold over the ordered stream
+    val expected = changes.sortBy(_._4).foldLeft(Map.empty[Long, Int]) {
+      case (m, (k, "D", _, _)) => m - k
+      case (m, (k, _, p, _)) => m.updated(k, p)
+    }
+    assert(got == expected)
+    // idempotence: re-applying the surviving state as a U-stream is a no-op
+    val asStream = got.toSeq.map { case (k, p) => (k, "U", p, 1L) }
+      .toDF("key", "op", "payload", "seq")
+    val again = Incremental.applyCdc(asStream, Seq("key"), Seq("seq"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again == got)
+  }
 }
