@@ -59,25 +59,30 @@ object NativeExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "minhash_signature"
 
+    // Null ELEMENTS are skipped — the min(md5(...)) groupBy formulation
+    // this mirrors drops null shingles (concat with null → null, min
+    // ignores nulls); an all-null array degenerates to the empty case.
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (n == 0) return null
       val seen = new java.util.HashSet[String]()
       val mins = Array.fill[String](numHashes)(null)
       var i = 0
       while (i < n) {
-        val sh = arr.getUTF8String(i).toString
-        if (seen.add(sh)) {
-          var h = 0
-          while (h < numHashes) {
-            val hex = md5hex(s"$h:$sh")
-            if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
-            h += 1
+        if (!arr.isNullAt(i)) {
+          val sh = arr.getUTF8String(i).toString
+          if (seen.add(sh)) {
+            var h = 0
+            while (h < numHashes) {
+              val hex = md5hex(s"$h:$sh")
+              if (mins(h) == null || hex.compareTo(mins(h)) < 0) mins(h) = hex
+              h += 1
+            }
           }
         }
         i += 1
       }
+      if (seen.isEmpty) return null
       new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
     }
 
@@ -98,17 +103,22 @@ object NativeExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = s"simhash$bits"
 
+    // Null tokens are skipped (the per-bit-aggregate SQL drops them: a
+    // null token hashes to null and contributes nothing to any bit sum);
+    // an all-null array degenerates to the empty case.
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (n == 0) return null
       val counts = new java.util.HashMap[String, Long]()
       var i = 0
       while (i < n) {
-        val tok = arr.getUTF8String(i).toString
-        counts.merge(tok, 1L, (a, b) => a + b)
+        if (!arr.isNullAt(i)) {
+          val tok = arr.getUTF8String(i).toString
+          counts.merge(tok, 1L, (a, b) => a + b)
+        }
         i += 1
       }
+      if (counts.isEmpty) return null
       val comp = new Array[Long](bits)
       counts.forEach { (tok, cnt) =>
         val h = md5hex(tok)
@@ -322,6 +332,11 @@ object NativeExpressions {
       case _ => false
     }
 
+    // Degenerate inputs yield NULL: a null element (the builtin
+    // transform/zip_with chain null-propagates through every derived
+    // column) and an all-zero vector (scale = 127/0 would be Infinity and
+    // the codes NaN — quantization is undefined, so say so rather than
+    // emit sentinel garbage).
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -331,10 +346,12 @@ object NativeExpressions {
       var maxAbs = 0.0
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) return null
         val a = math.abs(elem(i))
         if (a > maxAbs) maxAbs = a
         i += 1
       }
+      if (maxAbs == 0.0) return null
       val scale = 127.0 / maxAbs
       var maxCode = Double.NegativeInfinity
       var minCode = Double.PositiveInfinity
@@ -376,20 +393,27 @@ object NativeExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "repetition_stats"
 
+    // Null elements are skipped (the explode → filter formulation drops
+    // them before counting); n_items counts non-null items only, and an
+    // all-null array degenerates to the empty case.
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (n == 0) return null
       val counts = new java.util.HashMap[String, Long]()
+      var nonNull = 0L
       var i = 0
       while (i < n) {
-        counts.merge(arr.getUTF8String(i).toString, 1L, (a, b) => a + b)
+        if (!arr.isNullAt(i)) {
+          counts.merge(arr.getUTF8String(i).toString, 1L, (a, b) => a + b)
+          nonNull += 1
+        }
         i += 1
       }
+      if (nonNull == 0) return null
       var maxC = 0L
       val it = counts.values().iterator()
       while (it.hasNext) { val c = it.next(); if (c > maxC) maxC = c }
-      InternalRow(n.toLong, counts.size.toLong, maxC)
+      InternalRow(nonNull, counts.size.toLong, maxC)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -418,13 +442,16 @@ object NativeExpressions {
       s
     }
 
+    // Null elements are skipped — matching the filter+isInCollection
+    // formulation, where a null element's membership test is null and the
+    // filter drops it.
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       var c = 0L
       var i = 0
       while (i < n) {
-        if (set.contains(arr.getUTF8String(i).toString)) c += 1
+        if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i).toString)) c += 1
         i += 1
       }
       java.lang.Long.valueOf(c)

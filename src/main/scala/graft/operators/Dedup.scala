@@ -409,9 +409,14 @@ object Dedup {
         .persist()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
+      // next is materialized by the count above; the previous iteration's
+      // labels are dead — release them so a deep graph doesn't accumulate
+      // one cached copy of the label table per iteration
+      labels.unpersist()
       labels = next
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -197,7 +197,14 @@ object StreamingOps {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp(st.last.getTime + SessionGapMs)
+              // Clamp to just past the current watermark: late events (the
+              // API delivers rows older than watermark - gap) would
+              // otherwise compute a timeout below the watermark, which
+              // flatMapGroupsWithState rejects with IllegalArgumentException
+              // and fails the query. The clamp defers an already-due timeout
+              // to the next watermark advance — same emitted set.
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, st.last.getTime + SessionGapMs))
             }
             closed.result().iterator
           }
@@ -217,10 +224,18 @@ object StreamingOps {
     */
   class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
     @transient private var state: ValueState[SessionState] = _
+    // Timestamp of the one registered timer for this key. Tracked
+    // explicitly (not derived as last + gap) because registration clamps
+    // to the watermark for late events — delete/expiry checks must use
+    // the timestamp actually registered, not the recomputed formula.
+    @transient private var timerTs: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionState](
         "session", Encoders.product[SessionState], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timerTs", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         userId: Long, evs: Iterator[Event],
@@ -228,7 +243,7 @@ object StreamingOps {
       val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       val closed = Seq.newBuilder[Session]
       var st = if (state.exists()) state.get() else null
-      if (st != null) getHandle.deleteTimer(st.last.getTime + SessionGapMs)
+      if (st != null && timerTs.exists()) getHandle.deleteTimer(timerTs.get())
       sorted.foreach { e =>
         if (st == null) {
           st = SessionState(1L, e.ts, e.ts, 1L)
@@ -241,7 +256,14 @@ object StreamingOps {
       }
       if (st != null) {
         state.update(st)
-        getHandle.registerTimer(st.last.getTime + SessionGapMs)
+        // clamp past-due timers to just beyond the current watermark (a
+        // late event can make last + gap < watermark); same emitted set,
+        // the close just lands on the next watermark advance
+        val tts = math.max(
+          timerValues.getCurrentWatermarkInMs() + 1,
+          st.last.getTime + SessionGapMs)
+        getHandle.registerTimer(tts)
+        timerTs.update(tts)
       }
       closed.result().iterator
     }
@@ -249,10 +271,13 @@ object StreamingOps {
     override def handleExpiredTimer(
         userId: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
-      if (state.exists()) {
-        val st = state.get()
-        if (expiredTimerInfo.getExpiryTimeInMs >= st.last.getTime + SessionGapMs) {
+      if (state.exists() && timerTs.exists()) {
+        // close only on the CURRENT registered timer; a stale timer that
+        // raced a newer event (delete missed it) is ignored
+        if (expiredTimerInfo.getExpiryTimeInMs >= timerTs.get()) {
+          val st = state.get()
           state.clear()
+          timerTs.clear()
           return Iterator.single(Session(userId, st.sessionSeq, st.n, st.start, st.last))
         }
       }

@@ -144,6 +144,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(edge.toSeq == Seq(0L, 3L))
   }
 
+  test("degenerate inputs: null elements and all-zero vectors yield null/skip") {
+    import spark.implicits._
+    // QuantizeStats: all-zero vector has no defined scale; null element
+    // null-propagates (both match the builtin formulation, where 127/0 =
+    // Infinity codes would otherwise become NaN→Long.MinValue garbage)
+    val qrows = Seq(
+      (1L, Some(Seq[Option[Double]](Some(0.0), Some(0.0)))),
+      (2L, Some(Seq[Option[Double]](Some(1.0), None))),
+      (3L, Some(Seq[Option[Double]](Some(1.0), Some(-2.0)))))
+      .toDF("id", "v")
+      .select($"id", quantizeStats($"v").as("q")).orderBy($"id").collect()
+    assert(qrows(0).isNullAt(1) && qrows(1).isNullAt(1) && !qrows(2).isNullAt(1))
+    // RepetitionStats / CountInSet / SimHash / MinHash: null elements are
+    // skipped; an all-null array degenerates to the empty case
+    val arr = Seq(
+      (1L, Seq[Option[String]](Some("a"), None, Some("a"))),
+      (2L, Seq[Option[String]](None, None))).toDF("id", "t")
+    val r = arr.select($"id", repetitionStats($"t").as("r"),
+        countInSet($"t", Seq("a")).as("c"),
+        simhash32($"t").as("s"), minhashSignature($"t", 4).as("m"))
+      .orderBy($"id").collect()
+    assert(r(0).getStruct(1).getLong(0) == 2L) // n_items counts non-null only
+    assert(r(0).getLong(2) == 2L && !r(0).isNullAt(3) && !r(0).isNullAt(4))
+    assert(r(1).isNullAt(1) && r(1).getLong(2) == 0L &&
+      r(1).isNullAt(3) && r(1).isNullAt(4))
+  }
+
   test("DotProduct == aggregate/zip_with fold, bit-exact, null-safe") {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
