@@ -221,6 +221,93 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** IVF near-dup pairs, parameterized on centroid selection and probe
+    * depth — the shared machinery behind q45 (single-probe) and q54
+    * (multiprobe), and the knob the q53 recall harness turns. Centroids
+    * are the vectors with `vec_id % 100 == centroidResidue`; each vector
+    * routes to its top-`probes` centroids; pairs form inside any shared
+    * cell (DISTINCT over probe combinations), then exact cosine verifies.
+    * Plan shape is unchanged from q45: broadcast centroids, one n·k
+    * scoring pass, one shuffle on cell id, cell-local pairing — probe
+    * depth p multiplies candidate volume by ~p² but never leaves the
+    * cell-local regime.
+    */
+  def ivfPairs(s: SparkSession, dir: String,
+      centroidResidue: Int, probes: Int): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .persist()
+    val cent = e.filter($"vec_id" % 100 === centroidResidue)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"centroid_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= probes)
+      .select($"vec_id", $"centroid_id".as("cell"))
+    // a pair can share up to `probes` cells — dedup BEFORE the exact
+    // verification so each candidate is scored once
+    val cand = cells.as("ca").join(cells.as("cb"), col("ca.cell") === col("cb.cell") &&
+        col("ca.vec_id") < col("cb.vec_id"))
+      .select(col("ca.vec_id").as("vec_a"), col("cb.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("nrm_a")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrm_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.35)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** q54: IVF multiprobe — each vector probes its top-2 cells, closing
+    * the primary recall hole of single-probe IVF (a near pair split by a
+    * cell boundary is structurally missed). Centroids are the residue-50
+    * vectors, DISJOINT from q22's residue-0 query set, so the harness
+    * (q53) measures routing quality honestly — q45's centroids coincide
+    * with the queries, which makes its recall an artifact (every query is
+    * the center of its own cell). Measured at sf0.1: recall@5 0.16 →
+    * 0.42 for ~4× the (still cell-local) candidate volume.
+    */
+  def q54IvfMultiprobe(s: SparkSession, dir: String): DataFrame =
+    ivfPairs(s, dir, centroidResidue = 50, probes = 2)
+
+  /** Shared oracle CTE chain for the parameterized IVF (DuckDB). */
+  private def ivfSql(centroidResidue: Int, probes: Int, outName: String): String =
+    s"""iv_c$outName AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = $centroidResidue),
+      |iv_scored$outName AS (
+      |  SELECT e.vec_id, centroid_id,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN iv_c$outName),
+      |iv_cells$outName AS (
+      |  SELECT vec_id, centroid_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, centroid_id ASC) AS rn
+      |    FROM iv_scored$outName) WHERE rn <= $probes),
+      |iv_cand$outName AS (
+      |  SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
+      |  FROM iv_cells$outName ca JOIN iv_cells$outName cb
+      |    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id),
+      |$outName AS (
+      |  SELECT vec_a, vec_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |  FROM iv_cand$outName
+      |  JOIN e a ON a.vec_id = vec_a
+      |  JOIN e b ON b.vec_id = vec_b
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)""".stripMargin
+
+  private val q54Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${ivfSql(50, 2, "out54")}
+      |SELECT vec_a, vec_b, cos_sim FROM out54
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   private val q45Sql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
@@ -244,6 +331,108 @@ object Similarity {
       |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q53: ANN recall harness — the number every geometry knob (band
+    * width, probe depth, centroid count) is tuned against. Ground truth
+    * is q22's brute-force top-5 restricted to the ≥0.35 near-dup regime
+    * (the set the ANN variants are contractually after); each method's
+    * verified pairs are joined against it and recall@5 emitted per
+    * method. The q54 probe-1 twin is included so the multiprobe delta is
+    * measured like-for-like (same disjoint centroid set): at sf0.1 —
+    * LSH 0.19, q45 1.0 (centroids == queries, an artifact the harness
+    * exposes), probe-1 0.16, probe-2 0.42.
+    */
+  def q53AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = q22AnnBruteForce(s, dir)
+      .filter($"cos_sim" >= 0.35)
+      .select(least($"query_id", $"neighbor_id").as("vec_a"),
+        greatest($"query_id", $"neighbor_id").as("vec_b"))
+      .distinct()
+      .persist()
+    val methods = Seq(
+      "q29_ann_lsh" -> q29AnnLsh(s, dir),
+      "q45_ivf_ann" -> q45IvfAnn(s, dir),
+      "q54_ivf_probe1" -> ivfPairs(s, dir, centroidResidue = 50, probes = 1),
+      "q54_ivf_multiprobe" -> q54IvfMultiprobe(s, dir))
+    val pairs = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), $"vec_a", $"vec_b")
+    }.reduce(_ unionByName _)
+    val hits = pairs.join(broadcast(truth), Seq("vec_a", "vec_b"))
+      .groupBy($"method").agg(count(lit(1)).as("hits"))
+    // literal method list so a 0-hit method still reports (q29 finds no
+    // eligible pair at sf0.001)
+    val names = methods.map(_._1).toDF("method")
+    val elig = truth.agg(count(lit(1)).as("eligible_pairs"))
+    names.join(hits, Seq("method"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(elig)
+      .select($"method", $"hits", $"eligible_pairs",
+        round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+      .orderBy($"method")
+  }
+
+  private val q53Sql = {
+    val bandBits = NumPlanes / LshBands
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+      |bf_scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+      |  FROM q CROSS JOIN e
+      |  WHERE query_id <> e.vec_id),
+      |bf_ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM bf_scored),
+      |truth AS (
+      |  SELECT DISTINCT least(query_id, neighbor_id) AS vec_a,
+      |    greatest(query_id, neighbor_id) AS vec_b
+      |  FROM bf_ranked WHERE rank <= 5 AND cos_sim >= 0.35),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 64),
+      |    d -> CASE WHEN (strpos('0123456789abcdef',
+      |           substring(md5(p || ':' || d), 1, 1)) - 1) % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS coefs
+      |  FROM range(0, $NumPlanes) t(p)),
+      |lsh_bands AS (
+      |  SELECT vec_id, p // $bandBits AS band,
+      |    CAST(sum(CASE WHEN list_dot_product(coefs, v) > 0
+      |        THEN CAST(pow(2, p % $bandBits) AS BIGINT) ELSE 0 END) AS BIGINT) AS bkey
+      |  FROM e CROSS JOIN planes
+      |  GROUP BY vec_id, p // $bandBits),
+      |lsh_cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM lsh_bands x JOIN lsh_bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id),
+      |out29 AS (
+      |  SELECT vec_a, vec_b
+      |  FROM lsh_cand
+      |  JOIN e a ON a.vec_id = vec_a
+      |  JOIN e b ON b.vec_id = vec_b
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+      |${ivfSql(0, 1, "out45")},
+      |${ivfSql(50, 1, "outp1")},
+      |${ivfSql(50, 2, "outp2")},
+      |meth AS (
+      |  SELECT 'q29_ann_lsh' AS method, vec_a, vec_b FROM out29
+      |  UNION ALL SELECT 'q45_ivf_ann', vec_a, vec_b FROM out45
+      |  UNION ALL SELECT 'q54_ivf_probe1', vec_a, vec_b FROM outp1
+      |  UNION ALL SELECT 'q54_ivf_multiprobe', vec_a, vec_b FROM outp2),
+      |hits AS (
+      |  SELECT method, count(*) AS hits
+      |  FROM meth JOIN truth USING (vec_a, vec_b)
+      |  GROUP BY method),
+      |names(method) AS (VALUES ('q29_ann_lsh'), ('q45_ivf_ann'),
+      |  ('q54_ivf_probe1'), ('q54_ivf_multiprobe')),
+      |elig AS (SELECT count(*) AS eligible_pairs FROM truth)
+      |SELECT n.method, COALESCE(h.hits, 0) AS hits, elig.eligible_pairs,
+      |  round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
+      |FROM names n LEFT JOIN hits h ON n.method = h.method CROSS JOIN elig
+      |ORDER BY n.method""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q21_embedding_near_dup", Seq("EXT-similarity", "EXT-dedup"),
       "label-blocked embedding near-dup (IVF-shaped)", q21EmbeddingNearDup, Some(q21Sql)),
@@ -253,5 +442,11 @@ object Similarity {
       "random-hyperplane LSH ANN (banded signature buckets)", q29AnnLsh, Some(q29Sql)),
     GraftQuery("q45_ivf_ann", Seq("EXT-similarity"),
       "IVF ANN with deterministic coarse centroids (cell-local search)",
-      q45IvfAnn, Some(q45Sql)))
+      q45IvfAnn, Some(q45Sql)),
+    GraftQuery("q53_ann_recall", Seq("EXT-similarity"),
+      "recall@5 harness: every ANN variant judged against brute-force truth",
+      q53AnnRecall, Some(q53Sql)),
+    GraftQuery("q54_ivf_multiprobe", Seq("EXT-similarity"),
+      "IVF multiprobe (top-2 cells, disjoint centroids) near-dup pairs",
+      q54IvfMultiprobe, Some(q54Sql)))
 }
