@@ -1,7 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.GraftQuery
 
 /** Fuzzy entity-name reconciliation (SURVEY.md §7.4-5): the core join J1
   * matches the two sources on EXACT company_name equality — "Acme Corp"
@@ -23,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatch {
 
-  private val Suffixes =
+  val Suffixes: Seq[String] =
     Seq("incorporated", "corporation", "company", "holdings", "group",
       "inc", "corp", "co", "ltd", "plc", "llc")
 
@@ -90,4 +92,81 @@ object FuzzyMatch {
           (col("nl") + col("nr") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** q56: the fuzzy matcher ORACLE-CARRIED — part names vs three
+    * deterministic corruption classes a real entity-reconciliation job
+    * sees: decorated legal forms ("The <name> Inc." — normalization
+    * strips the suffix but "the" survives as honest fuzz; jaccard
+    * 0.5-0.61, MATCH), leading-character typos (drop the first char;
+    * ~0.6, MATCH), and word-order swaps ("ring small" — trigram overlap
+    * collapses to ~0.29 on two-word names, REJECT: the swap class is the
+    * in-data negative control proving the 0.5 threshold discriminates).
+    * Every stage (normalize, trigram, stop-gram cap, capped-intersection
+    * Jaccard) is re-derived in DuckDB SQL, so the driver hash-checks the
+    * full chain.
+    */
+  def q56FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = graft.Tables.load(s, dir, "part").select($"p_name").distinct()
+    val variants = names
+      .select(concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
+      .unionByName(names.select(expr("substring(p_name, 2)").as("v")))
+      .unionByName(names.select(
+        concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
+    similarityJoin(names, "p_name", variants, "v", threshold = 0.5)
+      .orderBy($"l_name", $"r_name")
+  }
+
+  /** DuckDB rendition of [[normalizeName]] over SQL expression `c`. */
+  private def normSql(c: String): String = {
+    val noSuffix = Suffixes.foldLeft(s"lower($c)")((acc, suf) =>
+      s"regexp_replace($acc, '\\b$suf\\b', '', 'g')")
+    s"regexp_replace($noSuffix, '[^a-z0-9]', '', 'g')"
+  }
+
+  /** DuckDB rendition of [[nameTrigrams]] + array_distinct over `c`. */
+  private def gramsSql(c: String): String = {
+    val padded = s"'^^' || ${normSql(c)} || '$$$$'"
+    s"""list_distinct(list_filter(
+       |    list_transform(range(0, greatest(length($padded) - 3, 0) + 1),
+       |      i -> substring($padded, i + 1, 3)),
+       |    g -> length(g) = 3))""".stripMargin
+  }
+
+  private val q56Sql =
+    s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+      |l AS (
+      |  SELECT p_name AS l_name, ${gramsSql("p_name")} AS grams
+      |  FROM names WHERE length(${normSql("p_name")}) > 0),
+      |r0 AS (
+      |  SELECT 'The ' || p_name || ' Inc.' AS v FROM names
+      |  UNION ALL
+      |  SELECT substring(p_name, 2) FROM names
+      |  UNION ALL
+      |  SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ') FROM names),
+      |r AS (
+      |  SELECT DISTINCT v AS r_name, ${gramsSql("v")} AS grams
+      |  FROM r0 WHERE length(${normSql("v")}) > 0),
+      |lg AS (SELECT l_name, len(grams) AS nl, unnest(grams) AS g FROM l),
+      |rg AS (SELECT r_name, len(grams) AS nr, unnest(grams) AS g FROM r),
+      |freq AS (
+      |  SELECT g FROM (
+      |    SELECT g, count(*) AS c
+      |    FROM (SELECT g FROM lg UNION ALL SELECT g FROM rg)
+      |    GROUP BY g)
+      |  WHERE c <= 1000),
+      |inter AS (
+      |  SELECT l_name, r_name, nl, nr, count(*) AS n_common
+      |  FROM lg JOIN freq USING (g) JOIN rg USING (g)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT l_name, r_name,
+      |  CAST(n_common AS DOUBLE) / (nl + nr - n_common) AS jaccard
+      |FROM inter
+      |WHERE CAST(n_common AS DOUBLE) / (nl + nr - n_common) >= 0.5
+      |ORDER BY l_name, r_name""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q56_fuzzy_names", Seq("EXT-fuzzy", "J1"),
+      "trigram-Jaccard fuzzy name reconciliation, full chain oracle-carried",
+      q56FuzzyNames, Some(q56Sql)))
 }

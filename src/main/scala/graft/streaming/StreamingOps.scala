@@ -1,13 +1,15 @@
 package graft.streaming
 
 import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
+import graft.GraftQuery
 import graft.functions.Fns.exactSum2
 
 /** Structured Streaming surface (SURVEY.md §2.8). The reference is
@@ -293,4 +295,85 @@ object StreamingOps {
       .transformWithState(new SessionProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  private val q55Counter = new AtomicInteger(0)
+
+  /** q55: the `transformWithState` sessionizer, ORACLE-CARRIED — the
+    * hardest stateful code in the repo run end-to-end (file source →
+    * RocksDB state + event-time timers → memory sink, one AvailableNow
+    * pass) and hash-checked by the driver against relational SQL. The
+    * emitted set is exactly determined: every session closed by a >30min
+    * in-stream gap, plus each user's final open session iff the final
+    * watermark (max event time − 2h, ms-floored) passed its timer
+    * (last + 30min). The oracle reproduces the PROCESSOR's arithmetic —
+    * millisecond-floored ordering and gap comparison (Timestamp.getTime),
+    * first/last event by (ms, event_id) — not q14's second-floored gap:
+    * with sub-second event times the two disagree on gaps inside
+    * (1800 s, 1801 s), and the oracle must model the engine, not the
+    * engine's cousin.
+    */
+  def q55StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"graft_q55_sessions_${q55Counter.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q55-ckpt").toString
+      // the file source requires a DIRECTORY; stage the single events
+      // file into one (in production the landing prefix is a directory)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-q55-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val events = readEvents(s, srcDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val q = sessionizeTransformWithState(events)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy($"user_id", $"session_seq")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  private val q55Sql =
+    """WITH ordered AS (
+      |  SELECT event_id, ts, user_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+      |  FROM ordered),
+      |numbered AS (
+      |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ms(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |    count(*) AS n_events,
+      |    CAST(first(ts ORDER BY epoch_ms(ts), event_id) AS TIMESTAMP) AS session_start,
+      |    CAST(last(ts ORDER BY epoch_ms(ts), event_id) AS TIMESTAMP) AS session_end
+      |  FROM numbered
+      |  GROUP BY user_id, session_seq),
+      |mx AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events),
+      |lastseq AS (SELECT user_id, max(session_seq) AS last_seq FROM sess GROUP BY user_id)
+      |SELECT s.user_id, s.session_seq, s.n_events, s.session_start, s.session_end
+      |FROM sess s JOIN lastseq l ON s.user_id = l.user_id CROSS JOIN mx
+      |WHERE s.session_seq < l.last_seq
+      |   OR epoch_ms(s.session_end) + 1800000 < mx.max_ms - 7200000
+      |ORDER BY s.user_id, s.session_seq""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q55_stream_sessions", Seq("EXT-streaming", "W1", "W2"),
+      "transformWithState sessionizer (RocksDB + event-time timers), oracle-carried",
+      q55StreamSessions, Some(q55Sql)))
 }
