@@ -168,6 +168,46 @@ object Extended {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q57: salted JOIN against an actually-hot key — the companion proof
+    * to q34 (which salts an aggregation). The fact side maps half of all
+    * events onto one key (user_id < 75 → 0): a plain shuffle join would
+    * put ~50% of the fact table in ONE reducer task. The salted plan
+    * spreads the hot key over [[SaltBuckets]] reducers: fact rows salt by
+    * pmod(event_id, B); the dim side is replicated ×B via explode; the
+    * join key becomes (k, salt). A shuffle-hash hint forces the shuffle
+    * path (the 150-row dim would otherwise broadcast and dodge the skew
+    * entirely — which IS the first-choice fix when the dim fits; salting
+    * is for when both sides are large). The oracle is the PLAIN join +
+    * GROUP BY, proving the rewrite is semantics-preserving. Spark's AQE
+    * skew-join handles this case automatically by splitting oversized
+    * partitions (spark.sql.adaptive.skewJoin.*) — the salted shape is the
+    * portable variant that also covers aggregations and pre-AQE engines.
+    */
+  def q57SkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = t(s, dir, "events")
+      .select(when($"user_id" < 75, 0L).otherwise($"user_id").as("k"),
+        $"event_id", $"value")
+      .withColumn("salt", pmod($"event_id", lit(SaltBuckets)))
+    val dim = t(s, dir, "customer").filter($"c_custkey" < 150)
+      .select($"c_custkey".as("k"), $"c_mktsegment")
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit(_)): _*)))
+    fact.join(dim.hint("shuffle_hash"), Seq("k", "salt"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), exactSum2($"value").as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q57Sql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM (SELECT CASE WHEN user_id < 75 THEN CAST(0 AS BIGINT) ELSE user_id END AS k, value
+      |      FROM events) f
+      |JOIN (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey < 150) d
+      |  USING (k)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** q37: exact interpolated percentiles (R-7 definition in both Spark's
     * `percentile` and DuckDB's `quantile_cont`): order-value quartiles per
     * order status. Interpolation is fixed-order arithmetic on the two
@@ -376,6 +416,9 @@ object Extended {
       "pivot to one column per event type", q39Pivot, Some(q39Sql)),
     GraftQuery("q34_salted_agg", Seq("EXT-skew"),
       "two-phase salted aggregation == plain GROUP BY", q34SaltedAgg, Some(q34Sql)),
+    GraftQuery("q57_skew_salted_join", Seq("EXT-skew", "J1"),
+      "salted join vs a key holding 50% of the fact side == plain join",
+      q57SkewSaltedJoin, Some(q57Sql)),
     GraftQuery("q30_set_ops", Seq("EXT-setops"),
       "intersect/except/union cohort analysis", q30SetOps, Some(q30Sql)),
     GraftQuery("q31_rollup", Seq("EXT-rollup"),
