@@ -164,6 +164,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late events past the watermark do not fail the timeout sessionizers") {
+    import spark.implicits._
+    // Two-run scenario: run 1 advances the watermark; run 2 delivers an
+    // event OLDER than watermark - gap. flatMapGroupsWithState does not
+    // drop late rows, so before the timer clamp this threw
+    // IllegalArgumentException ("timeout timestamp cannot be earlier than
+    // the current watermark") and failed the query.
+    val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ev(id: Long, minute: Long, user: Long) = StreamingOps.Event(
+      id, new java.sql.Timestamp(base + minute * 60000L), user, "view", 1.0)
+    for (useTws <- Seq(false, true)) {
+      val src = Files.createTempDirectory("graft-late-src")
+      val root = Files.createTempDirectory("graft-late-out")
+      val chk = root.resolve("chk").toString
+      // file sink, not memory: the memory sink cannot recover from a
+      // checkpoint, and run 2 resuming run 1's watermark IS the test
+      val out = root.resolve("sessions").toString
+      def writeBatch(name: String, rows: Seq[StreamingOps.Event]): Unit =
+        rows.toDS().coalesce(1).write.parquet(src.resolve(name).toString)
+      def runOnce(): Unit = {
+        val events = spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[StreamingOps.Event].schema)
+          .parquet(src.toString + "/*")
+          .as[StreamingOps.Event]
+        val sessions =
+          if (useTws) StreamingOps.sessionizeTransformWithState(events)
+          else StreamingOps.sessionizeWithTimeout(events)
+        val q = sessions.writeStream.format("parquet")
+          .option("path", out)
+          .outputMode("append").option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      if (useTws) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        // user 1: two events then silence; user 2 drives the watermark to
+        // minute 240 (360 - 120 delay) so user 1's timer (minute 40) fires
+        writeBatch("b1", Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 360, 2)))
+        runOnce()
+        val after1 = spark.read.parquet(out).as[StreamingOps.Session].collect()
+        assert(after1.exists(s => s.user_id == 1 && s.n_events == 2),
+          s"timed-out session missing (tws=$useTws): ${after1.mkString(",")}")
+        // run 2: user 3 arrives at minute 0 — far below the restored
+        // watermark minus the session gap. Must complete, not crash; the
+        // late session stays open (its clamped timer sits past the
+        // unchanged watermark), so user 3 emits nothing yet.
+        writeBatch("b2", Seq(ev(4, 0, 3)))
+        runOnce()
+        val after2 = spark.read.parquet(out).as[StreamingOps.Session].collect()
+        assert(!after2.exists(_.user_id == 3))
+      } finally {
+        if (useTws) prevProvider match {
+          case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch gaps-and-islands") {
     import spark.implicits._
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
