@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the ANN recall contract the q53 harness measures: the harness
+  * itself must be non-vacuous (eligible ground-truth pairs exist), and
+  * multiprobe must dominate single-probe routing with the same centroid
+  * set — the property that justifies its ~p² candidate cost. Floors are
+  * stated against the deterministic sf0.001 corpus (multiprobe = 1.0,
+  * single-probe = 0.67 there; at sf0.1 the gap is 0.42 vs 0.16).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q53: multiprobe dominates single-probe; harness is non-vacuous") {
+    val rows = operators.Similarity.q53AnnRecall(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (_, eligible, _) = rows("q45_ivf_ann")
+    assert(eligible > 0, "ground truth is empty — the harness is vacuous")
+    val multi = rows("q54_ivf_multiprobe")._3
+    val single = rows("q54_ivf_probe1")._3
+    assert(multi >= single,
+      s"multiprobe recall $multi fell below single-probe $single")
+    assert(multi >= 0.9, s"multiprobe recall floor broken: $multi")
+    // q45's centroids coincide with the query set, so its recall is 1.0
+    // by construction — the harness documents the artifact
+    assert(rows("q45_ivf_ann")._3 == 1.0)
+  }
+}
