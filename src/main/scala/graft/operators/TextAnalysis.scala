@@ -354,7 +354,110 @@ object TextAnalysis {
       |FROM packed
       |ORDER BY doc_id""".stripMargin
 
+  /** q58: benchmark decontamination — the flag-before-train pass every
+    * serious pretraining pipeline runs (the GPT-3/WMT n-gram overlap
+    * check): a training candidate is contaminated when it shares word
+    * n-grams with the held-out benchmark set. Benchmark = the docs with
+    * doc_id % 50 == 7 (deterministic stand-in for an eval suite);
+    * n_shared counts the candidate's DISTINCT trigrams that appear
+    * anywhere in the benchmark; is_contaminated applies a ≥3 threshold
+    * separating true near-dup leakage (n_shared up to ~40 here) from
+    * incidental single-trigram collisions (median 1). Plan shape for
+    * 100 TB: the benchmark gram set is eval-suite-sized → broadcast; the
+    * corpus side is one scan-local explode + broadcast semi-join +
+    * groupBy(doc) — no corpus-vs-corpus shuffle at all.
+    */
+  def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(Dedup.shingles($"text", 3))).as("g"))
+    val bench = grams.filter($"doc_id" % 50 === 7).select($"g").distinct()
+    val hits = grams.filter($"doc_id" % 50 =!= 7)
+      .join(broadcast(bench), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    t(s, dir, "documents").filter($"doc_id" % 50 =!= 7).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        (coalesce($"n_shared", lit(0L)) >= 3).as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  private val q58Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g3 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT g FROM g3 WHERE doc_id % 50 = 7),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM g3 JOIN bench USING (g)
+      |  WHERE doc_id % 50 <> 7
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+      |  COALESCE(h.n_shared, 0) >= 3 AS is_contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 7) d
+      |LEFT JOIN hits h USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q59: deterministic mixture resampling — hit a target language
+    * mixture (uniform here) by Bernoulli-downsampling each
+    * over-represented class with a hash-derived keep decision:
+    * keep_rate(lang) = min_class_count / count(lang), and a doc is kept
+    * iff its md5 prefix, read as a uniform in [0,1), falls under the
+    * rate. No RNG — membership is recomputable from the id alone, stable
+    * across reruns and backfills (the q50 property, applied to mixture
+    * weighting). The comparison stays in HEX-STRING space (8-char
+    * lowercase prefixes compare lexicographically == numerically) so no
+    * engine parses hex; the rate-1.0 class short-circuits to kept
+    * (a 2^32 threshold would print 9 hex chars and break the compare).
+    * Plan: one tiny class-count agg broadcast back over a scan-local
+    * filter — the only shuffle is the 5-row aggregation.
+    */
+  def q59MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min($"cnt").as("min_cnt"))))
+      .select($"lang",
+        ($"min_cnt".cast("double") / $"cnt").as("keep_rate"),
+        ($"cnt" === $"min_cnt").as("keep_all"))
+    val thresh = format_string("%08x",
+      floor($"keep_rate" * lit(4294967296.0)).cast("bigint"))
+    docs.join(broadcast(rates), "lang")
+      .select($"doc_id", $"lang", round($"keep_rate", 6).as("keep_rate"),
+        when($"keep_all", lit(true))
+          .otherwise(substring(md5($"doc_id".cast("string")), 1, 8) < thresh)
+          .as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  private val q59Sql =
+    """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |mn AS (SELECT min(cnt) AS min_cnt FROM counts),
+      |rates AS (
+      |  SELECT lang, CAST(min_cnt AS DOUBLE) / cnt AS keep_rate,
+      |    cnt = min_cnt AS keep_all
+      |  FROM counts CROSS JOIN mn)
+      |SELECT d.doc_id, d.lang, round(r.keep_rate, 6) AS keep_rate,
+      |  CASE WHEN r.keep_all THEN TRUE
+      |       ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+      |         printf('%08x', CAST(floor(r.keep_rate * 4294967296.0) AS BIGINT))
+      |  END AS kept
+      |FROM documents d JOIN rates r USING (lang)
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q58_decontaminate", Seq("EXT-text", "EXT-dedup"),
+      "benchmark n-gram decontamination (broadcast bench grams, thresholded)",
+      q58Decontaminate, Some(q58Sql)),
+    GraftQuery("q59_mixture_sample", Seq("EXT-text", "EXT-split"),
+      "deterministic hash-Bernoulli resampling to a target language mixture",
+      q59MixtureSample, Some(q59Sql)),
     GraftQuery("q51_shard_pack", Seq("EXT-text", "EXT-split"),
       "fixed-token-budget shard packing per split (running-sum window)",
       q51ShardPack, Some(q51Sql)),
