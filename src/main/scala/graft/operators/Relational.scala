@@ -134,12 +134,16 @@ object Relational {
 
   /** q05: group-wise top-1, earliest-wins with NULLS LAST (SURVEY §2.5 W1 —
     * stg_wiki_sp500.sql:37-45: Snowflake ASC defaults to NULLS LAST, so the
-    * Spark side must say asc_nulls_last explicitly).
+    * Spark side must say asc_nulls_last explicitly). l_linenumber is NOT
+    * unique within an order in this corpus (sf0.1 has duplicate
+    * (shipdate, linenumber) rows), so l_partkey completes the ordering —
+    * a window top-1 is only engine-independent when its ORDER BY is total
+    * over the OUTPUT columns.
     */
   def q05FirstLinePerOrder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_orderkey")
-      .orderBy($"l_shipdate".asc_nulls_last, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc_nulls_last, $"l_linenumber".asc, $"l_partkey".asc)
     t(s, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
@@ -150,7 +154,7 @@ object Relational {
   private val q05Sql =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
       |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-      |        ORDER BY l_shipdate ASC NULLS LAST, l_linenumber ASC) AS rn
+      |        ORDER BY l_shipdate ASC NULLS LAST, l_linenumber ASC, l_partkey ASC) AS rn
       |      FROM lineitem)
       |WHERE rn = 1
       |ORDER BY l_orderkey""".stripMargin
