@@ -433,7 +433,58 @@ object Similarity {
       |ORDER BY n.method""".stripMargin
   }
 
+  /** q60: embedding-cluster dedup, end-to-end — the pipeline a
+    * training-data system actually runs over an embedded corpus:
+    * multiprobe IVF near-dup pairs (q54) → connected components →
+    * one canonical survivor (component minimum) per cluster, every
+    * vector labeled. Reuses [[Dedup.connectedComponents]] unchanged —
+    * the cluster machinery is pair-source-agnostic (text LSH pairs in
+    * q40/q46, embedding ANN pairs here). Scale: the pair list holds
+    * only near-duplicates (tiny vs the corpus), components resolve
+    * driver-side under the 2M-edge threshold with the distributed
+    * min-label loop above it; the final labeling is one broadcast join
+    * + one window over the corpus.
+    */
+  def q60EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q54IvfMultiprobe(s, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs)
+      .select($"doc_id".as("vec_id"), $"canonical_id")
+    val w = Window.partitionBy($"cluster_id")
+    t(s, dir, "embeddings").select($"vec_id")
+      .join(broadcast(labels), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce($"canonical_id", $"vec_id"))
+      .withColumn("cluster_n", count(lit(1)).over(w))
+      .select($"vec_id", $"cluster_id", $"cluster_n",
+        ($"vec_id" === $"cluster_id").as("is_canonical"))
+      .orderBy($"vec_id")
+  }
+
+  private val q60Sql =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |${ivfSql(50, 2, "out54")},
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM out54
+      |  UNION ALL SELECT vec_b, vec_a FROM out54),
+      |reach AS (
+      |  SELECT DISTINCT a AS src, a AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |labels AS (SELECT src AS vec_id, min(dst) AS canonical_id FROM reach GROUP BY src),
+      |clustered AS (
+      |  SELECT emb.vec_id, COALESCE(l.canonical_id, emb.vec_id) AS cluster_id
+      |  FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id)
+      |SELECT vec_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+      |  (vec_id = cluster_id) AS is_canonical
+      |FROM clustered
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q60_embedding_dedup", Seq("EXT-similarity", "EXT-dedup"),
+      "embedding-cluster dedup: ANN pairs -> components -> canonical survivors",
+      q60EmbeddingDedup, Some(q60Sql)),
     GraftQuery("q21_embedding_near_dup", Seq("EXT-similarity", "EXT-dedup"),
       "label-blocked embedding near-dup (IVF-shaped)", q21EmbeddingNearDup, Some(q21Sql)),
     GraftQuery("q22_ann_brute_force", Seq("EXT-similarity"),

@@ -421,8 +421,12 @@ object TextAnalysis {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"lang")
     val counts = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    // global min via an unpartitioned window over the class-count table —
+    // it has one row PER CLASS (a handful), so the single-partition
+    // window is free and the plan stays join-free
     val rates = counts
-      .crossJoin(broadcast(counts.agg(min($"cnt").as("min_cnt"))))
+      .withColumn("min_cnt", min($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select($"lang",
         ($"min_cnt".cast("double") / $"cnt").as("keep_rate"),
         ($"cnt" === $"min_cnt").as("keep_all"))
