@@ -455,7 +455,48 @@ object TextAnalysis {
       |FROM documents d JOIN rates r USING (lang)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q61: per-class vocabulary statistics — the corpus pass a tokenizer
+    * build (BPE seeding, vocab pruning) runs first: collection frequency
+    * (total occurrences) and document frequency per (lang, token), top-10
+    * tokens per lang by cf with a total tiebreak (cf desc, df desc, token
+    * asc — token is unique within the group, so the cut is
+    * engine-independent). Plan: one explode + one shuffle on
+    * (lang, token) with partial aggregation doing the heavy combining
+    * map-side — at 100 TB the shuffled volume is the VOCABULARY (bounded),
+    * not the token stream; the top-k window runs per lang on the
+    * already-aggregated table.
+    */
+  def q61VocabStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"cf".desc, $"df".desc, $"token".asc)
+    Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cf"), countDistinct($"doc_id").as("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"lang", $"rank")
+  }
+
+  private val q61Sql =
+    """SELECT lang, token, cf, df, rank
+      |FROM (
+      |  SELECT lang, token, cf, df,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY cf DESC, df DESC, token ASC) AS rank
+      |  FROM (
+      |    SELECT lang, token, count(*) AS cf, count(DISTINCT doc_id) AS df
+      |    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |          FROM documents)
+      |    GROUP BY lang, token))
+      |WHERE rank <= 10
+      |ORDER BY lang, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q61_vocab_stats", Seq("EXT-text"),
+      "per-language vocabulary stats: cf/df + deterministic top-10 per class",
+      q61VocabStats, Some(q61Sql)),
     GraftQuery("q58_decontaminate", Seq("EXT-text", "EXT-dedup"),
       "benchmark n-gram decontamination (broadcast bench grams, thresholded)",
       q58Decontaminate, Some(q58Sql)),
