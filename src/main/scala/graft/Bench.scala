@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // median-of-N per query (n=1 made 1-3 s deltas unattributable noise)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,8 +25,9 @@ object Bench {
     val selected = args.headOption
       .map(p => Registry.all.filter(_.name.matches(p)))
       .getOrElse(Registry.all)
-    val results: Seq[(String, Seq[Double])] = selected.map { q =>
-      val runs = (1 to reps).map { _ =>
+    val results: Seq[(String, Seq[Double], Int)] = selected.map { q =>
+      var errors = 0
+      val runs = (1 to reps).flatMap { _ =>
         // Cache isolation: queries persist() intermediates they reference
         // more than once; without clearing, q19's cached signatures would
         // subsidize q40/q46 and repeated runs would accumulate entries —
@@ -35,28 +37,38 @@ object Bench {
         // Force FULL materialization of every column with the noop sink:
         // a bare .count() lets Catalyst prune unreferenced projections, so
         // projection-heavy queries would be timed as scan+count only.
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // a failed run must NOT fold its near-zero elapsed time into the
+          // median — a broken query would read as a dramatic speedup
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          errors += 1
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> runs
+      (q.name, runs, errors)
     }
     spark.catalog.clearCache()
+    // all-runs-failed -> sentinel -1 so a breakage is unmistakable in the
+    // emitted JSON (not just on stderr)
     def median(xs: Seq[Double]): Double = {
+      if (xs.isEmpty) return -1.0
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(median(v)) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(median(v)) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, v) =>
+    val runsJson = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"reps":$reps,"sf":"$sfDir"}""")
+    val errJson = results.filter(_._3 > 0)
+      .map { case (k, _, e) => s"\"" + k + "\":" + e }.mkString("{", ",", "}")
+    val total = results.map(r => math.max(median(r._2), 0.0)).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,14 +65,15 @@ object FuzzyMatch {
     // Names that normalize to the empty string (pure legal suffixes like
     // "Inc." or "The Corp Co") would still produce the padding-only
     // trigrams "^^$"/"^$$" and match each other with jaccard 1.0 — drop
-    // them before trigram generation; there is no content to match on.
-    val l = left.select(col(leftName).as("l_name"),
+    // them BEFORE the projection renames the column away (filtering after
+    // would lean on the analyzer re-injecting a dropped attribute).
+    val l = left.filter(length(normalizeName(col(leftName))) > 0)
+      .select(col(leftName).as("l_name"),
         array_distinct(nameTrigrams(col(leftName))).as("grams"))
-      .filter(length(normalizeName(col(leftName))) > 0)
       .filter(size(col("grams")) > 0).distinct()
-    val r = right.select(col(rightName).as("r_name"),
+    val r = right.filter(length(normalizeName(col(rightName))) > 0)
+      .select(col(rightName).as("r_name"),
         array_distinct(nameTrigrams(col(rightName))).as("grams"))
-      .filter(length(normalizeName(col(rightName))) > 0)
       .filter(size(col("grams")) > 0).distinct()
 
     val lg = l.select(col("l_name"), size(col("grams")).as("nl"),

@@ -319,7 +319,7 @@ object StreamingOps {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val name = s"graft_q55_sessions_${q55Counter.incrementAndGet()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-q55-ckpt").toString
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-q55-ckpt")
       // the file source requires a DIRECTORY; stage the single events
       // file into one (in production the landing prefix is a directory)
       val srcDir = java.nio.file.Files.createTempDirectory("graft-q55-src")
@@ -331,10 +331,28 @@ object StreamingOps {
         .as[Event]
       val q = sessionizeTransformWithState(events)
         .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckptDir.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(name).orderBy($"user_id", $"session_seq")
+      // Materialize off the memory sink into a local relation so the sink
+      // table, the RocksDB checkpoint, and the staged copy can all be
+      // released NOW — otherwise each invocation (Bench runs 3) leaks a
+      // driver-held table plus two /tmp trees. Session tables are
+      // session-count-sized; the collect is the same data the memory
+      // sink already held once.
+      val sink = s.table(name)
+      val rows = sink.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), sink.schema)
+      s.catalog.dropTempView(name)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      rmTree(ckptDir)
+      rmTree(srcDir)
+      out.orderBy($"user_id", $"session_seq")
     } finally {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
