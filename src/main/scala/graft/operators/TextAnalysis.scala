@@ -493,7 +493,59 @@ object TextAnalysis {
       |WHERE rank <= 10
       |ORDER BY lang, rank""".stripMargin
 
+  val ShardSlices = 8
+
+  /** q62: shard packing at corpus scale — the hash-prefix sub-partitioned
+    * variant q51's Scaladoc promises: the packing window is partitioned by
+    * (split, slice = doc_id % [[ShardSlices]]), so each packer sees a
+    * bounded slice regardless of corpus size (q51's per-split window
+    * funnels a whole split through ONE task — fine at test scale, a
+    * straggler at 100 TB). The cost: shard identity becomes
+    * (split, slice, idx) — shards never span slices, so up to one
+    * partially-filled shard per slice instead of one per split; the
+    * trade every distributed packer makes. Same deterministic
+    * arithmetic, window parallelism now scales with ShardSlices.
+    */
+  def q62ShardPackSliced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = substring(md5($"doc_id".cast("string")), 1, 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split", $"slice").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"),
+        pmod($"doc_id", lit(ShardSlices)).as("slice"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"doc_id", $"split", $"slice", $"n_tokens",
+        (($"cum_tokens" - $"n_tokens") / ShardTokenBudget).cast("long").as("shard_idx"))
+      .orderBy($"doc_id")
+  }
+
+  private val q62Sql =
+    s"""WITH assigned AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    doc_id % $ShardSlices AS slice
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, split, slice, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY split, slice ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM assigned)
+      |SELECT doc_id, split, CAST(slice AS BIGINT) AS slice,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((cum_tokens - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_idx
+      |FROM packed
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q62_shard_pack_sliced", Seq("EXT-text", "EXT-split"),
+      "hash-sliced shard packing: bounded per-packer windows at corpus scale",
+      q62ShardPackSliced, Some(q62Sql)),
     GraftQuery("q61_vocab_stats", Seq("EXT-text"),
       "per-language vocabulary stats: cf/df + deterministic top-10 per class",
       q61VocabStats, Some(q61Sql)),
