@@ -332,7 +332,9 @@ object TextAnalysis {
         when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
       .select($"doc_id", $"split", $"n_tokens", $"cum_tokens",
-        (($"cum_tokens" - $"n_tokens") / ShardTokenBudget).cast("long").as("shard_idx"))
+        // integer DIV, not double /: exact at any cumulative size (the
+        // double path rounds past 2^53 tokens)
+        expr(s"(cum_tokens - n_tokens) DIV $ShardTokenBudget").as("shard_idx"))
       .orderBy($"doc_id")
   }
 
@@ -516,10 +518,14 @@ object TextAnalysis {
     t(s, dir, "documents")
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
         when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"),
-        pmod($"doc_id", lit(ShardSlices)).as("slice"))
+        // % (Remainder), not pmod: matches the oracle's % (and the doc'd
+        // formula) on any sign of doc_id
+        ($"doc_id" % ShardSlices).as("slice"))
       .withColumn("cum_tokens", sum($"n_tokens").over(w))
       .select($"doc_id", $"split", $"slice", $"n_tokens",
-        (($"cum_tokens" - $"n_tokens") / ShardTokenBudget).cast("long").as("shard_idx"))
+        // integer DIV, not double /: exact at any cumulative size (the
+        // double path rounds past 2^53 tokens)
+        expr(s"(cum_tokens - n_tokens) DIV $ShardTokenBudget").as("shard_idx"))
       .orderBy($"doc_id")
   }
 
