@@ -233,7 +233,21 @@ object Similarity {
     * cell-local regime.
     */
   def ivfPairs(s: SparkSession, dir: String,
-      centroidResidue: Int, probes: Int): DataFrame = {
+      centroidResidue: Int, probes: Int): DataFrame =
+    ivfPairsDepth(s, dir, centroidResidue, probes)
+      .drop("probe_depth")
+
+  /** [[ivfPairs]] with the pair's PROBE DEPTH annotated: the smallest
+    * probe budget that would have surfaced it — min over shared cells of
+    * max(rank_a, rank_b). One routing pass, one pairing, one exact
+    * verification serve every probe depth ≤ maxProbes at once (the q53
+    * harness reads probe-1 and probe-2 recall from a single run), and
+    * the column is the per-pair version of the knob a production index
+    * tunes: depth-1 pairs survive any probe setting, depth-2 pairs are
+    * what multiprobe buys.
+    */
+  def ivfPairsDepth(s: SparkSession, dir: String,
+      centroidResidue: Int, maxProbes: Int): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
       .select($"vec_id", d($"embedding").as("v"))
@@ -246,19 +260,21 @@ object Similarity {
       .select($"vec_id", $"centroid_id",
         round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
       .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= probes)
-      .select($"vec_id", $"centroid_id".as("cell"))
-    // a pair can share up to `probes` cells — dedup BEFORE the exact
-    // verification so each candidate is scored once
+      .filter($"rn" <= maxProbes)
+      .select($"vec_id", $"centroid_id".as("cell"), $"rn")
+    // a pair can share up to maxProbes cells — the groupBy both dedups
+    // (each candidate scored once) and takes the min depth across them
     val cand = cells.as("ca").join(cells.as("cb"), col("ca.cell") === col("cb.cell") &&
         col("ca.vec_id") < col("cb.vec_id"))
-      .select(col("ca.vec_id").as("vec_a"), col("cb.vec_id").as("vec_b"))
-      .distinct()
+      .select(col("ca.vec_id").as("vec_a"), col("cb.vec_id").as("vec_b"),
+        greatest(col("ca.rn"), col("cb.rn")).as("pd"))
+      .groupBy($"vec_a", $"vec_b").agg(min($"pd").as("probe_depth"))
     cand
       .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("nrm_a")), "vec_a")
       .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrm_b")), "vec_b")
       .select($"vec_a", $"vec_b",
-        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"))
+        round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6).as("cos_sim"),
+        $"probe_depth")
       .filter($"cos_sim" >= 0.35)
       .orderBy($"vec_a", $"vec_b")
   }
@@ -349,11 +365,14 @@ object Similarity {
         greatest($"query_id", $"neighbor_id").as("vec_b"))
       .distinct()
       .persist()
+    // one depth-annotated IVF run serves both probe settings: depth-1
+    // pairs are exactly what a probes=1 run would surface
+    val ivf = ivfPairsDepth(s, dir, centroidResidue = 50, maxProbes = 2).persist()
     val methods = Seq(
       "q29_ann_lsh" -> q29AnnLsh(s, dir),
       "q45_ivf_ann" -> q45IvfAnn(s, dir),
-      "q54_ivf_probe1" -> ivfPairs(s, dir, centroidResidue = 50, probes = 1),
-      "q54_ivf_multiprobe" -> q54IvfMultiprobe(s, dir))
+      "q54_ivf_probe1" -> ivf.filter($"probe_depth" === 1),
+      "q54_ivf_multiprobe" -> ivf)
     val pairs = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), $"vec_a", $"vec_b")
     }.reduce(_ unionByName _)
