@@ -345,11 +345,6 @@ object StreamingOps {
       val out = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), sink.schema)
       s.catalog.dropTempView(name)
-      def rmTree(p: java.nio.file.Path): Unit = {
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
       rmTree(ckptDir)
       rmTree(srcDir)
       out.orderBy($"user_id", $"session_seq")
@@ -390,8 +385,62 @@ object StreamingOps {
       |   OR epoch_ms(s.session_end) + 1800000 < mx.max_ms - 7200000
       |ORDER BY s.user_id, s.session_seq""".stripMargin
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(p)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  /** q63: the watermarked tumbling-window aggregation, ORACLE-CARRIED —
+    * [[hourlyCounts]] run as a real continuous query (file source →
+    * append-mode window agg → memory sink, one AvailableNow pass). Append
+    * mode emits a window only once the watermark passes its END, so the
+    * emitted set is exactly: hourly windows with
+    * end ≤ max event time (ms-floored) − 2 h; the final partial windows
+    * are withheld as unfinalized — the oracle states that cut explicitly,
+    * turning the watermark/emission contract itself into a hash-checked
+    * fact (q55 proves the timer path; this proves the eviction path).
+    */
+  def q63StreamHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"graft_q63_hourly_${q55Counter.incrementAndGet()}"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q63-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q63-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val q = hourlyCounts(readEvents(s, srcDir.toString))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = s.table(name)
+    val rows = sink.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    s.catalog.dropTempView(name)
+    rmTree(ckptDir)
+    rmTree(srcDir)
+    out.orderBy($"hour", $"event_type")
+  }
+
+  private val q63Sql =
+    """WITH agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events)
+      |SELECT hour, event_type, n, total_value
+      |FROM agg CROSS JOIN mx
+      |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
+      |ORDER BY hour, event_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q55_stream_sessions", Seq("EXT-streaming", "W1", "W2"),
       "transformWithState sessionizer (RocksDB + event-time timers), oracle-carried",
-      q55StreamSessions, Some(q55Sql)))
+      q55StreamSessions, Some(q55Sql)),
+    GraftQuery("q63_stream_hourly", Seq("EXT-streaming", "A2", "F1"),
+      "watermarked append-mode window aggregation, emission cut oracle-carried",
+      q63StreamHourly, Some(q63Sql)))
 }
