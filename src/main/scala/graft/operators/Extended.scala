@@ -341,6 +341,41 @@ object Extended {
       |FROM q
       |ORDER BY vec_id""".stripMargin
 
+  /** q66: per-group winsorization — robust feature clipping, the
+    * standard outlier treatment before numeric features enter training:
+    * each event's value is clipped to its event-type's [p05, p95] band.
+    * The percentile interpolation is the same R-7 arithmetic q37 proved
+    * bit-identical across engines, and clipping is exact comparison, so
+    * no rounding is needed anywhere. Plan: one tiny per-type stats agg
+    * broadcast back over a scan-local least/greatest — the clip itself
+    * never shuffles the fact table.
+    */
+  def q66Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    t(s, dir, "events")
+      .join(broadcast(stats), "event_type")
+      .select($"event_id", $"event_type", $"value",
+        least(greatest($"value", $"p05"), $"p95").as("clipped"),
+        ($"value" < $"p05" || $"value" > $"p95").as("was_clipped"))
+      .orderBy($"event_id")
+  }
+
+  private val q66Sql =
+    """WITH stats AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS p05,
+      |    quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  least(greatest(value, p05), p95) AS clipped,
+      |  (value < p05 OR value > p95) AS was_clipped
+      |FROM events e JOIN stats USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   /** q49: PII anonymization — the release-a-dataset operator chain:
     * pseudonymize the direct identifier (keyed md5 — deterministic so
     * joins on the pseudonym still work), GENERALIZE the quasi-identifier
@@ -410,6 +445,9 @@ object Extended {
       "deterministic int8 embedding quantization stats", q42QuantizeEmbeddings, Some(q42Sql)),
     GraftQuery("q37_percentiles", Seq("EXT-percentile"),
       "exact interpolated quartiles per group", q37Percentiles, Some(q37Sql)),
+    GraftQuery("q66_winsorize", Seq("EXT-percentile", "J1"),
+      "per-group winsorization: values clipped to the [p05, p95] band",
+      q66Winsorize, Some(q66Sql)),
     GraftQuery("q38_histogram", Seq("EXT-histogram"),
       "fixed-width histogram via floor binning", q38Histogram, Some(q38Sql)),
     GraftQuery("q39_pivot", Seq("EXT-pivot"),

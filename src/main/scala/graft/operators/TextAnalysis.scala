@@ -548,7 +548,98 @@ object TextAnalysis {
       |FROM packed
       |ORDER BY doc_id""".stripMargin
 
+  /** q64: TF-IDF keyword extraction — top-3 terms per document by
+    * tf·idf, the relevance primitive behind search indexing, topic
+    * labeling, and keyword-based quality filters. tf = term count /
+    * document length; idf = ln(N / df) over the corpus. The score is
+    * ROUNDED to 6 digits BEFORE ranking (libm ln is not guaranteed
+    * bit-identical across engines; ranking on the rounded value with a
+    * token tiebreak makes the top-3 cut engine-independent — the same
+    * discipline as the cosine rounding in q21/q22). Plan: one explode →
+    * (doc, token) count; df and doc length derive from it (token-keyed
+    * agg broadcasts — vocabulary-sized); one window per doc.
+    */
+  def q64TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val nDocs = lit(docs.count())
+    val counts = docs
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val docLen = counts.groupBy($"doc_id").agg(sum($"cnt").as("n_tokens"))
+    val df = counts.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"token".asc)
+    counts
+      .join(docLen, "doc_id")
+      .join(broadcast(df), "token")
+      .select($"doc_id", $"token",
+        round(($"cnt".cast("double") / $"n_tokens") *
+          log(nDocs.cast("double") / $"df"), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val q64Sql =
+    """WITH counts AS (
+      |  SELECT doc_id, token, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token),
+      |doclen AS (SELECT doc_id, sum(cnt) AS n_tokens FROM counts GROUP BY doc_id),
+      |df AS (SELECT token, count(*) AS df FROM counts GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT c.doc_id, c.token,
+      |    round((CAST(cnt AS DOUBLE) / n_tokens) * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM counts c
+      |  JOIN doclen USING (doc_id)
+      |  JOIN df USING (token)
+      |  CROSS JOIN n)
+      |SELECT doc_id, token, tfidf, rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY tfidf DESC, token ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** q65: per-source document cap — the domain-cap curation operator (no
+    * crawl source may contribute more than K documents): rank each
+    * source's docs by md5(doc_id) — a deterministic uniform draw, unique
+    * because doc_id is — and keep the first 10. Exact-K per class
+    * (complementing q59's rate-based Bernoulli, which targets a mixture
+    * but not a hard cap). One window per source; at corpus scale the
+    * rank can early-stop via a per-partition top-K before the shuffle.
+    */
+  def q65SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      .orderBy($"h".asc)
+    t(s, dir, "documents")
+      .select($"doc_id", $"source", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= 10)
+      .select($"doc_id", $"source", $"sample_rank")
+      .orderBy($"doc_id")
+  }
+
+  private val q65Sql =
+    """SELECT doc_id, source, sample_rank
+      |FROM (SELECT doc_id, source,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC) AS sample_rank
+      |      FROM documents)
+      |WHERE sample_rank <= 10
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q64_tfidf_keywords", Seq("EXT-text"),
+      "TF-IDF top-3 keyword extraction per document (rounded-rank stable)",
+      q64TfIdf, Some(q64Sql)),
+    GraftQuery("q65_source_cap", Seq("EXT-text", "EXT-split"),
+      "per-source document cap via deterministic hash ranking (exact K)",
+      q65SourceCap, Some(q65Sql)),
     GraftQuery("q62_shard_pack_sliced", Seq("EXT-text", "EXT-split"),
       "hash-sliced shard packing: bounded per-packer windows at corpus scale",
       q62ShardPackSliced, Some(q62Sql)),
