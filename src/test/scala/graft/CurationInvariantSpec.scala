@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-3 curation operators — properties the
+  * oracle hash-compare cannot establish (both engines could be wrong the
+  * same way), checked directly against the operator definitions.
+  */
+class CurationInvariantSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q67: funnel step counts are monotonically non-increasing") {
+    val users = operators.Relational.q67Funnel(spark, dir)
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(users.length == 3)
+    assert(users(0) >= users(1) && users(1) >= users(2),
+      s"funnel widened: ${users.mkString(",")}")
+    assert(users(0) > 0)
+  }
+
+  test("q66: clipped values sit inside the [p05, p95] band; flag is consistent") {
+    import spark.implicits._
+    val out = operators.Extended.q66Winsorize(spark, dir)
+    // re-derive the band per type and check every clipped value within it
+    val stats = Tables.load(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    val joined = out.join(stats, "event_type")
+    assert(joined.filter($"clipped" < $"lo" || $"clipped" > $"hi").count() == 0)
+    assert(joined.filter($"was_clipped" =!= ($"value" < $"lo" || $"value" > $"hi"))
+      .count() == 0)
+    // a p05/p95 clip must touch roughly 10% of rows — not 0, not half
+    val n = out.count().toDouble
+    val c = out.filter($"was_clipped").count().toDouble
+    assert(c / n > 0.02 && c / n < 0.25, s"clip fraction ${c / n}")
+  }
+
+  test("q62: packing never exceeds budget + one document; shard_idx non-decreasing") {
+    import spark.implicits._
+    val out = operators.TextAnalysis.q62ShardPackSliced(spark, dir)
+    val perShard = out.groupBy($"split", $"slice", $"shard_idx")
+      .agg(sum($"n_tokens").as("tok"), max($"n_tokens").as("mx"))
+    // greedy running-sum packing overfills a shard by at most the one
+    // document that crosses the boundary
+    assert(perShard.filter($"tok" >
+      lit(operators.TextAnalysis.ShardTokenBudget) + $"mx").count() == 0)
+    // within a (split, slice), shard_idx follows doc_id order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split", $"slice").orderBy($"doc_id")
+    assert(out.withColumn("prev", lag($"shard_idx", 1).over(w))
+      .filter($"prev".isNotNull && $"shard_idx" < $"prev").count() == 0)
+  }
+
+  test("q59: every minority class keeps everything; the majority downsamples toward it") {
+    import spark.implicits._
+    val out = operators.TextAnalysis.q59MixtureSample(spark, dir)
+    val byLang = out.groupBy($"lang").agg(
+        count(lit(1)).as("n"),
+        sum(when($"kept", 1L).otherwise(0L)).as("kept"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val minCnt = byLang.values.map(_._1).min
+    byLang.foreach { case (lang, (n, kept)) =>
+      if (n == minCnt) assert(kept == n, s"$lang: min class must keep all")
+      else {
+        // Bernoulli at rate min/n: expected = minCnt, allow generous slack
+        assert(kept <= n, s"$lang kept more than it had")
+        assert(math.abs(kept - minCnt) <= math.max(8L, minCnt / 2),
+          s"$lang kept $kept, target $minCnt")
+      }
+    }
+  }
+
+  test("q58: benchmark docs never appear; contamination threshold honored") {
+    import spark.implicits._
+    val out = operators.TextAnalysis.q58Decontaminate(spark, dir)
+    assert(out.filter($"doc_id" % 50 === 7).count() == 0)
+    assert(out.filter($"is_contaminated" =!= ($"n_shared" >= 3)).count() == 0)
+    // the deliberate near-dups in the corpus guarantee real leakage exists
+    assert(out.filter($"is_contaminated").count() > 0)
+  }
+
+  test("q65: exactly min(10, |source|) docs survive per source, ranks contiguous") {
+    import spark.implicits._
+    val out = operators.TextAnalysis.q65SourceCap(spark, dir)
+    val sizes = Tables.load(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val got = out.groupBy($"source").agg(
+      count(lit(1)).as("kept"), max($"sample_rank").as("mxr"))
+    val j = got.join(sizes, "source")
+    assert(j.filter($"kept" =!= least($"n", lit(10L))).count() == 0)
+    assert(j.filter($"mxr" =!= $"kept").count() == 0) // ranks 1..kept
+  }
+}
