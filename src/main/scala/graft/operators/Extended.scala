@@ -376,6 +376,48 @@ object Extended {
       |FROM events e JOIN stats USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** q68: sketch quantiles validated against exact — the 100 TB quantile
+    * path. Exact `percentile` (q37/q66) buffers every value of a group;
+    * `approx_percentile` (Greenwald-Khanna) streams in bounded memory and
+    * merges across partitions — the only viable shape when one group
+    * holds billions of rows. Sketch internals differ per engine, so the
+    * oracle uses the q32 relational-validation pattern: the query emits
+    * only groups where the engine's own sketch strays more than 5% from
+    * its own exact answer — correct behavior is the EMPTY relation, which
+    * both engines agree on exactly (DuckDB validates its t-digest the
+    * same way).
+    */
+  def q68ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("exact_p50"),
+        expr("percentile(value, 0.9)").as("exact_p90"),
+        expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("a90"))
+      .filter(abs($"a50" - $"exact_p50") > $"exact_p50" * 0.05 ||
+        abs($"a90" - $"exact_p90") > $"exact_p90" * 0.05)
+      .select($"event_type",
+        round($"exact_p50", 6).as("exact_p50"),
+        round($"exact_p90", 6).as("exact_p90"))
+      .orderBy($"event_type")
+  }
+
+  private val q68Sql =
+    """SELECT event_type, round(exact_p50, 6) AS exact_p50,
+      |  round(exact_p90, 6) AS exact_p90
+      |FROM (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.5) AS exact_p50,
+      |    quantile_cont(value, 0.9) AS exact_p90,
+      |    approx_quantile(value, 0.5) AS a50,
+      |    approx_quantile(value, 0.9) AS a90
+      |  FROM events GROUP BY event_type)
+      |WHERE abs(a50 - exact_p50) > exact_p50 * 0.05
+      |   OR abs(a90 - exact_p90) > exact_p90 * 0.05
+      |ORDER BY event_type""".stripMargin
+
   /** q49: PII anonymization — the release-a-dataset operator chain:
     * pseudonymize the direct identifier (keyed md5 — deterministic so
     * joins on the pseudonym still work), GENERALIZE the quasi-identifier
@@ -448,6 +490,9 @@ object Extended {
     GraftQuery("q66_winsorize", Seq("EXT-percentile", "J1"),
       "per-group winsorization: values clipped to the [p05, p95] band",
       q66Winsorize, Some(q66Sql)),
+    GraftQuery("q68_approx_quantiles", Seq("EXT-percentile", "EXT-approx"),
+      "GK-sketch quantiles within 5% of exact (empty = pass)",
+      q68ApproxQuantiles, Some(q68Sql)),
     GraftQuery("q38_histogram", Seq("EXT-histogram"),
       "fixed-width histogram via floor binning", q38Histogram, Some(q38Sql)),
     GraftQuery("q39_pivot", Seq("EXT-pivot"),
