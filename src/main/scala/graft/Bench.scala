@@ -33,6 +33,11 @@ object Bench {
         // subsidize q40/q46 and repeated runs would accumulate entries —
         // per-query numbers become order-dependent and memory-coupled.
         spark.catalog.clearCache()
+        // Heap isolation: 60+ queries of accumulated garbage otherwise
+        // charges late-registry queries for their predecessors' collections
+        // (r03: q32 measured 5-7 s mid-registry vs 1.3 s isolated). The GC
+        // runs OUTSIDE the timed window.
+        System.gc()
         val t0 = System.nanoTime()
         // Force FULL materialization of every column with the noop sink:
         // a bare .count() lets Catalyst prune unreferenced projections, so
@@ -59,7 +64,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def fmt(d: Double): String = BigDecimal(d)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(median(v)) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, v, _) =>
@@ -68,7 +73,19 @@ object Bench {
     val errJson = results.filter(_._3 > 0)
       .map { case (k, _, e) => s"\"" + k + "\":" + e }.mkString("{", ",", "}")
     val total = results.map(r => math.max(median(r._2), 0.0)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    // The driver captures only a bounded TAIL of stdout and parses the one
+    // JSON line from it. r03's line carried the full per-run arrays (~6 KB
+    // for 68 queries) and overflowed that buffer -> BENCH_r03 "parsed":
+    // null. Keep the printed line compact (medians only); the per-run
+    // arrays go to a sidecar file for human inspection instead.
+    val detail =
+      s"""{"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), detail)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
