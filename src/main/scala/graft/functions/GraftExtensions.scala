@@ -56,5 +56,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "repetition_stats(items) - per-row multiset statistics"),
       (es: Seq[Expression]) => RepetitionStats(es.head)))
+    // aggregate builders return the bare AggregateFunction — the
+    // analyzer wraps it into an AggregateExpression, same as builtins
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries",
+        "misra_gries(key, k) - mergeable heavy-hitters summary"),
+      (es: Seq[Expression]) =>
+        SketchAggregates.MisraGries(es.head, intArg(es(1)))))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(key, items, bits) - distributed bloom build over xxhash64(key)"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es.head)),
+          es(1), es(2), 0, 0)))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloom, key) - bloom membership probe (no false negatives)"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          es.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1))))))
   }
 }

@@ -475,7 +475,195 @@ object Extended {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q69: bloom-filter semi-join pruning — the scan-side prune that makes
+    * a selective dim→fact join cheap at 100 TB. Spark's own
+    * InjectRuntimeFilter plants this pair ([[graft.functions
+    * .SketchAggregates.bloomFilterAgg]] / mightContain) automatically for
+    * qualifying shuffle joins; building it explicitly covers the cases
+    * the rule skips (reused filters, pre-computed dim sets, filters
+    * persisted across jobs) and keeps the shape visible in the plan.
+    *
+    * Build: one distributed pass over the pruned dim keys (partial
+    * filters OR-merged), ~100 KB binary to the driver — the bloom analog
+    * of q06's scalar high-water mark. Probe: `might_contain` evaluates
+    * INSIDE the fact scan's filter, so ~4/5 of orders never reach the
+    * join; false positives are possible (never negatives), so the exact
+    * broadcast semi-join after it removes them — correctness never
+    * depends on the filter, only the pruned volume does. At cluster
+    * scale the binary rides the closure to every executor; the fact side
+    * is pruned BEFORE any exchange, which is the entire point.
+    */
+  def q69BloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchAggregates.{bloomFilterAgg, mightContain}
+    val dim = t(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bloom = dim
+      .agg(bloomFilterAgg($"c_custkey", 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    t(s, dir, "orders")
+      .filter(mightContain(lit(bloom), $"o_custkey"))
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum2($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q69Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q71: rolling time-series features — per-user daily activity with a
+    * trailing 7-day RANGE frame (the feature-engineering staple for
+    * activity/recency signals). The RANGE frame is keyed on day number,
+    * not row position, so gaps in a user's activity shorten the window
+    * correctly (a rows-frame would silently reach back weeks). Money
+    * sums roll as DECIMAL and convert to double once at the end, so the
+    * rolling sum is exact and engine-independent. Plan: one groupBy
+    * shuffle on (user, day), one window shuffle on user; per-key window
+    * state is bounded by the frame, so the shape survives any corpus
+    * length.
+    */
+  def q71RollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"day_num")
+      .rangeBetween(-6, 0)
+    t(s, dir, "events")
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).as("day_value"))
+      .withColumn("day_num",
+        datediff($"day", lit("2024-01-01").cast("date")))
+      .withColumn("roll7_events", sum($"n_events").over(w))
+      .withColumn("roll7_value", sum($"day_value").over(w).cast("double"))
+      .select($"user_id", $"day_num", $"n_events",
+        $"roll7_events", $"roll7_value")
+      .orderBy($"user_id", $"day_num")
+  }
+
+  private val q71Sql =
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01',
+      |              CAST(date_trunc('day', ts) AS DATE)) AS day_num,
+      |    count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS day_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day_num, n_events,
+      |  CAST(sum(n_events) OVER w AS BIGINT) AS roll7_events,
+      |  CAST(sum(day_value) OVER w AS DOUBLE) AS roll7_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day_num""".stripMargin
+
+  /** q72: equi-depth histogram via ntile over a TOTAL order — the
+    * exact-answer baseline for distribution profiling (the q22 role:
+    * ground truth the sketch path is judged against; q68's GK sketch IS
+    * that scale path, computing the same boundaries in bounded memory).
+    * ntile needs the global sort, so this baseline is a single-sort
+    * plan by construction; the (value, event_id) tiebreak makes the
+    * decile assignment of duplicate values engine-independent.
+    */
+  def q72EquidepthDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"value", $"event_id")
+    t(s, dir, "events")
+      .select($"event_id", $"value")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .orderBy($"decile")
+  }
+
+  private val q72Sql =
+    """SELECT decile, count(*) AS n, min(value) AS lo, max(value) AS hi
+      |FROM (SELECT event_id, value,
+      |        ntile(10) OVER (ORDER BY value, event_id) AS decile
+      |      FROM events)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
+  /** q73: burst deduplication — collapse repeated (user, type) events
+    * within a 300 s session-gap into their first occurrence, keeping a
+    * suppressed-count audit. This is the BATCH TWIN of streaming
+    * dedup-with-state (StreamingOps' dropDuplicates/sessionize family):
+    * same gaps-and-islands construction as q14, different emission
+    * (first event per island + island size, instead of per-island
+    * aggregates). One shuffle on (user, type); the burst-size count
+    * window refines the same partitioning, so it adds a sort but no
+    * second exchange.
+    */
+  def q73BurstDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(byKey))
+      .withColumn("new_burst",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 300L, 1L)
+          .otherwise(0L))
+      .withColumn("burst_seq", sum($"new_burst").over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("burst_n", count(lit(1)).over(
+        Window.partitionBy($"user_id", $"event_type", $"burst_seq")))
+      .filter($"new_burst" === 1L)
+      .select($"user_id", $"event_type",
+        $"event_id".as("kept_event_id"), $"burst_n")
+      .orderBy($"user_id", $"event_type", $"kept_event_id")
+  }
+
+  private val q73Sql =
+    """WITH l AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    lag(ts) OVER (PARTITION BY user_id, event_type
+      |                  ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |b AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |      OR date_diff('second', prev_ts, ts) > 300 THEN 1 ELSE 0 END
+      |    AS new_burst
+      |  FROM l),
+      |sq AS (
+      |  SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_seq
+      |  FROM b),
+      |c AS (
+      |  -- burst_n must count ALL events of the burst, so the window runs
+      |  -- in its own block: a window in the keeper-filtered block would
+      |  -- evaluate AFTER the WHERE and count only keepers (always 1)
+      |  SELECT *, count(*) OVER (PARTITION BY user_id, event_type,
+      |      burst_seq) AS burst_n
+      |  FROM sq)
+      |SELECT user_id, event_type, event_id AS kept_event_id, burst_n
+      |FROM c WHERE new_burst = 1
+      |ORDER BY user_id, event_type, kept_event_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q69_bloom_prune_join", Seq("J1", "EXT-approx"),
+      "bloom-filter scan-side prune + exact semi-join == plain semi-join",
+      q69BloomPruneJoin, Some(q69Sql)),
+    GraftQuery("q71_rolling_features", Seq("EXT-window", "A3"),
+      "per-user trailing 7-day RANGE-frame activity features",
+      q71RollingFeatures, Some(q71Sql)),
+    GraftQuery("q72_equidepth_deciles", Seq("EXT-histogram", "EXT-percentile"),
+      "exact equi-depth deciles via total-ordered ntile",
+      q72EquidepthDeciles, Some(q72Sql)),
+    GraftQuery("q73_burst_dedup", Seq("W1", "EXT-dedup"),
+      "300s session-gap burst dedup: first event kept + suppressed count",
+      q73BurstDedup, Some(q73Sql)),
     GraftQuery("q49_anonymize", Seq("EXT-anonymize", "F12"),
       "PII pseudonymize + generalize + k-anonymity suppression",
       q49Anonymize, Some(q49Sql)),

@@ -633,7 +633,56 @@ object TextAnalysis {
       |WHERE sample_rank <= 10
       |ORDER BY doc_id""".stripMargin
 
+  /** q70: heavy hitters via a Misra-Gries summary, validated against the
+    * exact counts. q61's vocabulary pass shuffles the full key domain —
+    * the right plan while the vocabulary is bounded, and a dead end when
+    * the key domain grows with the corpus (URLs, n-grams, user ids). The
+    * MG branch is the corpus-scale shape: k=127 counters per task over
+    * the RAW token stream, partial summaries merged associatively, so
+    * the shuffle carries 32×127 counters regardless of domain size.
+    *
+    * The guarantee (est >= true - n/(k+1), see [[SketchAggregates]])
+    * makes the sketch oracle-checkable on this data: every (lang, token)
+    * key above 1% of the stream — the 30 common English tokens; English
+    * is ~43% of documents, so its tokens sit at 1.1-1.6% while every
+    * other language's sit below 0.7% — MUST survive the summary
+    * (1% > n/(k+1) = 0.78%). The query emits the exact heavy-hitter list
+    * semi-joined against the MG candidate set: if MG ever dropped a
+    * guaranteed key, rows go missing and the driver's DuckDB compare
+    * (which computes the exact list only) fails. The 155-key domain vs
+    * 127 counters keeps the eviction path genuinely exercised.
+    */
+  def q70HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def stream = Tables.loadSpread(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+    val mgKeys = stream
+      .agg(graft.functions.SketchAggregates
+        .misraGries(concat_ws("|", $"lang", $"tok"), 127).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.key".as("mk"))
+    // exact branch: the validation baseline the sketch is judged against
+    // (a second scan — at corpus scale only the MG branch would run)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy()
+    stream.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum($"cnt").over(n))
+      .filter($"cnt" * 100 > $"n")
+      .join(mgKeys, concat_ws("|", $"lang", $"tok") === $"mk", "left_semi")
+      .select($"lang", $"tok", $"cnt")
+      .orderBy($"lang", $"tok")
+  }
+
+  private val q70Sql =
+    """WITH u AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT lang, tok, count(*) AS cnt FROM u GROUP BY lang, tok)
+      |SELECT lang, tok, cnt FROM c
+      |WHERE cnt * 100 > (SELECT CAST(sum(cnt) AS BIGINT) FROM c)
+      |ORDER BY lang, tok""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q70_heavy_hitters", Seq("EXT-text", "EXT-approx"),
+      "Misra-Gries heavy hitters: guaranteed superset of >1% keys (exact-verified)",
+      q70HeavyHitters, Some(q70Sql)),
     GraftQuery("q64_tfidf_keywords", Seq("EXT-text"),
       "TF-IDF top-3 keyword extraction per document (rounded-rank stable)",
       q64TfIdf, Some(q64Sql)),

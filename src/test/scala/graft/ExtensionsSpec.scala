@@ -54,6 +54,22 @@ class ExtensionsSpec extends AnyFunSuite {
         .select($"vec_id", graft.functions.NativeExpressions.dotProduct(v, v).as("d"))
       assert(folded.join(native.withColumnRenamed("d", "nd"), "vec_id")
         .filter($"d" =!= $"nd").count() == 0)
+
+      // round-4 aggregate injections: a heavy-hitters summary and a
+      // bloom build+probe round trip, both from pure SQL
+      val hh = spark.sql(
+        """SELECT misra_gries(lang, 8) AS hh FROM docs_ext""").first()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.nonEmpty && hh.forall(_.getLong(1) > 0))
+      // the bloom side must be constant-foldable: a scalar subquery (the
+      // same shape InjectRuntimeFilter plants) — a join column is rejected
+      val bloomOk = spark.sql(
+        """SELECT count(*) FROM docs_ext
+          |WHERE NOT might_contain(
+          |  (SELECT bloom_filter_agg(doc_id, 10000L, 80000L) FROM docs_ext),
+          |  doc_id)""".stripMargin)
+        .first().getLong(0)
+      assert(bloomOk == 0, "no false negatives via the SQL surface")
     } finally {
       // do NOT stop() this session: it shares the suite-wide SparkContext
       // (stop would kill every later suite); just detach it

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchAggregates._
+
+/** The two mergeable-summary aggregates: the Misra-Gries theorem bounds
+  * (which q70's oracle rests on) and the bloom filter's no-false-negative
+  * side (which q69's correctness rests on).
+  */
+class SketchAggregatesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MisraGries: est within [true - n/(k+1), true] for every emitted key") {
+    import spark.implicits._
+    // skewed synthetic stream: key h0 = 30%, h1 = 20%, 50 tail keys 1% each
+    val rows = Seq.tabulate(10000) { i =>
+      if (i % 10 < 3) "h0" else if (i % 10 < 5) "h1" else s"t${i % 50}"
+    }
+    val k = 20
+    // 4 partitions force the merge path, not just sequential updates
+    val mg = rows.toDF("key").repartition(4)
+      .agg(misraGries($"key", k).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.key".as("key"), $"e.est".as("est"))
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    assert(mg.size <= k, "summary must hold at most k counters")
+    mg.foreach { case (key, est) =>
+      val t = truth(key)
+      assert(est <= t, s"$key overcounted: est=$est true=$t")
+      assert(est >= t - n / (k + 1), s"$key undercounted past bound")
+    }
+    // the theorem's point: both heavy keys (>n/(k+1)) MUST be present
+    assert(mg.contains("h0") && mg.contains("h1"))
+  }
+
+  test("MisraGries: eviction exercised and uniform tail evictable") {
+    import spark.implicits._
+    // 200-key uniform stream into k=20 counters: constant eviction; no
+    // key is guaranteed (none exceeds n/21), but bounds must still hold
+    val rows = Seq.tabulate(4000)(i => s"u${i % 200}")
+    val mg = rows.toDF("key").repartition(4)
+      .agg(misraGries($"key", 20).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.est".as("est"))
+      .as[Long].collect()
+    assert(mg.length <= 20)
+    assert(mg.forall(e => e <= 20L), "uniform 20-count keys can't exceed true count")
+  }
+
+  test("MisraGries: nulls ignored, empty input yields empty summary") {
+    import spark.implicits._
+    val df = Seq[Option[String]](None, Some("a"), None, Some("a"))
+      .toDF("key")
+    val out = df.agg(misraGries($"key", 4).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.key", $"e.est")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L)))
+    val empty = Seq("x").toDF("key")
+      .filter(lit(false))
+      .agg(misraGries($"key", 4).as("hh")).select(size($"hh")).head().getInt(0)
+    assert(empty == 0)
+  }
+
+  test("bloom filter: zero false negatives over the real dim keys") {
+    import spark.implicits._
+    val dim = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bf = dim.agg(bloomFilterAgg($"c_custkey", 100000L, 800000L).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val misses = dim.filter(!mightContain(lit(bf), $"c_custkey")).count()
+    assert(misses == 0, "a bloom filter must never reject an inserted key")
+  }
+
+  test("q69 == plain exact semi-join (bloom prune is transparent)") {
+    import spark.implicits._
+    val dim = Tables.load(spark, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val plain = Tables.load(spark, dir, "orders")
+      .join(broadcast(dim), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val pruned = graft.operators.Extended.q69BloomPruneJoin(spark, dir)
+      .select($"o_orderpriority", $"n_orders")
+    assert(pruned.except(plain).count() == 0 && plain.except(pruned).count() == 0)
+  }
+}
