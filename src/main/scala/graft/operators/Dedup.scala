@@ -496,7 +496,67 @@ object Dedup {
       |FROM clustered
       |ORDER BY doc_id""".stripMargin
 
+  /** q76: INCREMENTAL dedup — the production re-crawl shape. A corpus
+    * system does not re-dedup 100 TB per day: the base corpus's minhash
+    * signatures/bands are a persisted index (maintained by the q15
+    * upsert/MERGE machinery), and each day's delta is signed alone and
+    * PROBED against it. Here the split is deterministic (doc_id % 5 == 0
+    * is "today's crawl"); both sides derive from one table because the
+    * driver owns the data, but the join topology is the incremental one:
+    * delta bands ⋈ base bands only — no base×base pairs (already
+    * deduped when indexed), no delta×delta (that is q19 run on the
+    * delta). Candidate volume scales with |delta|·collision-rate, not
+    * |corpus|² — the property that makes daily dedup affordable.
+    * Candidates verify by exact shingle intersection, same as q19.
+    */
+  def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeExpressions.minhashSignature
+    val docs = tSpread(s, dir, "documents")
+      .select($"doc_id", array_distinct(shingles($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", $"shs", minhashSignature($"shs", NumHashes).as("sig"))
+      .persist()
+    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => element_at($"sig", bnd * BandSize + r + 1)): _*))
+    }: _*)
+    val bands = docs
+      .select($"doc_id", posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = bands.filter($"doc_id" % 5 === 0).as("x")
+      .join(bands.filter($"doc_id" % 5 =!= 0).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("new_doc"), $"shs".as("shs_a")), "new_doc")
+      .join(docs.select($"doc_id".as("dup_of"), $"shs".as("shs_b")), "dup_of")
+      .select($"new_doc", $"dup_of",
+        size(array_intersect($"shs_a", $"shs_b")).cast("long").as("n_common"),
+        size($"shs_a").as("na"), size($"shs_b").as("nb"))
+      .filter($"n_common" > 0)
+      .select($"new_doc", $"dup_of", $"n_common",
+        ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+      .orderBy($"new_doc", $"dup_of")
+  }
+
+  private val q76Sql =
+    s"""WITH $minhashCtes,
+      |inc AS (
+      |  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+      |         CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS dup_of,
+      |         n_common, jaccard
+      |  FROM verified
+      |  WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0))
+      |SELECT new_doc, dup_of, n_common, jaccard
+      |FROM inc
+      |ORDER BY new_doc, dup_of""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q76_incremental_dedup", Seq("EXT-dedup", "S6"),
+      "incremental re-crawl dedup: delta bands probe the base index only",
+      q76IncrementalDedup, Some(q76Sql)),
     GraftQuery("q46_dedup_survivors", Seq("EXT-dedup"),
       "dedup survivor selection: cluster labels + longest-text-wins window",
       q46DedupSurvivors, Some(q46Sql)),

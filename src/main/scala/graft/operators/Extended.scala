@@ -651,7 +651,66 @@ object Extended {
       |FROM c WHERE new_burst = 1
       |ORDER BY user_id, event_type, kept_event_id""".stripMargin
 
+  /** q77: distribution drift detection — the data-quality pass a
+    * continuously-fed training pipeline runs between ingestion windows:
+    * per event type, compare the value histogram of the first half of
+    * the month against the second via a chi-square-style distance
+    * Σ (p−q)²/(p+q). Deliberately NOT PSI: the log in PSI is libm
+    * (cross-engine unstable); the chi-square form is pure rational
+    * arithmetic. Each bin's contribution is rounded and summed as
+    * DECIMAL, so the reduction is exact and order-independent (same
+    * device as q74's ADC). Plan: one scan, one groupBy shuffle on
+    * (type, bin), one bounded window per type — scan-speed at any
+    * corpus size; bins are fixed-width (the streaming-friendly binning
+    * of q38), so the state is O(types × bins).
+    */
+  def q77DriftDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy($"event_type")
+    val c = t(s, dir, "events")
+      .select($"event_type",
+        (floor($"value" / 50.0) * 50).cast("long").as("bin"),
+        when(dayofmonth($"ts") <= 15, 1L).otherwise(0L).as("in_p1"))
+      .groupBy($"event_type", $"bin")
+      .agg(sum($"in_p1").as("n1"),
+        sum(lit(1L) - $"in_p1").as("n2"))
+      .withColumn("t1", sum($"n1").over(byType))
+      .withColumn("t2", sum($"n2").over(byType))
+    c.select($"event_type", $"bin",
+        round(($"n1" / $"t1" - $"n2" / $"t2") * ($"n1" / $"t1" - $"n2" / $"t2")
+          / ($"n1" / $"t1" + $"n2" / $"t2"), 12)
+          .cast("decimal(18,12)").as("contrib"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum($"contrib").cast("double"), 8).as("drift"))
+      .orderBy($"event_type")
+  }
+
+  private val q77Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value / 50.0) * 50 AS BIGINT) AS bin,
+      |    CAST(sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n2
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *, CAST(sum(n1) OVER (PARTITION BY event_type) AS BIGINT) AS t1,
+      |    CAST(sum(n2) OVER (PARTITION BY event_type) AS BIGINT) AS t2
+      |  FROM c)
+      |SELECT event_type, count(*) AS n_bins,
+      |  round(CAST(sum(CAST(round(
+      |    (n1 / t1 - n2 / t2) * (n1 / t1 - n2 / t2) / (n1 / t1 + n2 / t2),
+      |    12) AS DECIMAL(18,12))) AS DOUBLE), 8) AS drift
+      |FROM w
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q77_drift_detect", Seq("EXT-histogram", "A2"),
+      "chi-square histogram drift between ingestion windows (libm-free)",
+      q77DriftDetect, Some(q77Sql)),
     GraftQuery("q69_bloom_prune_join", Seq("J1", "EXT-approx"),
       "bloom-filter scan-side prune + exact semi-join == plain semi-join",
       q69BloomPruneJoin, Some(q69Sql)),

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Semantic invariants of the round-3 curation operators — properties the
-  * oracle hash-compare cannot establish (both engines could be wrong the
-  * same way), checked directly against the operator definitions.
+/** Semantic invariants of the round-3/4 curation operators — properties
+  * the oracle hash-compare cannot establish (both engines could be wrong
+  * the same way), checked directly against the operator definitions.
   */
 class CurationInvariantSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -92,5 +92,35 @@ class CurationInvariantSpec extends AnyFunSuite {
     val j = got.join(sizes, "source")
     assert(j.filter($"kept" =!= least($"n", lit(10L))).count() == 0)
     assert(j.filter($"mxr" =!= $"kept").count() == 0) // ranks 1..kept
+  }
+
+  test("q76: incremental pairs == the cross-split subset of q19's full dedup") {
+    import spark.implicits._
+    val inc = operators.Dedup.q76IncrementalDedup(spark, dir)
+    // orientation: new side is the delta, partner is the base
+    assert(inc.filter($"new_doc" % 5 =!= 0).count() == 0)
+    assert(inc.filter($"dup_of" % 5 === 0).count() == 0)
+    // the incremental probe must find EXACTLY the full run's pairs that
+    // straddle the split — nothing missed (recall) and nothing extra
+    val full = operators.Dedup.q19DedupMinhashLsh(spark, dir)
+      .filter(($"doc_a" % 5 === 0) =!= ($"doc_b" % 5 === 0))
+      .select(
+        when($"doc_a" % 5 === 0, $"doc_a").otherwise($"doc_b").as("new_doc"),
+        when($"doc_a" % 5 === 0, $"doc_b").otherwise($"doc_a").as("dup_of"))
+    val got = inc.select($"new_doc", $"dup_of")
+    assert(got.except(full).count() == 0 && full.except(got).count() == 0)
+  }
+
+  test("q77: drift score is a bounded distance, near zero on stationary halves") {
+    val rows = operators.Extended.q77DriftDetect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val drift = r.getDouble(2)
+      // chi-square histogram distance is bounded by 2 (disjoint supports)
+      assert(drift >= 0.0 && drift <= 2.0, s"${r.getString(0)}: $drift")
+      // the synthetic stream is stationary across the month halves, so a
+      // large score here means the formula, not the data, drifted
+      assert(drift < 0.2, s"stationary data scored ${r.getString(0)}=$drift")
+    }
   }
 }
