@@ -36,6 +36,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q69: bloom probe evaluates scan-side, exact join stays broadcast") {
+    val plan = physicalPlan("q69_bloom_prune_join")
+    assert(plan.contains("might_contain"),
+      "the bloom probe must appear in the physical plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"))
+    // the probe must prune the SCAN, not a shuffled intermediate: in the
+    // top-down text plan, no Exchange may sit between the Filter carrying
+    // might_contain and the fact scan below it
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"), probeIdx)
+    assert(probeIdx >= 0 && scanIdx > probeIdx,
+      "probe filter should sit directly over a parquet scan")
+    assert(!lines.slice(probeIdx + 1, scanIdx).exists(_.contains("Exchange")),
+      "bloom probe must prune the scan, not a shuffled intermediate")
+  }
+
+  test("q70: MG summary aggregates partially — no raw-stream shuffle") {
+    val plan = physicalPlan("q70_heavy_hitters")
+    // ObjectHashAggregate with a partial_misra_gries stage proves the
+    // summary combines map-side: the shuffle carries k counters/task
+    assert(plan.contains("partial_misra_gries") ||
+      plan.contains("misra_gries"), "MG aggregate missing from plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate should plan as ObjectHashAggregate")
+  }
+
   test("only the documented baselines use a cartesian product") {
     // q22 (brute-force ANN ground truth) is crossJoin BY DESIGN, q53
     // re-runs it as the recall harness's truth side, and q75's exact
