@@ -707,7 +707,72 @@ object Extended {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q79: last-touch attribution — each purchase attributed to the most
+    * recent preceding click by the same user within a 7-day lookback
+    * (the standard marketing-attribution / label-joining shape). One
+    * ordered pass per user: the carry-forward is `last(click, ignore
+    * nulls)` over an unbounded-preceding-to-1-preceding frame — the
+    * ignore-nulls window idiom, distinct from q35's tagged-union as-of
+    * join (which targets TWO tables; here the anchor and the target live
+    * in one ordered stream, so the window form wins: one shuffle on
+    * user, no join at all). Purchases with no in-window click report
+    * attributed=false with the click fields null.
+    */
+  def q79Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .withColumn("last_click_id",
+        last(when($"event_type" === "click", $"event_id"), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true)
+          .over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("gap_s",
+        unix_timestamp($"ts") - unix_timestamp($"last_click_ts"))
+      .withColumn("attributed",
+        $"last_click_id".isNotNull && $"gap_s" <= 604800L)
+      .select($"event_id".as("purchase_id"), $"user_id",
+        when($"attributed", $"last_click_id").as("click_id"),
+        when($"attributed", $"gap_s").as("gap_s"),
+        $"attributed")
+      .orderBy($"purchase_id")
+  }
+
+  private val q79Sql =
+    """WITH s AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER w AS last_click_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END
+      |      IGNORE NULLS) OVER w AS last_click_ts
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, last_click_id,
+      |    date_diff('second', last_click_ts, ts) AS gap0,
+      |    (last_click_id IS NOT NULL
+      |      AND date_diff('second', last_click_ts, ts) <= 604800)
+      |      AS attributed
+      |  FROM s WHERE event_type = 'purchase')
+      |SELECT purchase_id, user_id,
+      |  CASE WHEN attributed THEN last_click_id END AS click_id,
+      |  CASE WHEN attributed THEN gap0 END AS gap_s,
+      |  attributed
+      |FROM p
+      |ORDER BY purchase_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q79_attribution", Seq("EXT-window", "W1"),
+      "last-touch attribution: ignore-nulls carry-forward, 7-day lookback",
+      q79Attribution, Some(q79Sql)),
     GraftQuery("q77_drift_detect", Seq("EXT-histogram", "A2"),
       "chi-square histogram drift between ingestion windows (libm-free)",
       q77DriftDetect, Some(q77Sql)),

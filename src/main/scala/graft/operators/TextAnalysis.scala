@@ -679,7 +679,55 @@ object TextAnalysis {
       |WHERE cnt * 100 > (SELECT CAST(sum(cnt) AS BIGINT) FROM c)
       |ORDER BY lang, tok""".stripMargin
 
+  /** q78: token-budget mixture trimming — the down-weighting half of
+    * data mixing (q59 is the rate half): the over-represented language
+    * is cut to a token BUDGET, not a row rate, because training mixtures
+    * are specified in tokens. Docs are md5-ranked within language (the
+    * deterministic "random" order every sampling op here uses) and kept
+    * greedily while the running token total stays within budget (strict:
+    * a doc that would cross the line is dropped, as are all after it —
+    * the md5 order makes that cut unbiased). English gets 8,000 tokens
+    * (always trims on this corpus); the rest get 50,000 (always keep) —
+    * both branches live at every SF. Every doc is emitted with its keep
+    * decision for auditability. Plan: one shuffle on lang + one running
+    * window per lang — the q51 packing shape; at corpus scale the same
+    * hash-sliced sub-partitioning as q62 bounds the window state.
+    */
+  def q78TokenBudgetTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("budget",
+        when($"lang" === "en", 8000L).otherwise(50000L))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("kept", $"cum_tokens" <= $"budget")
+      .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  private val q78Sql =
+    """SELECT doc_id, lang, n_tokens, cum_tokens, cum_tokens <= budget AS kept
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CASE WHEN lang = 'en' THEN 8000 ELSE 50000 END AS budget,
+      |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM (SELECT doc_id, lang,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q78_token_budget_trim", Seq("EXT-text", "EXT-split"),
+      "per-language token-budget mixture trim (md5-ordered greedy cut)",
+      q78TokenBudgetTrim, Some(q78Sql)),
     GraftQuery("q70_heavy_hitters", Seq("EXT-text", "EXT-approx"),
       "Misra-Gries heavy hitters: guaranteed superset of >1% keys (exact-verified)",
       q70HeavyHitters, Some(q70Sql)),

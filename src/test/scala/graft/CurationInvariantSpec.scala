@@ -111,6 +111,38 @@ class CurationInvariantSpec extends AnyFunSuite {
     assert(got.except(full).count() == 0 && full.except(got).count() == 0)
   }
 
+  test("q78: kept tokens respect every language budget; the cut is a prefix") {
+    import spark.implicits._
+    val out = operators.TextAnalysis.q78TokenBudgetTrim(spark, dir).persist()
+    try {
+      val budget = when($"lang" === "en", 8000L).otherwise(50000L)
+      // no kept doc's running total exceeds its language budget
+      assert(out.filter($"kept" && $"cum_tokens" > budget).count() == 0)
+      // prefix property: a kept doc never has a larger cum than a dropped
+      // one within the same language (the greedy cut is one clean line)
+      val maxKept = out.filter($"kept").groupBy($"lang")
+        .agg(max($"cum_tokens").as("mk"))
+      val minDrop = out.filter(!$"kept").groupBy($"lang")
+        .agg(min($"cum_tokens").as("md"))
+      assert(maxKept.join(minDrop, "lang").filter($"mk" >= $"md").count() == 0)
+      // the over-represented language trims; at least one language keeps all
+      assert(out.filter($"lang" === "en" && !$"kept").count() > 0)
+      val fullLangs = out.groupBy($"lang")
+        .agg((count(lit(1)) === sum(when($"kept", 1L).otherwise(0L))).as("all"))
+      assert(fullLangs.filter($"all").count() > 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("q79: attribution flag, gap bound, and null consistency agree") {
+    import spark.implicits._
+    val out = operators.Extended.q79Attribution(spark, dir)
+    assert(out.filter($"attributed" &&
+      ($"gap_s".isNull || $"gap_s" < 0 || $"gap_s" > 604800L)).count() == 0)
+    assert(out.filter(!$"attributed" &&
+      ($"click_id".isNotNull || $"gap_s".isNotNull)).count() == 0)
+    assert(out.filter($"attributed").count() > 0)
+  }
+
   test("q77: drift score is a bounded distance, near zero on stationary halves") {
     val rows = operators.Extended.q77DriftDetect(spark, dir).collect()
     assert(rows.nonEmpty)
