@@ -9,6 +9,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.aggregate.{BloomFilterAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -176,4 +177,273 @@ object SketchAggregates {
       BloomFilterMightContain(
         GraftColumnBridge.expression(bloom),
         new XxHash64(Seq(GraftColumnBridge.expression(key)))))
+
+  // --------------------------------------------------------------------
+  // Shared deterministic 64-bit hashing for the sketches below. FNV-1a
+  // (public-domain constants) + a splitmix64 finalizer: build side and
+  // probe side MUST agree bit-for-bit, so both call these statics.
+  // --------------------------------------------------------------------
+  object GraftHash {
+    def fnv1a(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+
+    /** splitmix64 finalizer — decorrelates the second CMS hash from the
+      * first (Kirsch-Mitzenmacher double hashing h1 + i*h2).
+      */
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    /** Row-i counter position for a CMS of the given width. */
+    def cmsPos(key: UTF8String, i: Int, width: Int): Int = {
+      val h1 = fnv1a(key.getBytes)
+      val h2 = mix(h1) | 1L
+      java.lang.Math.floorMod(h1 + i.toLong * h2, width.toLong).toInt
+    }
+  }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): depth×width counter
+    * matrix, point query = min over rows. One-sided DETERMINISTIC
+    * guarantee est >= true (counters only ever add); the overcount is
+    * collision mass, in expectation N/width per row and min'd over
+    * `depth` independent rows — the bound q80's oracle check rests on.
+    *
+    * Mergeable exactly (counter matrices add pointwise), so the shuffle
+    * carries depth×width longs per partition regardless of the key
+    * domain — the frequency-estimation twin of [[MisraGries]]: MG keeps
+    * the IDENTITIES of heavy keys, CMS answers point queries for ANY
+    * key; pipelines run CMS when the query keys are known downstream
+    * (per-domain counts, per-user rate limits) and the domain is too
+    * large to shuffle.
+    */
+  case class CountMin(
+      child: Expression,
+      depth: Int,
+      width: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"count_min needs a string key, got ${child.dataType.catalogString}")
+      else if (depth < 1 || width < 1)
+        TypeCheckResult.TypeCheckFailure(s"count_min needs depth/width >= 1")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[UTF8String]
+        var i = 0
+        while (i < depth) {
+          buf(i * width + GraftHash.cmsPos(key, i, width)) += 1L
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new GenericArrayData(buf.map(Long.box).toArray[Any])
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): CountMin =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMin =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): CountMin =
+      copy(child = c)
+    override def prettyName: String = "count_min"
+  }
+
+  /** Point query against an eval'd [[CountMin]] sketch: min over the
+    * depth rows at the key's positions. Probe volume is tiny (the
+    * tracked-key list), so interpreted eval is fine — the hot path is
+    * the build aggregate.
+    */
+  case class CountMinQuery(
+      sketch: Expression,
+      key: Expression,
+      depth: Int,
+      width: Int)
+    extends Expression with CodegenFallback {
+
+    override def children: Seq[Expression] = Seq(sketch, key)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (!sketch.dataType.isInstanceOf[ArrayType] ||
+          sketch.dataType.asInstanceOf[ArrayType].elementType != LongType)
+        TypeCheckResult.TypeCheckFailure("count_min_query needs array<bigint> sketch")
+      else if (key.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure("count_min_query needs a string key")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def eval(input: InternalRow): Any = {
+      val s = sketch.eval(input)
+      val k = key.eval(input)
+      if (s == null || k == null) null
+      else {
+        val arr = s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ks = k.asInstanceOf[UTF8String]
+        var best = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          val c = arr.getLong(i * width + GraftHash.cmsPos(ks, i, width))
+          if (c < best) best = c
+          i += 1
+        }
+        best
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): CountMinQuery =
+      copy(sketch = cs(0), key = cs(1))
+    override def prettyName: String = "count_min_query"
+  }
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002 / Beyer et
+    * al. "Distinct-value synopses" SIGMOD'07): the k smallest 64-bit
+    * hashes of the distinct elements. Mergeable (union the sets, keep
+    * the k smallest) and CLOSED UNDER SET ALGEBRA — two sketches give
+    * union cardinality ((k-1)/u_k on the merged sketch) and Jaccard
+    * (fraction of the merged sketch present in both inputs), which is
+    * what q81 exploits: count-distinct-overlap without shuffling either
+    * distinct set. Below k distinct values the sketch IS the exact
+    * distinct hash set.
+    */
+  case class Kmv(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType != StringType)
+        TypeCheckResult.TypeCheckFailure(
+          s"kmv needs a string key, got ${child.dataType.catalogString}")
+      else if (k < 2)
+        TypeCheckResult.TypeCheckFailure(s"kmv needs k >= 2, got $k")
+      else TypeCheckResult.TypeCheckSuccess
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def add(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+      if (buf.size < k) { buf.add(h); () }
+      else if (h < buf.last() && !buf.contains(h)) {
+        buf.add(h); buf.remove(buf.last()); ()
+      }
+
+    override def update(
+        buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null)
+        add(buf, GraftHash.mix(GraftHash.fnv1a(v.asInstanceOf[UTF8String].getBytes)))
+      buf
+    }
+
+    override def merge(
+        b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) add(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val arr = new Array[Any](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): Kmv =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): Kmv =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): Kmv =
+      copy(child = c)
+    override def prettyName: String = "kmv"
+  }
+
+  /** Column builder: `count_min(key, depth, width)` — flattened
+    * depth×width counter matrix.
+    */
+  def countMin(key: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CountMin(GraftColumnBridge.expression(key), depth, width)
+        .toAggregateExpression())
+
+  /** Column builder: point query into a built count-min sketch. */
+  def countMinQuery(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CountMinQuery(
+        GraftColumnBridge.expression(sketch),
+        GraftColumnBridge.expression(key), depth, width))
+
+  /** Column builder: `kmv(key, k)` — ascending array of the k smallest
+    * distinct-element hashes.
+    */
+  def kmv(key: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      Kmv(GraftColumnBridge.expression(key), k).toAggregateExpression())
 }

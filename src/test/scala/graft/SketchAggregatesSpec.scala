@@ -87,4 +87,59 @@ class SketchAggregatesSpec extends AnyFunSuite {
       .select($"o_orderpriority", $"n_orders")
     assert(pruned.except(plain).count() == 0 && plain.except(pruned).count() == 0)
   }
+
+  test("CountMin: est >= true always; overcount bounded; absent key ~ 0") {
+    import spark.implicits._
+    val depth = 5
+    val width = 256
+    // 400 distinct keys over width=256 forces real collisions
+    val rows = Seq.tabulate(8000)(i => s"k${i % 400}")
+    val sk = rows.toDF("key").repartition(4)
+      .agg(countMin($"key", depth, width).as("sk"))
+    val probes = (0 until 400).map(i => s"k$i") :+ "never-seen"
+    val est = sk.crossJoin(probes.toDF("p"))
+      .select($"p", countMinQuery($"sk", $"p", depth, width).as("est"))
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    probes.dropRight(1).foreach { p =>
+      assert(est(p) >= truth(p), s"$p undercounted — CMS can never")
+      assert(est(p) <= truth(p) + 3L * rows.size / width,
+        s"$p overcounted past 3N/width")
+    }
+    assert(est("never-seen") <= 3L * rows.size / width)
+    // the collision path must actually be live at this density
+    assert(probes.dropRight(1).exists(p => est(p) > truth(p)),
+      "no collisions at 400 keys / 256 counters — hash suspect")
+  }
+
+  test("CountMin: merge path equals single-partition build") {
+    import spark.implicits._
+    val rows = Seq.tabulate(2000)(i => s"k${i % 97}")
+    def build(parts: Int) = rows.toDF("key").repartition(parts)
+      .agg(countMin($"key", 3, 64).as("sk"))
+      .select(explode($"sk").as("c")).as[Long].collect().toSeq
+    assert(build(1) == build(8), "counter matrices must add exactly")
+  }
+
+  test("Kmv: below k the sketch is the exact distinct hash set") {
+    import spark.implicits._
+    val rows = (Seq.tabulate(300)(i => s"d${i % 50}")).toDF("key")
+    val arr = rows.repartition(4).agg(kmv($"key", 512).as("sk"))
+      .select(size($"sk")).as[Int].head()
+    assert(arr == 50, s"50 distinct below k=512 must be stored exactly, got $arr")
+  }
+
+  test("Kmv: union estimator within 3/sqrt(k) of truth when saturated") {
+    import spark.implicits._
+    val k = 256
+    val rows = Seq.tabulate(12000)(i => s"v${i % 4000}").toDF("key")
+    val sk = rows.repartition(8).agg(kmv($"key", k).as("sk"))
+      .select($"sk", element_at($"sk", k).as("kth"))
+      .select(size($"sk").as("n"), $"kth").as[(Int, Long)].head()
+    assert(sk._1 == k, "saturated sketch must hold exactly k hashes")
+    val u = (sk._2.toDouble + 9.223372036854775808e18) / 1.8446744073709551616e19
+    val est = (k - 1).toDouble / u
+    assert(math.abs(est - 4000.0) <= 4000.0 * 3.0 / math.sqrt(k),
+      s"estimate $est strayed past 3 sigma from 4000")
+  }
 }
