@@ -769,7 +769,105 @@ object Extended {
       |FROM p
       |ORDER BY purchase_id""".stripMargin
 
+  /** q85: robust outlier detection — |modified z-score| > 3.5 on the
+    * median/MAD scale (Iglewicz & Hoaglin's 0.6745 normal-consistency
+    * constant), the data-quality pass that survives the heavy tails
+    * that break mean/stddev z-scores (the outliers being hunted inflate
+    * the very stddev that is supposed to expose them; the median and
+    * MAD are 50%-breakdown estimators, immune to them). Median and MAD
+    * are rounded to 8 digits before scoring (the two engines' exact-
+    * percentile interpolations differ in the last ulp) and the score to
+    * 6 before the cut, so the kept set is engine-independent. Plan: two
+    * exact-percentile aggregations (value, then |value−med|) + two
+    * broadcast joins back — the exactness baseline; at corpus scale
+    * both percentile passes switch to approx_percentile exactly as q68
+    * validates.
+    */
+  def q85RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 8).as("med"))
+    val j1 = ev.join(broadcast(med), "event_type")
+    val mad = j1.groupBy($"event_type")
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 8).as("mad"))
+    j1.join(broadcast(mad), "event_type")
+      .withColumn("rscore",
+        round(($"value" - $"med") * 0.6745 / $"mad", 6))
+      .filter(abs($"rscore") > 3.5)
+      .select($"event_id", $"event_type", $"value", $"rscore")
+      .orderBy($"event_id")
+  }
+
+  private val q85Sql =
+    """WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 8) AS med
+      |  FROM events GROUP BY event_type),
+      |j1 AS (SELECT e.event_id, e.event_type, e.value, m.med
+      |       FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(abs(value - med), 0.5), 8) AS mad
+      |  FROM j1 GROUP BY event_type)
+      |SELECT event_id, event_type, value,
+      |  round((value - med) * 0.6745 / mad, 6) AS rscore
+      |FROM j1 JOIN mad USING (event_type)
+      |WHERE abs(round((value - med) * 0.6745 / mad, 6)) > 3.5
+      |ORDER BY event_id""".stripMargin
+
+  /** q86: first-order session transition matrix — P(next event type |
+    * current event type) per user-ordered stream, the Markov model
+    * behind funnel diagnosis, next-action prediction features, and bot
+    * detection (a scraper's matrix is near-deterministic; a human's is
+    * diffuse). One lag window per user (the q73/q79 partitioning — at
+    * scale these share one shuffle) + a types²-sized aggregate. Counts
+    * are exact longs; the probability is a single double division
+    * rounded to 6 — no sum-of-doubles anywhere.
+    */
+  def q86TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wp = Window.partitionBy($"prev_type")
+    t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("row_total", sum($"cnt").over(wp))
+      .select($"prev_type", $"next_type", $"cnt", $"row_total",
+        round($"cnt".cast("double") / $"row_total".cast("double"), 6)
+          .as("prob"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  private val q86Sql =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM s WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, next_type, cnt,
+      |  CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+      |  round(CAST(cnt AS DOUBLE) /
+      |    CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS prob
+      |FROM c
+      |ORDER BY prev_type, next_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q85_robust_outliers", Seq("EXT-percentile", "P6"),
+      "median/MAD modified z-score outliers (robust to the tails it hunts)",
+      q85RobustOutliers, Some(q85Sql)),
+    GraftQuery("q86_transition_matrix", Seq("EXT-window", "A2"),
+      "first-order event-type transition matrix per user stream",
+      q86TransitionMatrix, Some(q86Sql)),
     GraftQuery("q79_attribution", Seq("EXT-window", "W1"),
       "last-touch attribution: ignore-nulls carry-forward, 7-day lookback",
       q79Attribution, Some(q79Sql)),

@@ -724,7 +724,75 @@ object TextAnalysis {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** q84: Zipf profile of the per-language token distribution — the
+    * corpus-health diagnostic (natural language follows freq ∝ 1/rank;
+    * a slope far from that flags template spam, truncation, or broken
+    * tokenization). Per language: rank tokens by collection frequency,
+    * fit ln(cf) against ln(rank) over the top 30 ranks by least
+    * squares. Determinism discipline: both axes are ROUNDED to 6 digits
+    * (ln is libm), all four regression sums run as DECIMAL (exact,
+    * order-independent), and only the final slope division happens in
+    * double (one correctly-rounded op) — so no engine-ordering effect
+    * can move the result. Plan: the q61 vocabulary shuffle (bounded by
+    * the vocab) + one tiny per-language aggregate; at corpus scale the
+    * cf counts come from the same pass q61 already runs.
+    */
+  def q84ZipfProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy($"cf".desc, $"tok".asc)
+    val ranked = Tables.loadSpread(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cf"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 30)
+      .select($"lang",
+        round(log($"rank".cast("double")), 6).cast("decimal(9,6)").as("x"),
+        round(log($"cf".cast("double")), 6).cast("decimal(9,6)").as("y"))
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).cast("decimal(4,0)").as("n"),
+        sum($"x").cast("decimal(16,6)").as("sx"),
+        sum($"y").cast("decimal(16,6)").as("sy"),
+        sum(($"x" * $"y").cast("decimal(20,12)")).cast("decimal(24,12)").as("sxy"),
+        sum(($"x" * $"x").cast("decimal(20,12)")).cast("decimal(24,12)").as("sxx"))
+      .select($"lang", $"n".cast("long").as("n_terms"),
+        round(
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6).as("zipf_slope"))
+      .orderBy($"lang")
+  }
+
+  private val q84Sql =
+    """WITH c AS (
+      |  SELECT lang, tok, count(*) AS cf
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY lang, tok),
+      |r AS (
+      |  SELECT lang,
+      |    CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(9,6)) AS x,
+      |    CAST(round(ln(CAST(cf AS DOUBLE)), 6) AS DECIMAL(9,6)) AS y
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+      |          ORDER BY cf DESC, tok ASC) AS rank
+      |        FROM c)
+      |  WHERE rank <= 30),
+      |a AS (
+      |  SELECT lang, CAST(count(*) AS DECIMAL(4,0)) AS n,
+      |    CAST(sum(x) AS DECIMAL(16,6)) AS sx,
+      |    CAST(sum(y) AS DECIMAL(16,6)) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(20,12))) AS DECIMAL(24,12)) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(20,12))) AS DECIMAL(24,12)) AS sxx
+      |  FROM r GROUP BY lang)
+      |SELECT lang, CAST(n AS BIGINT) AS n_terms,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+      |FROM a
+      |ORDER BY lang""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q84_zipf_profile", Seq("EXT-text", "A2"),
+      "per-language Zipf slope (decimal-reduced log-log least squares)",
+      q84ZipfProfile, Some(q84Sql)),
     GraftQuery("q78_token_budget_trim", Seq("EXT-text", "EXT-split"),
       "per-language token-budget mixture trim (md5-ordered greedy cut)",
       q78TokenBudgetTrim, Some(q78Sql)),

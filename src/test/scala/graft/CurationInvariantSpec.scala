@@ -180,6 +180,42 @@ class CurationInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q84: Zipf slope is negative and fitted over at most 30 ranks") {
+    val rows = operators.TextAnalysis.q84ZipfProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 30,
+        s"${r.getString(0)}: n_terms ${r.getLong(1)}")
+      // frequency cannot increase with rank, so the fit must slope down
+      assert(r.getDouble(2) < 0.0,
+        s"${r.getString(0)}: slope ${r.getDouble(2)} not negative")
+    }
+  }
+
+  test("q85: flagged rows are the extreme tail, a few percent of the stream") {
+    import spark.implicits._
+    val out = operators.Extended.q85RobustOutliers(spark, dir)
+    val n = Tables.load(spark, dir, "events").count().toDouble
+    val flagged = out.count().toDouble
+    assert(flagged > 0, "threshold too loose to ever fire")
+    assert(flagged / n < 0.15, s"flagged ${flagged / n} of the stream")
+    // every flagged value must sit beyond 3.5 robust sigmas of ITS group
+    assert(out.filter(abs($"rscore") <= 3.5).count() == 0)
+  }
+
+  test("q86: each row of the transition matrix is a probability distribution") {
+    import spark.implicits._
+    val m = operators.Extended.q86TransitionMatrix(spark, dir).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val probSum = rows.map(_.getDouble(4)).sum
+      assert(math.abs(probSum - 1.0) < 1e-4, s"$prev row sums to $probSum")
+      val total = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum == total,
+        s"$prev: counts disagree with row_total")
+    }
+  }
+
   test("q83: chunks tile every token exactly; hashes match re-derived slices") {
     import spark.implicits._
     val chunks = operators.Retrieval.q83ChunkDocs(spark, dir)
