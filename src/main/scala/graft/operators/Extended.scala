@@ -80,10 +80,13 @@ object Extended {
 
   /** q32: approximate distinct counting (HLL). Sketch internals differ
     * per engine, so the oracle checks the EXACT side columns and the
-    * approximate column is validated relationally in-plan: the query
-    * returns rows only where the approx estimate strays beyond 5% of the
-    * exact count — correct behavior = empty result, which both engines
-    * agree on.
+    * approximate column is validated relationally in-plan: each engine
+    * emits one row per group with a `within_tol` flag asserting ITS OWN
+    * sketch is inside 5% of its own exact count. Correct behavior = every
+    * flag true, which both engines agree on — and unlike the previous
+    * emit-violations-only form (rows only on failure), the result is
+    * non-empty, so the driver's hash compare exercises real values
+    * (group keys + exact counts + flags), not a vacuous 0=0.
     */
   def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -101,19 +104,20 @@ object Extended {
       .agg(
         count(lit(1)).as("exact_parts"),
         approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
-      .filter(abs($"approx_parts" - $"exact_parts") >
-        $"exact_parts" * 0.05)
-      .select($"l_returnflag", $"exact_parts")
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.05)
+          .as("within_tol"))
       .orderBy($"l_returnflag")
   }
 
   private val q32Sql =
-    """SELECT l_returnflag, exact_parts FROM (
+    """SELECT l_returnflag, exact_parts,
+      |  abs(approx_parts - exact_parts) <= exact_parts * 0.05 AS within_tol
+      |FROM (
       |  SELECT l_returnflag,
-      |    count(DISTINCT l_partkey) AS exact_parts,
+      |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
       |    approx_count_distinct(l_partkey) AS approx_parts
       |  FROM lineitem GROUP BY l_returnflag)
-      |WHERE abs(approx_parts - exact_parts) > exact_parts * 0.05
       |ORDER BY l_returnflag""".stripMargin
 
   /** q33: Spark 4 native VARIANT (the reference's Snowflake VARIANT
@@ -381,11 +385,12 @@ object Extended {
     * `approx_percentile` (Greenwald-Khanna) streams in bounded memory and
     * merges across partitions — the only viable shape when one group
     * holds billions of rows. Sketch internals differ per engine, so the
-    * oracle uses the q32 relational-validation pattern: the query emits
-    * only groups where the engine's own sketch strays more than 5% from
-    * its own exact answer — correct behavior is the EMPTY relation, which
-    * both engines agree on exactly (DuckDB validates its t-digest the
-    * same way).
+    * oracle uses the q32 relational-validation pattern: each engine
+    * emits one row per group with its exact percentiles plus a
+    * `within_tol` flag asserting its OWN sketch is inside 5% of its own
+    * exact answer (DuckDB validates its t-digest the same way). Every
+    * flag true = agreement, and the result is non-empty so the hash
+    * compare checks real percentile values, not a vacuous 0=0.
     */
   def q68ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -396,17 +401,20 @@ object Extended {
         expr("percentile(value, 0.9)").as("exact_p90"),
         expr("approx_percentile(value, 0.5, 1000)").as("a50"),
         expr("approx_percentile(value, 0.9, 1000)").as("a90"))
-      .filter(abs($"a50" - $"exact_p50") > $"exact_p50" * 0.05 ||
-        abs($"a90" - $"exact_p90") > $"exact_p90" * 0.05)
       .select($"event_type",
         round($"exact_p50", 6).as("exact_p50"),
-        round($"exact_p90", 6).as("exact_p90"))
+        round($"exact_p90", 6).as("exact_p90"),
+        (abs($"a50" - $"exact_p50") <= $"exact_p50" * 0.05 &&
+          abs($"a90" - $"exact_p90") <= $"exact_p90" * 0.05)
+          .as("within_tol"))
       .orderBy($"event_type")
   }
 
   private val q68Sql =
     """SELECT event_type, round(exact_p50, 6) AS exact_p50,
-      |  round(exact_p90, 6) AS exact_p90
+      |  round(exact_p90, 6) AS exact_p90,
+      |  (abs(a50 - exact_p50) <= exact_p50 * 0.05
+      |   AND abs(a90 - exact_p90) <= exact_p90 * 0.05) AS within_tol
       |FROM (
       |  SELECT event_type,
       |    quantile_cont(value, 0.5) AS exact_p50,
@@ -414,8 +422,6 @@ object Extended {
       |    approx_quantile(value, 0.5) AS a50,
       |    approx_quantile(value, 0.9) AS a90
       |  FROM events GROUP BY event_type)
-      |WHERE abs(a50 - exact_p50) > exact_p50 * 0.05
-      |   OR abs(a90 - exact_p90) > exact_p90 * 0.05
       |ORDER BY event_type""".stripMargin
 
   /** q49: PII anonymization — the release-a-dataset operator chain:
