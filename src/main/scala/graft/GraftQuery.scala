@@ -28,6 +28,7 @@ object Registry {
       graft.operators.TextAnalysis.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.Extended.queries ++
+      graft.operators.Analytics.queries ++
       graft.operators.Sketches.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++

@@ -755,5 +755,100 @@ object Similarity {
       q53AnnRecall, Some(q53Sql)),
     GraftQuery("q54_ivf_multiprobe", Seq("EXT-similarity"),
       "IVF multiprobe (top-2 cells, disjoint centroids) near-dup pairs",
-      q54IvfMultiprobe, Some(q54Sql)))
+      q54IvfMultiprobe, Some(q54Sql)),
+    GraftQuery("q91_kmeans_assign", Seq("EXT-similarity", "EXT-graph"),
+      "2-iteration Lloyd k-means (k=5, exact-integer centroid means)",
+      q91KmeansAssign, Some(q91Sql)))
+
+  private val KmK = 5 // seeds: vec_id 0,100,200,300,400
+  private val KmDim = 64
+  /** Centroid means are computed in EXACT integer arithmetic —
+    * floor(x·1e6) summed as BIGINT, one final double divide — so both
+    * engines derive bit-identical centroids with no float-summation-order
+    * dependence (the [[graft.functions.Fns.exactSum2]] decimal trick,
+    * integer-quantized because embedding components need 6 fractional
+    * digits, not 2). Given identical centroids, the sequential-fold dot
+    * products are IEEE-identical too, and round-6 distances hash-match.
+    */
+  private val KmQuant = 1e6
+
+  /** q91: k-means cluster assignment — 2 deterministic Lloyd iterations
+    * from fixed seeds (the real thing behind q45/q54's "at production
+    * scale the seeds would come from k-means"). Each iteration is the
+    * canonical distributed shape: broadcast the k centroids, one n·k
+    * scoring pass in the scan projection (argmin via window over k rows
+    * per vector), then a (cluster, dim)-keyed mean — the only shuffles
+    * carry k·dim partial sums, never the vectors. At 100 TB this is
+    * mini-batch-able per partition; the plan shape is unchanged.
+    */
+  def q91KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v")).persist()
+    val seeds = e.filter($"vec_id" % 100 === 0 && $"vec_id" < KmK * 100)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+
+    def dist2(v: Column, cv: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)
+      e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"v", $"cid", round(dist2($"v", $"cv"), 6).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cid", $"d2")
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select($"cid", posexplode($"v"))
+        .groupBy($"cid", $"pos")
+        .agg((sum(floor($"col" * KmQuant).cast("long")).cast("double") /
+          (count(lit(1)) * KmQuant)).as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x("m")).as("cv"))
+
+    val it1 = assign(seeds)
+    val it2 = assign(update(it1))
+    val finalAssign = assign(update(it2))
+    finalAssign
+      .select($"vec_id", $"cid".as("cluster"), $"d2".as("dist2"))
+      .orderBy($"vec_id")
+  }
+
+  private val q91Sql = {
+    def assignSql(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      round(list_dot_product(e.v, e.v)
+         |        - 2.0 * list_dot_product(e.v, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6) AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_dot_product(e.v, e.v)
+         |          - 2.0 * list_dot_product(e.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def updateSql(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT a.cid, dims.i,
+         |      CAST(sum(CAST(floor(e.v[dims.i] * ${KmQuant.toLong}) AS BIGINT))
+         |        AS DOUBLE) / (count(*) * ${KmQuant.toLong}) AS m
+         |    FROM $assigned a JOIN e ON e.vec_id = a.vec_id
+         |    CROSS JOIN dims
+         |    GROUP BY a.cid, dims.i)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${KmDim + 1})) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       WHERE vec_id % 100 = 0 AND vec_id < ${KmK * 100}),
+       |${assignSql("c0", "a1")},
+       |${updateSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${updateSql("a2", "c2")},
+       |${assignSql("c2", "a3")}
+       |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a3
+       |ORDER BY vec_id""".stripMargin
+  }
 }

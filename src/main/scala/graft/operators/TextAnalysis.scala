@@ -789,7 +789,78 @@ object TextAnalysis {
       |FROM a
       |ORDER BY lang""".stripMargin
 
+  /** q88: bigram language-model scoring (CCNet-style perplexity
+    * filtering): train an add-one-smoothed bigram LM on the corpus
+    * itself, score every document by its mean negative log-likelihood
+    * per bigram, and flag the worst decile — the classic
+    * "perplexity against an in-domain LM" quality gate. The LM is two
+    * broadcast-sized count tables (the vocabulary is bounded even when
+    * the corpus is not — exactly why this scales to 100 TB: the n·tokens
+    * scoring pass joins against broadcast counts, no shuffle of the
+    * corpus itself beyond the per-doc agg). Bigrams are built in-array
+    * with zip_with (one pass, codegen) before the explode. The mean NLL
+    * is rounded to 6 digits before the decile window so cross-engine
+    * float-sum drift (~1e-13 on a ~1-5 nat value) cannot flip ordering.
+    */
+  def q88BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents").select($"doc_id", split($"text", " ").as("t"))
+    val uni = toks.select(explode($"t").as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = toks.select($"doc_id",
+        explode(zip_with(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(($"c2" + 1).cast("double") / ($"c1" + $"v"))), 6)
+          .as("nll_per_bigram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"nll_per_bigram".desc, $"doc_id".asc)
+    scored
+      .withColumn("decile", ntile(10).over(w))
+      .select($"doc_id", $"n_bigrams", $"nll_per_bigram",
+        ($"decile" === 1).as("flag_high_ppl"))
+      .orderBy($"doc_id")
+  }
+
+  private val q88Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+      |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bgs AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM toks),
+      |bg AS (SELECT doc_id, struct_extract(b, 'w1') AS w1,
+      |         struct_extract(b, 'w2') AS w2 FROM bgs),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(-ln((c2.c2 + 1) / CAST(uni.c1 + v.v AS DOUBLE))), 6)
+      |      AS nll_per_bigram
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, nll_per_bigram,
+      |  ntile(10) OVER (ORDER BY nll_per_bigram DESC, doc_id ASC) = 1
+      |    AS flag_high_ppl
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q88_bigram_lm", Seq("EXT-text", "EXT-approx"),
+      "add-one bigram LM perplexity scoring; worst-decile flag",
+      q88BigramLm, Some(q88Sql)),
     GraftQuery("q84_zipf_profile", Seq("EXT-text", "A2"),
       "per-language Zipf slope (decimal-reduced log-log least squares)",
       q84ZipfProfile, Some(q84Sql)),

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-4 analytic operators (q87-q91) —
+  * properties the oracle hash-compare cannot establish (both engines
+  * could be wrong the same way).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q87: offset-0 retention is exactly 1.0 and active never exceeds cohort") {
+    val rows = operators.Analytics.q87CohortRetention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (offset, size, active, ret) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(active <= size, s"active $active > cohort $size")
+      if (offset == 0) assert(ret == 1.0,
+        s"cohort ${r.getString(0)}: offset-0 retention $ret != 1.0")
+    }
+    // retention must not be vacuously 1.0 everywhere: some cohort loses users
+    assert(rows.exists(r => r.getInt(1) > 0 && r.getDouble(4) < 1.0))
+  }
+
+  test("q88: worst-decile flag marks ~10% of docs, scores positive") {
+    val rows = operators.TextAnalysis.q88BigramLm(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val flagged = rows.count(_.getBoolean(3))
+    val frac = flagged.toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.15, s"flagged fraction $frac")
+    assert(rows.forall(_.getDouble(2) > 0.0))
+    // flagged docs must be exactly the top-NLL tail
+    val minFlagged = rows.filter(_.getBoolean(3)).map(_.getDouble(2)).min
+    val maxClean = rows.filterNot(_.getBoolean(3)).map(_.getDouble(2)).max
+    assert(minFlagged >= maxClean,
+      s"flag is not a clean tail: minFlagged=$minFlagged maxClean=$maxClean")
+  }
+
+  test("q89: pageranks are positive, sorted, and mass-bounded") {
+    val rows = operators.Analytics.q89PageRank(spark, dir).collect()
+    assert(rows.length == 20)
+    val prs = rows.map(_.getDouble(2))
+    assert(prs.forall(_ > 0.0))
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b }, "not sorted")
+    assert(prs.sum < 1.0, "top-20 mass exceeds total rank mass")
+  }
+
+  test("q90: exactly 20 winners with ascending positive priorities") {
+    val rows = operators.Analytics.q90WeightedSample(spark, dir).collect()
+    assert(rows.length == 20)
+    val pr = rows.map(_.getDouble(3))
+    assert(pr.forall(_ > 0.0))
+    assert(pr.zip(pr.tail).forall { case (a, b) => a <= b }, "not ascending")
+  }
+
+  test("q91: every vector assigned to a seed-derived cluster; Lloyd step helps") {
+    import spark.implicits._
+    val out = operators.Similarity.q91KmeansAssign(spark, dir)
+    val n = Tables.load(spark, dir, "embeddings").count()
+    val rows = out.collect()
+    assert(rows.length == n, "every vector must be assigned exactly once")
+    val clusters = rows.map(_.getLong(1)).toSet
+    assert(clusters.subsetOf(Set(0L, 100L, 200L, 300L, 400L)))
+    assert(clusters.size > 1, "degenerate single-cluster assignment")
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+  }
+}

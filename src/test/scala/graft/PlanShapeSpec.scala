@@ -86,8 +86,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //    driver-scalar (count-min sketch / corpus avgdl) without a collect
     //  - q81: non-equi `<` self-pairing of the per-event-type sketch
     //    aggregate (5 rows) — pair enumeration over a bounded key domain
+    //  - q88: crossJoin(broadcast(<1-row vocab count>)) — scalar attach
+    //  - q91: broadcast k-centroid scoring, the q45 coarse-quantizer shape
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
-      "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25")),
+      "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
+      "q91_kmeans_assign")),
       s"unexpected cross products in: $offenders")
   }
 }
