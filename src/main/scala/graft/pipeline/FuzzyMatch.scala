@@ -29,12 +29,18 @@ object FuzzyMatch {
     Seq("incorporated", "corporation", "company", "holdings", "group",
       "inc", "corp", "co", "ltd", "plc", "llc")
 
-  /** Lowercase, strip legal suffixes and every non-alphanumeric. */
+  /** Lowercase, strip legal suffixes and every non-alphanumeric. One
+    * alternation pass, not 11 chained regexp_replace: suffix removals
+    * only ever delete whole words (boundaries intact, spaces remain), so
+    * a single left-to-right alternation — alternatives tried in the same
+    * order — produces the identical string 6x cheaper, which matters
+    * because Catalyst's projection collapse re-inlines this expression
+    * into every consumer (the empty-name filter AND the trigram builder).
+    */
   def normalizeName(c: Column): Column = {
-    val lowered = lower(c)
-    val noSuffix = Suffixes.foldLeft(lowered)((col, s) =>
-      regexp_replace(col, s"\\b$s\\b", ""))
-    regexp_replace(noSuffix, "[^a-z0-9]", "")
+    val alt = Suffixes.mkString("|")
+    regexp_replace(
+      regexp_replace(lower(c), s"\\b($alt)\\b", ""), "[^a-z0-9]", "")
   }
 
   /** Character trigrams of the normalized name, padded so 1–2 char names
@@ -76,10 +82,13 @@ object FuzzyMatch {
         array_distinct(nameTrigrams(col(rightName))).as("grams"))
       .filter(size(col("grams")) > 0).distinct()
 
+    // lg/rg each feed BOTH the stop-gram frequency build and the
+    // candidate join — persist so the normalize→trigram→explode chain
+    // (the dominant per-row cost) runs once per row, not twice
     val lg = l.select(col("l_name"), size(col("grams")).as("nl"),
-      explode(col("grams")).as("g"))
+      explode(col("grams")).as("g")).persist()
     val rg = r.select(col("r_name"), size(col("grams")).as("nr"),
-      explode(col("grams")).as("g"))
+      explode(col("grams")).as("g")).persist()
     val freq = lg.select(col("g")).unionAll(rg.select(col("g")))
       .groupBy(col("g")).count().filter(col("count") <= maxGramFreq)
       .select(col("g"))
@@ -120,9 +129,8 @@ object FuzzyMatch {
 
   /** DuckDB rendition of [[normalizeName]] over SQL expression `c`. */
   private def normSql(c: String): String = {
-    val noSuffix = Suffixes.foldLeft(s"lower($c)")((acc, suf) =>
-      s"regexp_replace($acc, '\\b$suf\\b', '', 'g')")
-    s"regexp_replace($noSuffix, '[^a-z0-9]', '', 'g')"
+    val alt = Suffixes.mkString("|")
+    s"regexp_replace(regexp_replace(lower($c), '\\b($alt)\\b', '', 'g'), '[^a-z0-9]', '', 'g')"
   }
 
   /** DuckDB rendition of [[nameTrigrams]] + array_distinct over `c`. */
