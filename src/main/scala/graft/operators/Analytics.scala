@@ -178,10 +178,163 @@ object Analytics {
       |WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  /** q92: edit-distance scoring of the q56 corruption classes — the
+    * string-metric complement to trigram Jaccard: Levenshtein is exact
+    * integer DP (no float, no libm), computed per candidate pair in the
+    * scan projection. The pairs come from the variant CONSTRUCTION
+    * (each name scored against its own three corruptions), which is the
+    * honest unit-cost frame: a production matcher runs edit distance on
+    * blocked candidate pairs, never all-pairs. Per-class aggregates show
+    * the discrimination: decoration costs ~9 edits but high normalized
+    * similarity, swaps cost more than typos.
+    */
+  def q92EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = t(s, dir, "part").select($"p_name").distinct()
+    val pairs = names
+      .select($"p_name", lit("decorated").as("variant_class"),
+        concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
+      .unionByName(names.select($"p_name", lit("typo").as("variant_class"),
+        expr("substring(p_name, 2)").as("v")))
+      .unionByName(names.select($"p_name", lit("word_swap").as("variant_class"),
+        concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
+    pairs
+      .select($"variant_class",
+        levenshtein($"p_name", $"v").as("lev"),
+        (lit(1.0) - levenshtein($"p_name", $"v").cast("double") /
+          greatest(length($"p_name"), length($"v"))).as("sim"))
+      .groupBy($"variant_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"lev"), 6).as("avg_lev"),
+        round(avg($"sim"), 6).as("avg_sim"),
+        round(avg(when($"sim" >= 0.7, 1.0).otherwise(0.0)), 6).as("match_rate"))
+      .orderBy($"variant_class")
+  }
+
+  private val q92Sql =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |pairs AS (
+      |  SELECT p_name, 'decorated' AS variant_class,
+      |    'The ' || p_name || ' Inc.' AS v FROM names
+      |  UNION ALL
+      |  SELECT p_name, 'typo', substring(p_name, 2) FROM names
+      |  UNION ALL
+      |  SELECT p_name, 'word_swap',
+      |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |  FROM names),
+      |scored AS (
+      |  SELECT variant_class, levenshtein(p_name, v) AS lev,
+      |    1.0 - CAST(levenshtein(p_name, v) AS DOUBLE) /
+      |      greatest(length(p_name), length(v)) AS sim
+      |  FROM pairs)
+      |SELECT variant_class, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(avg(lev), 6) AS avg_lev,
+      |  round(avg(sim), 6) AS avg_sim,
+      |  round(avg(CASE WHEN sim >= 0.7 THEN 1.0 ELSE 0.0 END), 6) AS match_rate
+      |FROM scored
+      |GROUP BY variant_class
+      |ORDER BY variant_class""".stripMargin
+
+  /** q93: date-spine gap fill — time-series completeness over an hourly
+    * spine derived from the data's own bounds (1-row agg, no driver
+    * collect), left-joined with the observed hourly counts of a sparse
+    * slice (high-value purchases) so missing hours materialize as
+    * explicit zero rows. The standard warehouse "calendar dimension"
+    * pattern: at 100 TB the spine is still tiny (hours, not events) and
+    * the join broadcasts the spine, so gap detection costs one scan +
+    * one broadcast join regardless of corpus size.
+    */
+  def q93HourlyGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type", $"value")
+    val spine = ev.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("h"))
+    val counts = ev
+      .filter($"event_type" === "purchase" && $"value" > 150)
+      .groupBy($"h").agg(count(lit(1)).as("n_events"))
+    spine.join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .select(date_format($"h", "yyyy-MM-dd HH:00").as("hour"),
+        $"n_events", ($"n_events" === 0).as("is_gap"))
+      .orderBy($"hour")
+  }
+
+  private val q93Sql =
+    """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value
+      |            FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM ev),
+      |counts AS (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM ev WHERE event_type = 'purchase' AND value > 150
+      |  GROUP BY h)
+      |SELECT strftime(spine.h, '%Y-%m-%d %H:00') AS hour,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  COALESCE(n_events, 0) = 0 AS is_gap
+      |FROM spine LEFT JOIN counts USING (h)
+      |ORDER BY hour""".stripMargin
+
+  private val MergeCutoff = "1998-01-01"
+
+  /** q94: incremental aggregate-state maintenance — the aggregate-level
+    * companion to q47's row-level CDC: a running per-key state table
+    * (count + exact-decimal sum) built from the history batch is MERGED
+    * with the partial aggregate of a new batch (full-outer join, state
+    * addition), and the result must equal a from-scratch recompute —
+    * which is exactly what the oracle does, so the gate verifies the
+    * merge ALGEBRA, not just the arithmetic. This is how a 100 TB
+    * pipeline maintains aggregates: shuffle the new day's partials,
+    * never re-scan history. Totals ride the exactSum2 decimal trick so
+    * partial-merge order can't change a cent.
+    */
+  def q94AggStateMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Fns.exactSum2
+    val orders = t(s, dir, "orders")
+    def state(df: DataFrame): DataFrame = df
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"), exactSum2($"o_totalprice").as("tot"))
+    val hist = state(orders
+      .filter($"o_orderdate" < lit(MergeCutoff).cast("timestamp")))
+      .select($"o_custkey", $"cnt".as("cnt1"), $"tot".as("tot1"))
+    val batch = state(orders
+      .filter($"o_orderdate" >= lit(MergeCutoff).cast("timestamp")))
+      .select($"o_custkey", $"cnt".as("cnt2"), $"tot".as("tot2"))
+    hist.join(batch, Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        (coalesce($"cnt1", lit(0L)) + coalesce($"cnt2", lit(0L))).as("n_orders"),
+        round(coalesce($"tot1", lit(0.0)) + coalesce($"tot2", lit(0.0)), 2)
+          .as("total"))
+      .select($"o_custkey", $"n_orders", $"total",
+        round($"total" / $"n_orders", 6).as("avg_order"))
+      .orderBy($"o_custkey")
+  }
+
+  private val q94Sql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS total,
+      |  round(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    / count(*), 6) AS avg_order
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q87_cohort_retention", Seq("A3", "W2", "EXT-olap"),
       "first-order-month cohort retention matrix, offsets 0-3",
       q87CohortRetention, Some(q87Sql)),
+    GraftQuery("q92_edit_distance", Seq("EXT-fuzzy"),
+      "Levenshtein scoring of the three name-corruption classes",
+      q92EditDistance, Some(q92Sql)),
+    GraftQuery("q93_hourly_gapfill", Seq("EXT-olap", "P3"),
+      "hourly date-spine gap fill over a sparse event slice",
+      q93HourlyGapfill, Some(q93Sql)),
+    GraftQuery("q94_agg_state_merge", Seq("S6", "A1", "EXT-olap"),
+      "incremental aggregate-state merge verified against full recompute",
+      q94AggStateMerge, Some(q94Sql)),
     GraftQuery("q89_pagerank", Seq("EXT-graph", "J1", "A1"),
       "3-iteration PageRank over the customer-supplier bipartite graph",
       q89PageRank, Some(q89Sql)),

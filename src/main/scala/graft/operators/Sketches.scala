@@ -149,11 +149,74 @@ object Sketches {
       |JOIN n nb ON nb.event_type = tb
       |ORDER BY ta, tb""".stripMargin
 
+  /** q95: rolling 7-day distinct users via MERGEABLE daily sketches —
+    * the time-windowed form of q81's KMV algebra, and the pattern that
+    * makes rolling distinct counts viable at 100 TB: one daily
+    * aggregation emits a k-hash sketch per day (the only thing ever
+    * stored), and every trailing window is answered by MERGING seven
+    * 512-hash arrays — never by re-scanning seven days of raw events.
+    * Exact trailing distinct (for the validation flag) comes from a
+    * 7-day event explode + count-distinct, linear not quadratic. Below
+    * saturation (n < k, the sf0.01 regime) the merged sketch is exact;
+    * above it (sf0.1: ~1,500 users) the (k-1)/u_k estimator takes over —
+    * the gate exercises the exact branch, the bench rides the estimator.
+    */
+  def q95RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = 1.8446744073709551616e19
+    val ev = t(s, dir, "events")
+      .select(datediff(to_date($"ts"), lit("1970-01-01").cast("date")).as("dn"),
+        $"user_id".cast("string").as("u"))
+    val daily = ev.groupBy($"dn").agg(kmv($"u", K).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"dn").rangeBetween(-6, 0)
+    val rolled = daily
+      .withColumn("merged",
+        array_sort(array_distinct(flatten(collect_list($"sk").over(w)))))
+      .withColumn("m", least(size($"merged"), lit(K)))
+      .withColumn("msk", slice($"merged", 1, K))
+      .withColumn("est",
+        when(size($"merged") < K, size($"merged").cast("double"))
+          .otherwise(lit(K - 1.0) /
+            ((element_at($"msk", K).cast("double") + 9.223372036854775808e18)
+              / norm)))
+      .select($"dn", $"est")
+    val exact = ev
+      .select(explode(sequence($"dn", $"dn" + 6)).as("wdn"), $"u")
+      .groupBy($"wdn").agg(count_distinct($"u").as("exact_7d"))
+    rolled.join(exact, rolled("dn") === exact("wdn"))
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), $"dn"),
+          "yyyy-MM-dd").as("day"),
+        $"exact_7d",
+        (abs($"est" - $"exact_7d") <= $"exact_7d" * 0.12).as("ok_7d"))
+      .orderBy($"day")
+  }
+
+  private val q95Sql =
+    """WITH ev AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+      |    CAST(user_id AS VARCHAR) AS u
+      |  FROM events),
+      |days AS (SELECT DISTINCT dn FROM ev),
+      |exact AS (
+      |  SELECT wdn, CAST(count(DISTINCT u) AS BIGINT) AS exact_7d
+      |  FROM (SELECT unnest(range(dn, dn + 7)) AS wdn, u FROM ev)
+      |  GROUP BY wdn)
+      |SELECT strftime(DATE '1970-01-01' + INTERVAL (d.dn) DAY, '%Y-%m-%d')
+      |    AS day,
+      |  exact_7d, true AS ok_7d
+      |FROM days d JOIN exact ON exact.wdn = d.dn
+      |ORDER BY day""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_countmin_freq", Seq("EXT-approx", "A2"),
       "count-min point-frequency estimates vs exact on the heavy keys",
       q80CountMinFreq, Some(q80Sql)),
     GraftQuery("q81_kmv_overlap", Seq("EXT-approx", "J1"),
       "KMV distinct-set algebra: per-type audience overlap cardinalities",
-      q81KmvOverlap, Some(q81Sql)))
+      q81KmvOverlap, Some(q81Sql)),
+    GraftQuery("q95_rolling_distinct", Seq("EXT-approx", "EXT-olap"),
+      "rolling 7-day distinct users from merged daily KMV sketches",
+      q95RollingDistinct, Some(q95Sql)))
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic invariants of the round-4 analytic operators (q87-q91) —
@@ -53,6 +54,55 @@ class AnalyticsSpec extends AnyFunSuite {
     val pr = rows.map(_.getDouble(3))
     assert(pr.forall(_ > 0.0))
     assert(pr.zip(pr.tail).forall { case (a, b) => a <= b }, "not ascending")
+  }
+
+  test("q92: similarity orders the corruption classes typo > decorated > swap") {
+    val rows = operators.Analytics.q92EditDistance(spark, dir).collect()
+    assert(rows.length == 3)
+    val sim = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sim("typo") > sim("decorated") && sim("decorated") > sim("word_swap"),
+      s"edit distance fails to discriminate: $sim")
+    val matchRate = rows.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(matchRate("typo") > matchRate("word_swap"))
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q93: spine is contiguous-hourly and gap flags agree with counts") {
+    val rows = operators.Analytics.q93HourlyGapfill(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(1) == 0) == r.getBoolean(2), s"flag mismatch at $r")
+    }
+    // sf0.001 slice is sparse: both branches must be live
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+    // hourly spine has no holes: row count == hours between bounds + 1
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+    val first = java.time.LocalDateTime.parse(rows.head.getString(0), fmt)
+    val last = java.time.LocalDateTime.parse(rows.last.getString(0), fmt)
+    val hours = java.time.Duration.between(first, last).toHours + 1
+    assert(rows.length.toLong == hours,
+      s"spine has holes: ${rows.length} rows vs $hours hours")
+  }
+
+  test("q94: merged aggregate state equals from-scratch recompute") {
+    import spark.implicits._
+    import graft.functions.Fns.exactSum2
+    val merged = operators.Analytics.q94AggStateMerge(spark, dir)
+    val direct = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(exactSum2($"o_totalprice"), 2).as("total"))
+      .select($"o_custkey", $"n_orders", $"total",
+        round($"total" / $"n_orders", 6).as("avg_order"))
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+      "state merge diverges from recompute")
+  }
+
+  test("q95: sketch flags all true; trailing windows monotone at ramp-up") {
+    val rows = operators.Sketches.q95RollingDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "a merged sketch strayed beyond 12%")
+    assert(rows.forall(_.getLong(1) > 0))
   }
 
   test("q91: every vector assigned to a seed-derived cluster; Lloyd step helps") {
