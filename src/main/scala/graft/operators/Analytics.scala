@@ -322,10 +322,116 @@ object Analytics {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** q96: distribution-rank analytics — the full SQL ranking-function
+    * family (percent_rank, cume_dist, ntile, lag) over customer lifetime
+    * spend within market segment. Completes §2.5's window surface (the
+    * reference uses row_number only; these are the "free from Spark"
+    * analytic windows a reference user gains). The order key carries a
+    * custkey tiebreak so every rank statistic is deterministic under
+    * spend ties; one shuffle on the partition key, rank math is
+    * in-partition streaming.
+    */
+  def q96RankAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Fns.exactSum2
+    val spend = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(round(exactSum2($"o_totalprice"), 2).as("spend"))
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+      .join(spend, $"c_custkey" === $"o_custkey")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"spend".desc, $"c_custkey".asc)
+    cust.select($"c_mktsegment", $"c_custkey", $"spend",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"),
+        round(coalesce(lag($"spend", 1).over(w) - $"spend", lit(0.0)), 2)
+          .as("gap_to_prev"))
+      .orderBy($"c_mktsegment", $"pct_rank")
+  }
+
+  private val q96Sql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |      AS spend
+      |  FROM orders GROUP BY 1)
+      |SELECT c_mktsegment, c_custkey, spend,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  ntile(4) OVER w AS quartile,
+      |  round(COALESCE(lag(spend, 1) OVER w - spend, 0), 2) AS gap_to_prev
+      |FROM customer JOIN spend ON c_custkey = o_custkey
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY spend DESC, c_custkey ASC)
+      |ORDER BY c_mktsegment, pct_rank""".stripMargin
+
+  /** q97: table diff / reconciliation — the report every pipeline needs
+    * after an upsert or a backfill: which rows were added, removed, or
+    * changed between two versions of a table. v2 is derived from the
+    * customer table by deterministic arithmetic (balance bump on
+    * key%7=0, drop on key%13=0, synthetic inserts from key%11=0) so the
+    * oracle reproduces both versions; the diff itself is one
+    * co-partitioned full-outer join on the key — the row-level dual of
+    * q94's aggregate-state merge, and at 100 TB a single keyed shuffle
+    * regardless of how wide the table is (column comparison happens
+    * in-row after the match).
+    */
+  def q97TableDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = t(s, dir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+    val v2 = v1
+      .filter($"c_custkey" % 13 =!= 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 7 === 0, round($"c_acctbal" + 100.0, 2))
+          .otherwise($"c_acctbal").as("c_acctbal"))
+      .unionByName(v1.filter($"c_custkey" % 11 === 0)
+        .select(($"c_custkey" + 1000000L).as("c_custkey"), $"c_acctbal"))
+    val a = v1.select($"c_custkey", $"c_acctbal".as("old_bal"))
+    val b = v2.select($"c_custkey", $"c_acctbal".as("new_bal"))
+    a.join(b, Seq("c_custkey"), "full_outer")
+      .select($"c_custkey",
+        when($"old_bal".isNull, "added")
+          .when($"new_bal".isNull, "removed")
+          .when($"old_bal" =!= $"new_bal", "changed")
+          .otherwise("unchanged").as("change_type"),
+        $"old_bal", $"new_bal")
+      .filter($"change_type" =!= "unchanged")
+      .orderBy($"c_custkey")
+  }
+
+  private val q97Sql =
+    """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer),
+      |v2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN round(c_acctbal + 100.0, 2)
+      |         ELSE c_acctbal END AS c_acctbal
+      |  FROM v1 WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_acctbal FROM v1 WHERE c_custkey % 11 = 0),
+      |d AS (
+      |  SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+      |    CASE WHEN a.c_custkey IS NULL THEN 'added'
+      |         WHEN b.c_custkey IS NULL THEN 'removed'
+      |         WHEN a.c_acctbal <> b.c_acctbal THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type,
+      |    a.c_acctbal AS old_bal, b.c_acctbal AS new_bal
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey)
+      |SELECT c_custkey, change_type, old_bal, new_bal
+      |FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q87_cohort_retention", Seq("A3", "W2", "EXT-olap"),
       "first-order-month cohort retention matrix, offsets 0-3",
       q87CohortRetention, Some(q87Sql)),
+    GraftQuery("q96_rank_analytics", Seq("W1", "W2", "EXT-olap"),
+      "percent_rank/cume_dist/ntile/lag spend analytics per segment",
+      q96RankAnalytics, Some(q96Sql)),
+    GraftQuery("q97_table_diff", Seq("S6", "J4", "EXT-olap"),
+      "added/removed/changed reconciliation diff of two table versions",
+      q97TableDiff, Some(q97Sql)),
     GraftQuery("q92_edit_distance", Seq("EXT-fuzzy"),
       "Levenshtein scoring of the three name-corruption classes",
       q92EditDistance, Some(q92Sql)),

@@ -105,6 +105,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
   }
 
+  test("q96: rank statistics bounded and top spender leads each segment") {
+    val rows = operators.Analytics.q96RankAnalytics(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, cume, q) = (r.getDouble(3), r.getDouble(4), r.getInt(5))
+      assert(pr >= 0.0 && pr <= 1.0 && cume > 0.0 && cume <= 1.0)
+      assert(q >= 1 && q <= 4)
+    }
+    val tops = rows.filter(_.getDouble(3) == 0.0)
+    assert(tops.nonEmpty)
+    tops.foreach(r => assert(r.getDouble(6) == 0.0,
+      "segment top spender must have zero gap_to_prev"))
+  }
+
+  test("q97: diff classes match the deterministic mutation arithmetic") {
+    import spark.implicits._
+    val rows = operators.Analytics.q97TableDiff(spark, dir).collect()
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val keys = Tables.load(spark, dir, "customer")
+      .select($"c_custkey").collect().map(_.getLong(0))
+    assert(byType.getOrElse("removed", 0) == keys.count(_ % 13 == 0))
+    assert(byType.getOrElse("added", 0) == keys.count(_ % 11 == 0))
+    assert(byType.getOrElse("changed", 0) ==
+      keys.count(k => k % 7 == 0 && k % 13 != 0))
+    rows.foreach { r =>
+      r.getString(1) match {
+        case "added"   => assert(r.isNullAt(2) && !r.isNullAt(3))
+        case "removed" => assert(!r.isNullAt(2) && r.isNullAt(3))
+        case "changed" => assert(math.abs(
+          r.getDouble(3) - r.getDouble(2) - 100.0) < 1e-6)
+      }
+    }
+  }
+
   test("q91: every vector assigned to a seed-derived cluster; Lloyd step helps") {
     import spark.implicits._
     val out = operators.Similarity.q91KmeansAssign(spark, dir)
