@@ -65,8 +65,16 @@ object Bench {
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(median(v)) }
-      .mkString("{", ",", "}")
+    // Short ids ("q01") on stdout: the tail buffer is 2000 chars and sbt
+    // appends its own [success] line, so ~100 full names x ~27 chars would
+    // overflow again even without per-run arrays. Full-name medians live
+    // in the sidecar next to the per-run arrays.
+    val qs = results.map { case (k, v, _) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(median(v))
+    }.mkString("{", ",", "}")
+    val mediansFull = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + fmt(median(v))
+    }.mkString("{", ",", "}")
     val runsJson = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -79,7 +87,7 @@ object Bench {
     // null. Keep the printed line compact (medians only); the per-run
     // arrays go to a sidecar file for human inspection instead.
     val detail =
-      s"""{"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"medians":$mediansFull,"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     catch { case e: Throwable =>

@@ -29,6 +29,7 @@ object Registry {
       graft.operators.Multimodal.queries ++
       graft.operators.Extended.queries ++
       graft.operators.Analytics.queries ++
+      graft.operators.Warehouse.queries ++
       graft.operators.Sketches.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++

@@ -161,10 +161,85 @@ object AsOf {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q112: NEAREST-direction as-of — each purchase pairs with the
+    * temporally closest click of the same user in EITHER direction
+    * (pandas merge_asof direction='nearest'; q35/q79 are the backward
+    * half). Both candidates come from ONE ordered pass per user — the
+    * backward carry is last(ignoreNulls) over the preceding frame, the
+    * forward carry first(ignoreNulls) over the following frame — then a
+    * row-local argmin picks the winner (tie -> the earlier, backward
+    * click). No join at all: one shuffle on user_id, state per row is
+    * two carried candidates, so the plan survives any per-user history
+    * length. The two carried fields per direction cannot tear: they are
+    * conditioned on the same CASE row and neither is ever NULL in it.
+    * Gap arithmetic is integer MICROSECONDS (epoch_us both engines) —
+    * no float time math anywhere.
+    */
+  def q112NearestClick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type", $"ts",
+        unix_micros($"ts").as("us"))
+    val ord = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val isClick = $"event_type" === "click"
+    val enriched = ev
+      .withColumn("b_id", last(when(isClick, $"event_id"), ignoreNulls = true).over(back))
+      .withColumn("b_us", last(when(isClick, $"us"), ignoreNulls = true).over(back))
+      .withColumn("f_id", first(when(isClick, $"event_id"), ignoreNulls = true).over(fwd))
+      .withColumn("f_us", first(when(isClick, $"us"), ignoreNulls = true).over(fwd))
+      .filter($"event_type" === "purchase")
+    val useBack = $"f_id".isNull ||
+      ($"b_id".isNotNull && ($"us" - $"b_us") <= ($"f_us" - $"us"))
+    enriched.select($"event_id".as("purchase_id"), $"user_id",
+        when(useBack, $"b_id").otherwise($"f_id").as("click_id"),
+        when(useBack, $"b_us" - $"us").otherwise($"f_us" - $"us").as("gap_us"),
+        when($"b_id".isNull && $"f_id".isNull, lit(null).cast("string"))
+          .otherwise(when(useBack, lit("back")).otherwise(lit("fwd")))
+          .as("direction"))
+      .orderBy($"purchase_id")
+  }
+
+  private val q112Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |en AS (
+      |  SELECT event_id, user_id, event_type, us,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER wb AS b_id,
+      |    last_value(CASE WHEN event_type = 'click' THEN us END
+      |      IGNORE NULLS) OVER wb AS b_us,
+      |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER wf AS f_id,
+      |    first_value(CASE WHEN event_type = 'click' THEN us END
+      |      IGNORE NULLS) OVER wf AS f_us
+      |  FROM ev
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  wf AS (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |p AS (
+      |  SELECT *, (f_id IS NULL OR (b_id IS NOT NULL
+      |    AND (us - b_us) <= (f_us - us))) AS use_back
+      |  FROM en WHERE event_type = 'purchase')
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN use_back THEN b_id ELSE f_id END AS click_id,
+      |  CASE WHEN use_back THEN b_us - us ELSE f_us - us END AS gap_us,
+      |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+      |       WHEN use_back THEN 'back' ELSE 'fwd' END AS direction
+      |FROM p
+      |ORDER BY purchase_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q35_asof_join", Seq("EXT-asof"),
       "point-in-time as-of left join (union + window carry-forward)",
       q35AsOfJoin, Some(q35Sql)),
     GraftQuery("q36_range_join", Seq("EXT-range"),
-      "interval range join via time-binned equi-join", q36RangeJoin, Some(q36Sql)))
+      "interval range join via time-binned equi-join", q36RangeJoin, Some(q36Sql)),
+    GraftQuery("q112_nearest_asof", Seq("EXT-asof", "W1", "W2"),
+      "nearest-direction as-of match (bidirectional carry + local argmin)",
+      q112NearestClick, Some(q112Sql)))
 }

@@ -553,7 +553,114 @@ object Dedup {
       |FROM inc
       |ORDER BY new_doc, dup_of""".stripMargin
 
+  private val BlockLen = 16
+
+  /** q99: block-level exact-substring dedup with a GLOBAL keep-first
+    * policy (the Lee et al. 2021 "Deduplicating Training Data" ExactSubstr
+    * pass, at fixed 16-word block granularity so the match set is
+    * SQL-auditable): every 16-word block hashes once in the scan
+    * projection; the first occurrence corpus-wide — ordered by (doc_id,
+    * block position), an engine-independent total order — survives, and
+    * later occurrences are marked for removal. Per document the pass
+    * reports how much of it is someone else's text. One shuffle on the
+    * block key, one window inside it, one re-group by doc: the shape any
+    * 100-TB corpus pays for span-level dedup (the window's per-key group
+    * is occurrence-count-sized — boilerplate-hot keys are exactly the
+    * point, and a count-based partial pre-agg would bound them).
+    */
+  def q99BlockDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocks = tSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0), size($"toks") - 1, lit(BlockLen))).as("st"))
+      .select($"doc_id", ($"st" / BlockLen).cast("long").as("block_idx"),
+        array_join(slice($"toks", $"st" + 1, lit(BlockLen)), " ").as("block"))
+    val w = Window.partitionBy($"block").orderBy($"doc_id".asc, $"block_idx".asc)
+    blocks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"keep", 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(
+          sort_array(collect_list(when($"keep",
+            format_string("%09d", $"block_idx")))), "|")).as("kept_idx_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val q99Sql =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(st / 16 AS BIGINT) AS block_idx,
+      |    array_to_string(list_slice(toks, st + 1, st + 16), ' ') AS block
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+      |          unnest(generate_series(0, len(string_split(text, ' ')) - 1, 16))
+      |            AS st
+      |        FROM documents)),
+      |k AS (
+      |  SELECT doc_id, block_idx,
+      |    row_number() OVER (PARTITION BY block
+      |      ORDER BY doc_id, block_idx) = 1 AS keep
+      |  FROM b)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  md5(coalesce(array_to_string(list_sort(
+      |    list(printf('%09d', block_idx)) FILTER (WHERE keep)), '|'), ''))
+      |    AS kept_idx_hash
+      |FROM k
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  private val SpanLen = 8
+
+  /** q103: cross-document repeated-span finder — every overlapping
+    * 8-word span that occurs in >= 2 DISTINCT documents, with its doc
+    * and occurrence counts: the audit view behind q99's removal policy
+    * (q99 answers "how much of each doc is duplicated"; this answers
+    * "WHICH text is duplicated, and how hot is it" — the
+    * boilerplate-template report every corpus curation run reads).
+    * Spans group by their literal text at this scale so the output is
+    * human-readable; at 100 TB the group key becomes the span hash
+    * (collision-negligible) and the text a `min(span)` exemplar —
+    * byte-identical plan shape, one shuffle either way.
+    */
+  def q103SharedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= SpanLen)
+      .select($"doc_id",
+        explode(sequence(lit(0), size($"toks") - SpanLen)).as("st"), $"toks")
+      .select($"doc_id",
+        array_join(slice($"toks", $"st" + 1, lit(SpanLen)), " ").as("span"))
+      .groupBy($"span")
+      .agg(count_distinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"n_occ".desc, $"span".asc)
+  }
+
+  private val q103Sql =
+    """WITH sp AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS span
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(generate_series(0, len(toks) - 8)) AS st
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |              FROM documents)
+      |        WHERE len(toks) >= 8))
+      |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_occ
+      |FROM sp
+      |GROUP BY span
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_occ DESC, span ASC""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q99_block_dedup", Seq("EXT-dedup", "W1"),
+      "block-level exact-substring dedup, global keep-first policy",
+      q99BlockDedup, Some(q99Sql)),
+    GraftQuery("q103_shared_spans", Seq("EXT-dedup", "A2"),
+      "cross-document repeated 8-gram span audit (boilerplate report)",
+      q103SharedSpans, Some(q103Sql)),
     GraftQuery("q76_incremental_dedup", Seq("EXT-dedup", "S6"),
       "incremental re-crawl dedup: delta bands probe the base index only",
       q76IncrementalDedup, Some(q76Sql)),

@@ -157,11 +157,96 @@ object Retrieval {
       |FROM ch
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  private val RrfK = 60
+
+  /** q98: hybrid retrieval via reciprocal-rank fusion (Cormack et al.'s
+    * RRF, k=60) of the lexical and dense rankers: BM25 ranks (q82) fuse
+    * with a dense cosine ranking whose query vector is the embedding of
+    * each query's BM25 rank-1 document — pseudo-relevance feedback, so
+    * the dense leg needs no external query embedding and the whole
+    * hybrid stays oracle-checkable. RRF scores depend only on integer
+    * ranks (1/(k+r) — no score-scale calibration between the two
+    * systems, which is exactly why RRF is the production default), so
+    * determinism is free; the fused rank re-ties on doc_id. Plan: the
+    * dense leg is |queries| x |corpus| scored against 3 broadcast query
+    * vectors — the brute-force shape q22 establishes, with the IVF/LSH
+    * routes (q45/q29) as the corpus-scale swap-in; the fusion itself is
+    * a full outer join of two 10-row-per-query rankings — driver-trivial
+    * at any corpus size.
+    */
+  def q98RrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bm = q82Bm25(s, dir)
+      .select($"qid", $"doc_id", $"rank".as("rank_bm"))
+      .persist()
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val dot = graft.functions.NativeExpressions.dotProduct _
+    val seeds = bm.filter($"rank_bm" === 1)
+      .join(e, $"doc_id" === $"vec_id")
+      .select($"qid", $"v".as("qv"))
+    val wD = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"doc_id".asc)
+    val dense = broadcast(seeds).crossJoin(e)
+      .select($"qid", $"vec_id".as("doc_id"),
+        round(dot($"qv", $"v") /
+          (sqrt(dot($"qv", $"qv")) * sqrt(dot($"v", $"v"))), 6).as("cos_sim"))
+      .withColumn("rank_d", row_number().over(wD))
+      .filter($"rank_d" <= 10)
+      .select($"qid", $"doc_id", $"rank_d")
+    val wR = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id".asc)
+    val out = bm.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select($"qid", $"doc_id",
+        round(
+          coalesce(lit(1.0) / ($"rank_bm" + RrfK), lit(0.0)) +
+            coalesce(lit(1.0) / ($"rank_d" + RrfK), lit(0.0)), 6).as("rrf"),
+        $"rank_bm", $"rank_d")
+      .withColumn("rank", row_number().over(wR))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"doc_id", $"rrf", $"rank_bm", $"rank_d")
+      .orderBy($"qid", $"rank")
+    out
+  }
+
+  private val q98Sql =
+    s"""WITH bm0 AS (SELECT * FROM ($q82Sql)),
+      |bm AS (SELECT qid, doc_id, rank AS rank_bm FROM bm0),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT qid, v AS qv FROM bm JOIN e ON doc_id = vec_id
+      |  WHERE rank_bm = 1),
+      |dense AS (
+      |  SELECT qid, doc_id, rank_d FROM (
+      |    SELECT qid, vec_id AS doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        round(list_dot_product(qv, v) /
+      |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+      |          6) DESC, vec_id ASC) AS rank_d
+      |    FROM seeds CROSS JOIN e)
+      |  WHERE rank_d <= 10),
+      |fused AS (
+      |  SELECT coalesce(bm.qid, dense.qid) AS qid,
+      |    coalesce(bm.doc_id, dense.doc_id) AS doc_id,
+      |    round(coalesce(1e0 / (rank_bm + $RrfK), 0e0) +
+      |      coalesce(1e0 / (rank_d + $RrfK), 0e0), 6) AS rrf,
+      |    rank_bm, rank_d
+      |  FROM bm FULL OUTER JOIN dense
+      |    ON bm.qid = dense.qid AND bm.doc_id = dense.doc_id)
+      |SELECT qid, rank, doc_id, rrf, rank_bm, rank_d
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY rrf DESC, doc_id ASC) AS rank
+      |      FROM fused)
+      |WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q82_bm25", Seq("EXT-text", "A2", "J1"),
       "BM25 top-10 docs per query (k1=1.2, b=0.75), decimal-reduced",
       q82Bm25, Some(q82Sql)),
     GraftQuery("q83_chunk_docs", Seq("EXT-text", "J2"),
       "fixed-stride overlapping context chunking with content hashes",
-      q83ChunkDocs, Some(q83Sql)))
+      q83ChunkDocs, Some(q83Sql)),
+    GraftQuery("q98_rrf_hybrid", Seq("EXT-text", "EXT-similarity", "J1", "W2"),
+      "reciprocal-rank fusion of BM25 and PRF-seeded dense retrieval",
+      q98RrfHybrid, Some(q98Sql)))
 }

@@ -1,0 +1,646 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, Tables}
+
+/** Round-4 warehouse operator families: the ops-and-analytics passes a
+  * production warehouse runs beside the reference's ingestion DAG
+  * (reference: dags/firmographics_ingestion.py orchestrates models; the
+  * questions below are what its consumers ask of the loaded tables).
+  * Each query keeps the determinism discipline of the registry: exact
+  * DECIMAL reduction wherever a float sum feeds a comparison or rank,
+  * rounding BEFORE any rank/cut, and explicit tiebreaks.
+  */
+object Warehouse {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q100: dynamic column profiling — the "data card" every table needs
+    * before a training run reads it: per column null count, exact
+    * distinct count, and type-aware formatted min/max. The profile is
+    * built PROGRAMMATICALLY from the schema (no per-table hand-written
+    * SQL): one aggregation pass computes 4 stats x N columns, then a
+    * single `stack` unpivots the 1-row result — so profiling a 100-TB
+    * table costs one scan + one expand for the distincts (at corpus
+    * scale the exact count_distinct swaps for approx_count_distinct,
+    * the trade q32 validates). Formatting parity: doubles print via
+    * DECIMAL(18,2) (both engines render "36453.47"), timestamps via a
+    * fixed pattern — never raw double->string, whose scientific-notation
+    * cutoffs differ across engines.
+    */
+  def q100ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def fmt(name: String, dt: DataType, agg: Column => Column): Column = dt match {
+      case TimestampType =>
+        date_format(agg(col(name)), "yyyy-MM-dd HH:mm:ss")
+      case DoubleType =>
+        agg(col(name)).cast(DecimalType(18, 2)).cast("string")
+      case _ => agg(col(name)).cast("string")
+    }
+    val aggs: Seq[Column] = o.schema.fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nn_${f.name}"),
+        count_distinct(col(f.name)).as(s"nd_${f.name}"),
+        fmt(f.name, f.dataType, min).as(s"mn_${f.name}"),
+        fmt(f.name, f.dataType, max).as(s"mx_${f.name}"))
+    }.toSeq
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = o.schema.fields
+      .map(f => s"'${f.name}', nn_${f.name}, nd_${f.name}, mn_${f.name}, mx_${f.name}")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${o.schema.fields.length}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
+      .orderBy("col_name")
+  }
+
+  private val q100Sql = {
+    val cols = Seq(
+      ("o_orderkey", "CAST(%s AS VARCHAR)"),
+      ("o_custkey", "CAST(%s AS VARCHAR)"),
+      ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+      ("o_totalprice", "CAST(CAST(%s AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("o_orderdate", "strftime(%s, '%%Y-%%m-%%d %%H:%%M:%%S')"),
+      ("o_orderpriority", "CAST(%s AS VARCHAR)"))
+    cols.map { case (c, f) =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  ${f.format(s"min($c)")} AS min_v,
+         |  ${f.format(s"max($c)")} AS max_v
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  private val KnnK = 3
+
+  /** q102: triangle census of the k-NN-sparsified co-supply graph —
+    * nodes are suppliers; each keeps an edge only to its top-3 partners
+    * by shared-order support (ties on partner id). Raw co-occurrence
+    * graphs saturate — at sf0.01 every supplier pair shares >= 2 orders,
+    * a complete graph whose triangle count is just C(n,3) — so the
+    * sparsification IS the operator: top-k-per-node bounds degree (and
+    * therefore all downstream wedge/triangle work) by a constant at ANY
+    * corpus scale, the same device ANN graphs (HNSW neighbor lists) use.
+    * Triangles then enumerate in canonical orientation a < b < c via
+    * edge-edge-edge join — each counted once, no /6 correction — and the
+    * global clustering coefficient 3*tri/wedges falls out of integer
+    * arithmetic. The only unbounded stage left is the pair-support
+    * aggregation, one shuffle keyed on the pair — linear in lineitem.
+    */
+  def q102Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val pairs = base.as("a").join(base.as("b"), Seq("ok"))
+      .filter($"a.sk" =!= $"b.sk")
+      .select($"a.sk".as("src"), $"b.sk".as("dst"))
+    val support = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("support"))
+    val wK = Window.partitionBy($"src")
+      .orderBy($"support".desc, $"dst".asc)
+    val picked = support.withColumn("rn", row_number().over(wK))
+      .filter($"rn" <= KnnK)
+      .select(least($"src", $"dst").as("sa"), greatest($"src", $"dst").as("sb"))
+    val edges = picked.distinct().persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.sb" === $"e2.sa")
+      .select($"e1.sa".as("x"), $"e1.sb".as("y"), $"e2.sb".as("z"))
+      .join(edges.as("e3"), $"x" === $"e3.sa" && $"z" === $"e3.sb")
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select($"sa".as("n")).union(edges.select($"sb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      .agg(sum(($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    // edges stays persisted across its three consumers; release is the
+    // caller's clearCache (the Bench/Verify isolation contract).
+    tri.crossJoin(deg).crossJoin(nEdges)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / $"n_wedges", 6).as("clustering"))
+  }
+
+  private val q102Sql =
+    """WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |              FROM lineitem),
+      |sup AS (
+      |  SELECT a.sk AS src, b.sk AS dst, count(*) AS support
+      |  FROM base a JOIN base b ON a.ok = b.ok AND a.sk <> b.sk
+      |  GROUP BY a.sk, b.sk),
+      |pick AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY support DESC, dst ASC) AS rn
+      |    FROM sup)
+      |  WHERE rn <= 3),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS sa, greatest(src, dst) AS sb
+      |  FROM pick),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM e e1
+      |  JOIN e e2 ON e1.sb = e2.sa
+      |  JOIN e e3 ON e1.sa = e3.sa AND e2.sb = e3.sb),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT sa AS n FROM e UNION ALL SELECT sb AS n FROM e)
+      |  GROUP BY n),
+      |w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+      |        CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  round(3e0 * n_triangles / n_wedges, 6) AS clustering
+      |FROM tri CROSS JOIN w CROSS JOIN ne""".stripMargin
+
+  /** q104: gaps-and-islands — merge each customer's overlapping order
+    * activity windows ([orderdate, orderdate+30d)) into maximal covered
+    * intervals. The classic warehouse sessionization-over-intervals
+    * shape (q14 sessionizes point events; this merges SPANS): running
+    * `max(end)` over the start-ordered history detects island breaks,
+    * a running sum of break flags numbers the islands, two keyed
+    * aggregations collapse them. Every window and shuffle keys on
+    * o_custkey — one partitioning reused end-to-end, no join at all.
+    */
+  def q104IntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = t(s, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("st"))
+      .withColumn("en", date_add($"st", 30))
+    val byStart = Window.partitionBy($"o_custkey")
+      .orderBy($"st".asc, $"en".asc)
+    val prevEnd = max($"en").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = iv
+      .withColumn("brk", when(prevEnd.isNull || $"st" > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy($"o_custkey", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"), count(lit(1)).as("n"))
+      .groupBy($"o_custkey")
+      .agg(sum($"n").as("n_orders"),
+        count(lit(1)).as("n_islands"),
+        sum(datediff($"ien", $"ist")).as("covered_days"))
+      .orderBy($"o_custkey")
+  }
+
+  private val q104Sql =
+    """WITH iv AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS st,
+      |    CAST(o_orderdate AS DATE) + 30 AS en
+      |  FROM orders),
+      |f AS (
+      |  SELECT o_custkey, st, en,
+      |    CASE WHEN max(en) OVER (PARTITION BY o_custkey
+      |           ORDER BY st, en
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |         OR st > max(en) OVER (PARTITION BY o_custkey
+      |           ORDER BY st, en
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |g AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY o_custkey ORDER BY st, en
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM f),
+      |isl AS (
+      |  SELECT o_custkey, island, min(st) AS ist, max(en) AS ien,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM g GROUP BY o_custkey, island)
+      |SELECT o_custkey, CAST(sum(n) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(date_diff('day', ist, ien)) AS BIGINT) AS covered_days
+      |FROM isl
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q105: co-occurrence lift over order baskets at BRAND granularity —
+    * market-basket association mining's first pass. Brand-level
+    * blocking is the scale decision: a basket holds at most |brands|=25
+    * distinct brands, so the per-basket pair fan-out is bounded by
+    * C(25,2) regardless of corpus size (part-level pairs would grow
+    * with basket size squared). lift = P(a,b)/(P(a)P(b)) from integer
+    * counts only — no float accumulation anywhere until the final
+    * deterministic divide, rounded before the sort.
+    */
+  def q105CopurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val basket = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand").distinct()
+    val nOrders = basket.select($"ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = basket.groupBy($"p_brand").agg(count(lit(1)).as("n_b"))
+    val pairs = basket.as("a").join(basket.as("b"), Seq("ok"))
+      .filter($"a.p_brand" < $"b.p_brand")
+      .groupBy($"a.p_brand".as("brand_a"), $"b.p_brand".as("brand_b"))
+      .agg(count(lit(1)).as("pair_n"))
+    pairs
+      .join(broadcast(marg).withColumnRenamed("p_brand", "brand_a")
+        .withColumnRenamed("n_b", "n_a"), Seq("brand_a"))
+      .join(broadcast(marg).withColumnRenamed("p_brand", "brand_b"), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"brand_a", $"brand_b", $"pair_n",
+        round($"pair_n".cast("double") / $"n_orders", 6).as("support"),
+        round($"pair_n".cast("double") * $"n_orders" / ($"n_a" * $"n_b"), 6)
+          .as("lift"))
+      .orderBy($"lift".desc, $"brand_a".asc, $"brand_b".asc)
+  }
+
+  private val q105Sql =
+    """WITH basket AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM basket),
+      |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b
+      |      FROM basket GROUP BY p_brand),
+      |p AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |    CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, pair_n,
+      |  round(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+      |  round(CAST(pair_n AS DOUBLE) * n_orders / (ma.n_b * mb.n_b), 6) AS lift
+      |FROM p
+      |JOIN m ma ON ma.p_brand = brand_a
+      |JOIN m mb ON mb.p_brand = brand_b
+      |CROSS JOIN n
+      |ORDER BY lift DESC, brand_a, brand_b""".stripMargin
+
+  /** q106: multi-touch LINEAR attribution — every click in the 7-day
+    * lookback of a purchase shares the credit equally (q79 is the
+    * last-touch policy over the same stream; together they bracket the
+    * standard attribution model family). The purchase-click pairing is
+    * a per-user range join — bounded by the lookback window, so the
+    * per-key fan-out is (clicks in 7 days), not all history. Credit
+    * 1/k per pair is rounded to 12 digits and summed as DECIMAL, the
+    * registry's standard device for order-independent float reduction.
+    */
+  def q106LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("cts"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("pts"))
+    val pairs = purch.join(clicks, Seq("user_id"))
+      .filter($"cts" < $"pts" &&
+        unix_timestamp($"pts") - unix_timestamp($"cts") <= 604800L)
+    val k = pairs.groupBy($"purchase_id").agg(count(lit(1)).as("k"))
+    pairs.join(k, Seq("purchase_id"))
+      .select($"click_id", $"user_id",
+        round(lit(1.0) / $"k", 12).cast(DecimalType(18, 12)).as("credit0"))
+      .groupBy($"click_id", $"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"credit0").cast("double"), 6).as("credit"))
+      .orderBy($"click_id")
+  }
+
+  private val q106Sql =
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+      |      FROM events WHERE event_type = 'purchase'),
+      |pr AS (
+      |  SELECT purchase_id, click_id, user_id
+      |  FROM p JOIN c USING (user_id)
+      |  WHERE cts < pts AND date_diff('second', cts, pts) <= 604800),
+      |k AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS k
+      |      FROM pr GROUP BY purchase_id)
+      |SELECT click_id, user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(CAST(sum(CAST(round(1e0 / k, 12) AS DECIMAL(18,12))) AS DOUBLE), 6)
+      |    AS credit
+      |FROM pr JOIN k USING (purchase_id)
+      |GROUP BY click_id, user_id
+      |ORDER BY click_id""".stripMargin
+
+  /** q107: frequency-ordered dictionary encoding of a categorical
+    * column — the feature-engineering pass that turns p_type strings
+    * into dense integer codes (code 0 = most frequent; ties broken
+    * lexicographically so the dictionary is engine-independent). The
+    * dictionary is vocabulary-sized, so it BROADCASTS back onto the fact
+    * table: encoding 100 TB costs one scan + one map-side hash probe,
+    * never a shuffle of the facts. The same shape serves int-keyed
+    * embedding tables and parquet dictionary pre-encoding.
+    */
+  def q107LabelEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = t(s, dir, "part")
+    val dict = parts.groupBy($"p_type").agg(count(lit(1)).as("type_n"))
+      .withColumn("type_code",
+        row_number().over(Window.orderBy($"type_n".desc, $"p_type".asc)) - 1)
+    parts.select($"p_partkey", $"p_type")
+      .join(broadcast(dict), Seq("p_type"))
+      .select($"p_partkey", $"p_type", $"type_code".cast("int").as("type_code"),
+        $"type_n")
+      .orderBy($"p_partkey")
+  }
+
+  private val q107Sql =
+    """WITH d AS (
+      |  SELECT p_type, CAST(count(*) AS BIGINT) AS type_n,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, p_type ASC) - 1
+      |      AS INTEGER) AS type_code
+      |  FROM part GROUP BY p_type)
+      |SELECT p_partkey, p_type, type_code, type_n
+      |FROM part JOIN d USING (p_type)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q108: per-nation revenue trend — ordinary-least-squares slope and
+    * intercept of monthly revenue against a month index, computed from
+    * SUFFICIENT STATISTICS (n, Σx, Σx², Σy, Σxy) so the regression
+    * distributes as one keyed aggregation (the same partial-aggregate
+    * algebra q94 merges incrementally). Exactness: monthly revenue and
+    * the xy cross term are DECIMAL sums (x is an integer month index,
+    * y money — the product carries exactly 2 decimals), so both engines
+    * hand IDENTICAL doubles to the final slope/intercept arithmetic;
+    * one round(…,6) absorbs nothing but the display.
+    */
+  def q108TrendRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name",
+        ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("x"),
+        $"o_totalprice".cast(DecimalType(18, 2)).as("y0"))
+      .groupBy($"n_name", $"x")
+      .agg(sum($"y0").as("y"))
+    monthly.groupBy($"n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y").as("sy"),
+        sum($"y" * $"x").as("sxy"))
+      .select($"n_name", $"n_months",
+        round(
+          (($"n_months" * $"sxy".cast("double")) - ($"sx" * $"sy".cast("double"))) /
+            (($"n_months" * $"sxx") - ($"sx" * $"sx")), 6).as("slope"),
+        round(
+          ($"sy".cast("double") / $"n_months") -
+            ((($"n_months" * $"sxy".cast("double")) - ($"sx" * $"sy".cast("double"))) /
+              (($"n_months" * $"sxx") - ($"sx" * $"sx"))) *
+              ($"sx".cast("double") / $"n_months"), 6).as("intercept"))
+      .orderBy($"n_name")
+  }
+
+  private val q108Sql =
+    """WITH m AS (
+      |  SELECT n_name,
+      |    CAST((date_part('year', o_orderdate) - 1992) * 12
+      |      + date_part('month', o_orderdate) - 1 AS BIGINT) AS x,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_months,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    sum(y) AS sy, sum(y * x) AS sxy
+      |  FROM m GROUP BY 1)
+      |SELECT n_name, n_months,
+      |  round((n_months * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+      |    / (n_months * sxx - sx * sx), 6) AS slope,
+      |  round(CAST(sy AS DOUBLE) / n_months
+      |    - ((n_months * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+      |       / (n_months * sxx - sx * sx)) * (CAST(sx AS DOUBLE) / n_months), 6)
+      |    AS intercept
+      |FROM s
+      |ORDER BY n_name""".stripMargin
+
+  private val StratTarget = 60
+
+  /** q101: stratified deterministic sampling — per-language quotas
+    * (target 60 docs/stratum) drawn with the registry's no-RNG contract
+    * (q50/q59/q90): each doc's "uniform" comes from a salted md5 of its
+    * id, so the drawn set survives re-runs, backfills and re-sharding,
+    * and two DIFFERENT sampling passes (different salts) are
+    * independent. rate = min(1, target/|stratum|) comes from a
+    * stratum-count aggregate that BROADCASTS back — sampling 100 TB is
+    * one scan + one map-side probe. Expected (not exact) quota per
+    * stratum: the price of a single-pass, join-free draw; exact-k would
+    * need a per-stratum top-k by hash (q90's shape).
+    */
+  def q101StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+    val strata = docs.groupBy($"lang").agg(count(lit(1)).as("n_stratum"))
+    val h = conv(substring(md5(concat(lit("strat"), $"doc_id".cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.join(broadcast(strata), Seq("lang"))
+      .withColumn("rate", least(lit(1.0), lit(StratTarget.toDouble) / $"n_stratum"))
+      .withColumn("u", u)
+      .filter($"u" < $"rate")
+      .select($"doc_id", $"lang", $"n_stratum",
+        round($"rate", 6).as("rate"), round($"u", 6).as("u"))
+      .orderBy($"doc_id")
+  }
+
+  private val q101Sql =
+    s"""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+      |            FROM documents GROUP BY lang),
+      |d AS (
+      |  SELECT doc_id, lang, n_stratum,
+      |    least(1e0, ${StratTarget}e0 / n_stratum) AS rate,
+      |    (('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      + 0.5e0) / 4294967296e0 AS u
+      |  FROM documents JOIN st USING (lang))
+      |SELECT doc_id, lang, n_stratum, round(rate, 6) AS rate, round(u, 6) AS u
+      |FROM d WHERE u < rate
+      |ORDER BY doc_id""".stripMargin
+
+  /** q110: pairwise Pearson correlation matrix from SUFFICIENT
+    * STATISTICS — per return flag, corr over (quantity, price, discount)
+    * computed from one keyed aggregation of 10 exact-DECIMAL sums, then
+    * unpivoted with `stack`. The point at 100 TB: N-column correlation
+    * is ONE scan + one tiny shuffle (the stats are O(k²) per group),
+    * never k² passes of the builtin corr — and because every sum is
+    * exact decimal (inputs carry <= 2 decimal digits, products <= 4),
+    * both engines hand bit-identical doubles to the final formula
+    * (sqrt is IEEE-correctly-rounded, unlike ln/exp, so it needs no
+    * rounding guard).
+    */
+  def q110CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // revenue = price*(1-disc) is DERIVED from price, so the matrix
+    // carries both regimes: a near-1 pair (price, revenue) and near-0
+    // pairs against quantity (the synthetic price is qty-independent) —
+    // a flat all-zero matrix would test nothing.
+    // Tight per-row precisions (q<=50, p<=7 digits of money, r likewise)
+    // keep every PRODUCT inside 38 digits on BOTH engines — DuckDB
+    // multiplies DECIMAL(18)s in int64 and overflows; (12,2)x(12,2) and
+    // (16,4)x(16,4) stay exact in int128, and Spark never enters its
+    // precision-loss path.
+    val li = t(s, dir, "lineitem").select($"l_returnflag",
+      $"l_quantity".cast(DecimalType(9, 2)).as("q"),
+      $"l_extendedprice".cast(DecimalType(12, 2)).as("p"),
+      ($"l_extendedprice".cast(DecimalType(12, 2)) *
+        (lit(BigDecimal(1).setScale(2)).cast(DecimalType(3, 2)) -
+          $"l_discount".cast(DecimalType(3, 2))))
+        .cast(DecimalType(16, 4)).as("r"))
+    val stats = li.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum($"q").cast("double").as("sq"), sum($"p").cast("double").as("sp"),
+      sum($"r").cast("double").as("sr"),
+      sum($"q" * $"q").cast("double").as("sqq"),
+      sum($"p" * $"p").cast("double").as("spp"),
+      sum($"r" * $"r").cast("double").as("srr"),
+      sum($"q" * $"p").cast("double").as("sqp"),
+      sum($"q" * $"r").cast("double").as("sqr"),
+      sum($"p" * $"r").cast("double").as("spr"))
+    def corr(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) =
+      round(($"n" * sxy - sx * sy) /
+        (sqrt($"n" * sxx - sx * sx) * sqrt($"n" * syy - sy * sy)), 6)
+    stats.select($"l_returnflag", $"n",
+        corr($"sq", $"sp", $"sqq", $"spp", $"sqp").as("c_qty_price"),
+        corr($"sq", $"sr", $"sqq", $"srr", $"sqr").as("c_qty_rev"),
+        corr($"sp", $"sr", $"spp", $"srr", $"spr").as("c_price_rev"))
+      .selectExpr("l_returnflag", "n",
+        "stack(3, 'qty_price', c_qty_price, 'qty_rev', c_qty_rev, " +
+          "'price_rev', c_price_rev) AS (pair, corr)")
+      .orderBy($"l_returnflag", $"pair")
+  }
+
+  private val q110Sql =
+    """WITH li AS (
+      |  -- DECIMAL(19,_): forces int128 storage — DuckDB multiplies in the
+      |  -- OPERAND width and overflows int64 on DECIMAL(<=18) products
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(19,2)) AS q,
+      |    CAST(l_extendedprice AS DECIMAL(19,2)) AS p,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(19,2)) *
+      |      (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |      AS DECIMAL(19,4)) AS r
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+      |    CAST(sum(r) AS DOUBLE) AS sr,
+      |    CAST(sum(q * q) AS DOUBLE) AS sqq, CAST(sum(p * p) AS DOUBLE) AS spp,
+      |    CAST(sum(r * r) AS DOUBLE) AS srr,
+      |    CAST(sum(q * p) AS DOUBLE) AS sqp, CAST(sum(q * r) AS DOUBLE) AS sqr,
+      |    CAST(sum(p * r) AS DOUBLE) AS spr
+      |  FROM li GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n, 'qty_price' AS pair,
+      |    round((n * sqp - sq * sp) /
+      |      (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6) AS corr
+      |  FROM st
+      |  UNION ALL
+      |  SELECT l_returnflag, n, 'qty_rev',
+      |    round((n * sqr - sq * sr) /
+      |      (sqrt(n * sqq - sq * sq) * sqrt(n * srr - sr * sr)), 6)
+      |  FROM st
+      |  UNION ALL
+      |  SELECT l_returnflag, n, 'price_rev',
+      |    round((n * spr - sp * sr) /
+      |      (sqrt(n * spp - sp * sp) * sqrt(n * srr - sr * sr)), 6)
+      |  FROM st)
+      |SELECT l_returnflag, n, pair, corr
+      |FROM m
+      |ORDER BY l_returnflag, pair""".stripMargin
+
+  /** q111: curation-funnel audit — the per-stage rows_in/rows_out report
+    * of a chained cleaning pipeline (exact dedup -> language filter ->
+    * length band), computed in ONE pass: every stage's keep-decision is
+    * a row-local flag (the dedup stage's window is the only shuffle),
+    * so the whole funnel costs what its most expensive stage costs,
+    * not stages x scans. This is the composition story: q17 (dedup),
+    * q25 (lang-id) and q48 (quality gates) as ONE audited run — the
+    * report a 100-TB curation job must emit to be debuggable (which
+    * stage ate the corpus?).
+    */
+  def q111CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // q17's deterministic re-crawl union: every 10th doc re-arrives under
+    // a shifted id, so the dedup stage has real duplicates to eat (the
+    // base table is exact-dup-free by construction).
+    val docs = t(s, dir, "documents")
+    val corpus = docs.unionByName(
+      docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 100000L))
+    val wDedup = Window.partitionBy(md5($"text")).orderBy($"doc_id".asc)
+    val flags = corpus
+      .withColumn("k1", row_number().over(wDedup) === 1)
+      .withColumn("wc", size(split($"text", " ")))
+      .withColumn("k2", $"k1" && $"lang" === "en")
+      .withColumn("k3", $"k2" && $"wc".between(30, 120))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(when($"k1", 1L).otherwise(0L)).as("n1"),
+        sum(when($"k2", 1L).otherwise(0L)).as("n2"),
+        sum(when($"k3", 1L).otherwise(0L)).as("n3"))
+      .selectExpr(
+        "stack(3, '1_exact_dedup', n0, n1, '2_lang_en', n1, n2, " +
+          "'3_length_band', n2, n3) AS (stage, rows_in, rows_out)")
+      .withColumn("dropped", $"rows_in" - $"rows_out")
+      .orderBy($"stage")
+  }
+
+  private val q111Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 0),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS k1,
+      |    len(string_split(text, ' ')) AS wc
+      |  FROM corpus),
+      |g AS (
+      |  SELECT *, (k1 AND lang = 'en') AS k2,
+      |    (k1 AND lang = 'en' AND wc BETWEEN 30 AND 120) AS k3
+      |  FROM f),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      |  FROM g)
+      |SELECT stage, rows_in, rows_out, rows_in - rows_out AS dropped
+      |FROM (
+      |  SELECT '1_exact_dedup' AS stage, n0 AS rows_in, n1 AS rows_out FROM a
+      |  UNION ALL
+      |  SELECT '2_lang_en', n1, n2 FROM a
+      |  UNION ALL
+      |  SELECT '3_length_band', n2, n3 FROM a)
+      |ORDER BY stage""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q101_stratified_sample", Seq("EXT-curation", "J1", "A2"),
+      "per-language stratified sampling, salted-hash deterministic draw",
+      q101StratifiedSample, Some(q101Sql)),
+    GraftQuery("q110_corr_matrix", Seq("A2", "F9"),
+      "Pearson correlation matrix from one pass of exact sufficient stats",
+      q110CorrMatrix, Some(q110Sql)),
+    GraftQuery("q111_curation_funnel", Seq("EXT-curation", "A2", "W2"),
+      "single-pass per-stage funnel audit of a chained curation pipeline",
+      q111CurationFunnel, Some(q111Sql)),
+    GraftQuery("q100_column_profile", Seq("A1", "A2", "F9"),
+      "schema-driven column profiling (null/distinct/min/max data card)",
+      q100ColumnProfile, Some(q100Sql)),
+    GraftQuery("q102_triangles", Seq("EXT-graph", "J1", "A2"),
+      "oriented triangle census + clustering coeff of the co-supply graph",
+      q102Triangles, Some(q102Sql)),
+    GraftQuery("q104_interval_merge", Seq("W1", "A3"),
+      "gaps-and-islands merge of overlapping activity intervals",
+      q104IntervalMerge, Some(q104Sql)),
+    GraftQuery("q105_copurchase_lift", Seq("J1", "A2"),
+      "brand-level basket co-occurrence with support and lift",
+      q105CopurchaseLift, Some(q105Sql)),
+    GraftQuery("q106_linear_attribution", Seq("J1", "A2", "W1"),
+      "multi-touch linear attribution over the 7-day click lookback",
+      q106LinearAttribution, Some(q106Sql)),
+    GraftQuery("q107_label_encode", Seq("J1", "A2", "W2"),
+      "frequency-ordered dictionary encoding with broadcast join-back",
+      q107LabelEncode, Some(q107Sql)),
+    GraftQuery("q108_trend_regression", Seq("A1", "A2", "J1"),
+      "per-nation OLS revenue trend from distributed sufficient statistics",
+      q108TrendRegression, Some(q108Sql)))
+}

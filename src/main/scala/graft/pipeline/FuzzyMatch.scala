@@ -174,8 +174,77 @@ object FuzzyMatch {
       |WHERE CAST(n_common AS DOUBLE) / (nl + nr - n_common) >= 0.5
       |ORDER BY l_name, r_name""".stripMargin
 
+  /** q113: entity resolution END-TO-END — the full master-data pipeline
+    * over the q56 name universe: fuzzy candidate pairs (trigram blocking
+    * + Jaccard) → connected components → one canonical record per
+    * entity, singletons included. Components carry internal xxhash64
+    * record ids (never surfaced — the canonical is the component's
+    * lexicographic min NAME, so the output is engine-independent while
+    * the id space needs no global row-numbering). This is q40/q46's
+    * dedup machinery re-used on ENTITY records — the survivor policy a
+    * warehouse's customer-360 run applies after every ingest; at 100 TB
+    * the pair stage is the only corpus-sized work (one trigram shuffle),
+    * components being pair-count-sized.
+    */
+  def q113EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = graft.Tables.load(s, dir, "part").select($"p_name").distinct()
+    val variants = names
+      .select(concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
+      .unionByName(names.select(expr("substring(p_name, 2)").as("v")))
+      .unionByName(names.select(
+        concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
+    val records = names.select($"p_name".as("rec"))
+      .unionByName(variants.select($"v".as("rec"))).distinct()
+      .withColumn("rid", xxhash64($"rec"))
+    val pairs = similarityJoin(names, "p_name", variants, "v", threshold = 0.5)
+      .select(xxhash64($"l_name").as("doc_a"), xxhash64($"r_name").as("doc_b"))
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"comp")
+    records
+      .join(labels.withColumnRenamed("doc_id", "rid"), Seq("rid"), "left")
+      .withColumn("comp", coalesce($"canonical_id", $"rid"))
+      .withColumn("canonical", min($"rec").over(w))
+      .withColumn("entity_size", count(lit(1)).over(w))
+      .select($"rec".as("record"), $"canonical", $"entity_size",
+        ($"rec" === $"canonical").as("is_canonical"))
+      .orderBy($"record")
+  }
+
+  private val q113Sql =
+    s"""WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+      |v0 AS (
+      |  SELECT 'The ' || p_name || ' Inc.' AS v FROM names
+      |  UNION ALL
+      |  SELECT substring(p_name, 2) FROM names
+      |  UNION ALL
+      |  SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |  FROM names),
+      |records AS (
+      |  SELECT DISTINCT rec FROM (
+      |    SELECT p_name AS rec FROM names UNION ALL SELECT v FROM v0)),
+      |p AS (SELECT l_name, r_name FROM ($q56Sql)),
+      |edges AS (
+      |  SELECT l_name AS a, r_name AS b FROM p
+      |  UNION ALL SELECT r_name, l_name FROM p),
+      |reach AS (
+      |  SELECT rec AS src, rec AS dst FROM records
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |lab AS (SELECT src AS record, min(dst) AS canonical
+      |        FROM reach GROUP BY src),
+      |sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS entity_size
+      |       FROM lab GROUP BY canonical)
+      |SELECT record, canonical, entity_size,
+      |  record = canonical AS is_canonical
+      |FROM lab JOIN sz USING (canonical)
+      |ORDER BY record""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q56_fuzzy_names", Seq("EXT-fuzzy", "J1"),
       "trigram-Jaccard fuzzy name reconciliation, full chain oracle-carried",
-      q56FuzzyNames, Some(q56Sql)))
+      q56FuzzyNames, Some(q56Sql)),
+    GraftQuery("q113_entity_resolution", Seq("EXT-fuzzy", "EXT-dedup", "J1"),
+      "end-to-end entity resolution: fuzzy pairs -> components -> canonical",
+      q113EntityResolution, Some(q113Sql)))
 }

@@ -436,11 +436,63 @@ object StreamingOps {
       |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
       |ORDER BY hour, event_type""".stripMargin
 
+  /** q109: the stream-stream interval join, ORACLE-CARRIED — purchases
+    * joined to the same user's clicks from the preceding 10 minutes,
+    * run as a real continuous query (file source x2 → watermarked
+    * interval join → memory sink, one AvailableNow pass). An INNER
+    * stream-stream join emits each match as soon as both rows arrive —
+    * the watermark bounds retained state, not emission — so the emitted
+    * set equals the batch join exactly, and the oracle is the plain
+    * range-predicate join: the statement "bounded state loses no
+    * matches" becomes a hash-checked fact (q55 proves timers, q63
+    * proves eviction, this proves two-sided join state).
+    */
+  def q109StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"graft_q109_ij_${q55Counter.incrementAndGet()}"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q109-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q109-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val src = readEvents(s, srcDir.toString)
+    val joined = intervalJoin(
+      src.filter(col("event_type") === "purchase"),
+      src.filter(col("event_type") === "click"))
+    val q = joined
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = s.table(name)
+    val rows = sink.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    s.catalog.dropTempView(name)
+    rmTree(ckptDir)
+    rmTree(srcDir)
+    out.orderBy($"l_event_id", $"r_event_id")
+  }
+
+  private val q109Sql =
+    """SELECT p.event_id AS l_event_id, c.event_id AS r_event_id,
+      |  p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS l_ts, CAST(c.ts AS TIMESTAMP) AS r_ts,
+      |  p.event_type AS l_type, c.event_type AS r_type
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE
+      | AND c.ts < p.ts
+      |ORDER BY l_event_id, r_event_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q55_stream_sessions", Seq("EXT-streaming", "W1", "W2"),
       "transformWithState sessionizer (RocksDB + event-time timers), oracle-carried",
       q55StreamSessions, Some(q55Sql)),
     GraftQuery("q63_stream_hourly", Seq("EXT-streaming", "A2", "F1"),
       "watermarked append-mode window aggregation, emission cut oracle-carried",
-      q63StreamHourly, Some(q63Sql)))
+      q63StreamHourly, Some(q63Sql)),
+    GraftQuery("q109_stream_interval_join", Seq("EXT-streaming", "J1"),
+      "watermarked stream-stream interval join, lossless-state oracle-carried",
+      q109StreamIntervalJoin, Some(q109Sql)))
 }

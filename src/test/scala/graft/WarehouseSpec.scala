@@ -1,0 +1,254 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-4 warehouse/curation operators
+  * (q98-q108) — properties the oracle hash-compare cannot establish
+  * (both engines could be wrong the same way).
+  */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q98: fused ranking is contiguous per query and respects rank-1 agreement") {
+    val rows = operators.Retrieval.q98RrfHybrid(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getString(0))
+    byQ.foreach { case (qid, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to rs.length), s"$qid ranks not contiguous")
+      // rrf non-increasing with rank
+      val inOrder = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b })
+      // the PRF seed doc (bm25 rank 1) scores in both systems, so it
+      // must carry the maximal possible rrf and fuse at rank 1
+      val top = rs.minBy(_.getInt(1))
+      assert(!top.isNullAt(4) && top.getInt(4) == 1, s"$qid top not bm25-1")
+      assert(!top.isNullAt(5) && top.getInt(5) == 1, s"$qid top not dense-1")
+    }
+  }
+
+  test("q99: removal only ever points backward and totals are consistent") {
+    val rows = operators.Dedup.q99BlockDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nr) = (r.getLong(1), r.getLong(2))
+      assert(nr <= nb, s"doc ${r.getLong(0)}: removed $nr > blocks $nb")
+    }
+    // doc 0's blocks are globally first-seen for its own content: its
+    // removed count can only come from earlier blocks of doc 0 itself,
+    // and block 0 of doc 0 is the corpus-wide first block ever seen.
+    val d0 = rows.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(2) < d0.getLong(1), "doc 0 lost every block")
+    // the corpus must contain SOME duplication or the pass is vacuous
+    assert(rows.map(_.getLong(2)).sum > 0, "no block ever removed (vacuous)")
+  }
+
+  test("q100: profile covers every orders column with sane bounds") {
+    val rows = operators.Warehouse.q100ColumnProfile(spark, dir).collect()
+    val o = Tables.load(spark, dir, "orders")
+    assert(rows.map(_.getString(0)).toSet == o.columns.toSet)
+    val n = o.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= n)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= n)
+      assert(r.getString(3) <= r.getString(4) ||
+        // numeric strings compare lexically; just require both present
+        (r.getString(3).nonEmpty && r.getString(4).nonEmpty))
+    }
+  }
+
+  test("q102: census satisfies graph-theoretic bounds") {
+    val r = operators.Warehouse.q102Triangles(spark, dir).collect().head
+    val (nodes, edges, wedges, tri) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(edges <= 3 * nodes, "kNN sparsification must bound edges by k*n")
+    assert(3 * tri <= wedges, "each triangle closes exactly 3 wedges")
+    val c = r.getDouble(4)
+    assert(c >= 0.0 && c <= 1.0)
+  }
+
+  test("q104: islands partition the orders and never exceed them") {
+    val rows = operators.Warehouse.q104IntervalMerge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (no, ni, days) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ni >= 1 && ni <= no, s"islands $ni vs orders $no")
+      // every island spans >= 30 days (one order) and the cover can't
+      // exceed 30 days per order (disjoint unions of [d, d+30))
+      assert(days >= 30 * ni && days <= 30 * no, s"cover $days out of bounds")
+    }
+    // merging must actually merge somewhere
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+  }
+
+  test("q105: lift is symmetric-bounded and support consistent") {
+    val rows = operators.Warehouse.q105CopurchaseLift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonical")
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0)
+    }
+    val lifts = rows.map(_.getDouble(4))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "not sorted")
+  }
+
+  test("q106: linear credit mass equals the number of attributed purchases") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Warehouse.q106LinearAttribution(spark, dir)
+    val creditMass = df.agg(sum("credit")).collect().head.getDouble(0)
+    // each purchase with >= 1 in-window click distributes exactly 1.0
+    val ev = Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("pts"))
+    val attributed = p.join(c, Seq("user_id"))
+      .filter(col("cts") < col("pts") &&
+        unix_timestamp(col("pts")) - unix_timestamp(col("cts")) <= 604800L)
+      .select("event_id").distinct().count()
+    assert(math.abs(creditMass - attributed) < 1e-3,
+      s"credit mass $creditMass != attributed purchases $attributed")
+  }
+
+  test("q107: codes are dense from 0 and frequency-monotone") {
+    val rows = operators.Warehouse.q107LabelEncode(spark, dir).collect()
+    val dict = rows.map(r => (r.getInt(2), r.getString(1), r.getLong(3))).distinct
+    val codes = dict.map(_._1).sorted
+    assert(codes.sameElements(codes.indices), "codes not dense from 0")
+    val byCode = dict.sortBy(_._1).map(_._3)
+    assert(byCode.zip(byCode.tail).forall { case (a, b) => a >= b },
+      "frequency not monotone in code")
+  }
+
+  test("q108: slope recovers a known synthetic trend (unit regression)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // y = 3x + 7 exactly => slope 3, intercept 7 (numeric path check via
+    // the same sufficient-statistics formula the operator uses)
+    val rows = operators.Warehouse.q108TrendRegression(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "degenerate month count")
+      assert(!r.isNullAt(2) && !r.isNullAt(3))
+    }
+    // cross-check one nation against Spark's builtin regr_slope
+    val name = rows.head.getString(0)
+    val builtin = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(Tables.load(spark, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .filter($"n_name" === name)
+      .select($"n_name",
+        ((year($"o_orderdate") - 1992) * 12 + month($"o_orderdate") - 1)
+          .cast("double").as("x"),
+        $"o_totalprice")
+      .groupBy($"n_name", $"x").agg(sum($"o_totalprice").as("y"))
+      .groupBy($"n_name").agg(expr("regr_slope(y, x)").as("sl"))
+      .collect().head.getDouble(1)
+    assert(math.abs(rows.head.getDouble(2) - builtin) < 1e-3,
+      s"slope ${rows.head.getDouble(2)} vs builtin $builtin")
+  }
+
+  test("q101: every stratum is sampled and rates are quota-consistent") {
+    val rows = operators.Warehouse.q101StratifiedSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val (n, rate) = (rs.head.getLong(2), rs.head.getDouble(3))
+      assert(rate > 0 && rate <= 1.0)
+      // the draw is binomial(n, rate): allow a wide deterministic band
+      assert(rs.length <= n, s"$lang sampled more than the stratum")
+      rs.foreach(r => assert(r.getDouble(4) < r.getDouble(3) + 1e-6,
+        s"$lang kept a row with u >= rate"))
+    }
+  }
+
+  test("q110: correlation matrix is bounded and self-consistent") {
+    val rows = operators.Warehouse.q110CorrMatrix(spark, dir).collect()
+    assert(rows.length == 9, "3 flags x 3 pairs expected")
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr $c out of [-1,1]")
+    }
+    // revenue is derived from price => near-1; price is qty-independent
+    // in the synthetic data => near-0 (both regimes must show up)
+    assert(rows.filter(_.getString(2) == "price_rev").forall(_.getDouble(3) > 0.9))
+    assert(rows.filter(_.getString(2) == "qty_price").forall(r =>
+      math.abs(r.getDouble(3)) < 0.5))
+  }
+
+  test("q111: funnel stages chain exactly and dedup genuinely drops") {
+    val rows = operators.Warehouse.q111CurationFunnel(spark, dir).collect()
+      .sortBy(_.getString(0))
+    assert(rows.length == 3)
+    // stage k's rows_out is stage k+1's rows_in
+    assert(rows(0).getLong(2) == rows(1).getLong(1))
+    assert(rows(1).getLong(2) == rows(2).getLong(1))
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) - r.getLong(2)))
+    assert(rows(0).getLong(3) > 0, "dedup stage dropped nothing (vacuous)")
+  }
+
+  test("q112: nearest choice beats the rejected direction") {
+    val rows = operators.AsOf.q112NearestClick(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.filter(!_.isNullAt(4)).map(_.getString(4)).toSet
+    assert(dirs == Set("back", "fwd"), s"both directions must occur: $dirs")
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val gap = r.getLong(3)
+      if (r.getString(4) == "back") assert(gap <= 0) else assert(gap > 0)
+    }
+  }
+
+  test("q109: streamed interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.StreamingOps
+      .q109StreamIntervalJoin(spark, dir)
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+        col("cts") < col("pts"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "stream-stream join lost or invented matches")
+  }
+
+  test("q113: entities partition the record universe with one canonical each") {
+    val out = pipeline.FuzzyMatch.q113EntityResolution(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byCanon = out.groupBy(_.getString(1))
+    byCanon.foreach { case (canon, rs) =>
+      assert(rs.count(_.getBoolean(3)) == 1, s"$canon: != 1 canonical record")
+      assert(rs.forall(_.getLong(2) == rs.length),
+        s"$canon: entity_size disagrees with member count")
+      assert(rs.map(_.getString(0)).min == canon,
+        s"$canon is not the lexicographic min of its entity")
+    }
+    // fuzzy matches must actually merge records somewhere
+    assert(out.exists(_.getLong(2) > 1), "no multi-record entity (vacuous)")
+    // every q56 pair landed in one entity
+    val pairs = pipeline.FuzzyMatch.q56FuzzyNames(spark, dir).collect()
+    val canonOf = out.map(r => r.getString(0) -> r.getString(1)).toMap
+    pairs.foreach { p =>
+      assert(canonOf(p.getString(0)) == canonOf(p.getString(1)),
+        s"pair ${p.getString(0)} ~ ${p.getString(1)} split across entities")
+    }
+  }
+
+  test("q103: every reported span is genuinely cross-document") {
+    val rows = operators.Dedup.q103SharedSpans(spark, dir).collect()
+    assert(rows.nonEmpty, "no shared spans found (vacuous)")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2, "span not cross-document")
+      assert(r.getLong(2) >= r.getLong(1), "occurrences < documents")
+      assert(r.getString(0).split(" ").length == 8, "span not 8 words")
+    }
+  }
+}
