@@ -30,6 +30,7 @@ object Registry {
       graft.operators.Extended.queries ++
       graft.operators.Analytics.queries ++
       graft.operators.Warehouse.queries ++
+      graft.operators.Audit.queries ++
       graft.operators.Sketches.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the data-ops audit family (q114-q119). */
+class AuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q114: estimator is honest — n_sample near 10%, CI positive") {
+    val rows = operators.Audit.q114SampleEstimate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val o = Tables.load(spark, dir, "orders")
+    val byStatus = o.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (st, n) = (r.getString(0), r.getLong(1))
+      val frac = n.toDouble / byStatus(st)
+      assert(frac > 0.04 && frac < 0.2, s"$st sample fraction $frac")
+      assert(r.getDouble(3) > 0, "CI half-width must be positive")
+    }
+  }
+
+  test("q115: every supplier gets <= 3 distinct ranked brands") {
+    val rows = operators.Audit.q115TopBrandArray(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val brands = r.getString(1).split("\\|")
+      assert(brands.length >= 1 && brands.length <= 3)
+      assert(brands.distinct.length == brands.length, "duplicate brand in top-k")
+    }
+  }
+
+  test("q116: the synthetic star is referentially intact") {
+    val rows = operators.Audit.q116FkAudit(spark, dir).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(4) == 0, s"${r.getString(0)}: orphans found")
+      assert(r.getLong(3) == 0, s"${r.getString(0)}: null FKs found")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("q117: checksum is order-free (matches a reversed-read recompute)") {
+    val rows = operators.Audit.q117TableChecksums(spark, dir).collect()
+    assert(rows.length == 6)
+    // recompute one table's checksum from a differently-ordered frame
+    val o = Tables.load(spark, dir, "orders").orderBy(col("o_totalprice").desc)
+    val again = o.agg(
+      sum(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long"))).collect().head.getLong(0)
+    val reported = rows.find(_.getString(0) == "orders").get.getLong(2)
+    assert(again == reported, "row order changed the checksum")
+  }
+
+  test("q118: keyset page equals the OFFSET page exactly, in order") {
+    val keyset = operators.Audit.q118KeysetPage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(keyset.length == 20)
+    val offset = Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(60).collect().drop(40)
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(keyset.sameElements(offset), "keyset page != offset page")
+  }
+
+  test("q119: TWAP differs from the plain mean and durations add up") {
+    val rows = operators.Audit.q119Twap(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, "non-positive total duration")
+      assert(r.getDouble(3) > 0 && r.getDouble(4) > 0)
+    }
+    // time weighting must actually move SOME estimate
+    assert(rows.exists(r => math.abs(r.getDouble(3) - r.getDouble(4)) > 1e-6))
+  }
+}

@@ -90,11 +90,13 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q91: broadcast k-centroid scoring, the q45 coarse-quantizer shape
     //  - q98: 3 broadcast PRF query vectors scored against the corpus
     //    (the q45 coarse-quantizer shape) + q82's avgdl scalar attach
-    //  - q102/q105: crossJoin of 1-row census aggregates (scalar attach)
+    //  - q102/q105/q116: crossJoin of 1-row census aggregates (scalar
+    //    attach); q118: 1-row page-boundary broadcast under a keyset
+    //    predicate (deliberately non-equi)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
-      "q105_copurchase_lift")),
+      "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination")),
       s"unexpected cross products in: $offenders")
   }
 }
