@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
 
@@ -758,7 +759,89 @@ object Similarity {
       q54IvfMultiprobe, Some(q54Sql)),
     GraftQuery("q91_kmeans_assign", Seq("EXT-similarity", "EXT-graph"),
       "2-iteration Lloyd k-means (k=5, exact-integer centroid means)",
-      q91KmeansAssign, Some(q91Sql)))
+      q91KmeansAssign, Some(q91Sql)),
+    GraftQuery("q121_sparse_cosine", Seq("EXT-similarity", "EXT-text"),
+      "sparse tf-idf cosine pairs via df-capped inverted-index join",
+      q121SparseCosine, Some(q121Sql)))
+
+  private val SparseDfCap = 50
+  private val SparseCosMin = 0.6
+
+  /** q121: SPARSE tf-idf cosine similarity — the third similarity
+    * metric family next to set-Jaccard (q18/q19) and dense-embedding
+    * cosine (q21/q22): documents as weighted bigram vectors, pairwise
+    * cosine computed through an INVERTED-INDEX join (pairs meet only on
+    * shared terms), never a doc×doc product. The df cap (<= 50 docs per
+    * bigram) bounds per-term fan-out exactly like q18's shingle cap —
+    * and defines the vector space: weights AND norms use the capped
+    * vocabulary consistently, so the metric is exact over the space it
+    * declares. Determinism: idf is libm ln ROUNDED to 8 digits before
+    * use, weights are DECIMAL(18,8), every dot/norm reduction is an
+    * exact decimal sum — the only doubles are one sqrt and one divide,
+    * identical in both engines.
+    */
+  def q121SparseCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val tf = docs
+      .select($"doc_id",
+        explode(graft.functions.NativeExpressions.wordShingles($"text", 2))
+          .as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" <= SparseDfCap)
+    val w = tf.join(broadcast(dfT), "term")
+      .select($"doc_id", $"term",
+        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 8)
+          .cast(DecimalType(18, 8)).as("w"))
+      .persist()
+    val norms = w.groupBy($"doc_id")
+      .agg(sqrt(sum($"w" * $"w").cast("double")).as("nrm"))
+    val pairs = w.as("a").join(w.as("b"), Seq("term"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.w" * $"b.w").cast("double").as("dot"))
+    pairs
+      .join(norms.select($"doc_id".as("doc_a"), $"nrm".as("na")), Seq("doc_a"))
+      .join(norms.select($"doc_id".as("doc_b"), $"nrm".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", round($"dot" / ($"na" * $"nb"), 6).as("cosine"))
+      .filter($"cosine" >= SparseCosMin)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q121Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |      AS term
+      |  FROM toks WHERE len(t) >= 2),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM bi GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |dfq AS (SELECT term, count(*) AS df FROM tf
+      |        GROUP BY 1 HAVING count(*) <= $SparseDfCap),
+      |-- DECIMAL(19,8): int128 storage; DuckDB multiplies decimals in the
+      |-- operand width and w*w overflows int64 at DECIMAL(18,8)
+      |w AS (
+      |  SELECT doc_id, term,
+      |    CAST(round(tf * ln(n_docs / df), 8) AS DECIMAL(19,8)) AS w
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      |nrm AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm
+      |        FROM w GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM p
+      |JOIN nrm na ON na.doc_id = doc_a
+      |JOIN nrm nb ON nb.doc_id = doc_b
+      |WHERE round(dot / (na.nrm * nb.nrm), 6) >= ${SparseCosMin}e0
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val KmK = 5 // seeds: vec_id 0,100,200,300,400
   private val KmDim = 64

@@ -494,5 +494,52 @@ object StreamingOps {
       q63StreamHourly, Some(q63Sql)),
     GraftQuery("q109_stream_interval_join", Seq("EXT-streaming", "J1"),
       "watermarked stream-stream interval join, lossless-state oracle-carried",
-      q109StreamIntervalJoin, Some(q109Sql)))
+      q109StreamIntervalJoin, Some(q109Sql)),
+    GraftQuery("q120_stream_dedup", Seq("EXT-streaming", "A3"),
+      "watermarked streaming dropDuplicates over a doubled source, oracle-carried",
+      q120StreamDedup, Some(q120Sql)))
+
+  /** q120: watermarked streaming deduplication, ORACLE-CARRIED — the
+    * source directory is staged with TWO copies of the events file, so
+    * the stream genuinely re-delivers every record and
+    * `dropDuplicates("event_id")` (2-hour watermark bounding the seen-id
+    * state) must collapse them; the oracle is simply the single-copy
+    * table. This is the at-least-once → exactly-once repair every
+    * streaming ingest needs (a replayed Kafka partition, a re-listed
+    * file); q55 proves timers, q63 eviction, q109 join state — this
+    * proves the dedup state store, completing the stateful-operator
+    * quartet. Emitted rows are first-arrival; the copies are
+    * byte-identical so emission order cannot leak into the hash.
+    */
+  def q120StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"graft_q120_dedup_${q55Counter.incrementAndGet()}"
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q120-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q120-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_replayed.parquet"))
+    val q = dedupStream(readEvents(s, srcDir.toString))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckptDir.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sink = s.table(name)
+    val rows = sink.collect()
+    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    s.catalog.dropTempView(name)
+    rmTree(ckptDir)
+    rmTree(srcDir)
+    out.orderBy($"event_id")
+  }
+
+  private val q120Sql =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 }

@@ -242,6 +242,27 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q120: streaming dedup of a doubled source equals the single table") {
+    val out = streaming.StreamingOps.q120StreamDedup(spark, dir).collect()
+    val base = Tables.load(spark, dir, "events").count()
+    assert(out.length == base, s"dedup emitted ${out.length} of $base")
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate event_id survived")
+  }
+
+  test("q121: sparse cosine agrees with q19's near-dup families") {
+    val sparse = operators.Similarity.q121SparseCosine(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sparse.nonEmpty, "no sparse-cosine pairs (vacuous)")
+    val minhash = operators.Dedup.q19DedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the two metrics are different, but the strong near-dup clusters
+    // must substantially overlap: most minhash pairs rank as cosine pairs
+    val overlap = sparse.intersect(minhash).size.toDouble
+    assert(overlap / minhash.size > 0.5,
+      s"sparse cosine found only $overlap of ${minhash.size} minhash pairs")
+  }
+
   test("q103: every reported span is genuinely cross-document") {
     val rows = operators.Dedup.q103SharedSpans(spark, dir).collect()
     assert(rows.nonEmpty, "no shared spans found (vacuous)")
