@@ -31,6 +31,7 @@ object Registry {
       graft.operators.Analytics.queries ++
       graft.operators.Warehouse.queries ++
       graft.operators.Audit.queries ++
+      graft.operators.SqlSurface.queries ++
       graft.operators.Sketches.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++

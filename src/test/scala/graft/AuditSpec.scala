@@ -65,6 +65,41 @@ class AuditSpec extends AnyFunSuite {
     assert(keyset.sameElements(offset), "keyset page != offset page")
   }
 
+  test("q122: SQL star join matches the DataFrame-API composition") {
+    import org.apache.spark.sql.functions._
+    val sql = operators.SqlSurface.q122StarJoin(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(sql.nonEmpty)
+    // independent DataFrame-API recompute of one (region, nation) cell
+    val ((region, nation), revenue) = sql.head
+    val li = Tables.load(spark, dir, "lineitem")
+    val api = li
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(Tables.load(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .filter(col("r_name") === region && col("n_name") === nation)
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .collect().head.getDouble(0)
+    assert(math.abs(api - revenue) < 1.0, s"$region/$nation: $revenue vs $api")
+  }
+
+  test("q123: every kept part is strictly above its brand average") {
+    val rows = operators.SqlSurface.q123CorrelatedSubquery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > r.getDouble(3),
+        s"part ${r.getLong(0)} not above brand avg")
+    }
+    // and it must be a strict subset: some parts fall at-or-below average
+    val total = Tables.load(spark, dir, "part").count()
+    assert(rows.length < total)
+  }
+
   test("q119: TWAP differs from the plain mean and durations add up") {
     val rows = operators.Audit.q119Twap(spark, dir).collect()
     assert(rows.nonEmpty)
