@@ -230,7 +230,63 @@ object Incremental {
       |  AND (dbt_valid_to IS NULL OR dbt_valid_to > TIMESTAMP '1996-06-01 00:00:00')
       |ORDER BY custkey""".stripMargin
 
+  /** q124: SCD2 FACT ENRICHMENT — the third leg of the snapshot story
+    * (q16 writes the history, q52 reads it at one instant; this joins
+    * EVERY fact to the version valid at its own event time). Each
+    * 1996-97 order picks its customer's dimension version via the
+    * validity-interval predicate `valid_from <= t < coalesce(valid_to,
+    * +inf)`; the intervals are disjoint by construction (q16's
+    * supersede closes the old version at the new one's start), so at
+    * most one version matches — asserted nowhere, PROVEN by the oracle
+    * hash (a double-match would change row counts). Left join keeps
+    * orders whose customer has no version yet. Per-key history is
+    * version-count-sized, so the join fans out to |history per key|
+    * candidates before the interval filter — the q36 time-binning (or
+    * the q35 tagged-union as-of) is the swap-in when histories get
+    * long; for dbt-style dimensions (a handful of versions per key)
+    * the plain join IS the right plan.
+    */
+  def q124Scd2Enrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = q16Scd2Snapshot(s, dir)
+      .select($"custkey", $"status".as("dim_status"),
+        $"dbt_valid_from", $"dbt_valid_to")
+    val facts = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    facts.join(hist,
+        $"o_custkey" === $"custkey" &&
+          $"dbt_valid_from" <= $"o_orderdate" &&
+          ($"dbt_valid_to".isNull || $"o_orderdate" < $"dbt_valid_to"),
+        "left")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"dim_status", $"dbt_valid_from")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q124Sql =
+    s"""WITH hist AS (
+      |SELECT custkey, status AS dim_status, dbt_valid_from, dbt_valid_to
+      |FROM (
+      |$q16Sql
+      |)),
+      |facts AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_orderkey, o_custkey, o_orderdate, dim_status, dbt_valid_from
+      |FROM facts LEFT JOIN hist
+      |  ON o_custkey = custkey
+      | AND dbt_valid_from <= o_orderdate
+      | AND (dbt_valid_to IS NULL OR o_orderdate < dbt_valid_to)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q124_scd2_enrich", Seq("S8", "P4", "J4", "EXT-timetravel"),
+      "per-fact SCD2 enrichment: each order joined to its valid-at version",
+      q124Scd2Enrich, Some(q124Sql)),
     GraftQuery("q52_scd2_asof", Seq("S8", "P4", "EXT-timetravel"),
       "SCD2 point-in-time dimension reconstruction",
       q52Scd2AsOf, Some(q52Sql)),

@@ -100,6 +100,20 @@ class AuditSpec extends AnyFunSuite {
     assert(rows.length < total)
   }
 
+  test("q124: enrichment preserves fact cardinality (intervals disjoint)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Incremental.q124Scd2Enrich(spark, dir)
+    val n = out.count()
+    val facts = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1998-01-01").count()
+    assert(n == facts,
+      s"enrichment changed cardinality: $n vs $facts (double/zero match)")
+    // both regimes present: matched versions and pre-history orders
+    val matched = out.filter(col("dim_status").isNotNull).count()
+    assert(matched > 0 && matched < n)
+  }
+
   test("q119: TWAP differs from the plain mean and durations add up") {
     val rows = operators.Audit.q119Twap(spark, dir).collect()
     assert(rows.nonEmpty)
