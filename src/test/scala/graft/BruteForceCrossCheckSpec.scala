@@ -1,0 +1,145 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the round-4 operators: the DuckDB
+  * oracles share the operators' algorithmic SHAPE (windows, joins), so
+  * both could be wrong the same way; these recompute the answers with
+  * naive O(n²)-per-key driver-side sweeps — a genuinely independent
+  * algorithm — on sf0.001 and demand exact agreement.
+  */
+class BruteForceCrossCheckSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q104 islands == naive per-customer interval sweep") {
+    val got = operators.Warehouse.q104IntervalMerge(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.take(10)))
+    val expected = orders.groupBy(_._1).map { case (ck, rs) =>
+      val ivs = rs.map(_._2).sorted.map { d =>
+        val s = LocalDate.parse(d); (s, s.plusDays(30))
+      }
+      // naive sweep: merge sorted intervals
+      var islands = List.empty[(LocalDate, LocalDate)]
+      ivs.foreach { case (s, e) =>
+        islands match {
+          case (cs, ce) :: tail if !s.isAfter(ce) =>
+            islands = (cs, if (e.isAfter(ce)) e else ce) :: tail
+          case _ => islands = (s, e) :: islands
+        }
+      }
+      val days = islands.map(i => java.time.temporal.ChronoUnit.DAYS.between(i._1, i._2)).sum
+      ck -> (rs.length.toLong, islands.length.toLong, days)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (ck, exp) =>
+      assert(got(ck) == exp, s"customer $ck: got ${got(ck)} expected $exp")
+    }
+  }
+
+  test("q112 nearest == naive per-purchase scan of all clicks") {
+    val got = operators.AsOf.q112NearestClick(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._2)
+    byUser.foreach { case (_, rs) =>
+      val clicks = rs.filter(_._3 == "click")
+      rs.filter(_._3 == "purchase").foreach { case (pid, _, _, pus) =>
+        // naive: consider every click; order key (us, event_id) decides
+        // same-instant ties; closest |gap| wins, backward wins exact ties
+        val best = clicks
+          .map { case (cid, _, _, cus) =>
+            val before = cus < pus
+            val gap = cus - pus // negative when before
+            (cid, gap, before)
+          }
+          .sortBy { case (cid, gap, before) =>
+            (math.abs(gap), if (before) 0 else 1, cid)
+          }
+          .headOption
+          // drop clicks at identical (us) with larger event_id than the
+          // purchase? The operator orders by (us, event_id): a click at
+          // the same microsecond counts as BEFORE only if its event_id
+          // is smaller. No same-us pairs exist in this data; assert that.
+          .map { case (cid, gap, _) => (cid, gap) }
+        assert(clicks.forall(_._4 != pus), "same-instant pair would need tie logic")
+        assert(got(pid) == best, s"purchase $pid: got ${got(pid)} expected $best")
+      }
+    }
+  }
+
+  test("q102 triangle census == naive enumeration over the same edges") {
+    val r = operators.Warehouse.q102Triangles(spark, dir).collect().head
+    // rebuild the kNN edge set naively from lineitem
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).distinct
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    byOrder.foreach { sks =>
+      for (a <- sks; b <- sks if a != b)
+        support((a, b)) = support.getOrElse((a, b), 0) + 1
+    }
+    // NB .toSeq first: flatMap over a Map with pair results would
+    // rebuild a Map and silently collapse edges sharing a min-endpoint
+    val picked = support.keys.groupBy(_._1).toSeq.flatMap { case (src, ks) =>
+      ks.toSeq.map(k => (k._2, support(k)))
+        .sortBy { case (dst, sup) => (-sup, dst) }
+        .take(3).map { case (dst, _) =>
+          (math.min(src, dst), math.max(src, dst))
+        }
+    }.toSet
+    val nodes = picked.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n ->
+      picked.collect { case (a, b) if a == n => b; case (a, b) if b == n => a })
+      .toMap
+    var tri = 0L
+    for ((a, b) <- picked; c <- adj(b) if c > b && picked.contains((a, c))) tri += 1
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(r.getLong(0) == nodes.size, "n_nodes")
+    assert(r.getLong(1) == picked.size, "n_edges")
+    assert(r.getLong(2) == wedges, "n_wedges")
+    assert(r.getLong(3) == tri, s"n_triangles: got ${r.getLong(3)} expected $tri")
+  }
+
+  test("q108 OLS slope == naive least squares on collected monthly sums") {
+    val got = operators.Warehouse.q108TrendRegression(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val rows = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .selectExpr("n_name",
+        "(year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS x",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS y")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDecimal(2)))
+    rows.groupBy(_._1).foreach { case (nation, rs) =>
+      val monthly = rs.groupBy(_._2).map { case (x, ys) =>
+        (x.toDouble, ys.map(_._3.doubleValue()).sum)
+      }.toSeq
+      val n = monthly.length
+      val sx = monthly.map(_._1).sum; val sy = monthly.map(_._2).sum
+      val sxx = monthly.map(m => m._1 * m._1).sum
+      val sxy = monthly.map(m => m._1 * m._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = sy / n - slope * (sx / n)
+      val (gs, gi) = got(nation)
+      assert(math.abs(gs - slope) < 1e-4, s"$nation slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$nation intercept $gi vs $intercept")
+    }
+  }
+}
