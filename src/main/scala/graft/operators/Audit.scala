@@ -74,10 +74,15 @@ object Audit {
     * interval — mean order value per status, estimated from a 10%
     * DETERMINISTIC hash sample (the q50/q101 no-RNG draw) and reported
     * next to the exact answer with a within-CI verdict. This is the
-    * interactive-exploration contract at 100 TB: the sample scan is 10%
-    * of the IO, the CI quantifies what that bought, and because the
-    * sample is hash-determined the estimate is reproducible (an RNG
-    * sample would make the oracle unverifiable). CI half-width =
+    * interactive-exploration contract at 100 TB — with one honesty
+    * note: a hash-expression filter is NOT parquet-pushable, so the
+    * scan still reads every row; the 90% saving is everything
+    * DOWNSTREAM (shuffle, aggregation, memory). To cut the IO too, the
+    * sample key must be in the LAYOUT (a bucketed/partitioned sample
+    * column), which is a write-side decision this query deliberately
+    * doesn't assume. Because the sample is hash-determined the estimate
+    * is reproducible (an RNG sample would make the oracle
+    * unverifiable). CI half-width =
     * 1.96 * s/sqrt(n) from the SAME sufficient statistics q108/q110 use;
     * all sums exact DECIMAL, comparisons on rounded values only.
     */
