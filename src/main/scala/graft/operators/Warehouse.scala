@@ -612,7 +612,47 @@ object Warehouse {
       |  SELECT '3_length_band', n2, n3 FROM a)
       |ORDER BY stage""".stripMargin
 
+  /** q126: TIME-interval RANGE window frame — each event's trailing
+    * 24-hour activity (count + exact value sum) over the same user's
+    * stream, the sliding-window feature the ROWS-frame family (q71's
+    * day-grain RANGE -6..0) cannot express when events are irregular:
+    * the frame is bounded by TIME, so peers at identical timestamps all
+    * enter the frame and the result is deterministic even under order
+    * ties. Spark's RangeFrame takes a numeric order key — integer
+    * MICROSECONDS here, exactly DuckDB's `RANGE BETWEEN INTERVAL 24
+    * HOURS PRECEDING` over the timestamp. One shuffle on user_id; frame
+    * state is bounded by the window span, not the history.
+    */
+  def q126Rolling24h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-86400000000L, 0)
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        $"value".cast(DecimalType(9, 2)).as("v"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", round(sum($"v").over(w).cast("double"), 2))
+      .select($"event_id", $"user_id", $"n_24h", $"sum_24h")
+      .orderBy($"event_id")
+  }
+
+  private val q126Sql =
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_24h,
+      |  round(CAST(sum(CAST(value AS DECIMAL(9,2))) OVER w AS DOUBLE), 2)
+      |    AS sum_24h
+      |FROM events
+      |-- epoch_us, not raw ts: the parquet carries NANOS and Spark windows
+      |-- over micro-truncated values; a ns-precision frame could disagree
+      |-- within 1 us of the exact 24 h boundary
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q126_rolling_24h", Seq("W1", "A2", "EXT-streaming"),
+      "trailing 24h per-user features via a time-interval RANGE frame",
+      q126Rolling24h, Some(q126Sql)),
     GraftQuery("q101_stratified_sample", Seq("EXT-curation", "J1", "A2"),
       "per-language stratified sampling, salted-hash deterministic draw",
       q101StratifiedSample, Some(q101Sql)),

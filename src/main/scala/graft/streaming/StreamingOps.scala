@@ -497,7 +497,10 @@ object StreamingOps {
       q109StreamIntervalJoin, Some(q109Sql)),
     GraftQuery("q120_stream_dedup", Seq("EXT-streaming", "A3"),
       "watermarked streaming dropDuplicates over a doubled source, oracle-carried",
-      q120StreamDedup, Some(q120Sql)))
+      q120StreamDedup, Some(q120Sql)),
+    GraftQuery("q125_stream_upsert", Seq("EXT-streaming", "S6", "J4"),
+      "foreachBatch MERGE sink over two redelivered batches, idempotence oracle-carried",
+      q125StreamUpsert, Some(q125Sql)))
 
   /** q120: watermarked streaming deduplication, ORACLE-CARRIED — the
     * source directory is staged with TWO copies of the events file, so
@@ -542,4 +545,62 @@ object StreamingOps {
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** q125: the foreachBatch UPSERT SINK, ORACLE-CARRIED — the streaming
+    * form of the reference's incremental materialization (S6) run as a
+    * real continuous query: the source directory holds TWO copies of the
+    * events file and `maxFilesPerTrigger=1` forces TWO micro-batches, so
+    * batch 1 seeds the keyed parquet target and batch 2 MERGE-upserts
+    * byte-identical rows into it — the emitted table proves the sink is
+    * IDEMPOTENT under redelivery, the contract that makes at-least-once
+    * sources safe. Keyed state: one row per user, latest-wins by
+    * event_id (unique, so the in-batch dedup and the merge are both
+    * deterministic); the oracle is the batch arg_max. The target lives
+    * in a per-invocation temp dir, swapped atomically per batch
+    * (ParquetIO.overwriteSwap — the same writer the reference's
+    * incremental models use).
+    */
+  def q125StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q125-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q125-src")
+    val tgtDir = java.nio.file.Files.createTempDirectory("graft-q125-tgt")
+      .resolve("target").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events_replayed.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1) // two staged files -> two batches
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+    val q = upsertSink(src, Seq("user_id"), orderCol = "event_id", tgtDir)
+      .option("checkpointLocation", ckptDir.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = graft.pipeline.ParquetIO.read(s, tgtDir)
+      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+      .orderBy($"user_id")
+    // materialize before deleting the backing files
+    val rows = out.collect()
+    val res = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    rmTree(ckptDir)
+    rmTree(srcDir)
+    rmTree(java.nio.file.Paths.get(tgtDir).getParent)
+    res
+  }
+
+  private val q125Sql =
+    """SELECT user_id, max(event_id) AS event_id,
+      |  arg_max(event_type, event_id) AS event_type,
+      |  arg_max(value, event_id) AS value,
+      |  CAST(arg_max(ts, event_id) AS TIMESTAMP) AS ts
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

@@ -113,6 +113,38 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
     assert(r.getLong(3) == tri, s"n_triangles: got ${r.getLong(3)} expected $tri")
   }
 
+  test("q125 stream upsert == batch arg_max, one row per user") {
+    import org.apache.spark.sql.functions._
+    val out = streaming.StreamingOps.q125StreamUpsert(spark, dir).collect()
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "duplicate user in sink")
+    val expected = Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(max("event_id").as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)),
+        s"user ${r.getLong(0)}: kept ${r.getLong(1)} not the max event")
+    }
+  }
+
+  test("q126 rolling 24h == naive per-event trailing scan") {
+    val got = operators.Warehouse.q126Rolling24h(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._2).foreach { case (_, rs) =>
+      rs.foreach { case (eid, _, us, _) =>
+        val in = rs.filter(x => x._3 >= us - 86400000000L && x._3 <= us)
+        val s = math.rint(in.map(x => math.rint(x._4 * 100)).sum) / 100
+        assert(got(eid) == ((in.length.toLong, s)),
+          s"event $eid: got ${got(eid)} expected (${in.length}, $s)")
+      }
+    }
+  }
+
   test("q108 OLS slope == naive least squares on collected monthly sums") {
     val got = operators.Warehouse.q108TrendRegression(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
