@@ -65,12 +65,14 @@ object Bench {
     }
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Short ids ("q01") on stdout: the tail buffer is 2000 chars and sbt
-    // appends its own [success] line, so ~100 full names x ~27 chars would
-    // overflow again even without per-run arrays. Full-name medians live
-    // in the sidecar next to the per-run arrays.
+    // Short ids ("q01") and 2-decimal medians on stdout: the tail buffer
+    // is 2000 chars and sbt appends its own [success] line; at 126+
+    // queries even short ids with 3 decimals flirt with the limit.
+    // Full-name 3-decimal medians live in the sidecar with per-run arrays.
+    def fmt2(d: Double): String = BigDecimal(d)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, _) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(median(v))
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(median(v))
     }.mkString("{", ",", "}")
     val mediansFull = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + fmt(median(v))
@@ -93,7 +95,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val errPart = if (errJson == "{}") "" else s""","errors":$errJson"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
