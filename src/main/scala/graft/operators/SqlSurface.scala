@@ -86,11 +86,95 @@ object SqlSurface {
 
   private val q123Sql = q123Text
 
+  /** q127: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join variant plain `=` cannot express: NULL keys match each other
+    * instead of silently dropping. Keys are made nullable by mapping the
+    * modal priority class to NULL on BOTH sides (the "unknown bucket"
+    * every dirty dimension has), and the join must route those rows to
+    * the NULL-labeled dimension row — the behavior a MERGE on nullable
+    * business keys depends on. Null-safe equality hash-partitions like
+    * any equi-join (NULL is just one more key value), so the plan is a
+    * normal broadcast/shuffle hash join — no fallback to non-equi.
+    */
+  def q127NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+      .select($"o_orderkey",
+        nullif($"o_orderpriority", lit("3-MEDIUM")).as("pk"))
+    val dim = Tables.load(s, dir, "orders")
+      .select(nullif($"o_orderpriority", lit("3-MEDIUM")).as("pk"))
+      .distinct()
+      .select($"pk",
+        when($"pk".isNull, lit("UNKNOWN")).otherwise(concat(lit("P:"), $"pk"))
+          .as("label"))
+    orders.join(dim, orders("pk") <=> dim("pk"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"label")
+  }
+
+  private val q127Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pk
+      |  FROM orders),
+      |d AS (
+      |  SELECT DISTINCT pk,
+      |    CASE WHEN pk IS NULL THEN 'UNKNOWN' ELSE 'P:' || pk END AS label
+      |  FROM (SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS pk
+      |        FROM orders))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM o JOIN d ON o.pk IS NOT DISTINCT FROM d.pk
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** q128: schema-reconciling union — `unionByName(allowMissingColumns)`
+    * merges two differently-shaped projections by COLUMN NAME, filling
+    * absent columns with NULL (DuckDB's `UNION ALL BY NAME`): the
+    * evolving-schema append every long-lived table eventually needs
+    * (v2 writers add columns; v1 readers must still union). Positional
+    * UNION would silently mis-align here — customer carries (name, bal,
+    * segment) and supplier (name, bal, nation) in different orders.
+    */
+  def q128UnionByName(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .select($"c_name".as("party_name"),
+        lit("customer").as("party_type"),
+        $"c_acctbal".as("acctbal"),
+        $"c_mktsegment".as("mktsegment"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select($"s_name".as("party_name"),
+        $"s_nationkey".cast("int").as("nationkey"),
+        lit("supplier").as("party_type"),
+        $"s_acctbal".as("acctbal"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .orderBy($"party_type", $"party_name")
+  }
+
+  private val q128Sql =
+    """SELECT * FROM (
+      |  SELECT c_name AS party_name, 'customer' AS party_type,
+      |    c_acctbal AS acctbal, c_mktsegment AS mktsegment
+      |  FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_name AS party_name, CAST(s_nationkey AS INTEGER) AS nationkey,
+      |    'supplier' AS party_type, s_acctbal AS acctbal
+      |  FROM supplier)
+      |ORDER BY party_type, party_name""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q122_star_join", Seq("J1", "A2", "P1", "F9"),
       "TPC-H Q5-shape 6-table star join, authored as SQL text",
       q122StarJoin, Some(q122Sql)),
     GraftQuery("q123_correlated_subquery", Seq("J1", "A1", "P6"),
       "correlated scalar subqueries, Catalyst-decorrelated, same text both engines",
-      q123CorrelatedSubquery, Some(q123Sql)))
+      q123CorrelatedSubquery, Some(q123Sql)),
+    GraftQuery("q127_nullsafe_join", Seq("J1", "F4", "F11"),
+      "null-safe equality join routes NULL keys to the unknown bucket",
+      q127NullSafeJoin, Some(q127Sql)),
+    GraftQuery("q128_union_by_name", Seq("P2", "F9"),
+      "schema-reconciling union by column name with null fill",
+      q128UnionByName, Some(q128Sql)))
 }

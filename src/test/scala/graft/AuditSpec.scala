@@ -114,6 +114,28 @@ class AuditSpec extends AnyFunSuite {
     assert(matched > 0 && matched < n)
   }
 
+  test("q127: NULL keys route to UNKNOWN; plain = would drop them") {
+    val rows = operators.SqlSurface.q127NullSafeJoin(spark, dir).collect()
+    val byLabel = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.contains("UNKNOWN") && byLabel("UNKNOWN") > 0,
+      "null-safe join lost the NULL bucket")
+    val total = Tables.load(spark, dir, "orders").count()
+    assert(byLabel.values.sum == total, "join dropped or duplicated orders")
+  }
+
+  test("q128: union by name fills missing columns with NULL, loses no rows") {
+    import org.apache.spark.sql.functions._
+    val out = operators.SqlSurface.q128UnionByName(spark, dir)
+    val c = Tables.load(spark, dir, "customer").count()
+    val s = Tables.load(spark, dir, "supplier").count()
+    assert(out.count() == c + s)
+    assert(out.filter(col("party_type") === "supplier" &&
+      col("mktsegment").isNotNull).count() == 0)
+    assert(out.filter(col("party_type") === "customer" &&
+      col("nationkey").isNotNull).count() == 0)
+    assert(out.filter(col("acctbal").isNull).count() == 0)
+  }
+
   test("q119: TWAP differs from the plain mean and durations add up") {
     val rows = operators.Audit.q119Twap(spark, dir).collect()
     assert(rows.nonEmpty)
