@@ -283,7 +283,62 @@ object Incremental {
       | AND (dbt_valid_to IS NULL OR o_orderdate < dbt_valid_to)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q129: incremental JOIN-delta maintenance — the bilinear expansion
+    * Δ(A ⋈ B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the algebra every materialized
+    * join view (and every incremental pipeline stacked on S6's upsert)
+    * relies on: when a batch of new orders (ΔA) and new customers (ΔB)
+    * arrives, the view updates by joining only the DELTAS against the
+    * old sides — never re-joining |A|x|B|. The oracle computes the same
+    * delta the EXPENSIVE way (full recompute minus old result), so the
+    * hash-equality IS the proof the expansion is lossless. At 100 TB
+    * this is the difference between touching the delta (GBs) and
+    * touching the view (the lake).
+    */
+  def q129JoinDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // NB count is BILINEAR (delta-decomposable); count_distinct is NOT —
+    // an old customer gaining a new order appears in both old and delta,
+    // so a distinct over delta rows would not equal full minus old.
+    val orders = t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+      ($"o_orderdate" >= lit("1997-01-01").cast("timestamp")).as("isNew"))
+    val aOld = orders.filter(!$"isNew").drop("isNew")
+    val aNew = orders.filter($"isNew").drop("isNew")
+    val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val bOld = cust.filter($"c_custkey" % 10 =!= 0)
+    val bNew = cust.filter($"c_custkey" % 10 === 0)
+    val delta = aNew.join(bOld, $"o_custkey" === $"c_custkey")
+      .unionByName(aOld.join(bNew, $"o_custkey" === $"c_custkey"))
+      .unionByName(aNew.join(bNew, $"o_custkey" === $"c_custkey"))
+    delta.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("delta_pairs"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q129Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AS is_new
+      |  FROM orders),
+      |b AS (SELECT c_custkey, c_nationkey, c_custkey % 10 = 0 AS is_new
+      |      FROM customer),
+      |full_j AS (
+      |  SELECT c_nationkey, o_custkey FROM a JOIN b ON o_custkey = c_custkey),
+      |old_j AS (
+      |  SELECT c_nationkey, o_custkey
+      |  FROM a JOIN b ON o_custkey = c_custkey
+      |  WHERE NOT a.is_new AND NOT b.is_new),
+      |f AS (SELECT c_nationkey, count(*) AS n FROM full_j GROUP BY 1),
+      |o AS (SELECT c_nationkey, count(*) AS n FROM old_j GROUP BY 1)
+      |SELECT f.c_nationkey,
+      |  CAST(f.n - coalesce(o.n, 0) AS BIGINT) AS delta_pairs
+      |FROM f LEFT JOIN o ON f.c_nationkey = o.c_nationkey
+      |WHERE f.n - coalesce(o.n, 0) > 0
+      |ORDER BY f.c_nationkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q129_join_delta", Seq("S6", "J1", "A2", "EXT-incremental"),
+      "bilinear join-delta maintenance proven against full recompute minus old",
+      q129JoinDelta, Some(q129Sql)),
     GraftQuery("q124_scd2_enrich", Seq("S8", "P4", "J4", "EXT-timetravel"),
       "per-fact SCD2 enrichment: each order joined to its valid-at version",
       q124Scd2Enrich, Some(q124Sql)),

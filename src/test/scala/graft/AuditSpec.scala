@@ -136,6 +136,29 @@ class AuditSpec extends AnyFunSuite {
     assert(out.filter(col("acctbal").isNull).count() == 0)
   }
 
+  test("q129: delta + old == full recompute (bilinear expansion closes)") {
+    import org.apache.spark.sql.functions._
+    val delta = operators.Incremental.q129JoinDelta(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    def pairs(oldOnly: Boolean) = {
+      val a = if (oldOnly) orders.filter(col("o_orderdate") < "1997-01-01") else orders
+      val b = if (oldOnly) cust.filter(col("c_custkey") % 10 =!= 0) else cust
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val full = pairs(oldOnly = false)
+    val old = pairs(oldOnly = true)
+    full.foreach { case (nk, n) =>
+      val d = delta.getOrElse(nk, 0L)
+      assert(old.getOrElse(nk, 0L) + d == n,
+        s"nation $nk: old + delta != full ($d)")
+    }
+    assert(delta.values.sum > 0)
+  }
+
   test("q119: TWAP differs from the plain mean and durations add up") {
     val rows = operators.Audit.q119Twap(spark, dir).collect()
     assert(rows.nonEmpty)
