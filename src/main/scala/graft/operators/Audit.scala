@@ -44,7 +44,12 @@ object Audit {
     val perEdge = FkEdges.map { case (child, fk, parent, pk) =>
       val c = t(s, dir, child).select(col(fk).as("fkv"))
       val p = t(s, dir, parent).select(col(pk).as("pkv"))
-      val orphans = c.join(p, $"fkv" === $"pkv", "left_anti")
+      // NULL FKs are reported in n_null_fk, NOT as orphans: a bare
+      // left_anti would also keep NULL rows (fkv === pkv is null-false)
+      // and double-count them in both columns — diverging from the
+      // oracle's `fk IS NOT NULL AND fk NOT IN (parent)` definition.
+      val orphans = c.filter($"fkv".isNotNull)
+        .join(p, $"fkv" === $"pkv", "left_anti")
       val stats = c.agg(
         count(lit(1)).as("n_child"),
         count_distinct($"fkv").as("n_distinct_fk"),

@@ -783,7 +783,10 @@ object Similarity {
   def q121SparseCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count()
+    // corpus size attaches as a broadcast 1-row aggregate (the q105/q114
+    // scalar-attach idiom) — an eager docs.count() here would serialize a
+    // full extra scan ahead of the real plan on every invocation
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select($"doc_id",
         explode(graft.functions.NativeExpressions.wordShingles($"text", 2))
@@ -792,8 +795,9 @@ object Similarity {
     val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       .filter($"df" <= SparseDfCap)
     val w = tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"term",
-        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 8)
+        round($"tf" * log($"n_docs" / $"df"), 8)
           .cast(DecimalType(18, 8)).as("w"))
       .persist()
     val norms = w.groupBy($"doc_id")

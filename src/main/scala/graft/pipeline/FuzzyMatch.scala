@@ -115,15 +115,33 @@ object FuzzyMatch {
     * Jaccard) is re-derived in DuckDB SQL, so the driver hash-checks the
     * full chain.
     */
-  def q56FuzzyNames(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val names = graft.Tables.load(s, dir, "part").select($"p_name").distinct()
-    val variants = names
-      .select(concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
+  /** The three deterministic corruption classes (decorated legal form,
+    * leading-char typo, word-order swap) — shared by q56 and q113 so the
+    * pair generator and the entity-resolution record universe can never
+    * drift apart.
+    */
+  private def corruptionVariants(names: DataFrame): DataFrame = {
+    import names.sparkSession.implicits._
+    names.select(concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
       .unionByName(names.select(expr("substring(p_name, 2)").as("v")))
       .unionByName(names.select(
         concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
-    similarityJoin(names, "p_name", variants, "v", threshold = 0.5)
+  }
+
+  /** DuckDB twin of [[corruptionVariants]] (emits column `v` from `names`). */
+  private val variantsSql =
+    """SELECT 'The ' || p_name || ' Inc.' AS v FROM names
+      |  UNION ALL
+      |  SELECT substring(p_name, 2) FROM names
+      |  UNION ALL
+      |  SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |  FROM names""".stripMargin
+
+  def q56FuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = graft.Tables.load(s, dir, "part").select($"p_name").distinct()
+    similarityJoin(names, "p_name", corruptionVariants(names), "v",
+        threshold = 0.5)
       .orderBy($"l_name", $"r_name")
   }
 
@@ -148,11 +166,7 @@ object FuzzyMatch {
       |  SELECT p_name AS l_name, ${gramsSql("p_name")} AS grams
       |  FROM names WHERE length(${normSql("p_name")}) > 0),
       |r0 AS (
-      |  SELECT 'The ' || p_name || ' Inc.' AS v FROM names
-      |  UNION ALL
-      |  SELECT substring(p_name, 2) FROM names
-      |  UNION ALL
-      |  SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ') FROM names),
+      |  $variantsSql),
       |r AS (
       |  SELECT DISTINCT v AS r_name, ${gramsSql("v")} AS grams
       |  FROM r0 WHERE length(${normSql("v")}) > 0),
@@ -189,11 +203,7 @@ object FuzzyMatch {
   def q113EntityResolution(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val names = graft.Tables.load(s, dir, "part").select($"p_name").distinct()
-    val variants = names
-      .select(concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
-      .unionByName(names.select(expr("substring(p_name, 2)").as("v")))
-      .unionByName(names.select(
-        concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
+    val variants = corruptionVariants(names)
     val records = names.select($"p_name".as("rec"))
       .unionByName(variants.select($"v".as("rec"))).distinct()
       .withColumn("rid", xxhash64($"rec"))
@@ -214,12 +224,7 @@ object FuzzyMatch {
   private val q113Sql =
     s"""WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
       |v0 AS (
-      |  SELECT 'The ' || p_name || ' Inc.' AS v FROM names
-      |  UNION ALL
-      |  SELECT substring(p_name, 2) FROM names
-      |  UNION ALL
-      |  SELECT array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
-      |  FROM names),
+      |  $variantsSql),
       |records AS (
       |  SELECT DISTINCT rec FROM (
       |    SELECT p_name AS rec FROM names UNION ALL SELECT v FROM v0)),

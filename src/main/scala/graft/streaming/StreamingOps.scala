@@ -298,6 +298,47 @@ object StreamingOps {
 
   private val q55Counter = new AtomicInteger(0)
 
+  /** Shared memory-sink harness for the oracle-carried streaming queries
+    * (q55/q63/q109/q120): stage `copies` of the events file into a temp
+    * source directory, run `build`'s streaming plan to a uniquely-named
+    * memory sink under AvailableNow, materialize the emitted rows into a
+    * local relation, and — in a FINALLY, so a failing query cannot leak
+    * them across the 129-query Verify/Bench session — drop the sink view
+    * and both temp trees.
+    */
+  private def memorySinkRun(
+      s: SparkSession, prefix: String, dir: String, copies: Int = 1)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = s"graft_${prefix}_${q55Counter.incrementAndGet()}"
+    val ckptDir = java.nio.file.Files.createTempDirectory(s"graft-$prefix-ckpt")
+    // the file source requires a DIRECTORY; stage the single events file
+    // into one (in production the landing prefix is a directory)
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-$prefix-src")
+    try {
+      (1 to copies).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          srcDir.resolve(s"events_$i.parquet"))
+      }
+      val q = build(readEvents(s, srcDir.toString))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // Materialize off the memory sink into a local relation so the
+      // sink table, the checkpoint, and the staged copies can all be
+      // released NOW (Bench runs each query 3x); emitted sets are
+      // result-sized, so the collect is the data the sink already held.
+      val sink = s.table(name)
+      val rows = sink.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    } finally {
+      try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+      rmTree(ckptDir)
+      rmTree(srcDir)
+    }
+  }
+
   /** q55: the `transformWithState` sessionizer, ORACLE-CARRIED — the
     * hardest stateful code in the repo run end-to-end (file source →
     * RocksDB state + event-time timers → memory sink, one AvailableNow
@@ -318,36 +359,11 @@ object StreamingOps {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val name = s"graft_q55_sessions_${q55Counter.incrementAndGet()}"
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft-q55-ckpt")
-      // the file source requires a DIRECTORY; stage the single events
-      // file into one (in production the landing prefix is a directory)
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-q55-src")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        srcDir.resolve("events.parquet"))
-      val events = readEvents(s, srcDir.toString)
-        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-        .as[Event]
-      val q = sessionizeTransformWithState(events)
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", ckptDir.toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // Materialize off the memory sink into a local relation so the sink
-      // table, the RocksDB checkpoint, and the staged copy can all be
-      // released NOW — otherwise each invocation (Bench runs 3) leaks a
-      // driver-held table plus two /tmp trees. Session tables are
-      // session-count-sized; the collect is the same data the memory
-      // sink already held once.
-      val sink = s.table(name)
-      val rows = sink.collect()
-      val out = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), sink.schema)
-      s.catalog.dropTempView(name)
-      rmTree(ckptDir)
-      rmTree(srcDir)
-      out.orderBy($"user_id", $"session_seq")
+      memorySinkRun(s, "q55_sessions", dir) { src =>
+        sessionizeTransformWithState(
+          src.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+            .as[Event]).toDF()
+      }.orderBy($"user_id", $"session_seq")
     } finally {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -403,24 +419,8 @@ object StreamingOps {
     */
   def q63StreamHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = s"graft_q63_hourly_${q55Counter.incrementAndGet()}"
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q63-ckpt")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q63-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    val q = hourlyCounts(readEvents(s, srcDir.toString))
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir.toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val sink = s.table(name)
-    val rows = sink.collect()
-    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
-    s.catalog.dropTempView(name)
-    rmTree(ckptDir)
-    rmTree(srcDir)
-    out.orderBy($"hour", $"event_type")
+    memorySinkRun(s, "q63_hourly", dir)(hourlyCounts)
+      .orderBy($"hour", $"event_type")
   }
 
   private val q63Sql =
@@ -449,28 +449,11 @@ object StreamingOps {
     */
   def q109StreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = s"graft_q109_ij_${q55Counter.incrementAndGet()}"
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q109-ckpt")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q109-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    val src = readEvents(s, srcDir.toString)
-    val joined = intervalJoin(
-      src.filter(col("event_type") === "purchase"),
-      src.filter(col("event_type") === "click"))
-    val q = joined
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir.toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val sink = s.table(name)
-    val rows = sink.collect()
-    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
-    s.catalog.dropTempView(name)
-    rmTree(ckptDir)
-    rmTree(srcDir)
-    out.orderBy($"l_event_id", $"r_event_id")
+    memorySinkRun(s, "q109_ij", dir) { src =>
+      intervalJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"))
+    }.orderBy($"l_event_id", $"r_event_id")
   }
 
   private val q109Sql =
@@ -481,8 +464,11 @@ object StreamingOps {
       |FROM events p JOIN events c
       |  ON p.user_id = c.user_id
       | AND p.event_type = 'purchase' AND c.event_type = 'click'
-      | AND c.ts >= p.ts - INTERVAL 10 MINUTE
-      | AND c.ts < p.ts
+      |-- epoch_us, not raw ts: the parquet carries NANOS and the Spark
+      |-- side joins micro-truncated timestamps; a ns-precision predicate
+      |-- could disagree on pairs within 1 us of either boundary
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+      | AND epoch_us(c.ts) < epoch_us(p.ts)
       |ORDER BY l_event_id, r_event_id""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
@@ -516,29 +502,11 @@ object StreamingOps {
     */
   def q120StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = s"graft_q120_dedup_${q55Counter.incrementAndGet()}"
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q120-ckpt")
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q120-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events_replayed.parquet"))
-    val q = dedupStream(readEvents(s, srcDir.toString))
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckptDir.toString)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val sink = s.table(name)
-    val rows = sink.collect()
-    val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
-    s.catalog.dropTempView(name)
-    rmTree(ckptDir)
-    rmTree(srcDir)
-    out.orderBy($"event_id")
+    memorySinkRun(s, "q120_dedup", dir, copies = 2) { src =>
+      dedupStream(src)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    }.orderBy($"event_id")
   }
 
   private val q120Sql =
@@ -564,35 +532,37 @@ object StreamingOps {
     import s.implicits._
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-q125-ckpt")
     val srcDir = java.nio.file.Files.createTempDirectory("graft-q125-src")
-    val tgtDir = java.nio.file.Files.createTempDirectory("graft-q125-tgt")
-      .resolve("target").toString
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      srcDir.resolve("events_replayed.parquet"))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1) // two staged files -> two batches
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
-    val q = upsertSink(src, Seq("user_id"), orderCol = "event_id", tgtDir)
-      .option("checkpointLocation", ckptDir.toString)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = graft.pipeline.ParquetIO.read(s, tgtDir)
-      .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
-      .orderBy($"user_id")
-    // materialize before deleting the backing files
-    val rows = out.collect()
-    val res = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    rmTree(ckptDir)
-    rmTree(srcDir)
-    rmTree(java.nio.file.Paths.get(tgtDir).getParent)
-    res
+    val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q125-tgt")
+    val tgtDir = tgtRoot.resolve("target").toString
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("events_replayed.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = s.readStream
+        .schema(eventSchema)
+        .option("maxFilesPerTrigger", 1) // two staged files -> two batches
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+      val q = upsertSink(src, Seq("user_id"), orderCol = "event_id", tgtDir)
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = graft.pipeline.ParquetIO.read(s, tgtDir)
+        .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
+        .orderBy($"user_id")
+      // materialize before the finally deletes the backing files
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      rmTree(ckptDir)
+      rmTree(srcDir)
+      rmTree(tgtRoot)
+    }
   }
 
   private val q125Sql =

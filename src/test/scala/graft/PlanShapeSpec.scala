@@ -96,7 +96,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
-      "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination")),
+      "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
+      "q121_sparse_cosine")),
       s"unexpected cross products in: $offenders")
   }
 }
