@@ -314,6 +314,14 @@ object StreamingOps {
     // the file source requires a DIRECTORY; stage the single events file
     // into one (in production the landing prefix is a directory)
     val srcDir = java.nio.file.Files.createTempDirectory(s"graft-$prefix-src")
+    // Stateful streaming instantiates one state store PER shuffle
+    // partition PER stateful operator PER micro-batch; at the session's
+    // 32 partitions that fixed cost dwarfs the actual state at test
+    // scale (and on a real cluster the partition count should track the
+    // KEY cardinality of the state, not the batch parallelism default).
+    // 8 partitions here; restored in the finally.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       (1 to copies).foreach { i =>
         java.nio.file.Files.copy(
@@ -333,6 +341,7 @@ object StreamingOps {
       val rows = sink.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try s.catalog.dropTempView(name) catch { case _: Throwable => () }
       rmTree(ckptDir)
       rmTree(srcDir)
@@ -534,6 +543,9 @@ object StreamingOps {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-q125-src")
     val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q125-tgt")
     val tgtDir = tgtRoot.resolve("target").toString
+    // same state-store/partition economics as memorySinkRun
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -559,6 +571,7 @@ object StreamingOps {
       val rows = out.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       rmTree(ckptDir)
       rmTree(srcDir)
       rmTree(tgtRoot)
