@@ -649,7 +649,102 @@ object Warehouse {
       |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** q130: hierarchy transitive closure via POINTER DOUBLING — every
+    * node's root and depth in a synthetic forest (parent(k) = k/10 for
+    * k >= 10; roots are 1..9). Spark has no recursive CTE, and the
+    * naive per-level loop costs one shuffle PER EDGE of depth; pointer
+    * doubling squares the known ancestor each round (d, 2d, 4d...), so
+    * a depth-D hierarchy closes in ceil(log2 D) self-joins — at a
+    * 100-TB BOM/org-chart scale that is the difference between 30
+    * shuffles and 5. Three fixed rounds here close any depth <= 8; the
+    * oracle walks the same forest with DuckDB's native WITH RECURSIVE,
+    * proving the doubling lossless.
+    */
+  def q130TreeClosure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = t(s, dir, "customer").select($"c_custkey".as("k"))
+    var state = keys.select($"k",
+      when($"k" >= 10, ($"k" / 10).cast("long")).otherwise($"k").as("r"),
+      when($"k" >= 10, 1L).otherwise(0L).as("d"),
+      ($"k" < 10 || ($"k" / 10).cast("long") < 10).as("done"))
+    for (_ <- 1 to 3) {
+      val hop = state.select($"k".as("hk"), $"r".as("hr"), $"d".as("hd"),
+        $"done".as("hdone"))
+      state = state.join(hop, $"r" === $"hk", "left")
+        .select($"k",
+          when($"done" || $"hr".isNull, $"r").otherwise($"hr").as("r"),
+          when($"done" || $"hr".isNull, $"d").otherwise($"d" + $"hd").as("d"),
+          ($"done" || coalesce($"hdone", lit(false))).as("done"))
+    }
+    state.select($"k".as("custkey"), $"r".as("root"), $"d".as("depth"))
+      .orderBy($"custkey")
+  }
+
+  private val q130Sql =
+    """WITH RECURSIVE walk(k, r, d) AS (
+      |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+      |  FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, w.r, w.d + 1
+      |  FROM customer c JOIN walk w ON c.c_custkey // 10 = w.k
+      |  WHERE c.c_custkey >= 10)
+      |SELECT k AS custkey, r AS root, d AS depth
+      |FROM walk
+      |ORDER BY custkey""".stripMargin
+
+  private val SessionGap = "30 minutes"
+
+  /** q131: the BUILTIN `session_window` batch aggregation — Spark's
+    * native dynamic-gap session operator (a first-class plan node, not
+    * the q14 gaps-and-islands window composition): per user, events
+    * merge while each arrives before the previous window's end
+    * (last event + 30 min), and the emitted window is
+    * [first event, last event + gap). Boundary semantics differ from
+    * q14's by one instant — a gap of EXACTLY 30 min starts a new
+    * session here (window end is exclusive) while q14's `> 30 min` test
+    * merges it — so the oracle encodes `>=` on integer microseconds:
+    * the operator's contract, stated and hash-checked, not assumed.
+    */
+  def q131SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", SessionGap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("s_start"), $"w.end".as("s_end"),
+        $"n_events")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  private val q131Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |      OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id,
+      |  CAST(min(ts) AS TIMESTAMP) AS s_start,
+      |  CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS s_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM g
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
+      "hierarchy root+depth via pointer doubling (log-depth shuffles)",
+      q130TreeClosure, Some(q130Sql)),
+    GraftQuery("q131_session_window", Seq("W1", "A2", "EXT-streaming"),
+      "builtin session_window batch aggregation, boundary contract oracle-stated",
+      q131SessionWindow, Some(q131Sql)),
     GraftQuery("q126_rolling_24h", Seq("W1", "A2", "EXT-streaming"),
       "trailing 24h per-user features via a time-interval RANGE frame",
       q126Rolling24h, Some(q126Sql)),

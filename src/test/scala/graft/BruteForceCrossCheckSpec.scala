@@ -145,6 +145,39 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 pointer doubling == procedural parent-walk per key") {
+    val rows = operators.Warehouse.q130TreeClosure(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, root, depth) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var (cur, d) = (k, 0L)
+      while (cur >= 10) { cur /= 10; d += 1 }
+      assert(root == cur, s"key $k: root $root != walked $cur")
+      assert(depth == d, s"key $k: depth $depth != walked $d")
+    }
+  }
+
+  test("q131 session windows are disjoint per user and gap-consistent") {
+    val rows = operators.Warehouse.q131SessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, ws) =>
+      val sorted = ws.sortBy(_._2)
+      sorted.foreach { case (_, st, en, n) =>
+        assert(en - st >= 30 * 60 * 1000, s"user $u: window shorter than gap")
+        assert(n >= 1)
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 >= e1, s"user $u: overlapping session windows")
+        case _ =>
+      }
+    }
+    // total events conserved
+    assert(rows.map(_._4).sum == Tables.load(spark, dir, "events").count())
+  }
+
   test("q108 OLS slope == naive least squares on collected monthly sums") {
     val got = operators.Warehouse.q108TrendRegression(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
