@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output bypasses sbt's logger: the logger prefixes every
+// line with "[info] ", which breaks line-oriented JSON parsers reading
+// the bench/verify stdout (BENCH_r01-r04 all show "parsed": null with
+// the complete JSON line visible behind an [info] prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,6 +71,10 @@ object Bench {
     // Full-name 3-decimal medians live in the sidecar with per-run arrays.
     def fmt2(d: Double): String = BigDecimal(d)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      "bench short ids collide: " +
+        shortIds.diff(shortIds.distinct).distinct.mkString(","))
     val qs = results.map { case (k, v, _) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(median(v))
     }.mkString("{", ",", "}")
@@ -95,8 +99,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
-    val errPart = if (errJson == "{}") "" else s""","errors":$errJson"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"reps":$reps,"sf":"$sfDir"}""")
+    // "errors" is ALWAYS present (12 chars when empty): downstream parsers
+    // may read obj["errors"] unconditionally, as the pre-r04 format allowed.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,7 @@ object Registry {
       graft.operators.Audit.queries ++
       graft.operators.SqlSurface.queries ++
       graft.operators.Sketches.queries ++
+      graft.operators.GlobalRank.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++
       graft.streaming.StreamingOps.queries ++

@@ -106,9 +106,13 @@ object Analytics {
         .select($"dst".as("node"),
           round(lit((1 - Damping) / n) + lit(Damping) * $"in_pr", 10).as("pr"))
     }
+    // Top-20 via orderBy().limit() -> TakeOrderedAndProject: every task
+    // keeps a 20-row heap and only those survivors cross the exchange.
+    // The rank window then runs over 20 rows, not the full rank vector
+    // (a global row_number here would single-partition-sort all nodes).
+    val top = pr.orderBy($"pr".desc, $"node".asc).limit(20)
     val w = Window.orderBy($"pr".desc, $"node".asc)
-    pr.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 20)
+    top.withColumn("rank", row_number().over(w))
       .select($"rank", $"node", round($"pr", 8).as("pagerank"))
       .orderBy($"rank")
   }

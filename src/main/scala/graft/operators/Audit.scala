@@ -104,11 +104,17 @@ object Audit {
       sum($"v" * $"v").cast("double").as("svv"))
     val exact = o.groupBy($"o_orderstatus").agg(
       round(sum($"v").cast("double") / count(lit(1)), 4).as("exact_mean"))
-    sample.join(exact, Seq("o_orderstatus"))
-      .withColumn("est_mean", $"sv" / $"n_sample")
+    // exact LEFT JOIN sample: a stratum the hash draw missed entirely
+    // still appears (n_sample=0, null estimate) — an audit must never
+    // silently drop a group. CI guarded to n_sample > 1: a 1-row
+    // stratum has no variance estimate, so it reports null, not NaN.
+    exact.join(sample, Seq("o_orderstatus"), "left")
+      .withColumn("n_sample", coalesce($"n_sample", lit(0L)))
+      .withColumn("est_mean", when($"n_sample" > 0, $"sv" / $"n_sample"))
       .withColumn("ci_half",
-        lit(1.96) * sqrt(($"svv" - $"sv" * $"sv" / $"n_sample") /
-          ($"n_sample" - 1) / $"n_sample"))
+        when($"n_sample" > 1,
+          lit(1.96) * sqrt(($"svv" - $"sv" * $"sv" / $"n_sample") /
+            ($"n_sample" - 1) / $"n_sample")))
       .select($"o_orderstatus", $"n_sample",
         round($"est_mean", 4).as("est_mean"),
         round($"ci_half", 4).as("ci_half"),
@@ -132,11 +138,13 @@ object Audit {
       |    round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS exact_mean
       |  FROM o GROUP BY 1),
       |j AS (
-      |  SELECT o_orderstatus, n_sample, sv / n_sample AS est_mean,
-      |    1.96e0 * sqrt((svv - sv * sv / n_sample) / (n_sample - 1) / n_sample)
-      |      AS ci_half,
+      |  SELECT o_orderstatus, coalesce(n_sample, 0) AS n_sample,
+      |    CASE WHEN n_sample > 0 THEN sv / n_sample END AS est_mean,
+      |    CASE WHEN n_sample > 1 THEN
+      |      1.96e0 * sqrt((svv - sv * sv / n_sample) / (n_sample - 1) / n_sample)
+      |    END AS ci_half,
       |    exact_mean
-      |  FROM smp JOIN ex USING (o_orderstatus))
+      |  FROM ex LEFT JOIN smp USING (o_orderstatus))
       |SELECT o_orderstatus, n_sample, round(est_mean, 4) AS est_mean,
       |  round(ci_half, 4) AS ci_half, exact_mean,
       |  (abs(est_mean - exact_mean) <= ci_half) AS within_ci
@@ -236,11 +244,14 @@ object Audit {
     import s.implicits._
     val ord = t(s, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-    // page boundary: the 40th row under the total order — computed the
-    // same deterministic way in both engines (2 pages x 20 rows)
-    val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-    val boundary = ord.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 40)
+    // page boundary: the 40th row under the total order (2 pages x 20
+    // rows). Computed as two TakeOrderedAndProjects — top-40 heap per
+    // task, then the last of those 40 — NOT a global row_number, which
+    // would be the exact O(N) single-partition sort this query's whole
+    // point is to avoid.
+    val boundary = ord
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc).limit(40)
+      .orderBy($"o_totalprice".asc, $"o_orderkey".desc).limit(1)
       .select($"o_totalprice".as("b_price"), $"o_orderkey".as("b_key"))
     ord.crossJoin(broadcast(boundary))
       .filter($"o_totalprice" < $"b_price" ||

@@ -526,11 +526,16 @@ object Similarity {
     */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy(md5($"vec_id".cast("string")), $"vec_id")
-    t(s, dir, "embeddings")
-      .select($"vec_id", d($"embedding").as("v"))
+    // Anchor pick = orderBy().limit(16) -> TakeOrderedAndProject (each
+    // task keeps a 16-row heap); the cw rank window then runs over the
+    // 16 survivors only, never over the full embedding table.
+    val anchors = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"),
+        md5($"vec_id".cast("string")).as("mk"))
+      .orderBy($"mk", $"vec_id").limit(PqCodewords)
+    val w = Window.orderBy($"mk", $"vec_id")
+    anchors
       .withColumn("cw", row_number().over(w) - 1)
-      .filter($"cw" < PqCodewords)
       .select(explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"),
         $"cw", $"v")
       .select($"s", $"cw",

@@ -799,8 +799,14 @@ object TextAnalysis {
     * scoring pass joins against broadcast counts, no shuffle of the
     * corpus itself beyond the per-doc agg). Bigrams are built in-array
     * with zip_with (one pass, codegen) before the explode. The mean NLL
-    * is rounded to 6 digits before the decile window so cross-engine
+    * is rounded to 6 digits before the decile cut so cross-engine
     * float-sum drift (~1e-13 on a ~1-5 nat value) cannot flip ordering.
+    * The worst-decile flag is per-DOCUMENT — data-scaled — so it must
+    * NOT come from a global ntile window (single-partition sort of the
+    * corpus): it is rank <= ceil(n/10) with the rank from
+    * [[GlobalRank.withGlobalRank]]'s range-partitioned parallel ranking,
+    * provably identical to ntile's first tile (the oracle still says
+    * `ntile(10) = 1`).
     */
   def q88BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -823,12 +829,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(($"c2" + 1).cast("double") / ($"c1" + $"v"))), 6)
           .as("nll_per_bigram"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"nll_per_bigram".desc, $"doc_id".asc)
-    scored
-      .withColumn("decile", ntile(10).over(w))
+      .persist()
+    // ntile(10)'s first tile is always ceil(n/10) rows (n = 10q+r: the
+    // first r tiles get q+1), so decile==1  <=>  rank <= ceil(n/10)
+    val n = scored.count()
+    val tile1 = (n + 9) / 10
+    GlobalRank.withGlobalRank(scored, "__rank",
+        $"nll_per_bigram".desc, $"doc_id".asc)
       .select($"doc_id", $"n_bigrams", $"nll_per_bigram",
-        ($"decile" === 1).as("flag_high_ppl"))
+        ($"__rank" <= tile1).as("flag_high_ppl"))
       .orderBy($"doc_id")
   }
 

@@ -379,14 +379,17 @@ object Warehouse {
         sum($"y").as("sy"),
         sum($"y" * $"x").as("sxy"))
       .select($"n_name", $"n_months",
-        round(
+        // n_months = 1 makes the OLS denominator (n·Σx² - Σx²) exactly 0:
+        // a single-month nation has no trend — report null, never NaN/Inf
+        // (which Spark and DuckDB serialize differently).
+        round(when($"n_months" > 1,
           (($"n_months" * $"sxy".cast("double")) - ($"sx" * $"sy".cast("double"))) /
-            (($"n_months" * $"sxx") - ($"sx" * $"sx")), 6).as("slope"),
-        round(
+            (($"n_months" * $"sxx") - ($"sx" * $"sx"))), 6).as("slope"),
+        round(when($"n_months" > 1,
           ($"sy".cast("double") / $"n_months") -
             ((($"n_months" * $"sxy".cast("double")) - ($"sx" * $"sy".cast("double"))) /
               (($"n_months" * $"sxx") - ($"sx" * $"sx"))) *
-              ($"sx".cast("double") / $"n_months"), 6).as("intercept"))
+              ($"sx".cast("double") / $"n_months")), 6).as("intercept"))
       .orderBy($"n_name")
   }
 
@@ -406,12 +409,14 @@ object Warehouse {
       |    sum(y) AS sy, sum(y * x) AS sxy
       |  FROM m GROUP BY 1)
       |SELECT n_name, n_months,
-      |  round((n_months * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-      |    / (n_months * sxx - sx * sx), 6) AS slope,
-      |  round(CAST(sy AS DOUBLE) / n_months
+      |  round(CASE WHEN n_months > 1 THEN
+      |    (n_months * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+      |    / (n_months * sxx - sx * sx) END, 6) AS slope,
+      |  round(CASE WHEN n_months > 1 THEN
+      |    CAST(sy AS DOUBLE) / n_months
       |    - ((n_months * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
-      |       / (n_months * sxx - sx * sx)) * (CAST(sx AS DOUBLE) / n_months), 6)
-      |    AS intercept
+      |       / (n_months * sxx - sx * sx)) * (CAST(sx AS DOUBLE) / n_months)
+      |  END, 6) AS intercept
       |FROM s
       |ORDER BY n_name""".stripMargin
 
@@ -656,18 +661,29 @@ object Warehouse {
     * doubling squares the known ancestor each round (d, 2d, 4d...), so
     * a depth-D hierarchy closes in ceil(log2 D) self-joins — at a
     * 100-TB BOM/org-chart scale that is the difference between 30
-    * shuffles and 5. Three fixed rounds here close any depth <= 8; the
-    * oracle walks the same forest with DuckDB's native WITH RECURSIVE,
-    * proving the doubling lossless.
+    * shuffles and 5. The round count is DERIVED from the key range
+    * (depth of key k = digits(k) - 1, so rounds = ceil(log2(maxDepth)))
+    * rather than hardcoded — a deeper forest at a larger scale factor
+    * gets exactly the extra rounds it needs; and a raise_error backstop
+    * makes any non-converged row loud instead of silently emitting a
+    * non-root ancestor. The oracle walks the same forest with DuckDB's
+    * native WITH RECURSIVE, proving the doubling lossless.
     */
   def q130TreeClosure(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keys = t(s, dir, "customer").select($"c_custkey".as("k"))
+    // 1-row driver scalar (q06's HWM pattern): max depth of the forest.
+    val maxKey = keys.agg(max($"k")).head.getLong(0)
+    val maxDepth = math.max(1, maxKey.toString.length - 1)
+    // ceil(log2(maxDepth)) doubling rounds close the whole forest.
+    val rounds =
+      if (maxDepth <= 1) 1
+      else 32 - Integer.numberOfLeadingZeros(maxDepth - 1)
     var state = keys.select($"k",
       when($"k" >= 10, ($"k" / 10).cast("long")).otherwise($"k").as("r"),
       when($"k" >= 10, 1L).otherwise(0L).as("d"),
       ($"k" < 10 || ($"k" / 10).cast("long") < 10).as("done"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val hop = state.select($"k".as("hk"), $"r".as("hr"), $"d".as("hd"),
         $"done".as("hdone"))
       state = state.join(hop, $"r" === $"hk", "left")
@@ -676,7 +692,11 @@ object Warehouse {
           when($"done" || $"hr".isNull, $"d").otherwise($"d" + $"hd").as("d"),
           ($"done" || coalesce($"hdone", lit(false))).as("done"))
     }
-    state.select($"k".as("custkey"), $"r".as("root"), $"d".as("depth"))
+    state.select($"k".as("custkey"),
+        when($"done", $"r").otherwise(raise_error(
+          lit("q130: pointer doubling did not converge — rounds underestimated")))
+          .as("root"),
+        $"d".as("depth"))
       .orderBy($"custkey")
   }
 

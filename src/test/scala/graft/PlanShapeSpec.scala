@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.{
+  GlobalLimit, LocalLimit, Window => LogicalWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Locks in the physical-plan properties the 100 TB design depends on
@@ -99,5 +101,54 @@ class PlanShapeSpec extends AnyFunSuite {
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
       "q121_sparse_cosine")),
       s"unexpected cross products in: $offenders")
+  }
+
+  test("no unbounded global window in any registered query") {
+    // A Window with an EMPTY partitionSpec plans as Exchange
+    // SinglePartition + full sort on ONE task — the deep-pagination /
+    // global-row_number anti-pattern that becomes the bottleneck at
+    // 100x data. (A blanket "no Exchange SinglePartition" physical lint
+    // would false-positive on every scalar aggregate's legitimate
+    // 1-row-per-task final stage, so this lints the OPTIMIZED LOGICAL
+    // plan instead.) A global window is tolerated only when its input
+    // subtree contains a Limit — i.e. the window ranks a top-k that a
+    // parallel TakeOrderedAndProject already reduced to k rows — or the
+    // query is on the documented allowlist below.
+    // Every entry's global window runs over a BOUNDED-cardinality input
+    // (class domain / vocabulary / calendar), or is a documented exact
+    // baseline whose stated scale path is a sketch — never the raw
+    // data-scaled stream.
+    val allowed = Set(
+      // q59: global min over the per-LANGUAGE count table (|langs| rows)
+      "q59_mixture_sample",
+      // q70: global sum over the vocabulary-sized exact-count table —
+      // the validation baseline; at corpus scale only the MG branch runs
+      "q70_heavy_hitters",
+      // q72: documented single-sort exact-decile baseline (its docstring
+      // states the scale path: q68's GK sketch computes the same cuts)
+      "q72_equidepth_deciles",
+      // q90: global cumulative-weight window over the stratum-weight
+      // table (|strata| rows), not the fact stream
+      "q90_weighted_sample",
+      // q95: trailing-7-day window over one KMV sketch per DAY —
+      // calendar-bounded (a year of data = 365 rows)
+      "q95_rolling_distinct",
+      // q107: dictionary ranked by frequency — vocabulary-sized input,
+      // broadcast back; never the fact table
+      "q107_label_encode")
+    val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
+      val bad =
+        try q.fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty &&
+            w.child.collect {
+              case g: GlobalLimit => g
+              case l: LocalLimit  => l
+            }.isEmpty => w
+        }
+        catch { case _: Throwable => Nil }
+      if (bad.nonEmpty) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded global windows (Exchange SinglePartition at scale) in: $offenders")
   }
 }
