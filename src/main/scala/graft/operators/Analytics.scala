@@ -68,22 +68,35 @@ object Analytics {
 
   private val Damping = 0.85
   private val PrIters = 3
+  private val PrDeepIters = 10
 
-  /** q89: PageRank over the customer–supplier interaction graph (edge =
+  /** PageRank over the customer–supplier interaction graph (edge =
     * "customer ordered from supplier", undirected so the bipartite walk
     * mixes). The iterative join-agg is THE repeated-shuffle workload of
     * graph analytics at 100 TB: each iteration joins the edge list
     * (shuffled once, reused — persisted here, co-partitioned on a
     * cluster) with the current rank vector and re-aggregates by
-    * destination. Three fixed iterations, ranks rounded to 10 digits per
-    * iteration so cross-engine float-summation drift cannot compound
-    * (drift ~1e-18 per sum vs a 5e-11 rounding band — collision odds are
-    * negligible, and identical rounded inputs feed the next iteration);
-    * graph size N is a 1-row driver scalar like q06's high-water mark.
-    * Companion to q40's connected components: CC answers membership,
-    * PageRank answers importance, over the same edge machinery.
+    * destination. Iteration count is a PARAMETER (q89 runs 3, q133 runs
+    * 10), with the two mechanisms a deep run needs:
+    *
+    *  - `localCheckpoint()` each round truncates lineage, so the plan
+    *    submitted per iteration is one join-agg regardless of depth — a
+    *    10- or 50-iteration run costs linear time, not an
+    *    exponentially-reanalyzed plan tree;
+    *  - an EXACT-fixed-point early stop: ranks are rounded to 10 digits
+    *    each round, so once the rounded vector repeats, every further
+    *    iteration is a deterministic no-op — stopping is
+    *    indistinguishable from running the remaining rounds, which is
+    *    what keeps the fixed-iteration SQL oracle valid.
+    *
+    * Rounding to 10 digits per iteration also stops cross-engine
+    * float-summation drift compounding (drift ~1e-18 per sum vs a 5e-11
+    * rounding band); graph size N is a 1-row driver scalar like q06's
+    * high-water mark. Companion to q40's connected components: CC
+    * answers membership, PageRank answers importance, over the same
+    * edge machinery.
     */
-  def q89PageRank(s: SparkSession, dir: String): DataFrame = {
+  private def pageRank(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import s.implicits._
     val e0 = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
@@ -96,7 +109,10 @@ object Analytics {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
     var pr = deg.select($"src".as("node"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to PrIters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = pr
       pr = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -105,6 +121,14 @@ object Analytics {
         .agg(sum($"contrib").as("in_pr"))
         .select($"dst".as("node"),
           round(lit((1 - Damping) / n) + lit(Damping) * $"in_pr", 10).as("pr"))
+        .localCheckpoint()
+      it += 1
+      // the rank vector is node-count-sized (never corpus-sized) and
+      // both sides are materialized checkpoints, so the probe is cheap
+      if (it < iters)
+        converged = pr
+          .join(prev.withColumnRenamed("pr", "prev_pr"), Seq("node"))
+          .filter($"pr" =!= $"prev_pr").isEmpty
     }
     // Top-20 via orderBy().limit() -> TakeOrderedAndProject: every task
     // keeps a 20-row heap and only those survivors cross the exchange.
@@ -117,7 +141,17 @@ object Analytics {
       .orderBy($"rank")
   }
 
-  private val q89Sql = {
+  def q89PageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(s, dir, PrIters)
+
+  /** q133: the 10-iteration run of [[pageRank]] — proves the deep-graph
+    * machinery (constant plan depth via localCheckpoint, linear cost per
+    * round, valid early stop) against a 10-CTE recursive oracle.
+    */
+  def q133PageRankDeep(s: SparkSession, dir: String): DataFrame =
+    pageRank(s, dir, PrDeepIters)
+
+  private def pageRankSql(iters: Int): String = {
     def iter(prev: String, out: String) =
       s"""$out AS (
          |  SELECT e.dst AS node,
@@ -125,6 +159,7 @@ object Analytics {
          |      $Damping * sum(p.pr / d.deg), 10) AS pr
          |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst)""".stripMargin
+    val chain = (1 to iters).map(i => iter(s"p${i - 1}", s"p$i")).mkString(",\n")
     s"""WITH e0 AS (
        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -132,16 +167,17 @@ object Analytics {
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
        |p0 AS (SELECT src AS node, (SELECT 1.0 / n FROM n) AS pr FROM deg),
-       |${iter("p0", "p1")},
-       |${iter("p1", "p2")},
-       |${iter("p2", "p3")}
+       |$chain
        |SELECT rank, node, pagerank FROM (
        |  SELECT node, round(pr, 8) AS pagerank,
        |    row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
-       |  FROM p3)
+       |  FROM p$iters)
        |WHERE rank <= 20
        |ORDER BY rank""".stripMargin
   }
+
+  private val q89Sql = pageRankSql(PrIters)
+  private val q133Sql = pageRankSql(PrDeepIters)
 
   /** q90: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis priority sampling): each document draws a
@@ -448,6 +484,9 @@ object Analytics {
     GraftQuery("q89_pagerank", Seq("EXT-graph", "J1", "A1"),
       "3-iteration PageRank over the customer-supplier bipartite graph",
       q89PageRank, Some(q89Sql)),
+    GraftQuery("q133_pagerank_deep", Seq("EXT-graph", "J1", "A1"),
+      "10-iteration PageRank: localCheckpoint-per-round, constant plan depth, fixed-point early stop",
+      q133PageRankDeep, Some(q133Sql)),
     GraftQuery("q90_weighted_sample", Seq("EXT-sample"),
       "deterministic Efraimidis-Spirakis weighted sample, top-20 by priority",
       q90WeightedSample, Some(q90Sql)))

@@ -420,6 +420,21 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** THE shared label chain of the dedup family: LSH-verified Jaccard
+    * pairs (the q19 production path) -> connected components ->
+    * (doc_id, canonical_id). q40 emits it, q46 consumes it, and q134
+    * re-runs it with the driver shortcut disabled — one definition, so
+    * the reuse is structural, not an accident of persist().
+    */
+  private[operators] def nearDupLabels(s: SparkSession, dir: String,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
+    import s.implicits._
+    val pairs = q19DedupMinhashLsh(s, dir)
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b")
+    connectedComponents(pairs, driverEdgeLimit = driverEdgeLimit)
+  }
+
   /** q40: near-dup clustering — connected components over the
     * LSH-verified Jaccard pairs (the q19 production path, not the
     * all-pairs baseline); each document maps to its component's minimum
@@ -429,10 +444,22 @@ object Dedup {
     */
   def q40DedupComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = q19DedupMinhashLsh(s, dir)
-      .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b")
-    connectedComponents(pairs).orderBy($"doc_id")
+    nearDupLabels(s, dir).orderBy($"doc_id")
+  }
+
+  /** q134: the DISTRIBUTED connected-components branch, oracle-carried.
+    * q40 takes the driver union-find shortcut whenever the pair graph
+    * fits (<= 2M edges) — which it always does at gate scale, so the
+    * >2M-edge min-label-propagation loop (the branch that actually runs
+    * at 100 TB) would otherwise only ever be exercised by unit tests.
+    * This query forces `driverEdgeLimit = 0` over the SAME pairs and
+    * must hash-match the SAME oracle as q40: a green row here is the
+    * proof that the production branch computes the identical fixed
+    * point, not just the shortcut.
+    */
+  def q134CcDistributed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nearDupLabels(s, dir, driverEdgeLimit = 0L).orderBy($"doc_id")
   }
 
   private val q40Sql =
@@ -461,10 +488,7 @@ object Dedup {
     */
   def q46DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = q19DedupMinhashLsh(s, dir)
-      .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b")
-    val labels = connectedComponents(pairs)
+    val labels = nearDupLabels(s, dir)
     val docs = graft.Tables.load(s, dir, "documents")
       .select($"doc_id", length($"text").as("text_len"))
     val w = Window.partitionBy($"cluster_id").orderBy($"text_len".desc, $"doc_id".asc)
@@ -670,6 +694,9 @@ object Dedup {
     GraftQuery("q40_dedup_components", Seq("EXT-dedup"),
       "near-dup clustering: connected components + canonical ids",
       q40DedupComponents, Some(q40Sql)),
+    GraftQuery("q134_cc_distributed", Seq("EXT-dedup"),
+      "connected components with the driver shortcut disabled: the >2M-edge min-label propagation branch",
+      q134CcDistributed, Some(q40Sql)),
     GraftQuery("q17_dedup_exact", Seq("EXT-dedup"),
       "exact dedup via content-hash groupBy", q17DedupExact, Some(q17Sql)),
     GraftQuery("q18_dedup_jaccard", Seq("EXT-dedup"),
