@@ -464,6 +464,80 @@ object NativeExpressions {
   def countInSet(tokens: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(CountInSet(GraftColumnBridge.expression(tokens), words))
 
+  /** image_dims(payload): byte-level media-header sniffing — format,
+    * width, height parsed from the leading bytes of a PNG / JPEG / GIF
+    * payload, null when no signature matches. This is the header-read
+    * class of image decode (the part that needs no codec): big-endian
+    * IHDR fields for PNG, little-endian logical-screen fields for GIF,
+    * and for JPEG a real marker-segment walk — skip FF fill bytes and
+    * variable-length APPn/comment segments until the first SOF frame
+    * header (C0–CF minus C4/C8/CC), whose height/width are the image
+    * dimensions. One pass over the binary column inside the scan
+    * projection; q27's mapPartitions stub remains the seam where a full
+    * pixel codec would plug in.
+    */
+  case class ImageDims(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_dims"
+
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def row(f: String, w: Int, h: Int): InternalRow =
+      InternalRow(UTF8String.fromString(f), w, h)
+
+    private def parseJpeg(b: Array[Byte]): InternalRow = {
+      var i = 2 // past SOI
+      while (i + 1 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return null // desynced: not a marker
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xff) == 0xff) j += 1 // FF fill bytes
+        if (j >= b.length) return null
+        val m = b(j) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2) ...
+          if (j + 8 > b.length) return null
+          return row("jpeg", be16(b, j + 6), be16(b, j + 4))
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          if (j + 3 > b.length) return null
+          i = j + 1 + be16(b, j + 1) // skip segment (length includes itself)
+        }
+      }
+      null
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      if (b.length >= 24 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+        row("png", be32(b, 16), be32(b, 20)) // IHDR width/height, BE32
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+        parseJpeg(b)
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        row("gif", le16(b, 6), le16(b, 8)) // logical screen, LE16
+      else null
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def imageDims(payload: Column): Column =
+    GraftColumnBridge.column(ImageDims(GraftColumnBridge.expression(payload)))
+
   /** Register the native expressions in a session's FunctionRegistry so
     * `spark.sql` queries can call them by name:
     * word_shingles(text, k), minhash_signature(shingles, n),
@@ -487,6 +561,8 @@ object NativeExpressions {
       es => CosineLshSignature(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("image_dims",
+      es => ImageDims(es.head), "scala_udf")
   }
 
   def minhashSignature(shingles: Column, numHashes: Int): Column =

@@ -97,9 +97,91 @@ object Multimodal {
       |FROM (SELECT doc_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q135: REAL byte-level header decode — each doc_id deterministically
+    * builds a syntactically-valid PNG / JPEG / GIF header payload (hex
+    * assembled relationally, `unhex` to a true `binary` column), and the
+    * native [[graft.functions.NativeExpressions.ImageDims]] expression
+    * parses format/width/height back OUT of the bytes: big-endian IHDR
+    * for PNG, a marker-segment walk past the APP0 block to SOF0 for
+    * JPEG, little-endian logical screen for GIF. The oracle re-derives
+    * the fields from the same hex layout with independent substr
+    * arithmetic, so a single mis-indexed byte on either the build or
+    * the parse side breaks the hash. This replaces "trust the stub"
+    * with an end-to-end proof of the decode plumbing — while staying
+    * scan-local: construct + parse both run inside the projection, no
+    * shuffle, no collect.
+    */
+  def q135ImageHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = ($"doc_id" % 1000 + 1).cast("int")
+    val h = (($"doc_id" * 7) % 800 + 1).cast("int")
+    // PNG: sig + IHDR(len,name) + w(BE32) + h(BE32) + depth/color/etc + CRC
+    val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+      format_string("%08x", w), format_string("%08x", h),
+      lit("080600000000000000"))
+    // JPEG: SOI + APP0(JFIF, 16 bytes) + SOF0(len 17, precision 8) + h + w
+    val jpegHex = concat(
+      lit("ffd8ffe000104a46494600010100004800480000ffc0001108"),
+      format_string("%04x", h), format_string("%04x", w),
+      lit("03011100021101031101"))
+    // GIF89a: logical screen w,h LITTLE-endian 16-bit
+    val gifHex = concat(lit("474946383961"),
+      format_string("%02x%02x", w.bitwiseAND(lit(255)), shiftright(w, 8)),
+      format_string("%02x%02x", h.bitwiseAND(lit(255)), shiftright(h, 8)),
+      lit("f00000"))
+    val payloadHex = when($"doc_id" % 3 === 0, pngHex)
+      .when($"doc_id" % 3 === 1, jpegHex)
+      .otherwise(gifHex)
+    t(s, dir, "documents")
+      .select($"doc_id", unhex(payloadHex).as("payload"))
+      .withColumn("m", graft.functions.NativeExpressions.imageDims($"payload"))
+      .select($"doc_id",
+        length($"payload").cast("int").as("byte_len"),
+        $"m.format".as("format"),
+        $"m.width".as("width"), $"m.height".as("height"))
+      .orderBy($"doc_id")
+  }
+
+  private val q135Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 1000 + 1 AS INTEGER) AS w,
+      |    CAST((doc_id * 7) % 800 + 1 AS INTEGER) AS h
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id, w, h,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+      |        || printf('%08x', w) || printf('%08x', h) || '080600000000000000'
+      |      WHEN 1 THEN 'ffd8ffe000104a46494600010100004800480000ffc0001108'
+      |        || printf('%04x', h) || printf('%04x', w) || '03011100021101031101'
+      |      ELSE '474946383961' || printf('%02x%02x', w % 256, w // 256)
+      |        || printf('%02x%02x', h % 256, h // 256) || 'f00000'
+      |    END AS s
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST(octet_length(unhex(s)) AS INTEGER) AS byte_len,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+      |    AS format,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN ('0x' || substr(s, 33, 8))::BIGINT
+      |    WHEN 1 THEN ('0x' || substr(s, 55, 4))::BIGINT
+      |    ELSE ('0x' || substr(s, 15, 2) || substr(s, 13, 2))::BIGINT
+      |  END AS INTEGER) AS width,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN ('0x' || substr(s, 41, 8))::BIGINT
+      |    WHEN 1 THEN ('0x' || substr(s, 51, 4))::BIGINT
+      |    ELSE ('0x' || substr(s, 19, 2) || substr(s, 17, 2))::BIGINT
+      |  END AS INTEGER) AS height
+      |FROM hx
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_multimodal_decode", Seq("EXT-multimodal"),
       "binary media column + partition-parallel decode stub", q27MultimodalDecode, Some(q27Sql)),
     GraftQuery("q28_frame_sample", Seq("EXT-multimodal"),
-      "frame-sampling explode plan", q28FrameSample, Some(q28Sql)))
+      "frame-sampling explode plan", q28FrameSample, Some(q28Sql)),
+    GraftQuery("q135_image_header", Seq("EXT-multimodal"),
+      "native image_dims expression: PNG/JPEG/GIF header fields parsed from real bytes",
+      q135ImageHeader, Some(q135Sql)))
 }

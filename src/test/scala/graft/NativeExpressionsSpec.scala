@@ -187,4 +187,34 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .toDF("x", "y").select(dotProduct($"x", $"y").as("d")).collect()
     assert(nulls.head.isNullAt(0))
   }
+
+  test("ImageDims: header parsing incl. JPEG marker walk and malformed bytes") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = "89504e470d0a1a0a0000000d49484452" + "00000140" + "000000f0" +
+      "080600000000000000"
+    // JPEG with TWO APPn segments, FF fill bytes, and a DRI before SOF2
+    // (progressive) — the walk must skip all of them and read C2's frame
+    val jpeg = "ffd8" + "ffe000104a46494600010100004800480000" +
+      "ffe10008deadbeefbeef" + "ffffffdd0004ffff" + "ffc20011" + "08" +
+      "0155" + "0207" + "03011100021101031101"
+    val gif = "474946383761" + "4001" + "f000" + "f00000" // GIF87a, LE
+    val rows = Seq(
+      (1L, hx(png)), (2L, hx(jpeg)), (3L, hx(gif)),
+      (4L, hx("89504e470d0a1a0a000000")),     // truncated PNG
+      (5L, hx("ffd8ffe10008deadbeefbeef")),   // JPEG without any SOF
+      (6L, hx("ffd8ff")),                     // truncated mid-marker
+      (7L, "not an image".getBytes("UTF-8")), // no signature
+      (8L, Array.emptyByteArray))
+      .toDF("id", "b")
+      .select($"id", graft.functions.NativeExpressions.imageDims($"b").as("m"))
+      .orderBy($"id").collect()
+    val ok = rows.take(3).map(r => (r.getStruct(1).getString(0),
+      r.getStruct(1).getInt(1), r.getStruct(1).getInt(2)))
+    assert(ok(0) == ("png", 320, 240))
+    assert(ok(1) == ("jpeg", 519, 341)) // w=0x0207, h=0x0155
+    assert(ok(2) == ("gif", 320, 240))  // 0x0140 LE, 0x00f0 LE
+    assert(rows.drop(3).forall(_.isNullAt(1)), "malformed payloads must be null")
+  }
 }
