@@ -230,4 +230,35 @@ class PipelineSpec extends AnyFunSuite {
     val violations = pipeline.Checks.acceptedValues("c", Seq("A", "B"))(df)
     assert(violations.count() == 1) // only "X"; the NULL row passes
   }
+
+  test("overwriteSwap crash window is detectable and recoverable") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("swap").toString
+    val dir = s"$base/t"
+    pipeline.ParquetIO.overwriteSwap(Seq(1, 2).toDF("v"), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!Files.exists(Paths.get(dir + ".swap-pending")), "marker must clear")
+
+    // crash AFTER target delete, BEFORE move: marker + complete tmp, no
+    // target -> recover rolls the swap FORWARD to the new content
+    val newTable = s"$base/new"
+    pipeline.ParquetIO.overwriteSwap(Seq(10, 20, 30).toDF("v"), newTable)
+    Files.move(Paths.get(newTable), Paths.get(dir + ".tmp"))
+    Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    Files.writeString(Paths.get(dir + ".swap-pending"), "swap-pending")
+    pipeline.ParquetIO.recover(dir)
+    assert(spark.read.parquet(dir).count() == 3, "forward-rolled to tmp content")
+    assert(!Files.exists(Paths.get(dir + ".swap-pending")))
+
+    // crash BEFORE target delete: marker + tmp + intact target -> tmp is
+    // garbage, target untouched
+    pipeline.ParquetIO.overwriteSwap(Seq(5).toDF("v"), s"$base/garbage")
+    Files.move(Paths.get(s"$base/garbage"), Paths.get(dir + ".tmp"))
+    Files.writeString(Paths.get(dir + ".swap-pending"), "swap-pending")
+    pipeline.ParquetIO.recover(dir)
+    assert(spark.read.parquet(dir).count() == 3, "target untouched")
+    assert(!Files.exists(Paths.get(dir + ".tmp")), "garbage tmp discarded")
+  }
 }
