@@ -34,6 +34,8 @@ object Registry {
       graft.operators.SqlSurface.queries ++
       graft.operators.Sketches.queries ++
       graft.operators.GlobalRank.queries ++
+      graft.operators.Bpe.queries ++
+      graft.operators.Layout.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++
       graft.streaming.StreamingOps.queries ++

@@ -595,11 +595,16 @@ object Similarity {
     * DECIMAL, so the m-way sum is exact and order-independent — the
     * groupBy can combine partials in any order on any engine.
     */
-  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(query, subspace, codeword) ADC lookup terms — queries×m×k
+    * rows, THE precomputed distance table of PQ search; broadcast to
+    * wherever codes are scored (full-corpus q74/q75, cell-restricted
+    * q137).
+    */
+  private def pqQueryTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
     // query slices pre-flattened: (query, s, q1, q2, qq) — m rows/query
-    val qsub = e.filter($"vec_id" % 100 === 0)
+    e.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"),
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"v")
       .select($"query_id", $"s",
@@ -611,6 +616,11 @@ object Similarity {
       .select($"query_id", $"s", $"cw",
         round(($"xx" - lit(2.0) * ($"x1" * $"c1" + $"x2" * $"c2"))
           + $"ccv", 6).cast("decimal(18,6)").as("term"))
+  }
+
+  private def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qsub = pqQueryTerms(s, dir)
     val w = Window.partitionBy($"query_id")
       .orderBy($"adc_dist".asc, $"neighbor_id".asc)
     // ADC = one broadcast lookup join on (s, cw): the per-(query, s, cw)
@@ -664,7 +674,10 @@ object Similarity {
         round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
   }
 
-  private val pqCommonSql =
+  /** The PQ index chain alone (codebook, codes, query vectors) — shared
+    * by the full-corpus ADC (q74/q75) and the IVF-restricted ADC (q137).
+    */
+  private val pqIndexSql =
     s"""anch AS (
       |  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
       |    vec_id) - 1 AS cw
@@ -689,7 +702,10 @@ object Similarity {
       |  WHERE rn = 1),
       |qv AS (
       |  SELECT vec_id AS query_id, v AS qvec
-      |  FROM e WHERE vec_id % 100 = 0),
+      |  FROM e WHERE vec_id % 100 = 0)""".stripMargin
+
+  private val pqCommonSql =
+    s"""$pqIndexSql,
       |adc AS (
       |  SELECT query_id, c.vec_id AS neighbor_id,
       |    CAST(sum(CAST(round(
@@ -716,11 +732,11 @@ object Similarity {
       |SELECT query_id, neighbor_id, adc_dist, rank FROM pq5
       |ORDER BY query_id, rank""".stripMargin
 
-  private val q75Sql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings),
-      |$pqCommonSql,
-      |exact AS (
+  /** Exact squared-L2 top-5 truth CTE (same-metric gauge), shared by
+    * q75 and q137.
+    */
+  private val pqExactSql =
+    """exact AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.query_id, x.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
@@ -729,13 +745,133 @@ object Similarity {
       |    FROM (SELECT vec_id AS query_id, v AS qv2 FROM e
       |          WHERE vec_id % 100 = 0) q
       |    CROSS JOIN e x WHERE q.query_id <> x.vec_id)
-      |  WHERE rank <= 5),
+      |  WHERE rank <= 5)""".stripMargin
+
+  private val q75Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |$pqCommonSql,
+      |$pqExactSql,
       |h AS (SELECT count(*) AS hits
       |      FROM pq5 JOIN exact USING (query_id, neighbor_id)),
       |elig AS (SELECT count(*) AS eligible_pairs FROM exact)
       |SELECT 'q74_pq_adc' AS method, h.hits, elig.eligible_pairs,
       |  round(CAST(h.hits AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
       |FROM h CROSS JOIN elig""".stripMargin
+
+  /** q137: IVF-PQ — the production ANN composition (FAISS's IVFADC):
+    * coarse IVF routing first (probe the query's top-2 cells), then PQ
+    * asymmetric-distance scoring of ONLY the candidates in those cells.
+    * q74 scores the whole corpus per query (|corpus|×m lookup rows);
+    * here the lookup join runs on the cell-restricted candidate set, so
+    * per-query cost scales with |cell|·probes while the scored
+    * representation stays 16-byte codes — the two orthogonal reductions
+    * (which vectors / how each is scored) composed. Reported against
+    * the exact same-metric L2 truth next to the candidate volume, so
+    * the routing loss (recall below q75's full-corpus ADC) is priced in
+    * the same row that shows what it bought.
+    */
+  def q137IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v")).persist()
+    val cent = e.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val wc = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    val cells = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"centroid_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" <= 2)
+      .select($"vec_id", $"centroid_id".as("cell"))
+      .persist()
+    val cand = cells.filter($"vec_id" % 100 === 0)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id").distinct()
+      .persist()
+    val adc = cand
+      .join(pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(pqQueryTerms(s, dir)), Seq("query_id", "s", "cw"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"term").cast("double").as("adc_dist"))
+    val w5 = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"neighbor_id".asc)
+    val top5 = adc.withColumn("rank", row_number().over(w5))
+      .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wt = Window.partitionBy($"query_id")
+      .orderBy($"dsq".asc, $"neighbor_id".asc)
+    val truth = q.crossJoin(e.select($"vec_id".as("neighbor_id"), $"v"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        round(l2sq($"qv", $"v"), 6).as("dsq"))
+      .withColumn("rank", row_number().over(wt))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = top5.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    truth.agg(count(lit(1)).as("eligible_pairs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits)
+      .select(lit("q137_ivfpq").as("method"), $"n_candidates", $"hits",
+        $"eligible_pairs",
+        round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+  }
+
+  private val q137Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      |          WHERE vec_id % 100 = 50),
+      |csc AS (
+      |  SELECT e.vec_id, centroid_id,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+      |      AS csim
+      |  FROM e CROSS JOIN cents),
+      |cells AS (
+      |  SELECT vec_id, centroid_id AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, centroid_id ASC) AS rn
+      |    FROM csc) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT cq.vec_id AS query_id, cn.vec_id AS neighbor_id
+      |  FROM cells cq JOIN cells cn USING (cell)
+      |  WHERE cq.vec_id % 100 = 0 AND cq.vec_id <> cn.vec_id),
+      |$pqIndexSql,
+      |adc AS (
+      |  SELECT cand.query_id, c.vec_id AS neighbor_id,
+      |    CAST(sum(CAST(round(
+      |        list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim),
+      |                         list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim))
+      |      - 2*list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim), cb.cv)
+      |      + list_dot_product(cb.cv, cb.cv), 6) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS adc_dist
+      |  FROM cand
+      |  JOIN codes c ON c.vec_id = cand.neighbor_id
+      |  JOIN cb ON cb.s = c.s AND cb.cw = c.cw
+      |  JOIN qv ON qv.query_id = cand.query_id
+      |  GROUP BY 1, 2),
+      |pq5 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank
+      |    FROM adc)
+      |  WHERE rank <= 5),
+      |$pqExactSql,
+      |h AS (SELECT count(*) AS hits
+      |      FROM pq5 JOIN exact USING (query_id, neighbor_id)),
+      |elig AS (SELECT count(*) AS eligible_pairs FROM exact),
+      |nc AS (SELECT count(*) AS n_candidates FROM cand)
+      |SELECT 'q137_ivfpq' AS method, nc.n_candidates, h.hits,
+      |  elig.eligible_pairs,
+      |  round(CAST(h.hits AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
+      |FROM h CROSS JOIN elig CROSS JOIN nc""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q74_pq_adc", Seq("EXT-similarity", "EXT-approx"),
@@ -744,6 +880,9 @@ object Similarity {
     GraftQuery("q75_pq_recall", Seq("EXT-similarity"),
       "PQ recall@5 vs exact same-metric L2 truth (pure quantization loss)",
       q75PqRecall, Some(q75Sql)),
+    GraftQuery("q137_ivfpq", Seq("EXT-similarity", "EXT-approx"),
+      "IVF-PQ (FAISS IVFADC shape): probe-2 cell routing + code-only ADC scoring, recall + candidate volume",
+      q137IvfPq, Some(q137Sql)),
     GraftQuery("q60_embedding_dedup", Seq("EXT-similarity", "EXT-dedup"),
       "embedding-cluster dedup: ANN pairs -> components -> canonical survivors",
       q60EmbeddingDedup, Some(q60Sql)),
