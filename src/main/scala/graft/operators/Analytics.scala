@@ -96,7 +96,11 @@ object Analytics {
     * answers membership, PageRank answers importance, over the same
     * edge machinery.
     */
-  private def pageRank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+  /** The customer–supplier interaction graph, undirected (both edge
+    * directions) — shared by PageRank (q89/q133) and label propagation
+    * (q140).
+    */
+  private def csEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
@@ -104,8 +108,12 @@ object Analytics {
       .select(concat(lit("c"), $"o_custkey").as("src"),
         concat(lit("s"), $"l_suppkey").as("dst"))
       .distinct()
-    val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-      .persist()
+    e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  private def pageRank(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir).persist()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
     var pr = deg.select($"src".as("node"), lit(1.0 / n).as("pr"))
@@ -178,6 +186,71 @@ object Analytics {
 
   private val q89Sql = pageRankSql(PrIters)
   private val q133Sql = pageRankSql(PrDeepIters)
+
+  private val LpaIters = 3
+
+  /** q140: community detection by synchronous LABEL PROPAGATION over
+    * the same customer–supplier graph — the third member of the graph
+    * family (q40/q134 answer membership under explicit edges, q89
+    * importance; LPA finds density-based communities with no edge
+    * threshold at all). Each round every node adopts the MODE of its
+    * neighbors' labels (count desc, then smallest label — stated
+    * tiebreak, so both engines pick identically); the mode is computed
+    * as a lexicographic struct-min over (-count, label), which
+    * partial-aggregates map-side exactly like q45's argmin — never a
+    * per-node sort. Honest caveat, stated not hidden: SYNCHRONOUS LPA
+    * can oscillate on bipartite graphs (this one is bipartite), which
+    * is why the round count is FIXED and mirrored in the unrolled
+    * oracle — the query proves the distributed iteration machinery;
+    * production LPA uses semi-synchronous coloring or async updates to
+    * converge. localCheckpoint per round = the q133 discipline.
+    */
+  def q140LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir).persist()
+    var labels = edges.select($"src".as("node"))
+      .distinct().withColumn("lbl", $"node")
+    for (_ <- 1 to LpaIters) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst", $"lbl")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"dst")
+        .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+        .select($"dst".as("node"), $"m.l".as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("size"),
+        min($"node").as("first_member"), max($"node").as("last_member"))
+      .orderBy($"community")
+  }
+
+  private val q140Sql = {
+    def iter(prev: String, i: Int) =
+      s"""cnt$i AS (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cnt$i)
+         |  WHERE rn = 1)""".stripMargin
+    val chain = (1 to LpaIters).map(i => iter(s"l${i - 1}", i)).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$chain
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
+       |  min(node) AS first_member, max(node) AS last_member
+       |FROM l$LpaIters
+       |GROUP BY 1
+       |ORDER BY community""".stripMargin
+  }
 
   /** q90: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis priority sampling): each document draws a
@@ -487,6 +560,9 @@ object Analytics {
     GraftQuery("q133_pagerank_deep", Seq("EXT-graph", "J1", "A1"),
       "10-iteration PageRank: localCheckpoint-per-round, constant plan depth, fixed-point early stop",
       q133PageRankDeep, Some(q133Sql)),
+    GraftQuery("q140_label_propagation", Seq("EXT-graph", "A2"),
+      "synchronous label-propagation communities: mode-of-neighbors via map-side argmin, fixed rounds",
+      q140LabelPropagation, Some(q140Sql)),
     GraftQuery("q90_weighted_sample", Seq("EXT-sample"),
       "deterministic Efraimidis-Spirakis weighted sample, top-20 by priority",
       q90WeightedSample, Some(q90Sql)))

@@ -480,10 +480,56 @@ object StreamingOps {
       | AND epoch_us(c.ts) < epoch_us(p.ts)
       |ORDER BY l_event_id, r_event_id""".stripMargin
 
+  /** q139: STREAM-STATIC enrichment join, ORACLE-CARRIED — the
+    * remaining join topology after q109's stream-stream: a streaming
+    * fact enriched against a broadcast static dimension (the profile /
+    * feature-store lookup every event pipeline runs). Stream-static
+    * joins are STATELESS — the dimension is re-broadcast per
+    * micro-batch, nothing is watermark-retained for the join itself —
+    * so the only state is the downstream windowed aggregation's, and
+    * the emitted set equals the batch left-join + the q63 watermark
+    * cut. The profile deliberately covers only EVEN user ids, so the
+    * left-outer NULL→'UNKNOWN' path is exercised and hash-checked, not
+    * just the happy path.
+    */
+  def q139StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profile = graft.Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    memorySinkRun(s, "q139_ss", dir) { src =>
+      src.join(broadcast(profile), Seq("user_id"), "left")
+        .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour"), col("segment"), col("n"))
+    }.orderBy($"hour", $"segment")
+  }
+
+  private val q139Sql =
+    """WITH prof AS (
+      |  SELECT c_custkey AS user_id, c_mktsegment AS segment
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |    coalesce(segment, 'UNKNOWN') AS segment,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events LEFT JOIN prof USING (user_id)
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events)
+      |SELECT hour, segment, n
+      |FROM agg CROSS JOIN mx
+      |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
+      |ORDER BY hour, segment""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q55_stream_sessions", Seq("EXT-streaming", "W1", "W2"),
       "transformWithState sessionizer (RocksDB + event-time timers), oracle-carried",
       q55StreamSessions, Some(q55Sql)),
+    GraftQuery("q139_stream_static_join", Seq("EXT-streaming", "J1", "A2"),
+      "stream-static broadcast enrichment (stateless join) + watermarked window agg, oracle-carried",
+      q139StreamStaticJoin, Some(q139Sql)),
     GraftQuery("q63_stream_hourly", Seq("EXT-streaming", "A2", "F1"),
       "watermarked append-mode window aggregation, emission cut oracle-carried",
       q63StreamHourly, Some(q63Sql)),
