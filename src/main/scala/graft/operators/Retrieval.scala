@@ -239,7 +239,46 @@ object Retrieval {
       |WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** q142: positional PHRASE search — the index shape BM25 (q82) cannot
+    * answer: "table value" as adjacent tokens, not co-occurrence. The
+    * plan IS the positional-inverted-index intersection a search engine
+    * runs: tokenize with positions (posexplode — one pass), filter each
+    * term's posting list scan-side, and equi-join the two lists on
+    * (doc, pos) with the second term's positions shifted by one. At
+    * 100 TB the join carries only the two terms' postings — term
+    * selectivity bounds the shuffle, never the corpus; an n-word phrase
+    * is n-1 such joins. Count per document = phrase term frequency.
+    */
+  def q142PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .toDF("doc_id", "pos", "tok")
+    val first = toks.filter($"tok" === "table").select($"doc_id", $"pos")
+    val second = toks.filter($"tok" === "value")
+      .select($"doc_id", ($"pos" - 1).as("pos"))
+    first.join(second, Seq("doc_id", "pos"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy($"doc_id")
+  }
+
+  private val q142Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, p[2] AS pos, p[1] AS tok FROM (
+      |    SELECT doc_id,
+      |      unnest(list_zip(l, generate_series(0, len(l) - 1))) AS p
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))),
+      |a AS (SELECT doc_id, pos FROM toks WHERE tok = 'table'),
+      |b AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE tok = 'value')
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM a JOIN b USING (doc_id, pos)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q142_phrase_search", Seq("EXT-text", "J1"),
+      "positional phrase search: per-term posting lists joined on (doc, pos+1)",
+      q142PhraseSearch, Some(q142Sql)),
     GraftQuery("q82_bm25", Seq("EXT-text", "A2", "J1"),
       "BM25 top-10 docs per query (k1=1.2, b=0.75), decimal-reduced",
       q82Bm25, Some(q82Sql)),

@@ -420,6 +420,65 @@ object Warehouse {
       |FROM s
       |ORDER BY n_name""".stripMargin
 
+  /** q141: weight-of-evidence feature binning — the credit-scoring /
+    * feature-engineering encode that turns a continuous feature into a
+    * monotone-risk code: bin the feature, then per bin
+    * WOE = ln((bad_i/bad_tot)/(good_i/good_tot)) against a binary
+    * target (here: the line item was RETURNED, l_returnflag = 'R'). One
+    * keyed aggregation + a 1-row totals broadcast — two passes over
+    * nothing bigger than the bin table, any corpus size. q107 encodes
+    * CATEGORICAL features by frequency; this encodes CONTINUOUS ones by
+    * target risk — together the supervised/unsupervised halves of
+    * tabular feature prep. Bins are fixed-width (floor(price/5000) —
+    * DuckDB has no width_bucket, and exact quantile bins would need
+    * q72's total sort); degenerate bins (no bads or no goods) emit
+    * null WOE rather than ±Infinity, the q108 discipline. The IV term
+    * per bin sums to the feature's information value.
+    */
+  def q141WoeBinning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byBin = t(s, dir, "lineitem")
+      .select(floor($"l_extendedprice" / 5000).cast("int").as("bin"),
+        ($"l_returnflag" === "R").as("bad"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"bad", 1L).otherwise(0L)).as("n_bad"))
+      .withColumn("n_good", $"n" - $"n_bad")
+    val tot = byBin.agg(sum($"n_bad").as("t_bad"),
+      sum($"n_good").as("t_good"))
+    val pb = $"n_bad".cast("double") / $"t_bad"
+    val pg = $"n_good".cast("double") / $"t_good"
+    val ok = $"n_bad" > 0 && $"n_good" > 0
+    byBin.crossJoin(broadcast(tot))
+      .select($"bin", $"n", $"n_bad", $"n_good",
+        round(when(ok, log(pb / pg)), 6).as("woe"),
+        round(when(ok, (pb - pg) * log(pb / pg)), 6).as("iv_term"))
+      .orderBy($"bin")
+  }
+
+  private val q141Sql =
+    """WITH b AS (
+      |  SELECT CAST(floor(l_extendedprice / 5000) AS INTEGER) AS bin,
+      |    (l_returnflag = 'R') AS bad
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |  FROM b GROUP BY 1),
+      |g2 AS (SELECT bin, n, n_bad, n - n_bad AS n_good FROM g),
+      |t AS (SELECT CAST(sum(n_bad) AS BIGINT) AS t_bad,
+      |        CAST(sum(n_good) AS BIGINT) AS t_good FROM g2)
+      |SELECT bin, n, n_bad, n_good,
+      |  round(CASE WHEN n_bad > 0 AND n_good > 0 THEN
+      |    ln((CAST(n_bad AS DOUBLE) / t_bad) /
+      |       (CAST(n_good AS DOUBLE) / t_good)) END, 6) AS woe,
+      |  round(CASE WHEN n_bad > 0 AND n_good > 0 THEN
+      |    (CAST(n_bad AS DOUBLE) / t_bad - CAST(n_good AS DOUBLE) / t_good)
+      |    * ln((CAST(n_bad AS DOUBLE) / t_bad) /
+      |         (CAST(n_good AS DOUBLE) / t_good)) END, 6) AS iv_term
+      |FROM g2 CROSS JOIN t
+      |ORDER BY bin""".stripMargin
+
   private val StratTarget = 60
 
   /** q101: stratified deterministic sampling — per-language quotas
@@ -795,6 +854,9 @@ object Warehouse {
     GraftQuery("q107_label_encode", Seq("J1", "A2", "W2"),
       "frequency-ordered dictionary encoding with broadcast join-back",
       q107LabelEncode, Some(q107Sql)),
+    GraftQuery("q141_woe_binning", Seq("A2", "EXT-olap"),
+      "weight-of-evidence feature binning vs late-shipment target, degenerate bins null",
+      q141WoeBinning, Some(q141Sql)),
     GraftQuery("q108_trend_regression", Seq("A1", "A2", "J1"),
       "per-nation OLS revenue trend from distributed sufficient statistics",
       q108TrendRegression, Some(q108Sql)))

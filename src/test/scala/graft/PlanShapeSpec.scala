@@ -97,11 +97,13 @@ class PlanShapeSpec extends AnyFunSuite {
     //    predicate (deliberately non-equi)
     //  - q136: per-round crossJoin(broadcast(<1-row top pair>)) — the
     //    learned merge attached to the vocabulary table (scalar attach)
+    //  - q141: crossJoin(broadcast(<1-row bad/good totals>)) onto the
+    //    bin table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
-      "q121_sparse_cosine", "q136_bpe_train")),
+      "q121_sparse_cosine", "q136_bpe_train", "q141_woe_binning")),
       s"unexpected cross products in: $offenders")
   }
 
