@@ -71,12 +71,18 @@ object Bench {
     // Full-name 3-decimal medians live in the sidecar with per-run arrays.
     def fmt2(d: Double): String = BigDecimal(d)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    // bare numeric ids ("01") and a basename sf: at 142 queries the line
+    // with "qNN" ids measured 1997 chars — the driver's 2000-char stdout
+    // tail must hold the line PLUS sbt's trailing [success] line, so
+    // every saved byte is margin (full names live in bench_detail.json)
+    def shortId(name: String): String =
+      name.takeWhile(_ != '_').stripPrefix("q")
+    val shortIds = results.map(r => shortId(r._1))
     require(shortIds.distinct.size == shortIds.size,
       "bench short ids collide: " +
         shortIds.diff(shortIds.distinct).distinct.mkString(","))
     val qs = results.map { case (k, v, _) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt2(median(v))
+      s"\"" + shortId(k) + "\":" + fmt2(median(v))
     }.mkString("{", ",", "}")
     val mediansFull = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + fmt(median(v))
@@ -101,7 +107,8 @@ object Bench {
     }
     // "errors" is ALWAYS present (12 chars when empty): downstream parsers
     // may read obj["errors"] unconditionally, as the pre-r04 format allowed.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfShort"}""")
     spark.stop()
   }
 }
