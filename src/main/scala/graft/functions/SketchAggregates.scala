@@ -446,4 +446,133 @@ object SketchAggregates {
   def kmv(key: Column, k: Int): Column =
     GraftColumnBridge.column(
       Kmv(GraftColumnBridge.expression(key), k).toAggregateExpression())
+
+  /** Per-group top-k as a BOUNDED-HEAP aggregate — the scale-correct
+    * replacement for the `row_number() OVER (PARTITION BY g ORDER BY v)
+    * ... WHERE rn <= k` idiom. The window formulation shuffles EVERY raw
+    * row to its group's reducer and sorts the whole group; this
+    * aggregate keeps a k-entry heap per group per task, so the shuffle
+    * carries O(groups × k) entries and nothing is ever globally sorted —
+    * the same topology win TakeOrderedAndProject gives the global case
+    * (round 5's q89/q118 rewrites), delivered for the GROUPED case as a
+    * mergeable summary. Exact, not approximate: a top-k is closed under
+    * merge, unlike a quantile.
+    *
+    * Ordering is (ord DESC, id ASC) — the registry's standard tiebreak —
+    * so results are engine-deterministic and oracle-checkable against
+    * the window formulation. Payload is (id: long, ord: double); rank is
+    * materialized in the output array so callers explode straight to
+    * ranked rows.
+    */
+  case class TopKBy(
+      ordExpr: Expression,
+      idExpr: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    override def left: Expression = ordExpr
+    override def right: Expression = idExpr
+
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("ord", DoubleType, nullable = false))),
+      containsNull = false)
+
+    override def nullable: Boolean = false
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (ordExpr.dataType != DoubleType)
+        TypeCheckResult.TypeCheckFailure(
+          s"topk_by needs a double ord, got ${ordExpr.dataType.catalogString}")
+      else if (idExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          s"topk_by needs a long id, got ${idExpr.dataType.catalogString}")
+      else if (k < 1)
+        TypeCheckResult.TypeCheckFailure(s"topk_by needs k >= 1, got $k")
+      else TypeCheckResult.TypeCheckSuccess
+
+    // the queue's MAX is the WORST retained entry (lowest ord; among
+    // equal ords the largest id), so head inspection + dequeue evicts it
+    private val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // lower ord = "greater"
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = "greater"
+      }
+    }
+
+    private def better(c: (Double, Long), w: (Double, Long)): Boolean =
+      c._1 > w._1 || (c._1 == w._1 && c._2 < w._2)
+
+    private def offer(
+        buf: mutable.PriorityQueue[(Double, Long)],
+        e: (Double, Long)): Unit =
+      if (buf.size < k) buf.enqueue(e)
+      else if (better(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+
+    override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+      mutable.PriorityQueue.empty(worstFirst)
+
+    override def update(
+        buf: mutable.PriorityQueue[(Double, Long)],
+        input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+      val o = ordExpr.eval(input)
+      val i = idExpr.eval(input)
+      if (o != null && i != null)
+        offer(buf, (o.asInstanceOf[Double], i.asInstanceOf[Long]))
+      buf
+    }
+
+    override def merge(
+        b1: mutable.PriorityQueue[(Double, Long)],
+        b2: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+      b2.foreach(offer(b1, _))
+      b1
+    }
+
+    override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+      val sorted = buf.toArray.sortWith(better)
+      new GenericArrayData(sorted.zipWithIndex.map { case ((o, i), r) =>
+        InternalRow(r + 1, i, o)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (o, i) => out.writeDouble(o); out.writeLong(i) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): TopKBy =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKBy =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): TopKBy = copy(ordExpr = l, idExpr = r)
+    override def prettyName: String = "topk_by"
+  }
+
+  /** Column builder: `topk_by(ord, id, k)` — array<struct<rank,id,ord>>
+    * of the k largest (ord desc, id asc) entries.
+    */
+  def topkBy(ord: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKBy(GraftColumnBridge.expression(ord),
+        GraftColumnBridge.expression(id), k).toAggregateExpression())
 }

@@ -209,7 +209,41 @@ object Sketches {
       |FROM days d JOIN exact ON exact.wdn = d.dn
       |ORDER BY day""".stripMargin
 
+  /** q143: grouped top-k via the [[graft.functions.SketchAggregates.TopKBy]]
+    * bounded-heap aggregate — the GROUPED twin of round 5's TakeOrdered
+    * rewrites. The standard `row_number() OVER (PARTITION BY ...)` +
+    * `rn <= k` plan shuffles every raw order row and sorts each whole
+    * group; this plan's shuffle carries one <= 5-entry heap per group
+    * per task (ObjectHashAggregate partial -> final), and nothing is
+    * ever sorted but the k survivors. The oracle IS the window
+    * formulation — hash equality proves the heap algebra (offer/evict/
+    * merge with the (ord desc, id asc) tiebreak) exactly reproduces it.
+    */
+  def q143TopkGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(topkBy($"o_totalprice", $"o_orderkey", 5).as("top"))
+      .select($"o_orderstatus", explode($"top").as("e"))
+      .select($"o_orderstatus", $"e.rank".as("rank"),
+        $"e.id".as("o_orderkey"), $"e.ord".as("o_totalprice"))
+      .orderBy($"o_orderstatus", $"rank")
+  }
+
+  private val q143Sql =
+    """SELECT o_orderstatus, CAST(rank AS INTEGER) AS rank,
+      |  o_orderkey, o_totalprice
+      |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |      FROM orders)
+      |WHERE rank <= 5
+      |ORDER BY o_orderstatus, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q143_topk_groups", Seq("EXT-approx", "A2", "W2"),
+      "grouped top-5 via bounded-heap topk_by aggregate (O(groups x k) shuffle, no group sort)",
+      q143TopkGroups, Some(q143Sql)),
     GraftQuery("q80_countmin_freq", Seq("EXT-approx", "A2"),
       "count-min point-frequency estimates vs exact on the heavy keys",
       q80CountMinFreq, Some(q80Sql)),

@@ -142,4 +142,37 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(math.abs(est - 4000.0) <= 4000.0 * 3.0 / math.sqrt(k),
       s"estimate $est strayed past 3 sigma from 4000")
   }
+
+  test("TopKBy == window row_number formulation, ties + merge path + plan") {
+    import spark.implicits._
+    // synthetic with HEAVY ties: ord = i % 7 (many equal), id unique;
+    // 8 partitions force partial-heap merges, not sequential updates
+    val df = spark.range(0, 5000).select(
+      (col("id") % 13).cast("string").as("g"),
+      (col("id") % 7).cast("double").as("ord"),
+      col("id").as("rid")).repartition(8)
+    val viaAgg = df.groupBy($"g")
+      .agg(topkBy($"ord", $"rid", 4).as("t"))
+      .select($"g", explode($"t").as("e"))
+      .select($"g", $"e.rank".as("rank"), $"e.id".as("rid"), $"e.ord".as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"ord".desc, $"rid".asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 4)
+      .select($"g", $"rank", $"rid", $"ord")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "bounded-heap top-k must equal the window formulation exactly")
+    // plan shape: the aggregate runs as ObjectHashAggregate with a
+    // partial stage -- the O(groups x k) shuffle is the whole point
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      (plan.contains("partial_topk_by") || plan.contains("topk_by")), plan.take(500))
+    // nulls ignored; k larger than the group emits the whole group ranked
+    val tiny = Seq((Some(1.0), 10L), (None, 11L), (Some(2.0), 12L))
+      .toDF("o", "i")
+      .agg(topkBy($"o", $"i", 99).as("t"))
+      .select(explode($"t").as("e")).select($"e.rank", $"e.id").as[(Int, Long)]
+      .collect().toSeq
+    assert(tiny == Seq((1, 12L), (2, 10L)))
+  }
 }
