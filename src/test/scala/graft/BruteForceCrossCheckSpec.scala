@@ -207,4 +207,80 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
       assert(math.abs(gi - intercept) < 1e-2, s"$nation intercept $gi vs $intercept")
     }
   }
+
+  test("q132 global rank == driver-side full sort (offset machinery independent)") {
+    val got = operators.GlobalRank.q132GlobalRank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (k, p) => (-p, k) }
+      .zipWithIndex.map { case ((k, _), i) => (i + 1L, k) }
+    assert(got.toSeq == expected.toSeq,
+      "range-partition + offset ranks must equal the driver sort exactly")
+  }
+
+  test("q136 BPE merges == naive list-walk merge on collected word counts") {
+    val got = operators.Bpe.q136BpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // independent algorithm: words as symbol LISTS, greedy left-to-right
+    // pair replacement by explicit index walk (no delimiter strings)
+    var vocab: Map[List[String], Long] = Tables.load(spark, dir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty).groupBy(identity).map { case (w, ws) =>
+        w.toList.map(_.toString) -> ws.length.toLong
+      }
+    val merges = (1 to operators.Bpe.BpeMerges).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, wc) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + wc)
+        }
+      }
+      val (bl, br) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+      val cnt = counts((bl, br))
+      vocab = vocab.map { case (syms, wc) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == bl && syms(i + 1) == br) {
+            out += (bl + br); i += 2 // greedy, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        out.toList -> wc
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (step, bl, br, cnt)
+    }
+    assert(got.toSeq == merges,
+      "delimiter-string replace must equal the explicit greedy list walk")
+  }
+
+  test("q140 LPA == naive driver-side synchronous label propagation") {
+    val got = operators.Analytics.q140LabelPropagation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val e0 = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .selectExpr("concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = (e0 ++ e0.map(_.swap)).toSeq
+    var labels: Map[String, String] =
+      edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      val next = edges.groupBy(_._2).map { case (node, es) =>
+        val freq = es.map(e => labels(e._1))
+          .groupBy(identity).map { case (l, ls) => (l, ls.size) }
+        node -> freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+      labels = next
+    }
+    val expected = labels.groupBy(_._2).map { case (community, ms) =>
+      val members = ms.keys.toSeq.sorted
+      (community, members.size.toLong, members.head, members.last)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected,
+      "distributed mode-of-neighbors must equal the driver recomputation")
+  }
 }
