@@ -76,6 +76,55 @@ object Sketches {
       |ORDER BY exact_cnt DESC, event_type, user_id
       |LIMIT 20""".stripMargin
 
+  /** q144: JOIN-SIZE ESTIMATION from count-min sketches — the optimizer
+    * statistic behind join reordering and broadcast/shuffle strategy
+    * picks: |A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k), estimated WITHOUT
+    * touching the join by the CMS inner product (Cormode &
+    * Muthukrishnan 2005 §4.2): dot each of the `depth` counter rows of
+    * A's sketch with B's, take the min. Each side is one aggregation to
+    * a 40 KB matrix — the stats collection a warehouse runs at WRITE
+    * time; the estimate itself is array arithmetic on two 1-row
+    * sketches. Like q80, the emitted row carries the DuckDB-recomputable
+    * exact size plus the sketch's deterministic guarantees as flags:
+    * sound (est >= exact — counters only add, so row dots only
+    * overcount) and tight (overcount ≤ 3·N_A·N_B/width, a ≥6σ ceiling
+    * on the min of `depth` independent rows). The m:n pair here
+    * (events.user_id × orders.o_custkey) makes the size genuinely
+    * non-trivial — neither side is a key.
+    */
+  def q144JoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id".cast("string").as("k"))
+    val or = t(s, dir, "orders").select($"o_custkey".cast("string").as("k"))
+    val sa = ev.agg(countMin($"k", Depth, Width).as("ca"),
+      count(lit(1)).as("na"))
+    val sb = or.agg(countMin($"k", Depth, Width).as("cb"),
+      count(lit(1)).as("nb"))
+    val rowDots = (0 until Depth).map { i =>
+      aggregate(
+        zip_with(slice($"ca", i * Width + 1, Width),
+          slice($"cb", i * Width + 1, Width), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val est = least(rowDots: _*)
+    val exact = ev.groupBy($"k").agg(count(lit(1)).as("cna"))
+      .join(or.groupBy($"k").agg(count(lit(1)).as("cnb")), "k")
+      .agg(sum($"cna" * $"cnb").cast("long").as("exact_size"))
+    exact.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select($"exact_size",
+        (est >= $"exact_size").as("est_sound"),
+        ((est - $"exact_size") * Width <= $"na" * $"nb" * 3L).as("est_tight"))
+  }
+
+  private val q144Sql =
+    """WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k,
+      |            CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |b AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+      |        CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1)
+      |SELECT CAST(sum(a.c * b.c) AS BIGINT) AS exact_size,
+      |  true AS est_sound, true AS est_tight
+      |FROM a JOIN b USING (k)""".stripMargin
+
   private val K = 512
 
   /** q81: audience-overlap cardinalities — distinct active user-days
@@ -252,5 +301,8 @@ object Sketches {
       q81KmvOverlap, Some(q81Sql)),
     GraftQuery("q95_rolling_distinct", Seq("EXT-approx", "EXT-olap"),
       "rolling 7-day distinct users from merged daily KMV sketches",
-      q95RollingDistinct, Some(q95Sql)))
+      q95RollingDistinct, Some(q95Sql)),
+    GraftQuery("q144_join_size_estimate", Seq("EXT-approx", "A2"),
+      "CMS inner-product join-cardinality estimate (optimizer statistic), soundness + bound flags",
+      q144JoinSizeEstimate, Some(q144Sql)))
 }

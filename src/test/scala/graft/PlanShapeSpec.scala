@@ -103,7 +103,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
-      "q121_sparse_cosine", "q136_bpe_train", "q141_woe_binning")),
+      "q121_sparse_cosine", "q136_bpe_train", "q141_woe_binning",
+      "q144_join_size_estimate")),
       s"unexpected cross products in: $offenders")
   }
 
