@@ -538,6 +538,85 @@ object NativeExpressions {
   def imageDims(payload: Column): Column =
     GraftColumnBridge.column(ImageDims(GraftColumnBridge.expression(payload)))
 
+  /** jaro_winkler(a, b): the classic Winkler-boosted Jaro similarity —
+    * the string metric record-linkage systems pair with Levenshtein
+    * (q92): position-tolerant (a match window of max(|a|,|b|)/2 - 1),
+    * transposition-discounting, and prefix-boosted. Semantics verified
+    * byte-for-byte against DuckDB's `jaro_winkler_similarity` over the
+    * full q147 pair population: greedy left-to-right flag matching,
+    * transpositions = (mismatched matched positions) / 2 with INTEGER
+    * floor, prefix boost l·0.1·(1−jaro) for l ≤ 4 applied only when
+    * jaro > 0.7 (the standard boost threshold), and 0.0 — not 1.0 —
+    * when either side is empty. One pass per pair inside the scan
+    * projection (CodegenFallback: the per-row DP dominates, the
+    * surrounding plan stays whole-stage).
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "jaro_winkler"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = a.asInstanceOf[UTF8String].toString
+      val sb = b.asInstanceOf[UTF8String].toString
+      java.lang.Double.valueOf(NativeExpressions.jaroWinklerSim(sa, sb))
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private[graft] def jaroWinklerSim(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val am = new Array[Boolean](la)
+    val bm = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+          am(i) = true; bm(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (am(i)) {
+        while (!bm(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val tt = t / 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (m - tt).toDouble / m) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val maxL = math.min(4, math.min(la, lb))
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaroWinkler(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Register the native expressions in a session's FunctionRegistry so
     * `spark.sql` queries can call them by name:
     * word_shingles(text, k), minhash_signature(shingles, n),

@@ -252,6 +252,73 @@ object Analytics {
        |ORDER BY community""".stripMargin
   }
 
+  private val BfsHops = 3
+
+  /** q145: multi-source BFS shortest-hop distance over the
+    * customer–supplier graph — the fourth member of the graph family
+    * (q40/q134 membership, q89/q133 importance, q140 communities; BFS
+    * answers REACH: "how far is every node from a seed set", the shape
+    * behind influence radius, blast-radius audits, and k-hop feature
+    * extraction for graph ML). Seeds are all in-graph customers of
+    * nation 0; each round expands the FRONTIER only — the previous
+    * round's newly-discovered nodes join the edge list, and a left-anti
+    * join against the visited set keeps the work per round proportional
+    * to the frontier, never the visited set squared. Fixed `BfsHops`
+    * rounds with `localCheckpoint` per round (the q133 discipline:
+    * constant plan depth, linear cost). The oracle unrolls the same
+    * frontier algebra as CTEs — a recursive-CTE walk would enumerate
+    * every PATH (combinatorial on this dense bipartite graph); the
+    * frontier form is the one that scales, in both engines.
+    */
+  def q145BfsDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir).persist()
+    val inGraph = edges.select($"src".as("node")).distinct()
+    val seeds = t(s, dir, "customer").filter($"c_nationkey" === 0)
+      .select(concat(lit("c"), $"c_custkey").as("node"))
+      .join(inGraph, Seq("node"), "left_semi")
+    var dist = seeds.withColumn("hops", lit(0)).localCheckpoint()
+    for (i <- 1 to BfsHops) {
+      val frontier = dist.filter($"hops" === i - 1)
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst".as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(i))
+      dist = dist.unionByName(next).localCheckpoint()
+    }
+    dist.groupBy($"hops")
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("first_node"), max($"node").as("last_node"))
+      .orderBy($"hops")
+  }
+
+  private val q145Sql = {
+    def step(i: Int) =
+      s"""f$i AS (
+         |  SELECT DISTINCT e.dst AS node, $i AS hops
+         |  FROM e JOIN f${i - 1} ON e.src = f${i - 1}.node
+         |  WHERE e.dst NOT IN (SELECT node FROM a${i - 1})),
+         |a$i AS (SELECT node, hops FROM a${i - 1}
+         |        UNION ALL SELECT node, hops FROM f$i)""".stripMargin
+    val chain = (1 to BfsHops).map(step).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |f0 AS (
+       |  SELECT 'c' || c_custkey AS node, 0 AS hops FROM customer
+       |  WHERE c_nationkey = 0
+       |    AND 'c' || c_custkey IN (SELECT src FROM e)),
+       |a0 AS (SELECT node, hops FROM f0),
+       |$chain
+       |SELECT hops, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(node) AS first_node, max(node) AS last_node
+       |FROM a$BfsHops
+       |GROUP BY 1
+       |ORDER BY hops""".stripMargin
+  }
+
   /** q90: deterministic weighted sampling without replacement
     * (Efraimidis–Spirakis priority sampling): each document draws a
     * "uniform" u from the first 8 md5 hex digits of its id, and the 20
@@ -344,6 +411,65 @@ object Analytics {
       |  round(avg(lev), 6) AS avg_lev,
       |  round(avg(sim), 6) AS avg_sim,
       |  round(avg(CASE WHEN sim >= 0.7 THEN 1.0 ELSE 0.0 END), 6) AS match_rate
+      |FROM scored
+      |GROUP BY variant_class
+      |ORDER BY variant_class""".stripMargin
+
+  /** q147: Jaro–Winkler scoring of the same corruption classes q92
+    * measures with Levenshtein — the record-linkage pairing: Levenshtein
+    * counts raw edits, Jaro–Winkler rewards shared prefixes and
+    * tolerates transpositions, which is why matchers ensemble both. The
+    * metric is the native [[graft.functions.NativeExpressions.JaroWinkler]]
+    * expression (semantics cross-verified pairwise against DuckDB's
+    * builtin over this exact pair population — greedy flag matching,
+    * floor transposition halving, 0.7 boost gate), evaluated in the scan
+    * projection: per-pair work, no shuffle beyond the final class
+    * aggregate. The per-class contrast against q92 is the point:
+    * word_swap scores LOW on JW (prefix destroyed) but high on
+    * normalized Levenshtein similarity; typo (first char dropped) kills
+    * the prefix boost; decoration keeps it.
+    */
+  def q147JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeExpressions.jaroWinkler
+    val names = t(s, dir, "part").select($"p_name").distinct()
+    val pairs = names
+      .select($"p_name", lit("decorated").as("variant_class"),
+        concat(lit("The "), $"p_name", lit(" Inc.")).as("v"))
+      .unionByName(names.select($"p_name", lit("typo").as("variant_class"),
+        expr("substring(p_name, 2)").as("v")))
+      .unionByName(names.select($"p_name", lit("word_swap").as("variant_class"),
+        concat_ws(" ", reverse(split($"p_name", " "))).as("v")))
+    pairs
+      .select($"variant_class", jaroWinkler($"p_name", $"v").as("jw"))
+      .groupBy($"variant_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"jw"), 6).as("avg_jw"),
+        round(min($"jw"), 6).as("min_jw"),
+        round(max($"jw"), 6).as("max_jw"),
+        round(avg(when($"jw" >= 0.85, 1.0).otherwise(0.0)), 6).as("match_rate"))
+      .orderBy($"variant_class")
+  }
+
+  private val q147Sql =
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |pairs AS (
+      |  SELECT p_name, 'decorated' AS variant_class,
+      |    'The ' || p_name || ' Inc.' AS v FROM names
+      |  UNION ALL
+      |  SELECT p_name, 'typo', substring(p_name, 2) FROM names
+      |  UNION ALL
+      |  SELECT p_name, 'word_swap',
+      |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |  FROM names),
+      |scored AS (
+      |  SELECT variant_class, jaro_winkler_similarity(p_name, v) AS jw
+      |  FROM pairs)
+      |SELECT variant_class, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  round(avg(jw), 6) AS avg_jw,
+      |  round(min(jw), 6) AS min_jw,
+      |  round(max(jw), 6) AS max_jw,
+      |  round(avg(CASE WHEN jw >= 0.85 THEN 1.0 ELSE 0.0 END), 6) AS match_rate
       |FROM scored
       |GROUP BY variant_class
       |ORDER BY variant_class""".stripMargin
@@ -563,6 +689,12 @@ object Analytics {
     GraftQuery("q140_label_propagation", Seq("EXT-graph", "A2"),
       "synchronous label-propagation communities: mode-of-neighbors via map-side argmin, fixed rounds",
       q140LabelPropagation, Some(q140Sql)),
+    GraftQuery("q147_jaro_winkler", Seq("EXT-fuzzy"),
+      "native Jaro-Winkler expression scored on the q92 corruption classes, DuckDB-builtin-verified",
+      q147JaroWinkler, Some(q147Sql)),
+    GraftQuery("q145_bfs_distance", Seq("EXT-graph", "J3", "A2"),
+      "multi-source BFS hop distance: frontier-only expansion, left-anti visited set, fixed rounds",
+      q145BfsDistance, Some(q145Sql)),
     GraftQuery("q90_weighted_sample", Seq("EXT-sample"),
       "deterministic Efraimidis-Spirakis weighted sample, top-20 by priority",
       q90WeightedSample, Some(q90Sql)))

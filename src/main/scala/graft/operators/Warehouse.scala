@@ -420,6 +420,69 @@ object Warehouse {
       |FROM s
       |ORDER BY n_name""".stripMargin
 
+  /** q146: grouped ROC-AUC — the model-evaluation gate a training
+    * pipeline runs on every scored batch: does a score rank positives
+    * above negatives, per segment? Computed WITHOUT a per-row rank (and
+    * without the float rank-sum): AUC = P(score_pos > score_neg) +
+    * ½·P(tie), counted EXACTLY by grouping rows to distinct (group,
+    * score) cells — score cast to DECIMAL(18,2) so the cell key is
+    * exact — then one cumulative window over the CELL table (cells, not
+    * rows: the window input is bounded by score cardinality) accumulates
+    * negatives-below; concordant = Σ pos_i·cumneg_i and ties =
+    * Σ pos_i·neg_i stay in BIGINT until the single final division, so
+    * both engines hand identical doubles to round(…,6). Degenerate
+    * groups (no positives or no negatives) emit null, never 0/0 — the
+    * q108/q114 guard discipline. Scale: one keyed aggregation to cells
+    * + one cell-sized window — no row-level sort of the 100 TB scores.
+    */
+  def q146GroupedAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "orders")
+      .select($"o_orderpriority",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("score"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("pos"))
+      .groupBy($"o_orderpriority", $"score")
+      .agg(sum($"pos").as("p"), sum(lit(1L) - $"pos").as("n"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumneg", coalesce(sum($"n").over(w), lit(0L)))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"p").as("n_pos"), sum($"n").as("n_neg"),
+        sum($"p" * $"cumneg").as("conc"), sum($"p" * $"n").as("ties"))
+      .select($"o_orderpriority", $"n_pos", $"n_neg",
+        round(when($"n_pos" > 0 && $"n_neg" > 0,
+          ($"conc".cast("double") + $"ties" * 0.5) /
+            ($"n_pos".cast("double") * $"n_neg")), 6).as("auc"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q146Sql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS p,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, COALESCE(CAST(sum(n) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY score ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS BIGINT), 0) AS cumneg
+      |  FROM cells),
+      |agg AS (
+      |  SELECT o_orderpriority,
+      |    CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+      |    CAST(sum(p * cumneg) AS BIGINT) AS conc,
+      |    CAST(sum(p * n) AS BIGINT) AS ties
+      |  FROM cum GROUP BY 1)
+      |SELECT o_orderpriority, n_pos, n_neg,
+      |  round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    (CAST(conc AS DOUBLE) + 0.5 * ties) / (CAST(n_pos AS DOUBLE) * n_neg)
+      |  END, 6) AS auc
+      |FROM agg
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** q141: weight-of-evidence feature binning — the credit-scoring /
     * feature-engineering encode that turns a continuous feature into a
     * monotone-risk code: bin the feature, then per bin
@@ -818,6 +881,9 @@ object Warehouse {
       |ORDER BY user_id, s_start""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q146_grouped_auc", Seq("A2", "W1", "EXT-olap"),
+      "grouped ROC-AUC from exact integer pair counts over score cells, degenerate groups null",
+      q146GroupedAuc, Some(q146Sql)),
     GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
       "hierarchy root+depth via pointer doubling (log-depth shuffles)",
       q130TreeClosure, Some(q130Sql)),
