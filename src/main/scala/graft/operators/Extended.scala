@@ -867,7 +867,253 @@ object Extended {
       |FROM c
       |ORDER BY prev_type, next_type""".stripMargin
 
+  private val MarkovSteps = 8
+
+  /** q148: Markov-chain (removal-effect) attribution — the data-driven
+    * upgrade of q79's last-touch and q106's linear credit: model the
+    * event stream as a first-order chain (q86's transition matrix with
+    * START / CONV / DROP states; a purchase absorbs into CONV, leaving a
+    * purchase restarts at START, stream end without one drops), then
+    * credit each channel by its REMOVAL EFFECT — how much the START→CONV
+    * absorption probability falls when that channel's states redirect to
+    * DROP (Anderl et al. 2014). Absorption is computed by
+    * `MarkovSteps` synchronous vector–matrix steps, all channel-removal
+    * VARIANTS advancing together in one keyed aggregation per step (the
+    * per-round tables are (channels+1)·|states| rows — bounded by the
+    * event-type domain, never the stream; the stream is touched once, to
+    * count transitions). Per-step round(…,12) pins both engines to
+    * identical doubles — the q89/q133 discipline; the oracle unrolls the
+    * same steps as CTEs. The two nested-loop products are bounded scalar
+    * attaches: variants × the |states|²-sized matrix, and the 1-row base
+    * absorption joined back for the effect division.
+    */
+  def q148MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val steps = ev.select(
+      when($"prev".isNull || $"prev" === "purchase", lit("START"))
+        .otherwise($"prev").as("src"),
+      when($"event_type" === "purchase", lit("CONV"))
+        .otherwise($"event_type").as("dst"))
+    val drops = ev.filter($"nxt".isNull && $"event_type" =!= "purchase")
+      .select($"event_type".as("src"), lit("DROP").as("dst"))
+    val wsrc = Window.partitionBy($"src")
+    val tr = steps.unionByName(drops)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("cnt"))
+      .withColumn("p", $"cnt".cast("double") /
+        sum($"cnt").over(wsrc).cast("double"))
+      .select($"src", $"dst", $"p")
+    val channels = ev.select($"event_type").distinct()
+      .filter($"event_type" =!= "purchase")
+      .select($"event_type".as("variant"))
+    val variants = channels
+      .unionByName(Seq("_base").toDF("variant"))
+    val redirected = variants.crossJoin(tr)
+      .filter($"src" =!= $"variant")
+      .select($"variant", $"src",
+        when($"dst" === $"variant", lit("DROP")).otherwise($"dst").as("dst"),
+        $"p")
+      .groupBy($"variant", $"src", $"dst").agg(sum($"p").as("p"))
+    val absorbing = variants
+      .select($"variant",
+        explode(array(lit("CONV"), lit("DROP"))).as("st"))
+      .select($"variant", $"st".as("src"), $"st".as("dst"), lit(1.0).as("p"))
+    val pmat = redirected.unionByName(absorbing).persist()
+    var v = variants
+      .select($"variant", lit("START").as("state"), lit(1.0).as("prob"))
+      .localCheckpoint()
+    for (_ <- 1 to MarkovSteps) {
+      v = v.as("v")
+        .join(pmat.as("m"),
+          $"v.variant" === $"m.variant" && $"v.state" === $"m.src")
+        .groupBy($"v.variant", $"m.dst")
+        .agg(round(sum($"v.prob" * $"m.p"), 12).as("prob"))
+        .select($"variant", $"dst".as("state"), $"prob")
+        .localCheckpoint()
+    }
+    val conv = v.filter($"state" === "CONV")
+    val base = conv.filter($"variant" === "_base")
+      .select($"prob".as("base_conv"))
+    conv.filter($"variant" =!= "_base")
+      .crossJoin(broadcast(base))
+      .select($"variant".as("channel"),
+        round($"prob", 6).as("removal_conv"),
+        round($"base_conv", 6).as("base_conv"),
+        round(when($"base_conv" > 0, lit(1.0) - $"prob" / $"base_conv"), 6)
+          .as("removal_effect"))
+      .orderBy($"channel")
+  }
+
+  private val q148Sql = {
+    def step(i: Int) =
+      s"""v$i AS (
+         |  SELECT v.variant, m.dst AS state, round(sum(v.prob * m.p), 12) AS prob
+         |  FROM v${i - 1} v JOIN pm m
+         |    ON v.variant = m.variant AND v.state = m.src
+         |  GROUP BY 1, 2)""".stripMargin
+    val chain = (1 to MarkovSteps).map(step).mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER w AS prev, lead(event_type) OVER w AS nxt
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |edges AS (
+       |  SELECT CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'START'
+       |              ELSE prev END AS src,
+       |         CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |              ELSE event_type END AS dst
+       |  FROM ev
+       |  UNION ALL
+       |  SELECT event_type, 'DROP' FROM ev
+       |  WHERE nxt IS NULL AND event_type <> 'purchase'),
+       |tr AS (
+       |  SELECT src, dst, CAST(count(*) AS DOUBLE) /
+       |    CAST(sum(count(*)) OVER (PARTITION BY src) AS DOUBLE) AS p
+       |  FROM edges GROUP BY src, dst),
+       |var AS (
+       |  SELECT DISTINCT event_type AS variant FROM events
+       |  WHERE event_type <> 'purchase'
+       |  UNION ALL SELECT '_base'),
+       |pm0 AS (
+       |  SELECT variant, src,
+       |    CASE WHEN dst = variant THEN 'DROP' ELSE dst END AS dst, p
+       |  FROM var CROSS JOIN tr WHERE src <> variant),
+       |pm AS (
+       |  SELECT variant, src, dst, sum(p) AS p FROM pm0 GROUP BY 1, 2, 3
+       |  UNION ALL SELECT variant, 'CONV', 'CONV', 1.0 FROM var
+       |  UNION ALL SELECT variant, 'DROP', 'DROP', 1.0 FROM var),
+       |v0 AS (SELECT variant, 'START' AS state, 1.0 AS prob FROM var),
+       |$chain,
+       |base AS (SELECT prob AS base_conv FROM v$MarkovSteps
+       |         WHERE variant = '_base' AND state = 'CONV')
+       |SELECT variant AS channel, round(prob, 6) AS removal_conv,
+       |  round(base_conv, 6) AS base_conv,
+       |  round(CASE WHEN base_conv > 0 THEN 1.0 - prob / base_conv END, 6)
+       |    AS removal_effect
+       |FROM v$MarkovSteps CROSS JOIN base
+       |WHERE state = 'CONV' AND variant <> '_base'
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** q150: sequential pattern mining — global top-15 event-type TRIGRAMS
+    * by support, the frequent-subsequence census behind funnel discovery
+    * (q67 checks ONE known funnel; this finds which sequences are worth
+    * checking). Trigrams materialize in the per-user ordered window
+    * (two leads, zero self-joins — the classic candidate-generation
+    * join of GSP/PrefixSpan collapses into the window because k=3 is
+    * fixed), support counts shuffle on the trigram key, and the top-15
+    * emission is orderBy().limit() → TakeOrderedAndProject (the q89
+    * rewrite discipline: per-task 15-row heaps, never a global sort).
+    * Support is both raw occurrences and distinct users — the pair every
+    * sequence miner reports, both exact integers.
+    */
+  def q150SeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t2".isNotNull && $"t3".isNotNull)
+      .select($"user_id",
+        concat_ws(">", $"event_type", $"t2", $"t3").as("trigram"))
+      .groupBy($"trigram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct($"user_id").as("n_users"))
+      .orderBy($"n_occurrences".desc, $"trigram".asc)
+      .limit(15)
+  }
+
+  private val q150Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (
+      |  SELECT user_id, event_type || '>' || t2 || '>' || t3 AS trigram
+      |  FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL)
+      |SELECT trigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM tri
+      |GROUP BY trigram
+      |ORDER BY n_occurrences DESC, trigram ASC
+      |LIMIT 15""".stripMargin
+
+  private val DpEpsilon = 0.5
+
+  /** q151: differentially-private-style noisy count release — the
+    * privacy-preserving aggregate a data clearinghouse publishes instead
+    * of exact cohort sizes: per-segment counts + Laplace(1/ε) noise
+    * (sensitivity 1 for a count), ε = 0.5. The Laplace draw uses the
+    * registry's no-RNG contract (q50/q90): the uniform comes from the
+    * first 8 md5 hex digits of a seeded key, inverse-CDF'd to
+    * −b·sign(u−½)·ln(1−2|u−½|) — so the release is REPRODUCIBLE (same
+    * seed → same noise, the property a published statistic needs for
+    * audits) and the oracle recomputes it bit-for-bit. Honestly stated:
+    * a fixed public seed forfeits the formal DP guarantee (the noise is
+    * deterministic); the operator demonstrates the RELEASE MECHANISM —
+    * calibrated noise, bounded-error flags at δ=1e-6 — which at
+    * production would draw from a sealed seed store. Scale: one keyed
+    * aggregation; noise is arithmetic on the domain-sized result.
+    */
+  def q151DpCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = 1.0 / DpEpsilon
+    // bound = b·ln(1/(2δ)) at δ=1e-6: |noise| exceeds it w.p. 2δ
+    val bound = b * math.log(1.0 / (2e-6))
+    val h = conv(substring(md5(concat(lit("dp1:"), $"c_mktsegment")), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val uc = u - lit(0.5)
+    val noise = lit(-b) * signum(uc) * log(lit(1.0) - lit(2.0) * abs(uc))
+    t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_exact"))
+      .select($"c_mktsegment", $"n_exact",
+        round($"n_exact" + noise, 3).as("n_noisy"),
+        lit(DpEpsilon).as("epsilon"),
+        (abs(noise) <= bound).as("within_bound"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q151Sql =
+    s"""WITH c AS (
+       |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM customer GROUP BY 1),
+       |n AS (
+       |  SELECT *,
+       |    (('0x' || substr(md5('dp1:' || c_mktsegment), 1, 8))::BIGINT + 0.5e0)
+       |      / 4294967296e0 - 0.5e0 AS uc
+       |  FROM c),
+       |d AS (
+       |  SELECT c_mktsegment, n_exact,
+       |    -${1.0 / DpEpsilon} * sign(uc) * ln(1e0 - 2e0 * abs(uc)) AS noise
+       |  FROM n)
+       |SELECT c_mktsegment, n_exact,
+       |  round(n_exact + noise, 3) AS n_noisy,
+       |  ${DpEpsilon}e0 AS epsilon,
+       |  abs(noise) <= ${1.0 / DpEpsilon} * ln(1e0 / 2e-6) AS within_bound
+       |FROM d
+       |ORDER BY c_mktsegment""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q150_seq_patterns", Seq("EXT-window", "A2", "EXT-text"),
+      "frequent event-type trigram mining: window candidate generation, TakeOrdered top-15 by support",
+      q150SeqPatterns, Some(q150Sql)),
+    GraftQuery("q151_dp_counts", Seq("A2", "EXT-anonymize"),
+      "seeded Laplace noisy-count release: inverse-CDF noise from md5 uniforms, bounded-error flags",
+      q151DpCounts, Some(q151Sql)),
+    GraftQuery("q148_markov_attribution", Seq("EXT-window", "EXT-graph", "A2"),
+      "Markov removal-effect attribution: absorbing-chain steps over channel-removal variants, bounded state tables",
+      q148MarkovAttribution, Some(q148Sql)),
     GraftQuery("q85_robust_outliers", Seq("EXT-percentile", "P6"),
       "median/MAD modified z-score outliers (robust to the tails it hunts)",
       q85RobustOutliers, Some(q85Sql)),

@@ -483,6 +483,70 @@ object Warehouse {
       |FROM agg
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q149: seasonal anomaly detection — the monitoring pass a streaming
+    * warehouse runs on every metric: build a per-(event_type,
+    * hour-of-day) seasonal baseline, then flag events whose value sits
+    * more than 3 sample standard deviations from their OWN season's
+    * mean (a raw global z-score would flag every nightly peak as an
+    * anomaly; the seasonal profile is the point). Two passes, both
+    * cheap: one keyed aggregation to the |types|×24 baseline — exact
+    * DECIMAL sufficient statistics (Σv, Σv²), so both engines derive
+    * bit-identical means/stds in double — and one broadcast join-back
+    * (the baseline is domain-sized, never stream-sized) to score rows.
+    * Degenerate seasons (n=1 or zero variance) emit null z — the
+    * q108/q146 guard — and anomaly counts stay exact integers.
+    */
+  def q149SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"event_type", hour($"ts").as("hod"),
+        $"value".cast(DecimalType(18, 2)).as("v"))
+    val stats = ev.groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        sum($"v" * $"v").as("svv"))
+      .select($"event_type", $"hod", $"n",
+        ($"sv".cast("double") / $"n").as("mean"),
+        when($"n" > 1,
+          sqrt(($"svv".cast("double") -
+            $"sv".cast("double") * $"sv".cast("double") / $"n") /
+            ($"n" - 1))).as("std"))
+    ev.join(broadcast(stats), Seq("event_type", "hod"))
+      .withColumn("az",
+        when($"std" > 0, abs(($"v".cast("double") - $"mean") / $"std")))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"az" > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max($"az"), 6).as("max_abs_z"))
+      .orderBy($"event_type", $"hod")
+  }
+
+  private val q149Sql =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+      |    sum(v) AS sv, sum(CAST(v AS DECIMAL(19,2)) * v) AS svv
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, hod, n,
+      |    CAST(sv AS DOUBLE) / n AS mean,
+      |    CASE WHEN n > 1 THEN
+      |      sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+      |           / (n - 1)) END AS std
+      |  FROM stats),
+      |scored AS (
+      |  SELECT ev.event_type, ev.hod,
+      |    CASE WHEN std > 0 THEN abs((CAST(v AS DOUBLE) - mean) / std) END AS az
+      |  FROM ev JOIN b USING (event_type, hod))
+      |SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  round(max(az), 6) AS max_abs_z
+      |FROM scored
+      |GROUP BY event_type, hod
+      |ORDER BY event_type, hod""".stripMargin
+
   /** q141: weight-of-evidence feature binning — the credit-scoring /
     * feature-engineering encode that turns a continuous feature into a
     * monotone-risk code: bin the feature, then per bin
@@ -884,6 +948,9 @@ object Warehouse {
     GraftQuery("q146_grouped_auc", Seq("A2", "W1", "EXT-olap"),
       "grouped ROC-AUC from exact integer pair counts over score cells, degenerate groups null",
       q146GroupedAuc, Some(q146Sql)),
+    GraftQuery("q149_seasonal_anomaly", Seq("A2", "J1", "EXT-olap"),
+      "seasonal hour-of-day anomaly flags: exact decimal baselines, broadcast join-back, 3-sigma gate",
+      q149SeasonalAnomaly, Some(q149Sql)),
     GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
       "hierarchy root+depth via pointer doubling (log-depth shuffles)",
       q130TreeClosure, Some(q130Sql)),

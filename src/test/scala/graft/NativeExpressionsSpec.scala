@@ -217,4 +217,30 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(ok(2) == ("gif", 320, 240))  // 0x0140 LE, 0x00f0 LE
     assert(rows.drop(3).forall(_.isNullAt(1)), "malformed payloads must be null")
   }
+
+  test("JaroWinkler: textbook values, boost gate, floor transpositions") {
+    import spark.implicits._
+    // Expected values are DuckDB's jaro_winkler_similarity outputs
+    // (probed in round 5) == the Winkler reference implementation:
+    // greedy flag matching, t = mismatches/2 floored, boost only at
+    // jaro > 0.7, empty strings => 0.0.
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // 2 mismatches -> t=1
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964), // no common prefix
+      ("abcvwxyz", "cabvwxyz", 0.9583333333333334),    // odd k: t = 3/2 = 1
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),  // jaro <= 0.7: prefix-4 boost NOT applied
+      ("aaaaaaaaab", "aaaaaaaaba", 0.98),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("ab", "ba", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(jaroWinkler($"a", $"b").as("got"), $"want")
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"jaro_winkler mismatch: got ${r.getDouble(0)} want ${r.getDouble(1)}"))
+    val n = Seq((Option("x"), None: Option[String]))
+      .toDF("a", "b").select(jaroWinkler($"a", $"b").as("j")).collect()
+    assert(n.head.isNullAt(0))
+  }
 }

@@ -73,7 +73,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // loop products (q21/q29/q45 etc. must stay blocked/banded joins)
     val offenders = Registry.all
       .filterNot(q => Set("q22_ann_brute_force", "q53_ann_recall",
-        "q75_pq_recall", "q137_ivfpq").contains(q.name))
+        "q75_pq_recall", "q137_ivfpq",
+        // q148: two bounded products — channel-removal variants × the
+        // |states|²-row transition matrix, and the 1-row base-absorption
+        // scalar attached back for the effect division; the event stream
+        // itself is touched once, in the keyed transition count
+        "q148_markov_attribution").contains(q.name))
       .flatMap { q =>
         val plan =
           try q.fn(spark, dir).queryExecution.executedPlan.toString
