@@ -1104,7 +1104,142 @@ object Extended {
        |FROM d
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q154: Shapley-value attribution — the game-theoretic completion of
+    * the attribution family (q79 last-touch, q106 linear, q148 Markov):
+    * each channel's credit is its average marginal contribution to
+    * conversion over all channel coalitions (Shapley 1953; the Zhao et
+    * al. 2018 simplified estimator — coalition value v(S) = observed
+    * conversion rate of users whose pre-conversion touch set is EXACTLY
+    * S, unobserved coalitions v = 0, a stated modeling choice). The
+    * corpus-scale work is ONE keyed pass: per user, the first-purchase
+    * cut, the distinct touched channels before it, a bitmask via
+    * sum-of-distinct-powers, and a (mask → users, conversions) rollup.
+    * Everything after — the 2ⁿ mask spine, factorial weights
+    * s!(n−1−s)!/n!, the S vs S∪{c} pairing — is arithmetic on a
+    * 16-row table. No windows: channel indexes come from a
+    * smaller-than self-join count over the 4-row channel domain, and n
+    * rides a 1-row broadcast attach. Exact until the final divisions:
+    * masks, counts and factorials are integers; round(…,6) seals the
+    * two float steps.
+    */
+  def q154ShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Journey = (user, week): with this stream's density a whole-history
+    // journey converts ~always (v ≡ 1, Shapley ≡ 0 — measured, not
+    // guessed); the week window is the standard journey-scoping move
+    // and yields coalition values spanning 0.70–1.00.
+    val ev = t(s, dir, "events")
+      .select($"user_id", date_trunc("week", $"ts").as("wk"),
+        $"event_type", $"ts")
+    val firstP = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"wk").agg(min($"ts").as("pts"))
+    val journeys = ev.select($"user_id", $"wk").distinct()
+      .join(firstP, Seq("user_id", "wk"), "left")
+      .select($"user_id", $"wk", $"pts", $"pts".isNotNull.as("converted"))
+    // channel index = |{channels alphabetically smaller}| (no window)
+    val chans = ev.select($"event_type").distinct()
+      .filter($"event_type" =!= "purchase")
+    val chanIdx = chans.as("a")
+      .join(chans.as("b"), $"b.event_type" < $"a.event_type", "left")
+      .groupBy($"a.event_type")
+      .agg(count($"b.event_type").cast("int").as("idx"))
+      .select($"event_type", $"idx", expr("cast(shiftleft(1, idx) as bigint)").as("pw"))
+    val touched = ev.filter($"event_type" =!= "purchase")
+      .join(journeys, Seq("user_id", "wk"))
+      .filter($"pts".isNull || $"ts" < $"pts")
+      .select($"user_id", $"wk", $"event_type").distinct()
+      .join(broadcast(chanIdx), Seq("event_type"))
+      .groupBy($"user_id", $"wk").agg(sum($"pw").as("mask0"))
+    val coal = journeys.join(touched, Seq("user_id", "wk"), "left")
+      .select(coalesce($"mask0", lit(0L)).as("mask"), $"converted")
+      .groupBy($"mask")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_conv"))
+    val nch = chans.agg(count(lit(1)).cast("int").as("nch"))
+    val spine = nch.select($"nch",
+        explode(sequence(lit(0), expr("shiftleft(1, nch)") - 1)).as("mask"))
+      .join(coal, Seq("mask"), "left")
+      .select($"nch", $"mask",
+        (coalesce($"n_conv", lit(0L)).cast("double") /
+          when(coalesce($"n_users", lit(0L)) > 0, $"n_users")).as("v"))
+      .select($"nch", $"mask", coalesce($"v", lit(0.0)).as("v"))
+    // pair S (c not in S) with S u {c}; phi_c = sum w(|S|)(v(S u c) - v(S))
+    val pairs = chanIdx.crossJoin(broadcast(nch))
+      .join(spine.select($"mask".as("s_mask"), $"v".as("v_s")),
+        ($"s_mask".bitwiseAND($"pw")) === 0)
+      .join(spine.select($"mask".as("t_mask"), $"v".as("v_t")),
+        $"t_mask" === ($"s_mask".bitwiseOR($"pw")))
+      .select($"event_type", $"nch",
+        bit_count($"s_mask").as("ssize"), $"v_s", $"v_t")
+    pairs
+      .select($"event_type",
+        (factorial($"ssize").cast("double") *
+          factorial($"nch" - 1 - $"ssize") /
+          factorial($"nch") * ($"v_t" - $"v_s")).as("contrib"))
+      .groupBy($"event_type")
+      .agg(round(sum($"contrib"), 6).as("shapley"))
+      .select($"event_type".as("channel"), $"shapley")
+      .orderBy($"channel")
+  }
+
+  private val q154Sql =
+    """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk, event_type, ts
+      |           FROM events),
+      |firstp AS (
+      |  SELECT user_id, wk, min(ts) AS pts FROM ev
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |journeys AS (
+      |  SELECT j.user_id, j.wk, pts, pts IS NOT NULL AS converted
+      |  FROM (SELECT DISTINCT user_id, wk FROM ev) j
+      |  LEFT JOIN firstp USING (user_id, wk)),
+      |chans AS (
+      |  SELECT DISTINCT event_type FROM ev WHERE event_type <> 'purchase'),
+      |chanidx AS (
+      |  SELECT a.event_type,
+      |    CAST(count(b.event_type) AS INTEGER) AS idx,
+      |    CAST(1 << CAST(count(b.event_type) AS INTEGER) AS BIGINT) AS pw
+      |  FROM chans a LEFT JOIN chans b ON b.event_type < a.event_type
+      |  GROUP BY a.event_type),
+      |touched AS (
+      |  SELECT user_id, wk, CAST(sum(pw) AS BIGINT) AS mask0
+      |  FROM (
+      |    SELECT DISTINCT ev.user_id, ev.wk, ev.event_type
+      |    FROM ev JOIN journeys USING (user_id, wk)
+      |    WHERE ev.event_type <> 'purchase'
+      |      AND (pts IS NULL OR ts < pts)) t
+      |  JOIN chanidx USING (event_type)
+      |  GROUP BY 1, 2),
+      |coal AS (
+      |  SELECT COALESCE(mask0, 0) AS mask,
+      |    CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      |  FROM journeys LEFT JOIN touched USING (user_id, wk)
+      |  GROUP BY 1),
+      |nch AS (SELECT CAST(count(*) AS INTEGER) AS nch FROM chans),
+      |spine AS (
+      |  SELECT nch, CAST(m.mask AS BIGINT) AS mask,
+      |    COALESCE(CASE WHEN COALESCE(n_users, 0) > 0
+      |      THEN CAST(COALESCE(n_conv, 0) AS DOUBLE) / n_users END, 0e0) AS v
+      |  FROM nch, (SELECT unnest(range(0, (1 << (SELECT nch FROM nch)))) AS mask) m
+      |  LEFT JOIN coal USING (mask)),
+      |pairs AS (
+      |  SELECT c.event_type, s.nch,
+      |    bit_count(s.mask) AS ssize, s.v AS v_s, t.v AS v_t
+      |  FROM chanidx c
+      |  CROSS JOIN nch n
+      |  JOIN spine s ON (s.mask & c.pw) = 0
+      |  JOIN spine t ON t.mask = (s.mask | c.pw))
+      |SELECT event_type AS channel,
+      |  round(sum(CAST(factorial(ssize) AS DOUBLE) * factorial(nch - 1 - ssize)
+      |    / factorial(nch) * (v_t - v_s)), 6) AS shapley
+      |FROM pairs
+      |GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q154_shapley_attribution", Seq("EXT-window", "A2", "J1"),
+      "exact Shapley channel attribution over coalition bitmasks: one keyed pass, 16-row coalition algebra",
+      q154ShapleyAttribution, Some(q154Sql)),
     GraftQuery("q150_seq_patterns", Seq("EXT-window", "A2", "EXT-text"),
       "frequent event-type trigram mining: window candidate generation, TakeOrdered top-15 by support",
       q150SeqPatterns, Some(q150Sql)),

@@ -547,6 +547,65 @@ object Warehouse {
       |GROUP BY event_type, hod
       |ORDER BY event_type, hod""".stripMargin
 
+  /** q153: calibration / reliability table — q146's AUC says a score
+    * RANKS well; this says whether it means what it claims as a
+    * PROBABILITY (the property that decides if you can threshold it):
+    * bucket a deterministic logistic score into 10 fixed-width
+    * probability bins and compare each bin's mean predicted probability
+    * with its observed positive rate, plus the per-bin Brier
+    * contribution. Determinism: the score is rounded to DECIMAL(8,6)
+    * per row BEFORE anything aggregates — binning, Σp̂ and Σ(p̂−y)² are
+    * then exact decimal/integer arithmetic, so both engines hand
+    * identical values to the final divisions (the libm exp() sits
+    * upstream of the rounding, where a 1-ulp difference cannot move a
+    * 6-decimal value). One keyed aggregation to a 10-row table; the
+    * fixed-width bins are the q38 histogram discipline (no global
+    * quantile sort).
+    */
+  def q153Calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = t(s, dir, "orders")
+      .select(
+        round(lit(1.0) /
+          (lit(1.0) + exp(-($"o_totalprice" - 150000.0) / 50000.0)), 6)
+          .cast(DecimalType(8, 6)).as("p_hat"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y"))
+      .withColumn("bin", floor($"p_hat" * 10).cast("int"))
+    scored.groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum($"p_hat").as("sp"),
+        sum($"y").as("n_pos"),
+        sum(($"p_hat" - $"y") * ($"p_hat" - $"y")).as("sq"))
+      .select($"bin", $"n", $"n_pos",
+        round($"sp".cast("double") / $"n", 6).as("mean_p"),
+        round($"n_pos".cast("double") / $"n", 6).as("obs_rate"),
+        round(abs($"sp".cast("double") / $"n" -
+          $"n_pos".cast("double") / $"n"), 6).as("gap"),
+        round($"sq".cast("double") / $"n", 6).as("brier"))
+      .orderBy($"bin")
+  }
+
+  private val q153Sql =
+    """WITH scored AS (
+      |  SELECT CAST(round(1e0 / (1e0 + exp(-(o_totalprice - 150000e0) / 50000e0)), 6)
+      |           AS DECIMAL(8,6)) AS p_hat,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |b AS (
+      |  SELECT CAST(floor(p_hat * 10) AS INTEGER) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(p_hat) AS sp,
+      |    CAST(sum(y) AS BIGINT) AS n_pos,
+      |    sum(CAST(p_hat - y AS DECIMAL(19,6)) * (p_hat - y)) AS sq
+      |  FROM scored GROUP BY 1)
+      |SELECT bin, n, n_pos,
+      |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
+      |  round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+      |  round(abs(CAST(sp AS DOUBLE) / n - CAST(n_pos AS DOUBLE) / n), 6) AS gap,
+      |  round(CAST(sq AS DOUBLE) / n, 6) AS brier
+      |FROM b
+      |ORDER BY bin""".stripMargin
+
   /** q141: weight-of-evidence feature binning — the credit-scoring /
     * feature-engineering encode that turns a continuous feature into a
     * monotone-risk code: bin the feature, then per bin
@@ -951,6 +1010,9 @@ object Warehouse {
     GraftQuery("q149_seasonal_anomaly", Seq("A2", "J1", "EXT-olap"),
       "seasonal hour-of-day anomaly flags: exact decimal baselines, broadcast join-back, 3-sigma gate",
       q149SeasonalAnomaly, Some(q149Sql)),
+    GraftQuery("q153_calibration", Seq("A2", "EXT-histogram", "EXT-olap"),
+      "reliability table: decimal-rounded logistic score, fixed bins, exact Brier decomposition",
+      q153Calibration, Some(q153Sql)),
     GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
       "hierarchy root+depth via pointer doubling (log-depth shuffles)",
       q130TreeClosure, Some(q130Sql)),

@@ -78,7 +78,12 @@ class PlanShapeSpec extends AnyFunSuite {
         // |states|²-row transition matrix, and the 1-row base-absorption
         // scalar attached back for the effect division; the event stream
         // itself is touched once, in the keyed transition count
-        "q148_markov_attribution").contains(q.name))
+        "q148_markov_attribution",
+        // q154: the coalition algebra is all bounded non-equi products —
+        // the 4-row channel domain self-paired for indexes, the 1-row n
+        // attach, and bitmask subset joins over the 2^n=16-row spine;
+        // the event stream is touched once, in the keyed mask rollup
+        "q154_shapley_attribution").contains(q.name))
       .flatMap { q =>
         val plan =
           try q.fn(spark, dir).queryExecution.executedPlan.toString
@@ -101,15 +106,16 @@ class PlanShapeSpec extends AnyFunSuite {
     //    attach); q118: 1-row page-boundary broadcast under a keyset
     //    predicate (deliberately non-equi)
     //  - q136: per-round crossJoin(broadcast(<1-row top pair>)) — the
-    //    learned merge attached to the vocabulary table (scalar attach)
+    //    learned merge attached to the vocabulary table (scalar attach);
+    //    q152 applies the same per-round merge attach on the encode side
     //  - q141: crossJoin(broadcast(<1-row bad/good totals>)) onto the
     //    bin table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
-      "q121_sparse_cosine", "q136_bpe_train", "q141_woe_binning",
-      "q144_join_size_estimate")),
+      "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
+      "q141_woe_binning", "q144_join_size_estimate")),
       s"unexpected cross products in: $offenders")
   }
 
