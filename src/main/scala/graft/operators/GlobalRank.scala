@@ -75,8 +75,64 @@ object GlobalRank {
       |FROM orders
       |ORDER BY rnk""".stripMargin
 
+  /** q155: join-key skew profile — the optimizer statistic q144's size
+    * estimate doesn't carry: HOW a key's mass is distributed, which is
+    * what decides salting (q34/q57), AQE skew thresholds, and broadcast
+    * cutoffs before a 100-TB join is launched. One keyed aggregation
+    * collapses the fact table to the key-count table; the EXACT Gini
+    * coefficient then needs every count's global rank — computed with
+    * [[withGlobalRank]] (range partitioning + offsets), so the profile
+    * has NO single-partition sort even when the key domain itself is
+    * huge. Everything stays integer until the two final divisions:
+    * Gini = (2·Σrank·cnt − (n+1)·Σcnt) / (n·Σcnt), the rank-form
+    * identity. The heavy key rides the same aggregate as a struct-max
+    * (count desc, key asc tiebreak).
+    */
+  def q155SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    val ranked = withGlobalRank(counts, "rnk", $"cnt".asc, $"o_custkey".asc)
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"),
+        max(struct($"cnt", (-$"o_custkey").as("negkey"))).as("m"),
+        sum($"rnk" * $"cnt").as("src"))
+      .select($"n_keys", $"n_rows",
+        $"m.cnt".as("max_cnt"), (-$"m.negkey").cast("bigint").as("top_key"),
+        round($"m.cnt".cast("double") / $"n_rows", 6).as("max_share"),
+        round((lit(2.0) * $"src" - ($"n_keys" + 1).cast("double") * $"n_rows") /
+          ($"n_keys".cast("double") * $"n_rows"), 6).as("gini"))
+  }
+
+  private val q155Sql =
+    """WITH c AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY cnt ASC, o_custkey ASC)
+      |    AS BIGINT) AS rnk
+      |  FROM c),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |    CAST(sum(rnk * cnt) AS BIGINT) AS src
+      |  FROM r)
+      |SELECT n_keys, n_rows,
+      |  (SELECT cnt FROM c ORDER BY cnt DESC, o_custkey ASC LIMIT 1) AS max_cnt,
+      |  (SELECT o_custkey FROM c ORDER BY cnt DESC, o_custkey ASC LIMIT 1)
+      |    AS top_key,
+      |  round(CAST((SELECT cnt FROM c ORDER BY cnt DESC, o_custkey ASC LIMIT 1)
+      |    AS DOUBLE) / n_rows, 6) AS max_share,
+      |  round((2e0 * src - CAST(n_keys + 1 AS DOUBLE) * n_rows) /
+      |    (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini
+      |FROM a""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_global_rank", Seq("W1", "W2", "EXT-olap"),
       "exact global row_number via range partitioning + offsets, no single-partition sort",
-      q132GlobalRank, Some(q132Sql)))
+      q132GlobalRank, Some(q132Sql)),
+    GraftQuery("q155_skew_profile", Seq("A2", "EXT-skew", "EXT-olap"),
+      "join-key skew profile: exact rank-form Gini via range-partitioned global rank, heavy-key struct-max",
+      q155SkewProfile, Some(q155Sql)))
 }

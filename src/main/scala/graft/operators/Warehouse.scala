@@ -606,6 +606,89 @@ object Warehouse {
       |FROM b
       |ORDER BY bin""".stripMargin
 
+  private val KmStudyEnd = "1998-08-01"
+
+  /** q156: Kaplan–Meier survival curve of time-to-repeat-order — the
+    * censoring-aware answer to "how long until a customer comes back"
+    * that a naive average of observed gaps gets WRONG (customers who
+    * have not reordered yet are information, not missing data). Each
+    * customer contributes a duration (first → second order) and an
+    * event flag; customers with no second order by the study end are
+    * CENSORED at it. The estimator S(t) = Π(1 − dᵢ/nᵢ) runs entirely on
+    * the duration-domain table: risk sets are a descending cumulative
+    * sum, the product a cumulative Σln inside exp(). Scale shape: two
+    * keyed aggregations collapse 100 TB of orders to one row per
+    * customer, then one row per distinct DURATION — calendar-bounded
+    * (days between dates), so the two global windows run over a
+    * few-thousand-row table at any corpus size (the q95 allowlist
+    * argument). Integer d/n ratios keep every term engine-identical;
+    * round(…,6) absorbs the ≤1e-13 libm-ln drift of the summed logs.
+    */
+  def q156SurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val end = to_date(lit(KmStudyEnd))
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("d"))
+    val first = o.groupBy($"o_custkey").agg(min($"d").as("t1"))
+    val second = o.join(first, Seq("o_custkey"))
+      .filter($"d" > $"t1")
+      .groupBy($"o_custkey").agg(min($"d").as("t2"))
+    val subj = first.join(second, Seq("o_custkey"), "left")
+      .filter($"t1" <= end)
+      .select(
+        ($"t2".isNotNull && $"t2" <= end).as("ev"),
+        when($"t2".isNotNull && $"t2" <= end, datediff($"t2", $"t1"))
+          .otherwise(datediff(end, $"t1")).as("dur"))
+    val km = subj.groupBy($"dur")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"ev", 1L).otherwise(0L)).as("d"),
+        sum(when($"ev", 0L).otherwise(1L)).as("c"))
+    val wDesc = Window.orderBy($"dur".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy($"dur".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.withColumn("n_risk", sum($"n_total").over(wDesc))
+      .withColumn("survival",
+        round(exp(sum(log(lit(1.0) - $"d".cast("double") / $"n_risk"))
+          .over(wAsc)), 6))
+      .select($"dur", $"n_risk", $"d".as("n_events"), $"c".as("n_censored"),
+        $"survival")
+      .orderBy($"dur")
+  }
+
+  private val q156Sql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+       |f AS (SELECT o_custkey, min(d) AS t1 FROM o GROUP BY 1),
+       |s2 AS (
+       |  SELECT o.o_custkey, min(d) AS t2
+       |  FROM o JOIN f USING (o_custkey) WHERE d > t1 GROUP BY 1),
+       |subj AS (
+       |  SELECT (t2 IS NOT NULL AND t2 <= DATE '$KmStudyEnd') AS ev,
+       |    CAST(CASE WHEN t2 IS NOT NULL AND t2 <= DATE '$KmStudyEnd'
+       |         THEN date_diff('day', t1, t2)
+       |         ELSE date_diff('day', t1, DATE '$KmStudyEnd') END AS INTEGER)
+       |      AS dur
+       |  FROM f LEFT JOIN s2 USING (o_custkey)
+       |  WHERE t1 <= DATE '$KmStudyEnd'),
+       |km AS (
+       |  SELECT dur, CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM subj GROUP BY 1),
+       |r AS (
+       |  SELECT *, CAST(sum(n_total) OVER (ORDER BY dur DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_risk
+       |  FROM km)
+       |SELECT dur, n_risk, d AS n_events, c AS n_censored,
+       |  round(exp(sum(ln(1e0 - CAST(d AS DOUBLE) / n_risk))
+       |    OVER (ORDER BY dur ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |    AS survival
+       |FROM r
+       |ORDER BY dur""".stripMargin
+
   /** q141: weight-of-evidence feature binning — the credit-scoring /
     * feature-engineering encode that turns a continuous feature into a
     * monotone-risk code: bin the feature, then per bin
@@ -1013,6 +1096,9 @@ object Warehouse {
     GraftQuery("q153_calibration", Seq("A2", "EXT-histogram", "EXT-olap"),
       "reliability table: decimal-rounded logistic score, fixed bins, exact Brier decomposition",
       q153Calibration, Some(q153Sql)),
+    GraftQuery("q156_survival_km", Seq("A2", "W1", "EXT-olap"),
+      "Kaplan-Meier time-to-repeat-order: censoring-aware, calendar-bounded duration windows",
+      q156SurvivalKm, Some(q156Sql)),
     GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
       "hierarchy root+depth via pointer doubling (log-depth shuffles)",
       q130TreeClosure, Some(q130Sql)),

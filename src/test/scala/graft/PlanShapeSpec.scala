@@ -151,7 +151,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "q95_rolling_distinct",
       // q107: dictionary ranked by frequency — vocabulary-sized input,
       // broadcast back; never the fact table
-      "q107_label_encode")
+      "q107_label_encode",
+      // q156: risk-set and survival cumulations run over the distinct-
+      // DURATION table — calendar-bounded (days between dates), a
+      // few thousand rows at any corpus size (the q95 argument)
+      "q156_survival_km")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {
