@@ -14,7 +14,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the JSON line out of a bounded
+    // 2000-char stdout TAIL, and sbt relays the forked JVM's stderr into
+    // that same stream ("[error] ... WARN ResolveWriteToStream ...").
+    // BENCH_r04 was "parsed": null because the streaming queries' per-run
+    // WARN flood landed AFTER the JSON line in the tail window.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen/parquet-reader/shuffle paths once so the first
     // timed query isn't charged for session initialization
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -81,9 +86,11 @@ object Bench {
     require(shortIds.distinct.size == shortIds.size,
       "bench short ids collide: " +
         shortIds.diff(shortIds.distinct).distinct.mkString(","))
-    val qs = results.map { case (k, v, _) =>
-      s"\"" + shortId(k) + "\":" + fmt2(median(v))
+    def qsAt(scale: Int): String = results.map { case (k, v, _) =>
+      s"\"" + shortId(k) + "\":" + BigDecimal(median(v))
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("{", ",", "}")
+    val qs = qsAt(2)
     val mediansFull = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + fmt(median(v))
     }.mkString("{", ",", "}")
@@ -108,7 +115,20 @@ object Bench {
     // "errors" is ALWAYS present (12 chars when empty): downstream parsers
     // may read obj["errors"] unconditionally, as the pre-r04 format allowed.
     val sfShort = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfShort"}""")
+    // stop() BEFORE the println: the JSON line must be the forked JVM's
+    // very last output so nothing (executor shutdown chatter, late stderr
+    // relayed by sbt) can push it out of the driver's 2000-char tail.
     spark.stop()
+    // The line plus sbt's trailing "[success] ..." must fit in the 2000-char
+    // tail with margin: 2-decimal medians normally; degrade to 1 decimal if
+    // the registry outgrows that (full 3-decimal medians live in the
+    // sidecar either way); fail loudly only if even that overflows.
+    def lineWith(q: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$q,"errors":$errJson,"reps":$reps,"sf":"$sfShort"}"""
+    val line = Seq(qs, qsAt(1)).map(lineWith).find(_.length <= 1850)
+      .getOrElse(sys.error(
+        s"bench stdout line > 1850 chars even at 1 decimal - shorten ids"))
+    println(line)
+    System.out.flush()
   }
 }
