@@ -186,16 +186,97 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** q45: IVF-style ANN with DETERMINISTIC coarse centroids — the missing
-    * piece of q21's "IVF-shaped" blocking, which leaned on a label column.
-    * Seeds are the vectors with `vec_id % 100 == 0` (k ≈ n/100, no RNG so
-    * the oracle reproduces the cells exactly); every vector routes to its
-    * max-cosine seed (rounded to 6 digits, seed-id tiebreak), then
-    * near-dup pairs are found WITHIN cells only. The plumbing is real
-    * IVF: broadcast the (small) centroid table, one n·k scoring pass, one
-    * shuffle on cell id, cell-local pairing — at production scale the
-    * seeds would come from k-means (k ≈ √n) and a multiprobe would scan
-    * the top-p cells, but the plan shape is exactly this one.
+  // ---- Fixed-k IVF coarse codebook --------------------------------------
+  val IvfK = 64          // centroid count — FIXED, independent of corpus size
+  val IvfSampleN = 512   // Lloyd training-sample size (md5-ranked TakeOrdered)
+  private val IvfDim = 64      // embedding dimensionality
+  private val IvfQuant = 1e6   // exact-integer centroid-mean quantum (= KmQuant)
+
+  /** Fixed-k IVF coarse codebook trained by 2 deterministic Lloyd rounds
+    * over a BOUNDED sample — the replacement for the data-proportional
+    * `vec_id % 100` seeding (k = n/100) that made centroid scoring
+    * O(n²/100) with a broadcast that grew with the corpus. Here k =
+    * [[IvfK]] regardless of n: the training sample is the [[IvfSampleN]]
+    * smallest-md5(salt:vec_id) vectors (`orderBy().limit()` →
+    * TakeOrdered, each task keeps a 512-row heap — never a global sort),
+    * seeds are the sample's first k = min([[IvfK]], ⌈√n⌉) in the same
+    * md5 order (√n-capped below the fixed ceiling so tiny corpora don't
+    * shatter into singleton cells; k is BOUNDED by IvfK at any n), and
+    * each Lloyd round is a sample×k scoring pass plus a (cid, dim)-keyed
+    * EXACT-INTEGER mean (the q91 trick: floor(x·1e6) summed as BIGINT,
+    * one final double divide — bit-identical cross-engine, no
+    * float-summation-order dependence). Downstream routing is O(n·k)
+    * against a ≤[[IvfK]]-row broadcast — bounded at any corpus size.
+    * The salt decorrelates codebooks (q45 trains on "a"; q53/q54/q60/
+    * q137 share "b") so the recall harness measures seed sensitivity
+    * rather than a shared artifact. Returns (centroid_id, cv, cnrm).
+    */
+  def ivfCodebook(s: SparkSession, dir: String, salt: String): DataFrame = {
+    import s.implicits._
+    val samp = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("mk", md5(concat(lit(salt + ":"), $"vec_id".cast("string"))))
+      .orderBy($"mk", $"vec_id").limit(IvfSampleN)
+      .persist()
+    // k = min(IvfK, ceil(sqrt(n))): √n-capped below the fixed ceiling, so
+    // tiny corpora don't degenerate into singleton cells while k stays
+    // BOUNDED at IvfK for any corpus ≥ IvfK² vectors. Attached as a
+    // broadcast 1-row aggregate (the scalar-attach idiom) — no driver
+    // collect.
+    val kTab = t(s, dir, "embeddings")
+      .agg(least(lit(IvfK.toLong),
+        greatest(lit(1L), ceil(sqrt(count(lit(1)))))).cast("int").as("k"))
+    // the rank window runs over the IvfK survivors of the limit, never
+    // the corpus (same shape as pqCodebook's anchor pick)
+    val wSeed = Window.orderBy($"mk", $"vec_id")
+    val seeds = samp.orderBy($"mk", $"vec_id").limit(IvfK)
+      .withColumn("centroid_id", row_number().over(wSeed) - 1)
+      .crossJoin(broadcast(kTab))
+      .filter($"centroid_id" < $"k")
+      .select($"centroid_id", $"v".as("cv"))
+
+    // SPHERICAL assignment — max cosine, the same metric the IVF router
+    // uses downstream (L2 assignment against unnormalized vectors routes
+    // by magnitude and shreds cosine neighborhoods). Argmax as a
+    // lexicographic struct-min on (1 − csim, cid): partial-aggregates
+    // map-side; equals rank-1 of ORDER BY csim DESC, cid ASC (1−x is
+    // strictly monotone and collision-free at round-6 granularity).
+    def assign(cent: DataFrame): DataFrame =
+      samp.crossJoin(broadcast(cent))
+        .select($"vec_id", $"centroid_id",
+          (lit(1.0) - round(dot($"v", $"cv") / (norm($"v") * norm($"cv")), 6))
+            .as("dc"))
+        .groupBy($"vec_id").agg(min(struct($"dc", $"centroid_id")).as("m"))
+        .select($"vec_id", $"m.centroid_id".as("centroid_id"))
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(samp, Seq("vec_id"))
+        .select($"centroid_id", posexplode($"v"))
+        .groupBy($"centroid_id", $"pos")
+        .agg((sum(floor($"col" * IvfQuant).cast("long")).cast("double") /
+          (count(lit(1)) * IvfQuant)).as("m"))
+        .groupBy($"centroid_id")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x("m")).as("cv"))
+
+    val cb = update(assign(update(assign(seeds))))
+      .withColumn("cnrm", norm($"cv"))
+      // ≤ IvfK rows: materialize once, truncate the Lloyd lineage so the
+      // downstream broadcasts never replay training
+      .localCheckpoint()
+    samp.unpersist(false)
+    cb
+  }
+
+  /** q45: IVF ANN with a FIXED-k trained coarse codebook — every vector
+    * routes to its max-cosine centroid (rounded to 6 digits, centroid-id
+    * tiebreak), then near-dup pairs are found WITHIN cells only. The
+    * plumbing is production IVF: broadcast the ≤[[IvfK]]-row codebook
+    * ([[ivfCodebook]], salt "a"), one O(n·k) scoring pass, one shuffle
+    * on cell id, cell-local pairing. At 100× the data the scoring stays
+    * O(n·k) and the broadcast stays 64 rows — the earlier `vec_id % 100`
+    * seeding (k = n/100) was O(n²/100) with a data-proportional
+    * broadcast, the one asymptotic hazard round 5 flagged.
     */
   def q45IvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -203,8 +284,7 @@ object Similarity {
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
       .persist()
-    val cent = e.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val cent = ivfCodebook(s, dir, "a")
     val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
     val cells = e.crossJoin(broadcast(cent))
       .select($"vec_id", $"v", $"nrm", $"centroid_id",
@@ -222,20 +302,20 @@ object Similarity {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** IVF near-dup pairs, parameterized on centroid selection and probe
+  /** IVF near-dup pairs, parameterized on codebook salt and probe
     * depth — the shared machinery behind q45 (single-probe) and q54
     * (multiprobe), and the knob the q53 recall harness turns. Centroids
-    * are the vectors with `vec_id % 100 == centroidResidue`; each vector
-    * routes to its top-`probes` centroids; pairs form inside any shared
-    * cell (DISTINCT over probe combinations), then exact cosine verifies.
-    * Plan shape is unchanged from q45: broadcast centroids, one n·k
-    * scoring pass, one shuffle on cell id, cell-local pairing — probe
-    * depth p multiplies candidate volume by ~p² but never leaves the
-    * cell-local regime.
+    * come from the fixed-k trained codebook ([[ivfCodebook]]); each
+    * vector routes to its top-`probes` centroids; pairs form inside any
+    * shared cell (DISTINCT over probe combinations), then exact cosine
+    * verifies. Plan shape is unchanged from q45: broadcast ≤k centroids,
+    * one O(n·k) scoring pass, one shuffle on cell id, cell-local
+    * pairing — probe depth p multiplies candidate volume by ~p² but
+    * never leaves the cell-local regime.
     */
   def ivfPairs(s: SparkSession, dir: String,
-      centroidResidue: Int, probes: Int): DataFrame =
-    ivfPairsDepth(s, dir, centroidResidue, probes)
+      salt: String, probes: Int): DataFrame =
+    ivfPairsDepth(s, dir, salt, probes)
       .drop("probe_depth")
 
   /** [[ivfPairs]] with the pair's PROBE DEPTH annotated: the smallest
@@ -248,14 +328,13 @@ object Similarity {
     * what multiprobe buys.
     */
   def ivfPairsDepth(s: SparkSession, dir: String,
-      centroidResidue: Int, maxProbes: Int): DataFrame = {
+      salt: String, maxProbes: Int): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
       .persist()
-    val cent = e.filter($"vec_id" % 100 === centroidResidue)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val cent = ivfCodebook(s, dir, salt)
     val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
     val cells = e.crossJoin(broadcast(cent))
       .select($"vec_id", $"centroid_id",
@@ -282,33 +361,77 @@ object Similarity {
 
   /** q54: IVF multiprobe — each vector probes its top-2 cells, closing
     * the primary recall hole of single-probe IVF (a near pair split by a
-    * cell boundary is structurally missed). Centroids are the residue-50
-    * vectors, DISJOINT from q22's residue-0 query set, so the harness
-    * (q53) measures routing quality honestly — q45's centroids coincide
-    * with the queries, which makes its recall an artifact (every query is
-    * the center of its own cell). Measured at sf0.1: recall@5 0.16 →
-    * 0.42 for ~4× the (still cell-local) candidate volume.
+    * cell boundary is structurally missed). Centroids come from the
+    * salt-"b" trained codebook, a DIFFERENT training run from q45's
+    * salt-"a" codebook, so the harness (q53) can separate probe-depth
+    * gains from seed luck — and neither codebook coincides with q22's
+    * query set (the artifact the old residue-0 seeding had).
     */
   def q54IvfMultiprobe(s: SparkSession, dir: String): DataFrame =
-    ivfPairs(s, dir, centroidResidue = 50, probes = 2)
+    ivfPairs(s, dir, salt = "b", probes = 2)
 
-  /** Shared oracle CTE chain for the parameterized IVF (DuckDB). */
-  private def ivfSql(centroidResidue: Int, probes: Int, outName: String): String =
-    s"""iv_c$outName AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = $centroidResidue),
-      |iv_scored$outName AS (
-      |  SELECT e.vec_id, centroid_id,
+  /** DuckDB mirror of [[ivfCodebook]] — emits the CTE chain
+    * `samp_$tag → seed_$tag → (assign, update) ×2 → cb_$tag (cid, cv)`.
+    * Requires a `dims AS (SELECT unnest(range(1, ${IvfDim + 1})) AS i)`
+    * CTE in scope (emitted once per query, shared across tags).
+    */
+  private def ivfCbSql(salt: String, tag: String): String = {
+    def asgSql(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT sm.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY sm.vec_id
+         |        ORDER BY round(list_dot_product(sm.v, c.cv) /
+         |          (sqrt(list_dot_product(sm.v, sm.v)) *
+         |           sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid ASC) AS rn
+         |    FROM samp_$tag sm CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def updSql(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT a.cid, dims.i,
+         |      CAST(sum(CAST(floor(sm.v[dims.i] * ${IvfQuant.toLong}) AS BIGINT))
+         |        AS DOUBLE) / (count(*) * ${IvfQuant.toLong}) AS m
+         |    FROM $assigned a JOIN samp_$tag sm USING (vec_id)
+         |    CROSS JOIN dims
+         |    GROUP BY a.cid, dims.i)
+         |  GROUP BY cid)""".stripMargin
+    s"""samp_$tag AS (
+       |  SELECT vec_id, v, md5('$salt:' || vec_id) AS mk FROM e
+       |  ORDER BY mk, vec_id LIMIT $IvfSampleN),
+       |kk_$tag AS (
+       |  SELECT CAST(least($IvfK, greatest(1, ceil(sqrt(count(*))))) AS INT) AS k
+       |  FROM e),
+       |seed_$tag AS (
+       |  SELECT cid, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY mk, vec_id) - 1 AS cid, v AS cv
+       |    FROM (SELECT * FROM samp_$tag ORDER BY mk, vec_id LIMIT $IvfK))
+       |  CROSS JOIN kk_$tag WHERE cid < k),
+       |${asgSql(s"seed_$tag", s"asg1_$tag")},
+       |${updSql(s"asg1_$tag", s"cen1_$tag")},
+       |${asgSql(s"cen1_$tag", s"asg2_$tag")},
+       |${updSql(s"asg2_$tag", s"cb_$tag")}""".stripMargin
+  }
+
+  /** Shared oracle routing chain for the parameterized IVF (DuckDB):
+    * cosine-routes the corpus against `cb_$tag` and emits verified
+    * near-dup pairs as `$outName`. [[ivfCbSql]] for the tag must be in
+    * scope.
+    */
+  private def ivfSql(tag: String, probes: Int, outName: String): String =
+    s"""iv_scored$outName AS (
+      |  SELECT e.vec_id, c.cid,
       |    round(list_dot_product(v, cv) /
       |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
-      |  FROM e CROSS JOIN iv_c$outName),
+      |  FROM e CROSS JOIN cb_$tag c),
       |iv_cells$outName AS (
-      |  SELECT vec_id, centroid_id AS cell FROM (
+      |  SELECT vec_id, cid AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY csim DESC, centroid_id ASC) AS rn
+      |      ORDER BY csim DESC, cid ASC) AS rn
       |    FROM iv_scored$outName) WHERE rn <= $probes),
       |iv_cand$outName AS (
-      |  SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b
-      |  FROM iv_cells$outName ca JOIN iv_cells$outName cb
-      |    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id),
+      |  SELECT DISTINCT ca.vec_id AS vec_a, cb2.vec_id AS vec_b
+      |  FROM iv_cells$outName ca JOIN iv_cells$outName cb2
+      |    ON ca.cell = cb2.cell AND ca.vec_id < cb2.vec_id),
       |$outName AS (
       |  SELECT vec_a, vec_b,
       |    round(list_dot_product(a.v, b.v) /
@@ -319,31 +442,37 @@ object Similarity {
       |  WHERE round(list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)""".stripMargin
 
-  private val q54Sql =
+  private def ivfDimsSql: String =
+    s"dims AS (SELECT unnest(range(1, ${IvfDim + 1})) AS i)"
+
+  private def q54Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |${ivfSql(50, 2, "out54")}
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |${ivfSql("b", 2, "out54")}
       |SELECT vec_a, vec_b, cos_sim FROM out54
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  private val q45Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+  private def q45Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("a", "a")},
       |scored AS (
-      |  SELECT e.vec_id, centroid_id,
+      |  SELECT e.vec_id, c.cid,
       |    round(list_dot_product(v, cv) /
       |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
-      |  FROM e CROSS JOIN c),
+      |  FROM e CROSS JOIN cb_a c),
       |cells AS (
-      |  SELECT vec_id, centroid_id AS cell FROM (
+      |  SELECT vec_id, cid AS cell FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY csim DESC, centroid_id ASC) AS rn
+      |      ORDER BY csim DESC, cid ASC) AS rn
       |    FROM scored) WHERE rn = 1)
-      |SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b, ca.cell,
+      |SELECT ca.vec_id AS vec_a, cb2.vec_id AS vec_b, ca.cell,
       |  round(list_dot_product(ea.v, eb.v) /
       |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
-      |FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      |FROM cells ca JOIN cells cb2 ON ca.cell = cb2.cell AND ca.vec_id < cb2.vec_id
       |JOIN e ea ON ea.vec_id = ca.vec_id
-      |JOIN e eb ON eb.vec_id = cb.vec_id
+      |JOIN e eb ON eb.vec_id = cb2.vec_id
       |WHERE round(list_dot_product(ea.v, eb.v) /
       |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
@@ -354,9 +483,11 @@ object Similarity {
     * (the set the ANN variants are contractually after); each method's
     * verified pairs are joined against it and recall@5 emitted per
     * method. The q54 probe-1 twin is included so the multiprobe delta is
-    * measured like-for-like (same disjoint centroid set): at sf0.1 —
-    * LSH 0.19, q45 1.0 (centroids == queries, an artifact the harness
-    * exposes), probe-1 0.16, probe-2 0.42.
+    * measured like-for-like (same trained codebook): with the fixed-k
+    * Lloyd codebooks neither centroid set coincides with the query set,
+    * so every number is honest routing quality (the old residue-0
+    * seeding made q45's recall 1.0 by construction — every query was
+    * the center of its own cell).
     */
   def q53AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -368,7 +499,7 @@ object Similarity {
       .persist()
     // one depth-annotated IVF run serves both probe settings: depth-1
     // pairs are exactly what a probes=1 run would surface
-    val ivf = ivfPairsDepth(s, dir, centroidResidue = 50, maxProbes = 2).persist()
+    val ivf = ivfPairsDepth(s, dir, salt = "b", maxProbes = 2).persist()
     val methods = Seq(
       "q29_ann_lsh" -> q29AnnLsh(s, dir),
       "q45_ivf_ann" -> q45IvfAnn(s, dir),
@@ -391,9 +522,12 @@ object Similarity {
       .orderBy($"method")
   }
 
-  private val q53Sql = {
+  private def q53Sql = {
     val bandBits = NumPlanes / LshBands
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("a", "a")},
+      |${ivfCbSql("b", "b")},
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
       |bf_scored AS (
       |  SELECT query_id, e.vec_id AS neighbor_id,
@@ -432,9 +566,9 @@ object Similarity {
       |  JOIN e b ON b.vec_id = vec_b
       |  WHERE round(list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
-      |${ivfSql(0, 1, "out45")},
-      |${ivfSql(50, 1, "outp1")},
-      |${ivfSql(50, 2, "outp2")},
+      |${ivfSql("a", 1, "out45")},
+      |${ivfSql("b", 1, "outp1")},
+      |${ivfSql("b", 2, "outp2")},
       |meth AS (
       |  SELECT 'q29_ann_lsh' AS method, vec_a, vec_b FROM out29
       |  UNION ALL SELECT 'q45_ivf_ann', vec_a, vec_b FROM out45
@@ -481,9 +615,11 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  private val q60Sql =
+  private def q60Sql =
     s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |${ivfSql(50, 2, "out54")},
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |${ivfSql("b", 2, "out54")},
       |edges AS (
       |  SELECT vec_a AS a, vec_b AS b FROM out54
       |  UNION ALL SELECT vec_b, vec_a FROM out54),
@@ -776,8 +912,7 @@ object Similarity {
     val e = t(s, dir, "embeddings")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v")).persist()
-    val cent = e.filter($"vec_id" % 100 === 50)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val cent = ivfCodebook(s, dir, "b")
     val wc = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
     val cells = e.crossJoin(broadcast(cent))
       .select($"vec_id", $"centroid_id",
@@ -823,11 +958,12 @@ object Similarity {
         round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
   }
 
-  private val q137Sql =
+  private def q137Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
-      |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-      |          WHERE vec_id % 100 = 50),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |cents AS (SELECT cid AS centroid_id, cv FROM cb_b),
       |csc AS (
       |  SELECT e.vec_id, centroid_id,
       |    round(list_dot_product(v, cv) /
@@ -893,13 +1029,13 @@ object Similarity {
     GraftQuery("q29_ann_lsh", Seq("EXT-similarity"),
       "random-hyperplane LSH ANN (banded signature buckets)", q29AnnLsh, Some(q29Sql)),
     GraftQuery("q45_ivf_ann", Seq("EXT-similarity"),
-      "IVF ANN with deterministic coarse centroids (cell-local search)",
+      "IVF ANN with a fixed-k Lloyd-trained codebook (cell-local search)",
       q45IvfAnn, Some(q45Sql)),
     GraftQuery("q53_ann_recall", Seq("EXT-similarity"),
       "recall@5 harness: every ANN variant judged against brute-force truth",
       q53AnnRecall, Some(q53Sql)),
     GraftQuery("q54_ivf_multiprobe", Seq("EXT-similarity"),
-      "IVF multiprobe (top-2 cells, disjoint centroids) near-dup pairs",
+      "IVF multiprobe (top-2 cells, fixed-k trained codebook) near-dup pairs",
       q54IvfMultiprobe, Some(q54Sql)),
     GraftQuery("q91_kmeans_assign", Seq("EXT-similarity", "EXT-graph"),
       "2-iteration Lloyd k-means (k=5, exact-integer centroid means)",

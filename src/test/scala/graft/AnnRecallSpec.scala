@@ -4,10 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Locks the ANN recall contract the q53 harness measures: the harness
   * itself must be non-vacuous (eligible ground-truth pairs exist), and
-  * multiprobe must dominate single-probe routing with the same centroid
-  * set — the property that justifies its ~p² candidate cost. Floors are
-  * stated against the deterministic sf0.001 corpus (multiprobe = 1.0,
-  * single-probe = 0.67 there; at sf0.1 the gap is 0.42 vs 0.16).
+  * multiprobe must dominate single-probe routing with the same trained
+  * codebook — the property that justifies its ~p² candidate cost.
+  * Floors are stated against the deterministic sf0.001 corpus
+  * (multiprobe = 0.33 there; the planted near-pairs sit at cos ≈
+  * 0.35–0.47, almost orthogonal, so they straddle coarse Voronoi cells
+  * and multiprobe is precisely what recovers them). Also locks the
+  * round-5 verdict's asymptotic contract: the IVF codebook is NEVER
+  * data-proportional — ≤ IvfK rows at any corpus size.
   */
 class AnnRecallSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -24,10 +28,17 @@ class AnnRecallSpec extends AnyFunSuite {
     val single = rows("q54_ivf_probe1")._3
     assert(multi >= single,
       s"multiprobe recall $multi fell below single-probe $single")
-    assert(multi >= 0.9, s"multiprobe recall floor broken: $multi")
-    // q45's centroids coincide with the query set, so its recall is 1.0
-    // by construction — the harness documents the artifact
-    assert(rows("q45_ivf_ann")._3 == 1.0)
+    assert(multi >= 0.3, s"multiprobe recall floor broken: $multi")
+  }
+
+  test("ivfCodebook is fixed-k: ≤ IvfK rows, never data-proportional") {
+    import operators.Similarity
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = Similarity.ivfCodebook(spark, d, "b").count()
+      assert(n >= 1 && n <= Similarity.IvfK,
+        s"codebook size $n outside [1, ${Similarity.IvfK}] at $d — " +
+          "broadcast would scale with the data")
+    }
   }
 
   test("q75: PQ-ADC recall floor against exact same-metric truth") {
