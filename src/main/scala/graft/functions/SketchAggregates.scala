@@ -505,8 +505,13 @@ object SketchAggregates {
       }
     }
 
+    // single source of ordering truth: strictly "less worst" under
+    // worstFirst — primitive >/== here would disagree with the heap's
+    // Double.compare on NaN (all primitive comparisons false) and -0.0
+    // (== says equal, compare says less), breaking heap/eviction
+    // agreement
     private def better(c: (Double, Long), w: (Double, Long)): Boolean =
-      c._1 > w._1 || (c._1 == w._1 && c._2 < w._2)
+      worstFirst.compare(c, w) < 0
 
     private def offer(
         buf: mutable.PriorityQueue[(Double, Long)],
@@ -522,7 +527,10 @@ object SketchAggregates {
         input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
       val o = ordExpr.eval(input)
       val i = idExpr.eval(input)
-      if (o != null && i != null)
+      // NaN ord is skipped like NULL: a NaN admitted to the heap would
+      // rank as the best entry (Double.compare sorts NaN greatest) and
+      // poison the top-k nondeterministically
+      if (o != null && i != null && !java.lang.Double.isNaN(o.asInstanceOf[Double]))
         offer(buf, (o.asInstanceOf[Double], i.asInstanceOf[Long]))
       buf
     }

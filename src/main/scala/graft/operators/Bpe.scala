@@ -19,10 +19,15 @@ import graft.{GraftQuery, Tables}
   *   2. the most frequent pair via orderBy().limit(1) (TakeOrdered — the
   *      round-5 lint shape, never a global window);
   *   3. the merge applied with plain string `replace` on a
-  *      delimiter-bounded symbol string ("·h·e·l·l·o·"): replace scans
-  *      left-to-right non-overlapping in both engines, which IS greedy
-  *      BPE application, and the flanking delimiters make a pair match
-  *      exact whole symbols only ("·l·l·" cannot match inside "·ll·").
+  *      DOUBLE-delimiter symbol string ("·h··e··l··l··o·" — every
+  *      symbol wrapped as ·sym·, so adjacent symbols meet at "··"): the
+  *      pair pattern "·l··r·" never shares a delimiter with the next
+  *      occurrence, so one left-to-right non-overlapping replace IS
+  *      greedy BPE application even for adjacent repeats of the merged
+  *      pair ("·a··b··a··b·" → [ab, ab], where a SINGLE-delimiter
+  *      encoding's first match would consume the shared middle "·" and
+  *      yield [ab, a, b]). Flanking delimiters still make a pair match
+  *      whole symbols only ("·l··l·" cannot match inside "·ll·").
   *
   * Ranks tie-break on (pair_count desc, lhs, rhs), so the learned merge
   * table is engine-deterministic; the oracle unrolls the same K rounds
@@ -41,13 +46,12 @@ object Bpe {
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("wc"))
-      .select(concat(regexp_replace($"w", "(.)", "·$1"), lit("·")).as("sym"),
-        $"wc")
+      .select(regexp_replace($"w", "(.)", "·$1·").as("sym"), $"wc")
       .persist() // the one corpus-sized pass
     var vocab: DataFrame = words
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to BpeMerges) {
-      val arr = split(regexp_replace($"sym", "^·|·$", ""), "·")
+      val arr = split(regexp_replace($"sym", "^·|·$", ""), "··")
       val pairs = vocab
         .select($"wc", explode(zip_with(
           slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
@@ -60,7 +64,7 @@ object Bpe {
         concat($"lhs", $"rhs").as("merged"), $"pair_count")
       vocab = vocab.crossJoin(broadcast(top1))
         .select(expr(
-          "replace(sym, concat('·', lhs, '·', rhs, '·')," +
+          "replace(sym, concat('·', lhs, '··', rhs, '·')," +
             " concat('·', lhs, rhs, '·'))").as("sym"), $"wc")
         .localCheckpoint()
     }
@@ -73,20 +77,20 @@ object Bpe {
          |  SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |  FROM (
          |    SELECT wc, unnest(list_zip(a[1:len(a)-1], a[2:])) AS p
-         |    FROM (SELECT wc, string_split(trim(sym, '·'), '·') AS a
+         |    FROM (SELECT wc, string_split(trim(sym, '·'), '··') AS a
          |          FROM vocab${i - 1}))
          |  GROUP BY 1, 2),
          |top$i AS (SELECT lhs, rhs, pair_count FROM pairs$i
          |          ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |vocab$i AS (
-         |  SELECT replace(sym, '·'||lhs||'·'||rhs||'·', '·'||lhs||rhs||'·') AS sym, wc
+         |  SELECT replace(sym, '·'||lhs||'··'||rhs||'·', '·'||lhs||rhs||'·') AS sym, wc
          |  FROM vocab${i - 1} CROSS JOIN top$i)""".stripMargin
     val rounds = (1 to BpeMerges).map(round).mkString(",\n")
     val tops = (1 to BpeMerges).map(i =>
       s"SELECT $i AS merge_step, lhs, rhs, lhs||rhs AS merged, pair_count FROM top$i")
       .mkString("\nUNION ALL\n")
     s"""WITH vocab0 AS (
-       |  SELECT '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS sym,
+       |  SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS sym,
        |    CAST(count(*) AS BIGINT) AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> ''
@@ -101,14 +105,14 @@ object Bpe {
     * economics (tokens/word, chars/token — the numbers that price a
     * training run and pick a vocabulary size). The scale shape mirrors
     * training: merges apply to the DISTINCT-WORD vocabulary (carrying
-    * the word key through the K delimiter-bounded `replace` rounds —
+    * the word key through the K double-delimiter `replace` rounds —
     * same greedy left-to-right semantics in both engines, q136's
     * trick), and the corpus is touched exactly twice — once to build
     * per-(lang, word) counts, once never: the stats are a
     * vocabulary-sized join (broadcast at corpus scale) + exact integer
-    * sums. Token counts derive from the delimiter count
-    * (len(sym) − len(strip ·) − 1), so the whole encode is string
-    * arithmetic, no arrays materialized per corpus row.
+    * sums. Every symbol is wrapped ·sym·, so token counts derive from
+    * the delimiter count ((len(sym) − len(strip ·)) / 2) — the whole
+    * encode is string arithmetic, no arrays materialized per corpus row.
     */
   def q152BpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -119,10 +123,10 @@ object Bpe {
       .persist() // the one corpus-sized pass
     var vocab = corpus.groupBy($"w").agg(sum($"cnt").as("wc"))
       .select($"w",
-        concat(regexp_replace($"w", "(.)", "·$1"), lit("·")).as("sym"),
+        regexp_replace($"w", "(.)", "·$1·").as("sym"),
         $"wc")
     for (_ <- 1 to BpeMerges) {
-      val arr = split(regexp_replace($"sym", "^·|·$", ""), "·")
+      val arr = split(regexp_replace($"sym", "^·|·$", ""), "··")
       val pairs = vocab
         .select($"wc", explode(zip_with(
           slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
@@ -133,12 +137,13 @@ object Bpe {
         .orderBy($"pair_count".desc, $"lhs".asc, $"rhs".asc).limit(1)
       vocab = vocab.crossJoin(broadcast(top1))
         .select($"w", expr(
-          "replace(sym, concat('·', lhs, '·', rhs, '·')," +
+          "replace(sym, concat('·', lhs, '··', rhs, '·')," +
             " concat('·', lhs, rhs, '·'))").as("sym"), $"wc")
         .localCheckpoint()
     }
+    // every symbol is wrapped ·sym·, so tokens = delimiters / 2
     val toks = vocab.select($"w",
-      (length($"sym") - length(translate($"sym", "·", "")) - 1)
+      ((length($"sym") - length(translate($"sym", "·", ""))) / 2)
         .cast("long").as("ntok"),
       length($"w").cast("long").as("nchar"))
     corpus.join(broadcast(toks), Seq("w"))
@@ -160,13 +165,13 @@ object Bpe {
          |  SELECT p[1] AS lhs, p[2] AS rhs, CAST(sum(wc) AS BIGINT) AS pair_count
          |  FROM (
          |    SELECT wc, unnest(list_zip(a[1:len(a)-1], a[2:])) AS p
-         |    FROM (SELECT wc, string_split(trim(sym, '·'), '·') AS a
+         |    FROM (SELECT wc, string_split(trim(sym, '·'), '··') AS a
          |          FROM vocab${i - 1}))
          |  GROUP BY 1, 2),
          |top$i AS (SELECT lhs, rhs FROM pairs$i
          |          ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |vocab$i AS (
-         |  SELECT w, replace(sym, '·'||lhs||'·'||rhs||'·', '·'||lhs||rhs||'·') AS sym, wc
+         |  SELECT w, replace(sym, '·'||lhs||'··'||rhs||'·', '·'||lhs||rhs||'·') AS sym, wc
          |  FROM vocab${i - 1} CROSS JOIN top$i)""".stripMargin
     val rounds = (1 to BpeMerges).map(round).mkString(",\n")
     s"""WITH corpus AS (
@@ -175,14 +180,14 @@ object Bpe {
        |  WHERE w <> ''
        |  GROUP BY 1, 2),
        |vocab0 AS (
-       |  SELECT w, '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS sym,
+       |  SELECT w, regexp_replace(w, '(.)', '·\\1·', 'g') AS sym,
        |    CAST(sum(cnt) AS BIGINT) AS wc
        |  FROM corpus
        |  GROUP BY 1, 2),
        |$rounds,
        |toks AS (
        |  SELECT w,
-       |    CAST(length(sym) - length(replace(sym, '·', '')) - 1 AS BIGINT)
+       |    CAST((length(sym) - length(replace(sym, '·', ''))) // 2 AS BIGINT)
        |      AS ntok,
        |    CAST(length(w) AS BIGINT) AS nchar
        |  FROM vocab$BpeMerges)

@@ -46,10 +46,38 @@ object GlobalRank {
     val offsets = (0 to maxPid).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
     val offDf = (0 to maxPid).map(p => (p, offsets(p))).toDF("__pid", "__off")
     val w = Window.partitionBy($"__pid").orderBy(order: _*)
-    parts.withColumn("__rn", row_number().over(w))
+    val ranked = parts.withColumn("__rn", row_number().over(w))
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(rankCol, $"__off" + $"__rn")
       .drop("__pid", "__rn", "__off")
+    // Self-releasing cache: the offset map is valid only against THIS
+    // materialized range shuffle, so `parts` must stay cached until the
+    // ranked result is consumed (unpersisting before the consumer's
+    // action would re-plan the raw repartitionByRange with freshly
+    // sampled boundaries and silently shift ranks). The first completed
+    // action that reuses the cached subtree releases it — so the 156-
+    // query drivers don't accumulate one pinned table per ranked query
+    // (their per-query clearCache() remains the backstop for results
+    // that are never consumed).
+    val partsPlan = parts.queryExecution.analyzed
+    val lm = s.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(partsPlan)) &&
+            fired.compareAndSet(false, true)) {
+          parts.unpersist(false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    })
+    ranked
   }
 
   /** q132: exact global ranking of every order by price — the operator

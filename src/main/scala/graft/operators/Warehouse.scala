@@ -647,10 +647,20 @@ object Warehouse {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAsc = Window.orderBy($"dur".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // d == n_risk (everyone still at risk is an event — only possible at
+    // the max duration) makes the factor 1 − d/n = 0: survival is exactly
+    // 0 from there on, but log(0) is NULL in Spark (silently skipped by
+    // the window sum → wrong non-zero tail) and -inf in DuckDB — an
+    // engine divergence. Guard: log only when d < n_risk, and force
+    // survival to 0 once any row has d == n_risk.
     km.withColumn("n_risk", sum($"n_total").over(wDesc))
+      .withColumn("dead",
+        max(when($"d" === $"n_risk", 1).otherwise(0)).over(wAsc))
       .withColumn("survival",
-        round(exp(sum(log(lit(1.0) - $"d".cast("double") / $"n_risk"))
-          .over(wAsc)), 6))
+        when($"dead" === 1, lit(0.0)).otherwise(
+          round(exp(sum(when($"d" < $"n_risk",
+              log(lit(1.0) - $"d".cast("double") / $"n_risk")))
+            .over(wAsc)), 6)))
       .select($"dur", $"n_risk", $"d".as("n_events"), $"c".as("n_censored"),
         $"survival")
       .orderBy($"dur")
@@ -682,10 +692,15 @@ object Warehouse {
        |    AS n_risk
        |  FROM km)
        |SELECT dur, n_risk, d AS n_events, c AS n_censored,
-       |  round(exp(sum(ln(1e0 - CAST(d AS DOUBLE) / n_risk))
+       |  CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+       |         OVER (ORDER BY dur ASC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       |  THEN 0e0
+       |  ELSE round(exp(sum(CASE WHEN d < n_risk
+       |      THEN ln(1e0 - CAST(d AS DOUBLE) / n_risk) END)
        |    OVER (ORDER BY dur ASC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-       |    AS survival
+       |  END AS survival
        |FROM r
        |ORDER BY dur""".stripMargin
 

@@ -32,19 +32,26 @@ object ParquetIO {
   private def marker(dir: String): Path = Paths.get(dir + ".swap-pending")
 
   /** Heal a swap interrupted by a crash. Marker present means the writer
-    * died inside the destructive window: if the target is gone and the
-    * tmp table is complete, the swap is rolled FORWARD (tmp holds the
-    * fully-written new table); otherwise the target is still intact and
-    * the tmp is discarded. Idempotent; no-op without a marker.
+    * died inside the destructive window — which includes the NON-atomic
+    * delete of the target, so the target may exist as a PARTIAL remnant
+    * (a crash mid-delete). Keying the decision on target existence would
+    * treat that remnant as intact and discard the complete tmp (the only
+    * good copy of the new table). Since the marker is written only after
+    * tmp/_SUCCESS exists, a complete tmp always wins: roll FORWARD —
+    * clear any target remnant, move tmp into place. Only a tmp without
+    * _SUCCESS is garbage, and then the marker's write-after-complete
+    * invariant means the delete never started and the target is intact.
+    * Idempotent; no-op without a marker.
     */
   def recover(dir: String): Unit = {
     val m = marker(dir)
     if (Files.exists(m)) {
       val target = Paths.get(dir)
       val tmp = Paths.get(dir + ".tmp")
-      if (!Files.exists(target) && Files.exists(tmp.resolve("_SUCCESS")))
+      if (Files.exists(tmp.resolve("_SUCCESS"))) {
+        deleteRecursive(target)
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      else
+      } else
         deleteRecursive(tmp)
       Files.delete(m)
     }

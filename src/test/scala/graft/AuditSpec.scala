@@ -169,4 +169,40 @@ class AuditSpec extends AnyFunSuite {
     // time weighting must actually move SOME estimate
     assert(rows.exists(r => math.abs(r.getDouble(3) - r.getDouble(4)) > 1e-6))
   }
+
+  test("q114: empty and 1-row strata report nulls, never NaN or a drop") {
+    import spark.implicits._
+    // replicate the operator's hash draw to PLACE keys in/out of the
+    // sample deliberately — the gate data never produces an empty or
+    // singleton stratum, so these guard branches were unexercised
+    def u(key: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("est" + key).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble + 0.5) /
+        4294967296.0
+    }
+    val keys = (1L to 4000L)
+    val sampled = keys.filter(u(_) < 0.1)
+    val unsampled = keys.filterNot(u(_) < 0.1)
+    assert(sampled.size >= 1 && unsampled.size >= 9, "draw too small")
+    val tmp = java.nio.file.Files.createTempDirectory("audit-edge").toString
+    // stratum U: 5 unsampled keys -> n_sample = 0 (missed entirely)
+    // stratum S: 1 sampled + 4 unsampled -> n_sample = 1 (no variance)
+    val rows =
+      unsampled.take(5).map(k => (k, "U", java.math.BigDecimal.valueOf(100.0))) ++
+      (sampled.take(1) ++ unsampled.drop(5).take(4))
+        .map(k => (k, "S", java.math.BigDecimal.valueOf(200.0)))
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = operators.Audit.q114SampleEstimate(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("U", "S"), "a stratum was silently dropped")
+    val uRow = got("U")
+    assert(uRow.getLong(1) == 0 && uRow.isNullAt(2) && uRow.isNullAt(3) &&
+      uRow.isNullAt(5), "empty stratum must be all-null, present")
+    val sRow = got("S")
+    assert(sRow.getLong(1) == 1 && !sRow.isNullAt(2) && sRow.isNullAt(3),
+      "1-row stratum has an estimate but no CI")
+  }
 }

@@ -220,17 +220,14 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
       "range-partition + offset ranks must equal the driver sort exactly")
   }
 
-  test("q136 BPE merges == naive list-walk merge on collected word counts") {
-    val got = operators.Bpe.q136BpeTrain(spark, dir).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
-    // independent algorithm: words as symbol LISTS, greedy left-to-right
-    // pair replacement by explicit index walk (no delimiter strings)
-    var vocab: Map[List[String], Long] = Tables.load(spark, dir, "documents")
-      .select("text").collect().flatMap(_.getString(0).split(" "))
+  // independent algorithm: words as symbol LISTS, greedy left-to-right
+  // pair replacement by explicit index walk (no delimiter strings)
+  private def naiveBpe(words: Seq[String]): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = words
       .filter(_.nonEmpty).groupBy(identity).map { case (w, ws) =>
         w.toList.map(_.toString) -> ws.length.toLong
       }
-    val merges = (1 to operators.Bpe.BpeMerges).map { step =>
+    (1 to operators.Bpe.BpeMerges).map { step =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, wc) =>
         syms.zip(syms.drop(1)).foreach { p =>
@@ -252,8 +249,35 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
       (step, bl, br, cnt)
     }
+  }
+
+  test("q136 BPE merges == naive list-walk merge on collected word counts") {
+    val got = operators.Bpe.q136BpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val merges = naiveBpe(Tables.load(spark, dir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ")).toSeq)
     assert(got.toSeq == merges,
       "delimiter-string replace must equal the explicit greedy list walk")
+  }
+
+  test("q136 BPE greedy replace merges adjacent repeats (abab-shaped words)") {
+    import spark.implicits._
+    // 'xyxyxyxy' makes the learned merge (x,y) — and then (xy,xy) —
+    // occur repeatedly ADJACENTLY inside one word: the shape where a
+    // shared-delimiter replace under-merges ([ab,a,b] instead of
+    // [ab,ab]); the double-delimiter encoding must match the walk
+    val texts = Seq(
+      "xy xy xyxy xyxyxy xyxyxyxy",
+      "xy xyxy zq zq zq",
+      "ab abab abab ababab")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-abab").toString
+    texts.toDF("text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val got = operators.Bpe.q136BpeTrain(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val merges = naiveBpe(texts.flatMap(_.split(" ")))
+    assert(got.toSeq == merges,
+      "adjacent-repeat merges must equal the explicit greedy list walk")
   }
 
   test("q140 LPA == naive driver-side synchronous label propagation") {

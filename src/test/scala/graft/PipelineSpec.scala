@@ -252,13 +252,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 3, "forward-rolled to tmp content")
     assert(!Files.exists(Paths.get(dir + ".swap-pending")))
 
-    // crash BEFORE target delete: marker + tmp + intact target -> tmp is
-    // garbage, target untouched
-    pipeline.ParquetIO.overwriteSwap(Seq(5).toDF("v"), s"$base/garbage")
-    Files.move(Paths.get(s"$base/garbage"), Paths.get(dir + ".tmp"))
+    // crash BEFORE target delete with a COMPLETE tmp: the write was
+    // finished (marker is only written after tmp/_SUCCESS), so recover
+    // commits it — roll-forward wins whenever tmp is complete
+    pipeline.ParquetIO.overwriteSwap(Seq(5).toDF("v"), s"$base/done")
+    Files.move(Paths.get(s"$base/done"), Paths.get(dir + ".tmp"))
     Files.writeString(Paths.get(dir + ".swap-pending"), "swap-pending")
     pipeline.ParquetIO.recover(dir)
-    assert(spark.read.parquet(dir).count() == 3, "target untouched")
+    assert(spark.read.parquet(dir).count() == 1, "complete tmp commits")
+
+    // crash MID-DELETE of target: marker + complete tmp + PARTIAL target
+    // remnant — recover must clear the remnant and install tmp, never
+    // trust the half-deleted target (the round-5 ADVICE scenario)
+    pipeline.ParquetIO.overwriteSwap(Seq(7, 8).toDF("v"), s"$base/next")
+    Files.move(Paths.get(s"$base/next"), Paths.get(dir + ".tmp"))
+    Files.delete(Paths.get(dir, "_SUCCESS")) // simulate partial delete
+    Files.writeString(Paths.get(dir + ".swap-pending"), "swap-pending")
+    pipeline.ParquetIO.recover(dir)
+    assert(spark.read.parquet(dir).count() == 2, "remnant replaced by tmp")
+
+    // incomplete tmp (no _SUCCESS): garbage — discarded, target intact
+    Files.createDirectories(Paths.get(dir + ".tmp"))
+    Files.writeString(Paths.get(dir + ".tmp", "part-00000"), "junk")
+    Files.writeString(Paths.get(dir + ".swap-pending"), "swap-pending")
+    pipeline.ParquetIO.recover(dir)
+    assert(spark.read.parquet(dir).count() == 2, "target untouched")
     assert(!Files.exists(Paths.get(dir + ".tmp")), "garbage tmp discarded")
   }
 }

@@ -272,4 +272,47 @@ class WarehouseSpec extends AnyFunSuite {
       assert(r.getString(0).split(" ").length == 8, "span not 8 words")
     }
   }
+
+  test("q108: a single-month nation reports null slope, never NaN") {
+    import spark.implicits._
+    // gate data has no single-month nation, so the n_months > 1 guard
+    // (zero OLS denominator) was never exercised
+    val tmp = java.nio.file.Files.createTempDirectory("trend-edge").toString
+    Seq((1L, "ONEMON"), (2L, "TWOMON")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq((11L, 1L), (22L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq(
+      (11L, "1995-03-01", java.math.BigDecimal.valueOf(100.0)),
+      (11L, "1995-03-20", java.math.BigDecimal.valueOf(150.0)), // same month
+      (22L, "1995-03-01", java.math.BigDecimal.valueOf(100.0)),
+      (22L, "1995-04-01", java.math.BigDecimal.valueOf(200.0)))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = operators.Warehouse.q108TrendRegression(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val one = got("ONEMON")
+    assert(one.getLong(1) == 1 && one.isNullAt(2) && one.isNullAt(3),
+      "single-month nation must report null slope/intercept")
+    val two = got("TWOMON")
+    assert(two.getLong(1) == 2 && !two.isNullAt(2),
+      "two-month nation must report a slope")
+  }
+
+  test("q156: an all-event max duration drives survival to exactly 0") {
+    import spark.implicits._
+    // d == n_risk at the tail: log(0) would be silently skipped by the
+    // window sum (wrong non-zero survival) without the guard
+    val tmp = java.nio.file.Files.createTempDirectory("km-edge").toString
+    Seq(
+      (1L, "1998-07-01"), (1L, "1998-07-06"), // dur 5, event
+      (2L, "1998-07-01"), (2L, "1998-07-10")) // dur 9, event (last, d==n)
+      .toDF("o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val rows = operators.Warehouse.q156SurvivalKm(spark, tmp).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 5 && rows(0).getDouble(4) == 0.5)
+    assert(rows(1).getInt(0) == 9 && rows(1).getDouble(4) == 0.0,
+      "survival must be exactly 0 when everyone at risk is an event")
+  }
 }
