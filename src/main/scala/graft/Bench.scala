@@ -58,6 +58,9 @@ object Bench {
           None
         }
       }
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(s"[bench-debug] ${q.name} runs: " +
+          runs.map(r => f"$r%.2f").mkString(", "))
       (q.name, runs, errors)
     }
     spark.catalog.clearCache()

@@ -140,17 +140,42 @@ object Dedup {
     * is on band buckets — the piece that survives 1000 executors and
     * billions of docs — not on raw shingles.
     */
-  def q19DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The dedup family's one corpus scan, persisted: (doc_id, text_len,
+    * shs, sig) — shingle arrays AND minhash signatures are computed once
+    * at cache materialization (sig guarded null for shingle-less docs).
+    * q19 filters and self-joins on top of it; q46 reads text_len from
+    * it. Both construct the IDENTICAL plan, so Spark's cache manager
+    * serves the second caller from the first's cache — q46 no longer
+    * pays a second single-task decompression of the text column.
+    */
+  private[operators] def corpusDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.NativeExpressions.minhashSignature
+    tSpread(s, dir, "documents")
+      .select($"doc_id", length($"text").as("text_len"),
+        array_distinct(shingles($"text")).as("shs"))
+      .select($"doc_id", $"text_len", $"shs",
+        when(size($"shs") > 0, minhashSignature($"shs", NumHashes)).as("sig"))
+      .persist()
+  }
+
+  def q19DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // q19's own contract orders the pair list; internal consumers (the
+    // label chain) take the UNSORTED pairs — a DataFrame orderBy's range
+    // sampling re-executes the whole verify subtree, a pure waste when
+    // the next stage is an order-free groupBy/collect.
+    minhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // Signature computed in ONE pass inside the scan projection (custom
     // Expression) — no explode, no |docs|x|shingles| shuffle. The only
     // shuffles left are the band-bucket join and the final sort.
-    val docs = tSpread(s, dir, "documents")
-      .select($"doc_id", array_distinct(shingles($"text")).as("shs"))
+    val docs = corpusDocs(s, dir)
       .filter(size($"shs") > 0)
-      .select($"doc_id", $"shs", minhashSignature($"shs", NumHashes).as("sig"))
-      .persist()
+      .select($"doc_id", $"shs", $"sig")
     // All band keys in one pass over the signature array (posexplode) —
     // a 4-way union would recompute the signatures once per band.
     val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
@@ -176,7 +201,6 @@ object Dedup {
       .filter($"n_common" > 0)
       .select($"doc_a", $"doc_b", $"n_common",
         ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Shared oracle CTE chain: shingles → minhash signatures → LSH bands
@@ -429,7 +453,7 @@ object Dedup {
   private[operators] def nearDupLabels(s: SparkSession, dir: String,
       driverEdgeLimit: Long = 2000000L): DataFrame = {
     import s.implicits._
-    val pairs = q19DedupMinhashLsh(s, dir)
+    val pairs = minhashPairs(s, dir) // unsorted: CC is order-free
       .filter($"jaccard" >= 0.6)
       .select($"doc_a", $"doc_b")
     connectedComponents(pairs, driverEdgeLimit = driverEdgeLimit)
@@ -489,8 +513,8 @@ object Dedup {
   def q46DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val labels = nearDupLabels(s, dir)
-    val docs = graft.Tables.load(s, dir, "documents")
-      .select($"doc_id", length($"text").as("text_len"))
+    // same cached scan the label chain used — no second text read
+    val docs = corpusDocs(s, dir).select($"doc_id", $"text_len")
     val w = Window.partitionBy($"cluster_id").orderBy($"text_len".desc, $"doc_id".asc)
     docs.join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce($"canonical_id", $"doc_id"))

@@ -33,7 +33,16 @@ object GlobalRank {
     * row_number under `order`, computed with range partitioning + a
     * P-row offset table instead of a single-partition window.
     */
-  def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+  def withGlobalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame =
+    withGlobalRankCounted(df, rankCol, order: _*)._1
+
+  /** [[withGlobalRank]] plus the TOTAL row count, which the offset
+    * bookkeeping computes anyway (last cumulative offset) — callers that
+    * need n (decile cuts, top-percent flags) get it without an extra
+    * counting job over the input.
+    */
+  def withGlobalRankCounted(df: DataFrame, rankCol: String,
+      order: Column*): (DataFrame, Long) = {
     val s = df.sparkSession
     import s.implicits._
     val parts = df.repartitionByRange(order: _*)
@@ -77,7 +86,7 @@ object GlobalRank {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = maybeRelease(qe)
     })
-    ranked
+    (ranked, offsets.last)
   }
 
   /** q132: exact global ranking of every order by price — the operator

@@ -829,13 +829,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(($"c2" + 1).cast("double") / ($"c1" + $"v"))), 6)
           .as("nll_per_bigram"))
+      // persisted so GlobalRank's range sampling + shuffle read the
+      // 1-row-per-doc result, not the LM join pipeline twice
       .persist()
     // ntile(10)'s first tile is always ceil(n/10) rows (n = 10q+r: the
-    // first r tiles get q+1), so decile==1  <=>  rank <= ceil(n/10)
-    val n = scored.count()
+    // first r tiles get q+1), so decile==1  <=>  rank <= ceil(n/10);
+    // n comes from the rank offsets — no separate counting job
+    val (ranked, n) = GlobalRank.withGlobalRankCounted(scored, "__rank",
+      $"nll_per_bigram".desc, $"doc_id".asc)
     val tile1 = (n + 9) / 10
-    GlobalRank.withGlobalRank(scored, "__rank",
-        $"nll_per_bigram".desc, $"doc_id".asc)
+    ranked
       .select($"doc_id", $"n_bigrams", $"nll_per_bigram",
         ($"__rank" <= tile1).as("flag_high_ppl"))
       .orderBy($"doc_id")
