@@ -202,8 +202,9 @@ object Analytics {
     * can oscillate on bipartite graphs (this one is bipartite), which
     * is why the round count is FIXED and mirrored in the unrolled
     * oracle — the query proves the distributed iteration machinery;
-    * production LPA uses semi-synchronous coloring or async updates to
-    * converge. localCheckpoint per round = the q133 discipline.
+    * the semi-synchronous coloring fix is implemented as q157, keeping
+    * this one as the measured contrast. localCheckpoint per round = the
+    * q133 discipline.
     */
   def q140LabelPropagation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -248,6 +249,81 @@ object Analytics {
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
        |  min(node) AS first_member, max(node) AS last_member
        |FROM l$LpaIters
+       |GROUP BY 1
+       |ORDER BY community""".stripMargin
+  }
+
+  private val LpaSemiRounds = 3
+
+  /** q157: SEMI-SYNCHRONOUS label propagation — the production fix for
+    * q140's stated caveat. Synchronous LPA can oscillate on bipartite
+    * graphs because both sides update from each other's OLD labels;
+    * the classic remedy is coloring: update one color class per
+    * half-round, each from the other's CURRENT labels (Gauss–Seidel
+    * order instead of Jacobi). This graph is 2-colorable by
+    * construction (customers 'c…' / suppliers 's…' — the color IS the
+    * id prefix), so each round is two half-rounds: suppliers adopt the
+    * mode of their customers' labels, then customers adopt the mode of
+    * the JUST-UPDATED supplier labels. Same per-round plan shape as
+    * q140 (join + two keyed aggs, mode as map-side struct-min, never a
+    * per-node sort), same localCheckpoint discipline, twice the
+    * half-rounds — and a fixed point synchronous LPA cannot promise on
+    * this topology. q140 stays registered as the contrast query.
+    */
+  def q157LpaSemiSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir).persist()
+    var labels = edges.select($"src".as("node"))
+      .distinct().withColumn("lbl", $"node")
+    for (_ <- 1 to LpaSemiRounds; side <- Seq("s", "c")) {
+      val updated = edges
+        .filter(substring($"dst", 1, 1) === side)
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst", $"lbl")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"dst")
+        .agg(min(struct((-$"c").as("nc"), $"lbl".as("l"))).as("m"))
+        .select($"dst".as("node"), $"m.l".as("lbl"))
+      // every node of this side has >= 1 cross-side edge (nodes are
+      // defined by the edge list), so the union is a full replacement
+      labels = labels.filter(substring($"node", 1, 1) =!= side)
+        .unionByName(updated)
+        .localCheckpoint()
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("size"),
+        min($"node").as("first_member"), max($"node").as("last_member"))
+      .orderBy($"community")
+  }
+
+  private val q157Sql = {
+    def half(prev: String, side: String, out: String) =
+      s"""cnt_$out AS (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c
+         |  FROM e JOIN $prev l ON e.src = l.node
+         |  WHERE substring(e.dst, 1, 1) = '$side'
+         |  GROUP BY 1, 2),
+         |upd_$out AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cnt_$out)
+         |  WHERE rn = 1),
+         |$out AS (
+         |  SELECT node, lbl FROM $prev WHERE substring(node, 1, 1) <> '$side'
+         |  UNION ALL SELECT node, lbl FROM upd_$out)""".stripMargin
+    val chain = (1 to LpaSemiRounds).flatMap(i =>
+      Seq(half(if (i == 1) "l0" else s"l${i - 1}c", "s", s"l${i}s"),
+        half(s"l${i}s", "c", s"l${i}c"))).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |$chain
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size,
+       |  min(node) AS first_member, max(node) AS last_member
+       |FROM l${LpaSemiRounds}c
        |GROUP BY 1
        |ORDER BY community""".stripMargin
   }
@@ -689,6 +765,9 @@ object Analytics {
     GraftQuery("q140_label_propagation", Seq("EXT-graph", "A2"),
       "synchronous label-propagation communities: mode-of-neighbors via map-side argmin, fixed rounds",
       q140LabelPropagation, Some(q140Sql)),
+    GraftQuery("q157_lpa_semi_sync", Seq("EXT-graph", "A2"),
+      "semi-synchronous LPA via 2-coloring: per-side half-rounds, oscillation-free on the bipartite graph",
+      q157LpaSemiSync, Some(q157Sql)),
     GraftQuery("q147_jaro_winkler", Seq("EXT-fuzzy"),
       "native Jaro-Winkler expression scored on the q92 corruption classes, DuckDB-builtin-verified",
       q147JaroWinkler, Some(q147Sql)),

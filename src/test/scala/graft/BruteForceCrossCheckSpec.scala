@@ -307,4 +307,39 @@ class BruteForceCrossCheckSpec extends AnyFunSuite {
     assert(got.toSeq == expected,
       "distributed mode-of-neighbors must equal the driver recomputation")
   }
+
+  test("q157 semi-sync LPA == naive Gauss-Seidel walk, and is a fixed point") {
+    val got = operators.Analytics.q157LpaSemiSync(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val e0 = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .selectExpr("concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = (e0 ++ e0.map(_.swap)).toSeq
+    var labels: Map[String, String] =
+      edges.map(_._1).distinct.map(n => n -> n).toMap
+    def halfRound(side: String): Map[String, String] = {
+      val upd = edges.filter(_._2.startsWith(side)).groupBy(_._2)
+        .map { case (node, es) =>
+          val freq = es.map(e => labels(e._1))
+            .groupBy(identity).map { case (l, ls) => (l, ls.size) }
+          node -> freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      labels.map { case (n, l) => n -> upd.getOrElse(n, l) }
+    }
+    for (_ <- 1 to 3; side <- Seq("s", "c")) labels = halfRound(side)
+    val expected = labels.groupBy(_._2).map { case (community, ms) =>
+      val members = ms.keys.toSeq.sorted
+      (community, members.size.toLong, members.head, members.last)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expected,
+      "distributed half-rounds must equal the driver Gauss-Seidel walk")
+    // convergence: one more full round must not move any label — the
+    // property synchronous LPA cannot promise on this bipartite graph
+    val converged = labels
+    for (side <- Seq("s", "c")) labels = halfRound(side)
+    assert(labels == converged, "semi-sync LPA did not reach a fixed point")
+  }
 }
