@@ -2,73 +2,119 @@ package graft.pipeline
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Atomic parquet table IO shared by the batch orchestrator and the
-  * streaming upsert sink: write to a tmp sibling (which also materializes
-  * any self-referencing read), then swap directories — re-runs are
-  * idempotent like MERGE (SURVEY.md §2.1 S6/S7).
+/** Versioned-pointer parquet table IO shared by the batch orchestrator
+  * and the streaming upsert sink (SURVEY.md §2.1 S6/S7).
   *
-  * Crash safety: the reference gets transactional MERGE from its
-  * warehouse; a vanilla-Spark directory swap has a destructive window
-  * (delete target .. atomic move). A `.swap-pending` marker file
-  * brackets that window — written only after the tmp table is COMPLETE
-  * (its _SUCCESS exists), removed after the move — so a killed run is
-  * DETECTABLE, and [[recover]] can roll the swap forward (tmp was the
-  * committed content) or discard the garbage tmp, instead of a reader
-  * silently finding a half-written or missing table. Single-writer by
-  * design; multi-writer atomicity needs a transactional table format,
-  * which the offline jar set can't ship.
+  * Layout: `dir/_current` (one line: the committed version N) plus
+  * immutable `dir/v<N>/` parquet directories. A write lands in a FRESH
+  * `v<N+1>` directory and commits by atomically renaming a pointer tmp
+  * file onto `_current` — the rename IS the transaction. Compared to the
+  * earlier delete-then-move swap (whose destructive window needed a
+  * `.swap-pending` marker and a recover() pass), this protocol has NO
+  * destructive window at all:
+  *
+  *  - a crash before the pointer flip leaves an uncommitted `v<N+1>`
+  *    remnant that no reader can see; the next write clears and rewrites
+  *    it — nothing to recover;
+  *  - a reader that resolved `_current` reads an immutable directory the
+  *    writer never touches again, so a swap running CONCURRENTLY with
+  *    reads is safe (gcOldVersions retains the previous version, so even
+  *    a reader that resolved just before the flip finishes its scan);
+  *  - the streaming MERGE's self-referencing read (read v<N>, write
+  *    v<N+1>) no longer needs a tmp-sibling materialization — source and
+  *    destination are different directories by construction.
+  *
+  * Version history doubles as cheap time travel (readVersion) until GC
+  * trims it. Single-writer by design; multi-writer atomicity would need
+  * a lock service or a transactional table format, which the offline jar
+  * set can't ship.
   */
 object ParquetIO {
 
+  /** How many PREVIOUS committed versions survive GC (in addition to the
+    * current one). 1 = an in-flight reader that resolved the pointer
+    * just before a flip can still finish; bump for longer time travel.
+    */
+  val GcRetain = 1
+
+  private def currentFile(dir: String): Path = Paths.get(dir, "_current")
+
+  def versionPath(dir: String, v: Long): String =
+    Paths.get(dir, s"v$v").toString
+
+  /** The committed version, if the table exists. */
+  def currentVersion(dir: String): Option[Long] =
+    if (Files.exists(currentFile(dir)))
+      Some(Files.readString(currentFile(dir)).trim.toLong)
+    else None
+
   def exists(dir: String): Boolean =
-    Files.exists(Paths.get(dir, "_SUCCESS"))
+    currentVersion(dir).isDefined ||
+      Files.exists(Paths.get(dir, "_SUCCESS")) // pre-versioning layout
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-
-  private def marker(dir: String): Path = Paths.get(dir + ".swap-pending")
-
-  /** Heal a swap interrupted by a crash. Marker present means the writer
-    * died inside the destructive window — which includes the NON-atomic
-    * delete of the target, so the target may exist as a PARTIAL remnant
-    * (a crash mid-delete). Keying the decision on target existence would
-    * treat that remnant as intact and discard the complete tmp (the only
-    * good copy of the new table). Since the marker is written only after
-    * tmp/_SUCCESS exists, a complete tmp always wins: roll FORWARD —
-    * clear any target remnant, move tmp into place. Only a tmp without
-    * _SUCCESS is garbage, and then the marker's write-after-complete
-    * invariant means the delete never started and the target is intact.
-    * Idempotent; no-op without a marker.
-    */
-  def recover(dir: String): Unit = {
-    val m = marker(dir)
-    if (Files.exists(m)) {
-      val target = Paths.get(dir)
-      val tmp = Paths.get(dir + ".tmp")
-      if (Files.exists(tmp.resolve("_SUCCESS"))) {
-        deleteRecursive(target)
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      } else
-        deleteRecursive(tmp)
-      Files.delete(m)
+    currentVersion(dir) match {
+      case Some(v) => spark.read.parquet(versionPath(dir, v))
+      case None    => spark.read.parquet(dir) // plain/legacy directory
     }
+
+  /** Read a specific retained version — time travel until GC trims it. */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
+    spark.read.parquet(versionPath(dir, v))
+
+  /** Committed versions currently on disk, ascending. */
+  def versionsOnDisk(dir: String): Seq[Long] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .toSeq.sorted
   }
+
+  /** Append-only load into the CURRENT committed version — the RAW
+    * layer's contract (later batches add files next to the history,
+    * O(batch) per run, never an O(history) rewrite). The version
+    * directory stays the pointer's resolve target, so readers see the
+    * new batch exactly when the parquet job commits — the same
+    * guarantee the flat layout gave appends. First load commits v1.
+    */
+  def appendInPlace(df: DataFrame, dir: String): Unit =
+    currentVersion(dir) match {
+      case Some(v) => df.write.mode("append").parquet(versionPath(dir, v))
+      case None    => overwriteSwap(df, dir)
+    }
 
   def overwriteSwap(df: DataFrame, dir: String): Unit = {
-    recover(dir)
-    val target = Paths.get(dir)
-    val tmp = Paths.get(dir + ".tmp")
-    deleteRecursive(tmp)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    Files.writeString(marker(dir), "swap-pending") // tmp is complete from here
-    deleteRecursive(target)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    Files.delete(marker(dir))
+    val cur = currentVersion(dir)
+    val next = cur.getOrElse(0L) + 1
+    // an uncommitted remnant of a crashed previous attempt is invisible
+    // to readers — clear and rewrite
+    deleteRecursive(Paths.get(versionPath(dir, next)))
+    df.write.mode("overwrite").parquet(versionPath(dir, next))
+    // THE commit: pointer tmp + atomic rename. Readers see cur -> next
+    // with no intermediate state.
+    val tmp = Paths.get(dir, "_current.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, currentFile(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gcOldVersions(dir, next)
   }
+
+  /** Drop committed versions older than (current - GcRetain), and any
+    * uncommitted directories ABOVE current left by crashed writers of a
+    * previous pointer lineage. Never touches current or the retained
+    * window, so concurrent readers of those versions are safe.
+    */
+  private def gcOldVersions(dir: String, current: Long): Unit =
+    versionsOnDisk(dir).foreach { v =>
+      if (v < current - GcRetain || v > current)
+        deleteRecursive(Paths.get(versionPath(dir, v)))
+    }
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))

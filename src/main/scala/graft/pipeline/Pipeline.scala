@@ -113,8 +113,9 @@ final class Pipeline(spark: SparkSession, workDir: String) {
           if (existing.columns.contains("source_file"))
             Some(existing.select(col("source_file")))
           else None
-        RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId, history)
-          .write.mode("append").parquet(path("raw", table))
+        ParquetIO.appendInPlace(
+          RawIngest.ingest(spark, landingDir, glob, source, lit(at), startId, history),
+          path("raw", table))
       }
     }
     loadRaw("fortune_500", "*fortune500*.json", "fortune500")

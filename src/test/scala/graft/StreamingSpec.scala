@@ -84,7 +84,7 @@ class StreamingSpec extends AnyFunSuite {
     writeBatch("b2", Seq((2L, 2L, "b2"), (3L, 1L, "c"), (3L, 2L, "c2")))
     runOnce()
 
-    val got = spark.read.parquet(target).orderBy($"user_id")
+    val got = graft.pipeline.ParquetIO.read(spark, target).orderBy($"user_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(got.toSeq == Seq((1L, 1L, "a"), (2L, 2L, "b2"), (3L, 2L, "c2")))
   }
