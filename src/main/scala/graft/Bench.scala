@@ -26,12 +26,36 @@ object Bench {
     try graft.Tables.load(spark, sfDir, "customer")
       .groupBy("c_mktsegment").count().count()
     catch { case _: Throwable => () }
+    // Per-query shuffle-byte accounting (round-6 stretch ask): totals and
+    // the largest single-task shuffle read (the skew indicator) land in
+    // bench_detail.json — turning the 100×-scale review from plan reading
+    // into numbers. Listener events are async; a short drain pause after
+    // each query's reps bounds cross-query smear to noise.
+    object ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+      val w = new java.util.concurrent.atomic.AtomicLong(0)
+      val r = new java.util.concurrent.atomic.AtomicLong(0)
+      val maxTaskR = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          w.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          val tr = m.shuffleReadMetrics.totalBytesRead
+          r.addAndGet(tr)
+          maxTaskR.getAndAccumulate(tr, math.max(_, _))
+        }
+      }
+      def reset(): Unit = { w.set(0); r.set(0); maxTaskR.set(0) }
+    }
+    spark.sparkContext.addSparkListener(ShuffleMeter)
+
     // optional regex filter for iterating on individual queries
     val selected = args.headOption
       .map(p => Registry.all.filter(_.name.matches(p)))
       .getOrElse(Registry.all)
-    val results: Seq[(String, Seq[Double], Int)] = selected.map { q =>
+    val results: Seq[(String, Seq[Double], Int, (Long, Long, Long))] = selected.map { q =>
       var errors = 0
+      ShuffleMeter.reset()
       val runs = (1 to reps).flatMap { _ =>
         // Cache isolation: queries persist() intermediates they reference
         // more than once; without clearing, q19's cached signatures would
@@ -61,7 +85,11 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(s"[bench-debug] ${q.name} runs: " +
           runs.map(r => f"$r%.2f").mkString(", "))
-      (q.name, runs, errors)
+      Thread.sleep(150) // drain the async listener bus before reading
+      val per = math.max(runs.size, 1)
+      (q.name, runs, errors,
+        (ShuffleMeter.w.get() / per, ShuffleMeter.r.get() / per,
+          ShuffleMeter.maxTaskR.get()))
     }
     spark.catalog.clearCache()
     // all-runs-failed -> sentinel -1 so a breakage is unmistakable in the
@@ -89,27 +117,30 @@ object Bench {
     require(shortIds.distinct.size == shortIds.size,
       "bench short ids collide: " +
         shortIds.diff(shortIds.distinct).distinct.mkString(","))
-    def qsAt(scale: Int): String = results.map { case (k, v, _) =>
+    def qsAt(scale: Int): String = results.map { case (k, v, _, _) =>
       s"\"" + shortId(k) + "\":" + BigDecimal(median(v))
         .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("{", ",", "}")
     val qs = qsAt(2)
-    val mediansFull = results.map { case (k, v, _) =>
+    val mediansFull = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + fmt(median(v))
     }.mkString("{", ",", "}")
-    val runsJson = results.map { case (k, v, _) =>
+    val runsJson = results.map { case (k, v, _, _) =>
       s"\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errJson = results.filter(_._3 > 0)
-      .map { case (k, _, e) => s"\"" + k + "\":" + e }.mkString("{", ",", "}")
+      .map { case (k, _, e, _) => s"\"" + k + "\":" + e }.mkString("{", ",", "}")
     val total = results.map(r => math.max(median(r._2), 0.0)).sum
     // The driver captures only a bounded TAIL of stdout and parses the one
     // JSON line from it. r03's line carried the full per-run arrays (~6 KB
     // for 68 queries) and overflowed that buffer -> BENCH_r03 "parsed":
     // null. Keep the printed line compact (medians only); the per-run
     // arrays go to a sidecar file for human inspection instead.
+    val shuffleJson = results.map { case (k, _, _, (sw, sr, mx)) =>
+      s"\"" + k + s"\":{\"write\":$sw,\"read\":$sr,\"maxTaskRead\":$mx}"
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"medians":$mediansFull,"runs":$runsJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"medians":$mediansFull,"runs":$runsJson,"errors":$errJson,"shuffle":$shuffleJson,"reps":$reps,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), detail)
     catch { case e: Throwable =>

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke harness for the iterative graph/dedup family: replicates
+  * the sf0.1 tables K× with key offsets (an sf~1-scale corpus when
+  * K=10), runs the iterative queries against both scales, and prints
+  * one JSON line of seconds per query — the measurement behind the
+  * linear-scaling claims PLANS.md records (plan shape says the per-round
+  * cost is one join + keyed aggs; this checks the constant).
+  *
+  * Replication details:
+  *  - graph keys (orderkey / custkey / suppkey / doc_id) are offset per
+  *    replica, so the customer–supplier graph grows 10× in nodes and
+  *    edges with the same degree distribution — components never bridge
+  *    replicas;
+  *  - document TEXT is passed through a per-replica letter rotation
+  *    (a bijection, applied to the 9 most frequent letters), which
+  *    preserves every within-replica near-dup relation exactly while
+  *    making cross-replica shingle overlap negligible — so the dedup
+  *    graph also scales ~10×, not quadratically (identical copies would
+  *    form 10-deep cross-replica clusters: 100× the edges).
+  *
+  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [workDir]
+  */
+object ScaleSmoke {
+
+  private val Letters = "etaoinshr"
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft-scale"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val dir = s"$work/k$k"
+    buildScaled(spark, src, k, dir)
+
+    val queries = Seq(
+      "q89_pagerank", "q133_pagerank_deep", "q140_label_propagation",
+      "q157_lpa_semi_sync", "q145_bfs_distance", "q134_cc_distributed")
+    val times = queries.map { name =>
+      val q = Registry.all.find(_.name == name).get
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
+      name -> sec
+    }
+    val json = times.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"k":$k,"src":"$src","queries":$json}""")
+    spark.stop()
+  }
+
+  /** K offset replicas of the four tables the iterative family reads. */
+  def buildScaled(spark: SparkSession, src: String, k: Int, out: String): Unit = {
+    import spark.implicits._
+    def maxOf(t: String, c: String): Long =
+      Tables.load(spark, src, t).agg(max(col(c))).first().getLong(0) + 1L
+
+    val (mo, mc, ms, md) = (maxOf("orders", "o_orderkey"),
+      maxOf("customer", "c_custkey"), maxOf("supplier", "s_suppkey"),
+      maxOf("documents", "doc_id"))
+
+    def replicate(t: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = Tables.load(spark, src, t)
+      (0 until k).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    replicate("orders", (df, i) => df.select(
+      ($"o_orderkey" + i * mo).as("o_orderkey"),
+      ($"o_custkey" + i * mc).as("o_custkey")))
+    replicate("lineitem", (df, i) => df.select(
+      ($"l_orderkey" + i * mo).as("l_orderkey"),
+      ($"l_suppkey" + i * ms).as("l_suppkey")))
+    replicate("customer", (df, i) => df.select(
+      ($"c_custkey" + i * mc).as("c_custkey"), $"c_nationkey"))
+    replicate("documents", (df, i) => df.select(
+      ($"doc_id" + i * md).as("doc_id"),
+      translate($"text", Letters,
+        Letters.drop(i % Letters.length) ++ Letters.take(i % Letters.length))
+        .as("text")))
+  }
+}
