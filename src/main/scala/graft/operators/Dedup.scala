@@ -131,6 +131,72 @@ object Dedup {
       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q158: CONTAINMENT dedup — the asymmetric twin of Jaccard (q18/q19).
+    * containment(A→B) = |A∩B| / |A| detects quoting, excerpting and
+    * wholesale inclusion: a 200-word doc pasted into a 5,000-word doc
+    * has Jaccard ≈ 0.04 — invisible to every symmetric metric in the
+    * family — but containment ≈ 1.0. Candidates come from q18's
+    * df-capped shingle inverted-index join, which is the RIGHT generator
+    * here: shared-shingle candidates catch contained pairs that MinHash
+    * bands structurally miss (a small doc's signature is dominated by
+    * its own shingles, so it rarely band-collides with its container).
+    * Scoring adds the two directional ratios and classifies each pair:
+    * near_dup (Jaccard wins first — mutual ≥0.8 containment implies
+    * Jaccard ≥ 2/3), a_in_b, b_in_a. All ratios are exact IEEE
+    * divisions of integer counts — engine-identical with no rounding.
+    * Scale: identical to q18 — one shuffle on the capped shingle key,
+    * pair volume bounded by the df cap.
+    */
+  def q158Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(tSpread(s, dir, "documents"))
+    val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
+    val shf = sh.join(broadcast(keep), "sh").persist()
+    val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select($"doc_id".as("doc_a"), $"sh").as("a")
+    val b = shf.select($"doc_id".as("doc_b"), $"sh").as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    val jac = $"n_common".cast("double") / ($"na" + $"nb" - $"n_common")
+    inter
+      .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
+      .join(sz.select($"doc_id", $"n".as("nb")), $"doc_b" === $"doc_id").drop("doc_id")
+      .select($"doc_a", $"doc_b", $"n_common", jac.as("jaccard"),
+        ($"n_common".cast("double") / $"na").as("cont_a"),
+        ($"n_common".cast("double") / $"nb").as("cont_b"))
+      .filter($"jaccard" >= 0.6 || $"cont_a" >= 0.8 || $"cont_b" >= 0.8)
+      .withColumn("relation",
+        when($"jaccard" >= 0.6, "near_dup")
+          .when($"cont_a" >= 0.8, "a_in_b")
+          .otherwise("b_in_a"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q158Sql =
+    s"""WITH $shinglesCte,
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_a, doc_b, n_common,
+      |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard,
+      |    CAST(n_common AS DOUBLE) / sa.n AS cont_a,
+      |    CAST(n_common AS DOUBLE) / sb.n AS cont_b
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, n_common, jaccard, cont_a, cont_b,
+      |  CASE WHEN jaccard >= 0.6 THEN 'near_dup'
+      |       WHEN cont_a >= 0.8 THEN 'a_in_b'
+      |       ELSE 'b_in_a' END AS relation
+      |FROM scored
+      |WHERE jaccard >= 0.6 OR cont_a >= 0.8 OR cont_b >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 rows
 
@@ -725,6 +791,9 @@ object Dedup {
       "exact dedup via content-hash groupBy", q17DedupExact, Some(q17Sql)),
     GraftQuery("q18_dedup_jaccard", Seq("EXT-dedup"),
       "n-gram Jaccard near-dup pairs (capped shingle join)", q18DedupJaccard, Some(q18Sql)),
+    GraftQuery("q158_containment", Seq("EXT-dedup"),
+      "asymmetric containment dedup: directional |A∩B|/|A| ratios classify quoting/inclusion pairs Jaccard misses",
+      q158Containment, Some(q158Sql)),
     GraftQuery("q19_dedup_minhash_lsh", Seq("EXT-dedup"),
       "deterministic MinHash + LSH banding", q19DedupMinhashLsh, Some(q19Sql)),
     GraftQuery("q20_dedup_simhash", Seq("EXT-dedup"),

@@ -606,6 +606,66 @@ object Warehouse {
       |FROM b
       |ORDER BY bin""".stripMargin
 
+  private val DecayRef = "1998-08-02"
+  private val DecayHalfLifeDays = 365.0
+
+  /** q159: exponential-decay (half-life) revenue features — the
+    * freshness weighting a training-data pipeline applies when recent
+    * examples should count more than stale ones (sample weighting,
+    * churn features, data-mixture recency boosts). Each order
+    * contributes value · 2^(−age/halflife); the libm pow is ROUNDED to
+    * 8 digits BEFORE the multiply (the q121 idf discipline — one
+    * bounded-libm value per row, never a float accumulation) and the
+    * decayed terms are exact DECIMAL products summed exactly, so the
+    * aggregate is summation-order-independent and engine-identical.
+    * Shape: one broadcast dim join + one keyed aggregation — at 100 TB
+    * this is a scan with map-side partials, nothing else.
+    */
+  def q159DecayFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_custkey",
+      datediff(to_date(lit(DecayRef)), to_date($"o_orderdate")).as("age"),
+      $"o_totalprice".cast(DecimalType(18, 2)).as("v"))
+    val seg = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    o.withColumn("w",
+        round(pow(lit(0.5), $"age" / lit(DecayHalfLifeDays)), 8)
+          .cast(DecimalType(12, 8)))
+      .join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"v").as("raw_rev"),
+        sum(($"w" * $"v")).as("dec_rev"))
+      // fixed-scale DECIMAL output: a cast to double diverges in the last
+      // ulp between engines on 16-digit sums (Spark converts via
+      // BigDecimal, DuckDB from int128 arithmetic) — decimals compare as
+      // exact strings
+      .select($"c_mktsegment".as("segment"), $"n_orders",
+        $"raw_rev".cast(DecimalType(20, 2)).as("raw_revenue"),
+        round($"dec_rev", 4).cast(DecimalType(24, 4)).as("decayed_revenue"),
+        round($"dec_rev".cast("double") / $"raw_rev".cast("double"), 6)
+          .as("freshness_ratio"))
+      .orderBy($"segment")
+  }
+
+  private val q159Sql =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', CAST(o_orderdate AS DATE), DATE '$DecayRef') AS age,
+       |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+       |  FROM orders),
+       |w AS (
+       |  SELECT o_custkey, v,
+       |    CAST(round(pow(0.5, age / $DecayHalfLifeDays), 8) AS DECIMAL(12,8)) AS w
+       |  FROM o)
+       |SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(v) AS DECIMAL(20,2)) AS raw_revenue,
+       |  CAST(round(sum(w * v), 4) AS DECIMAL(24,4)) AS decayed_revenue,
+       |  round(CAST(sum(w * v) AS DOUBLE) / CAST(sum(v) AS DOUBLE), 6)
+       |    AS freshness_ratio
+       |FROM w JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1
+       |ORDER BY segment""".stripMargin
+
   private val KmStudyEnd = "1998-08-01"
 
   /** q156: Kaplan–Meier survival curve of time-to-repeat-order — the
@@ -1114,6 +1174,9 @@ object Warehouse {
     GraftQuery("q156_survival_km", Seq("A2", "W1", "EXT-olap"),
       "Kaplan-Meier time-to-repeat-order: censoring-aware, calendar-bounded duration windows",
       q156SurvivalKm, Some(q156Sql)),
+    GraftQuery("q159_decay_features", Seq("A2", "J1", "EXT-olap"),
+      "half-life decayed revenue features: rounded-pow weights, exact DECIMAL sums, freshness ratio per segment",
+      q159DecayFeatures, Some(q159Sql)),
     GraftQuery("q130_tree_closure", Seq("EXT-graph", "J1"),
       "hierarchy root+depth via pointer doubling (log-depth shuffles)",
       q130TreeClosure, Some(q130Sql)),

@@ -238,4 +238,29 @@ class CurationInvariantSpec extends AnyFunSuite {
       assert(r.getLong(2) >= n, s"doc ${r.getLong(0)} lost tokens")
     }
   }
+
+  test("q158: containment catches a quoted subset that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a long "container"; doc 2 = a verbatim excerpt of it
+    // (small |A|, huge |B|: Jaccard tiny, containment(A->B) == 1.0);
+    // doc 3 is unrelated filler so the df cap has a corpus to work on
+    val words = (1 to 120).map(i => s"w$i")
+    val container = words.mkString(" ")
+    val excerpt = words.slice(20, 40).mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("containment").toString
+    Seq((1L, container), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val rows = operators.Dedup.q158Containment(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))).toMap
+    val (jac, contA, contB, rel) = rows((1L, 2L))
+    assert(jac < 0.6, s"excerpt pair must be invisible to Jaccard, got $jac")
+    assert(contB == 1.0, s"excerpt fully contained, got $contB")
+    assert(rel == "b_in_a", s"relation must classify the direction, got $rel")
+    assert(contA < 0.8, "container is not contained in the excerpt")
+    assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)),
+      "unrelated doc must produce no pair")
+  }
 }
