@@ -86,7 +86,10 @@ object Bench {
         System.err.println(s"[bench-debug] ${q.name} runs: " +
           runs.map(r => f"$r%.2f").mkString(", "))
       Thread.sleep(150) // drain the async listener bus before reading
-      val per = math.max(runs.size, 1)
+      // divide by ATTEMPTS: failed runs' bytes are in the meter too, so
+      // dividing by successes alone would inflate per-run shuffle for
+      // exactly the queries that are breaking
+      val per = math.max(runs.size + errors, 1)
       (q.name, runs, errors,
         (ShuffleMeter.w.get() / per, ShuffleMeter.r.get() / per,
           ShuffleMeter.maxTaskR.get()))

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
+  // two independent 9-letter rotation groups: the composed bijection is
+  // unique per replica for k <= 81 (a single group collides at i = 9,
+  // which would make replica 9's text byte-identical to replica 0's and
+  // bridge the dedup graph across replicas)
   private val Letters = "etaoinshr"
+  private val Letters2 = "dlucmfwgy"
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -88,10 +93,13 @@ object ScaleSmoke {
       ($"l_suppkey" + i * ms).as("l_suppkey")))
     replicate("customer", (df, i) => df.select(
       ($"c_custkey" + i * mc).as("c_custkey"), $"c_nationkey"))
+    def rot(alpha: String, r: Int): String =
+      alpha.drop(r % alpha.length) ++ alpha.take(r % alpha.length)
     replicate("documents", (df, i) => df.select(
       ($"doc_id" + i * md).as("doc_id"),
-      translate($"text", Letters,
-        Letters.drop(i % Letters.length) ++ Letters.take(i % Letters.length))
+      translate(
+        translate($"text", Letters, rot(Letters, i % Letters.length)),
+        Letters2, rot(Letters2, (i / Letters.length) % Letters2.length))
         .as("text")))
   }
 }

@@ -85,18 +85,24 @@ object Dedup {
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  /** q18: n-gram Jaccard near-dup pairs. Shingle-frequency cap (<= 50 docs
-    * per shingle) bounds the self-join fan-out; Jaccard is exact
-    * small-integer arithmetic so the double is engine-identical.
+  val ShingleDfCap = 50
+
+  /** The df-capped shingle inverted-index pair machinery shared by q18
+    * (Jaccard) and q158 (containment): (doc, shingle) pairs capped at
+    * [[ShingleDfCap]] docs per shingle, self-joined on the shingle key.
+    * Returns (inter, sz): per-pair shared-shingle counts and per-doc
+    * capped set sizes — the two sufficient statistics every set-overlap
+    * metric in the family derives from.
     */
-  def q18DedupJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def cappedShinglePairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // The (doc, shingle) set feeds four consumers (freq filter, sizes,
     // both join sides) — persist it once instead of re-exploding per
     // consumer; ~|docs|·|shingles| rows, comfortably in memory per
     // executor even at large scale since it is partitioned by shingle.
     val sh = docShingles(tSpread(s, dir, "documents"))
-    val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
+    val keep = sh.groupBy($"sh").count()
+      .filter($"count" <= ShingleDfCap).select($"sh")
     val shf = sh.join(broadcast(keep), "sh").persist()
     val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // explicit .as aliases (not dataset-id disambiguation, which emits the
@@ -105,6 +111,27 @@ object Dedup {
     val b = shf.select($"doc_id".as("doc_b"), $"sh").as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && $"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    (inter, sz)
+  }
+
+  /** DuckDB mirror of [[cappedShinglePairs]]: emits `inter` and `sz`. */
+  private val cappedPairsCtes =
+    s"""$shinglesCte,
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ShingleDfCap),
+      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q18: n-gram Jaccard near-dup pairs. Shingle-frequency cap bounds
+    * the self-join fan-out; Jaccard is exact small-integer arithmetic so
+    * the double is engine-identical.
+    */
+  def q18DedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (inter, sz) = cappedShinglePairs(s, dir)
     val jac = $"n_common".cast("double") / ($"na" + $"nb" - $"n_common")
     inter
       .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
@@ -115,14 +142,7 @@ object Dedup {
   }
 
   private val q18Sql =
-    s"""WITH $shinglesCte,
-      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
-      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+    s"""WITH $cappedPairsCtes
       |SELECT doc_a, doc_b, n_common,
       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
       |FROM inter
@@ -149,14 +169,7 @@ object Dedup {
     */
   def q158Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(tSpread(s, dir, "documents"))
-    val keep = sh.groupBy($"sh").count().filter($"count" <= 50).select($"sh")
-    val shf = sh.join(broadcast(keep), "sh").persist()
-    val sz = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select($"doc_id".as("doc_a"), $"sh").as("a")
-    val b = shf.select($"doc_id".as("doc_b"), $"sh").as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && $"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    val (inter, sz) = cappedShinglePairs(s, dir)
     val jac = $"n_common".cast("double") / ($"na" + $"nb" - $"n_common")
     inter
       .join(sz.select($"doc_id", $"n".as("na")), $"doc_a" === $"doc_id").drop("doc_id")
@@ -173,14 +186,7 @@ object Dedup {
   }
 
   private val q158Sql =
-    s"""WITH $shinglesCte,
-      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
-      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
-      |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH $cappedPairsCtes,
       |scored AS (
       |  SELECT doc_a, doc_b, n_common,
       |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard,

@@ -59,35 +59,26 @@ object GlobalRank {
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(rankCol, $"__off" + $"__rn")
       .drop("__pid", "__rn", "__off")
-    // Self-releasing cache: the offset map is valid only against THIS
-    // materialized range shuffle, so `parts` must stay cached until the
-    // ranked result is consumed (unpersisting before the consumer's
-    // action would re-plan the raw repartitionByRange with freshly
-    // sampled boundaries and silently shift ranks). The first completed
-    // action that reuses the cached subtree releases it — so the 156-
-    // query drivers don't accumulate one pinned table per ranked query
-    // (their per-query clearCache() remains the backstop for results
-    // that are never consumed).
-    val partsPlan = parts.queryExecution.analyzed
-    val lm = s.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def maybeRelease(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(partsPlan)) &&
-            fired.compareAndSet(false, true)) {
-          parts.unpersist(false)
-          lm.unregister(this)
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
-    })
+    // Bounded cache accounting: the offset map is valid only against
+    // THIS materialized range shuffle, so `parts` must stay cached for
+    // as long as the ranked result may be re-executed (unpersisting
+    // earlier would re-plan the raw repartitionByRange with freshly
+    // sampled boundaries and silently shift ranks — including on a
+    // SECOND action over the same returned DataFrame). So each new
+    // withGlobalRank call releases the PREVIOUS call's cache instead:
+    // at most one range shuffle stays pinned at any time (the 157-query
+    // drivers' per-query clearCache() remains the final backstop), and
+    // the most recent ranked result stays consistent across repeated
+    // actions.
+    GlobalRank.synchronized {
+      lastParts.foreach(_.unpersist(false))
+      lastParts = Some(parts)
+    }
     (ranked, offsets.last)
   }
+
+  // the one pinned range shuffle from the most recent withGlobalRank call
+  private var lastParts: Option[DataFrame] = None
 
   /** q132: exact global ranking of every order by price — the operator
     * above, oracle-checked against DuckDB's `row_number() OVER (ORDER

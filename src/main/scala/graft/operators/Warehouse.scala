@@ -630,7 +630,10 @@ object Warehouse {
     o.withColumn("w",
         round(pow(lit(0.5), $"age" / lit(DecayHalfLifeDays)), 8)
           .cast(DecimalType(12, 8)))
-      .join(broadcast(seg), $"o_custkey" === $"c_custkey")
+      // no broadcast hint: customer is corpus-proportional (unlike a
+      // true dimension) — let AQE pick broadcast while it fits and fall
+      // back to a shuffle join when it doesn't
+      .join(seg, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         sum($"v").as("raw_rev"),

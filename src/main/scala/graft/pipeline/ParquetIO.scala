@@ -70,10 +70,14 @@ object ParquetIO {
   def versionsOnDisk(dir: String): Seq[Long] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .toSeq.sorted
+    else {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+        .toSeq.sorted
+      finally st.close() // a leaked stream per micro-batch exhausts fds
+    }
   }
 
   /** Append-only load into the CURRENT committed version — the RAW
@@ -86,7 +90,12 @@ object ParquetIO {
   def appendInPlace(df: DataFrame, dir: String): Unit =
     currentVersion(dir) match {
       case Some(v) => df.write.mode("append").parquet(versionPath(dir, v))
-      case None    => overwriteSwap(df, dir)
+      case None if Files.exists(Paths.get(dir, "_SUCCESS")) =>
+        // pre-versioning flat table: append beside the existing files
+        // (routing to overwriteSwap here would commit a v1 holding ONLY
+        // the new batch and silently hide all prior history from read())
+        df.write.mode("append").parquet(dir)
+      case None => overwriteSwap(df, dir)
     }
 
   def overwriteSwap(df: DataFrame, dir: String): Unit = {
