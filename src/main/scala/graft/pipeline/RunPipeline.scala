@@ -86,6 +86,19 @@ object RunPipeline {
       manifestDir.resolve(s"run_$invocationId.json"), manifest)
     println(s"manifest: $manifestDir/run_$invocationId.json")
 
+    // docs site (dbt docs generate analog): one self-contained HTML page
+    // with the lineage DAG as inline SVG + model/test tables
+    val docModels = tables.map { case (layer, t) =>
+      Docs.Model(layer, t, pipe.read(layer, t).count(),
+        lineage.getOrElse((layer, t), Seq.empty))
+    }
+    val docTests = results.map(r => Docs.TestRow(r.table, r.name, r.violations))
+    val docsDir = java.nio.file.Paths.get(workDir, "docs")
+    java.nio.file.Files.createDirectories(docsDir)
+    java.nio.file.Files.writeString(docsDir.resolve("index.html"),
+      Docs.render(invocationId, asOf.toString, docModels, docTests))
+    println(s"docs: $docsDir/index.html")
+
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

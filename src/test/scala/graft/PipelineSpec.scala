@@ -236,6 +236,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(violations.count() == 1) // only "X"; the NULL row passes
   }
 
+  test("docs site renders every model, edge and test verdict") {
+    import graft.pipeline.Docs
+    val models = Seq(
+      Docs.Model("raw", "wiki_sp500", 10L, Seq("landing")),
+      Docs.Model("staging", "stg_wiki_sp500", 9L, Seq("raw.wiki_sp500")),
+      Docs.Model("core", "cr_company_complete", 8L,
+        Seq("staging.stg_wiki_sp500")))
+    val tests = Seq(
+      Docs.TestRow("core.cr_company_complete", "unique_cik", 0L),
+      Docs.TestRow("core.cr_company_complete", "not_null_name", 2L))
+    val html = Docs.render("inv-1", "2025-07-01 00:00:00", models, tests)
+    models.foreach(m => assert(html.contains(m.table), s"missing ${m.table}"))
+    // one SVG edge per dependency (landing edge included)
+    assert(html.sliding(5).count(_ == "<line") == 3, "edge count")
+    assert(html.contains("class=\"pass\"") && html.contains("class=\"fail\""),
+      "test verdicts must render distinctly")
+    assert(html.contains("8 rows"), "row counts must render")
+    // self-contained: no external references
+    assert(!html.contains("http://") || html.contains("www.w3.org"),
+      "no external assets beyond the SVG namespace")
+  }
+
   test("versioned-pointer swap: commit, crash remnant, GC window") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
