@@ -661,7 +661,8 @@ object Dedup {
       .orderBy($"new_doc", $"dup_of")
   }
 
-  private val q76Sql =
+  // shared with q160 (the streaming twin must equal the same batch answer)
+  private[graft] val q76Sql =
     s"""WITH $minhashCtes,
       |inc AS (
       |  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,

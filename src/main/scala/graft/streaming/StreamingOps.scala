@@ -541,7 +541,10 @@ object StreamingOps {
       q120StreamDedup, Some(q120Sql)),
     GraftQuery("q125_stream_upsert", Seq("EXT-streaming", "S6", "J4"),
       "foreachBatch MERGE sink over two redelivered batches, idempotence oracle-carried",
-      q125StreamUpsert, Some(q125Sql)))
+      q125StreamUpsert, Some(q125Sql)),
+    GraftQuery("q160_stream_near_dup", Seq("EXT-streaming", "EXT-dedup"),
+      "streaming near-dup dedup: micro-batches probe a static minhash band index; union of batches == q76's batch answer",
+      q160StreamNearDup, Some(graft.operators.Dedup.q76Sql)))
 
   /** q120: watermarked streaming deduplication, ORACLE-CARRIED — the
     * source directory is staged with TWO copies of the events file, so
@@ -632,4 +635,114 @@ object StreamingOps {
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** q160: STREAMING NEAR-DUP DEDUP, ORACLE-CARRIED — the
+    * continuous-crawl composition of q76 (incremental dedup) with the
+    * foreachBatch machinery: the base corpus's minhash band index is a
+    * PERSISTED static table, and each arriving micro-batch signs its
+    * documents, probes the index (delta bands ⋈ base bands ONLY — never
+    * delta×delta, never base×base, exactly q76's join topology),
+    * verifies candidates by exact shingle intersection, and APPENDS the
+    * verified pairs to a parquet result. The delta (doc_id % 5 == 0,
+    * q76's "today's crawl") is staged as TWO files with
+    * maxFilesPerTrigger=1 so two genuine micro-batches run; because the
+    * batches partition the delta and the join side is static, the union
+    * of per-batch results must equal q76's one-shot batch answer — the
+    * oracle IS q76's SQL. Per-batch work scales with the batch's
+    * collision rate, the property that makes continuous dedup
+    * affordable at crawl scale.
+    */
+  def q160StreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NativeExpressions.minhashSignature
+    import graft.operators.Dedup
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q160-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q160-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q160-out")
+    val outDir = outRoot.resolve("pairs").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // stage the delta as two single-file batches (half of the crawl each)
+      val delta = graft.Tables.load(s, dir, "documents")
+        .filter($"doc_id" % 5 === 0)
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+      def stage(half: Int): Unit = {
+        val tmp = srcDir.resolve(s"stage$half")
+        delta.filter(($"doc_id" / 5) % 2 === half)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val f = part.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(f, srcDir.resolve(s"batch$half.parquet"))
+            moved = true
+          }
+        }
+        rmTree(tmp)
+      }
+      stage(0); stage(1)
+
+      // the static side: base-corpus shingle sets + band index, built once
+      def sign(docs: DataFrame): DataFrame =
+        docs.select($"doc_id", array_distinct(Dedup.shingles($"text")).as("shs"))
+          .filter(size($"shs") > 0)
+          .select($"doc_id", $"shs",
+            minhashSignature($"shs", Dedup.NumHashes).as("sig"))
+      def bandKeys = array((0 until Dedup.NumHashes / Dedup.BandSize).map { bnd =>
+        md5(concat_ws("|", (0 until Dedup.BandSize).map(r =>
+          element_at($"sig", bnd * Dedup.BandSize + r + 1)): _*))
+      }: _*)
+      def bandsOf(signed: DataFrame, idCol: String): DataFrame =
+        signed.select($"doc_id".as(idCol), posexplode(bandKeys))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val baseDocs = sign(graft.Tables.loadSpread(s, dir, "documents")
+        .filter($"doc_id" % 5 =!= 0)).persist()
+      val baseBands = bandsOf(baseDocs, "dup_of").persist()
+
+      // seed the result with the right (possibly final) empty schema so
+      // a dup-free stream still yields a readable, zero-row table
+      val outSchema = StructType(Seq(
+        StructField("new_doc", LongType), StructField("dup_of", LongType),
+        StructField("n_common", LongType), StructField("jaccard", DoubleType)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        .write.mode("overwrite").parquet(outDir)
+
+      val q = s.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val bd = sign(batch.toDF()).persist()
+            val cand = bandsOf(bd, "new_doc")
+              .join(baseBands, Seq("band", "bkey"))
+              .select($"new_doc", $"dup_of").distinct()
+            cand
+              .join(bd.select($"doc_id".as("new_doc"), $"shs".as("shs_a")), "new_doc")
+              .join(baseDocs.select($"doc_id".as("dup_of"), $"shs".as("shs_b")), "dup_of")
+              .select($"new_doc", $"dup_of",
+                size(array_intersect($"shs_a", $"shs_b")).cast("long").as("n_common"),
+                size($"shs_a").as("na"), size($"shs_b").as("nb"))
+              .filter($"n_common" > 0)
+              .select($"new_doc", $"dup_of", $"n_common",
+                ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common"))
+                  .as("jaccard"))
+              .write.mode("append").parquet(outDir)
+            bd.unpersist(false)
+            () // foreachBatch wants Unit; unpersist returns the Dataset
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(outDir)
+        .orderBy($"new_doc", $"dup_of")
+      val rows = out.collect()
+      baseDocs.unpersist(false); baseBands.unpersist(false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
 }
