@@ -721,6 +721,19 @@ object Similarity {
       dot($"cv", $"cv").as("ccv"))
   }
 
+  /** Public trainer entry points for the materialized index job
+    * ([[AnnIndex.build]]): the flattened PQ codebook (s, cw, c1, c2,
+    * ccv — m×k = 512 rows) and the long-form code assignment (vec_id,
+    * s, cw — m rows per vector). Identical pipelines to what q74/q75/
+    * q137 compute inline; exposing them lets the index job persist the
+    * artifacts once per corpus version.
+    */
+  def trainPqCodebookFlat(s: SparkSession, dir: String): DataFrame =
+    cbFlat(s, dir)
+
+  def trainPqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir)
+
   /** PQ-ADC top-5 per query: asymmetric distance = sum over subspaces of
     * l2sq(query slice, assigned codeword). The neighbor side never
     * touches its raw vector again — only its 16-byte code — which is the
