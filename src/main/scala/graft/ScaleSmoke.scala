@@ -51,9 +51,22 @@ object ScaleSmoke {
     val dir = s"$work/k$k"
     buildScaled(spark, src, k, dir)
 
+    // iterative graph family + the dedup/ANN family (round-6 verdict ask
+    // #5): banded/blocked candidate generation should scale with the
+    // collision rate, ~linearly — a blowup here falsifies the banding
+    // story before production data would.
     val queries = Seq(
       "q89_pagerank", "q133_pagerank_deep", "q140_label_propagation",
-      "q157_lpa_semi_sync", "q145_bfs_distance", "q134_cc_distributed")
+      "q157_lpa_semi_sync", "q145_bfs_distance", "q134_cc_distributed",
+      "q18_dedup_jaccard", "q19_dedup_minhash_lsh", "q121_sparse_cosine",
+      "q53_ann_recall", "q137_ivfpq")
+    // the ANN queries read the build-once index: time the build as its
+    // OWN metric so query times measure search, exactly as production
+    // accounting would
+    val tIx = System.nanoTime()
+    operators.AnnIndex.ensure(spark, dir)
+    val ixSec = (System.nanoTime() - tIx) / 1e9
+    System.err.println(f"[scale-smoke] ann_index_build: $ixSec%.2f s (k=$k)")
     val times = queries.map { name =>
       val q = Registry.all.find(_.name == name).get
       spark.catalog.clearCache()
@@ -63,7 +76,7 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
       name -> sec
-    }
+    } :+ ("ann_index_build" -> ixSec)
     val json = times.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }
       .mkString("{", ",", "}")
     println(s"""{"k":$k,"src":"$src","queries":$json}""")
@@ -101,5 +114,20 @@ object ScaleSmoke {
         translate($"text", Letters, rot(Letters, i % Letters.length)),
         Letters2, rot(Letters2, (i / Letters.length) % Letters2.length))
         .as("text")))
+    // embeddings: per-replica DIMENSION ROTATION — a permutation applied
+    // to both sides of any within-replica pair preserves every dot
+    // product (and norm) EXACTLY, so the near-dup structure replicates
+    // k×; cross-replica pairs see misaligned dims and decorrelate. The
+    // vec_id stride is max+1 (2000 at sf0.1, a multiple of 100), so the
+    // `vec_id % 100 = 0` query subset scales uniformly with the corpus.
+    val me = maxOf("embeddings", "vec_id")
+    replicate("embeddings", (df, i) => {
+      val r = i % 64
+      val rotated =
+        if (r == 0) $"embedding"
+        else concat(slice($"embedding", r + 1, 64 - r), slice($"embedding", 1, r))
+      df.select(($"vec_id" + i * me).as("vec_id"),
+        rotated.as("embedding"), $"label")
+    })
   }
 }

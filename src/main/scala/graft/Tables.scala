@@ -12,16 +12,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
-    * parquet reader rejects; read nanos as long (session conf) and convert
-    * to a microsecond TimestampType with exact integral division.
+  /** events.parquet has shipped `ts` two ways across generator
+    * versions: INT64 TIMESTAMP(NANOS) — which the vectorized reader
+    * rejects, so read nanos as long (session conf) and convert with
+    * exact integral division — and a true parquet TIMESTAMP, which
+    * surfaces as TIMESTAMP_NTZ and breaks unix_micros/watermark call
+    * sites. Normalize both to a session-tz TimestampType; the session
+    * is pinned UTC, so the NTZ cast is value-preserving and
+    * oracle-identical.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Load + spread across all cores. The test tables arrive as a single

@@ -476,14 +476,14 @@ object NativeExpressions {
     * projection; q27's mapPartitions stub remains the seam where a full
     * pixel codec would plug in.
     */
-  case class ImageDims(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = StructType(Seq(
-      StructField("format", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false)))
-    override def nullable: Boolean = true
-    override def prettyName: String = "image_dims"
+  /** The codec-free header-parse core shared by the [[ImageDims]]
+    * expression (scan-projection path) and the q27 mapPartitions decoder
+    * (the seam a full pixel codec would plug into): one object, one
+    * byte-walk, two call sites — so expression and decoder can never
+    * disagree on a header layout.
+    */
+  object ImageHeader {
+    final case class Meta(format: String, width: Int, height: Int)
 
     private def be16(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -492,10 +492,8 @@ object NativeExpressions {
         ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
     private def le16(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    private def row(f: String, w: Int, h: Int): InternalRow =
-      InternalRow(UTF8String.fromString(f), w, h)
 
-    private def parseJpeg(b: Array[Byte]): InternalRow = {
+    private def parseJpeg(b: Array[Byte]): Meta = {
       var i = 2 // past SOI
       while (i + 1 < b.length) {
         if ((b(i) & 0xff) != 0xff) return null // desynced: not a marker
@@ -506,7 +504,7 @@ object NativeExpressions {
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOFn: len(2) precision(1) height(2) width(2) ...
           if (j + 8 > b.length) return null
-          return row("jpeg", be16(b, j + 6), be16(b, j + 4))
+          return Meta("jpeg", be16(b, j + 6), be16(b, j + 4))
         } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
           i = j + 1 // standalone marker, no length field
         } else {
@@ -517,18 +515,33 @@ object NativeExpressions {
       null
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val b = input.asInstanceOf[Array[Byte]]
+    /** Parse the leading media header; null when no signature matches. */
+    def parse(b: Array[Byte]): Meta =
       if (b.length >= 24 &&
           (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
           b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
-        row("png", be32(b, 16), be32(b, 20)) // IHDR width/height, BE32
+        Meta("png", be32(b, 16), be32(b, 20)) // IHDR width/height, BE32
       else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
         parseJpeg(b)
       else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-        row("gif", le16(b, 6), le16(b, 8)) // logical screen, LE16
+        Meta("gif", le16(b, 6), le16(b, 8)) // logical screen, LE16
       else null
+  }
+
+  case class ImageDims(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "image_dims"
+
+    override def nullSafeEval(input: Any): Any = {
+      val m = ImageHeader.parse(input.asInstanceOf[Array[Byte]])
+      if (m == null) null
+      else InternalRow(UTF8String.fromString(m.format), m.width, m.height)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

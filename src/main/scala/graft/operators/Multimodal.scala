@@ -8,10 +8,12 @@ import graft.{GraftQuery, Tables}
 /** Multimodal column plumbing (north-star extension, BASELINE.json):
   * media payloads are opaque `binary` columns with typed metadata structs;
   * decode/feature-extraction runs partition-parallel over the binary
-  * bytes. This container ships no image/audio codecs, so `decodeStub`
-  * below is a clearly-marked deterministic fake — the Spark-side plumbing
-  * (binary column, schema, partition-wise batch map, metadata struct) is
-  * the real, tested part.
+  * bytes. This container ships no pixel codecs, but header-class decode
+  * needs none: [[decodeMedia]] parses real PNG/JPEG/GIF header bytes out
+  * of the payload (the shared [[graft.functions.NativeExpressions.ImageHeader]]
+  * core), and the mapPartitions seam it runs in is where a full codec
+  * would plug in — so the Spark-side plumbing (binary column, schema,
+  * partition-wise batch map, metadata struct) is real AND the decode is.
   *
   * Scale: decode is per-row opaque compute — the one legitimate
   * `mapPartitions` site (SURVEY.md preference order (d)); everything
@@ -31,37 +33,60 @@ object Multimodal {
       height: Long,
       format: String)
 
-  /** STUB decoder: a real pipeline would decode image/audio bytes here
-    * (e.g. via a JNI codec) inside mapPartitions, one partition's batch at
-    * a time. The fake is a deterministic function of the byte length and
-    * id so the oracle can check the plumbing end-to-end.
+  /** REAL decoder over payload bytes: parses the media header (PNG
+    * big-endian IHDR / JPEG marker-segment walk / GIF little-endian
+    * logical screen) via the same
+    * [[graft.functions.NativeExpressions.ImageHeader]] core the native
+    * q135 expression uses — one byte-walk, two call sites. This
+    * mapPartitions seam is where a full pixel codec (JNI libjpeg etc.)
+    * would plug in, one partition's batch at a time; header-class decode
+    * needs no codec, so THIS part ships real.
     */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    MediaMeta(
-      doc_id = docId,
-      byte_len = n,
-      width = n % 640 + 16,
-      height = (n * 7) % 480 + 16,
-      format = (docId % 3) match {
-        case 0 => "png"
-        case 1 => "jpeg"
-        case _ => "webp"
-      })
+  def decodeMedia(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val m = graft.functions.NativeExpressions.ImageHeader.parse(payload)
+    if (m == null) MediaMeta(docId, payload.length.toLong, -1L, -1L, "unknown")
+    else MediaMeta(docId, payload.length.toLong, m.width.toLong, m.height.toLong, m.format)
   }
 
-  /** q27: binary media-column pipeline: text bytes stand in for an image
-    * payload (UTF-8 `binary` column); a partition-parallel decode pass
-    * emits typed metadata; a relational tail aggregates by format. The
-    * narrow (doc_id, payload) projection is what reaches the scan.
+  /** q27: binary media-column pipeline, end-to-end REAL: each doc gets a
+    * payload of genuine header bytes (PNG / JPEG-with-COM-segment /
+    * GIF87a, hex-assembled relationally and `unhex`ed) followed by the
+    * text bytes as an opaque body — and the partition-parallel decode
+    * pass parses format/width/height back OUT of those bytes
+    * ([[decodeMedia]]). The JPEG layout deliberately differs from
+    * q135's (an extra COM segment before SOF0) so the marker walk is
+    * exercised on a second layout; GIF uses the 87a signature where
+    * q135 uses 89a. The oracle re-derives every field from the same hex
+    * layout with independent substr arithmetic — a mis-indexed byte on
+    * either side breaks the hash. Only (doc_id, text) reaches the scan.
     */
   def q27MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val w = ($"doc_id" % 512 + 32).cast("int")
+    val h = (($"doc_id" * 3) % 512 + 32).cast("int")
+    // PNG: sig + IHDR(len,name) + w(BE32) + h(BE32) + depth/color/etc
+    val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
+      format_string("%08x", w), format_string("%08x", h),
+      lit("080600000000000000"))
+    // JPEG: SOI + APP0(JFIF,16) + COM("graft!",8) + SOF0(len 17) + h + w
+    val jpegHex = concat(
+      lit("ffd8ffe000104a46494600010100004800480000fffe0008677261667421ffc0001108"),
+      format_string("%04x", h), format_string("%04x", w),
+      lit("03011100021101031101"))
+    // GIF87a: logical screen w,h LITTLE-endian 16-bit
+    val gifHex = concat(lit("474946383761"),
+      format_string("%02x%02x", w.bitwiseAND(lit(255)), shiftright(w, 8)),
+      format_string("%02x%02x", h.bitwiseAND(lit(255)), shiftright(h, 8)),
+      lit("f00000"))
+    val headerHex = when($"doc_id" % 3 === 0, pngHex)
+      .when($"doc_id" % 3 === 1, jpegHex)
+      .otherwise(gifHex)
     val media = t(s, dir, "documents")
-      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .select($"doc_id",
+        concat(unhex(headerHex), $"text".cast("binary")).as("payload"))
     val meta = media
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
       .toDF()
     meta
       .select($"doc_id", $"byte_len", $"width", $"height", $"format")
@@ -69,12 +94,37 @@ object Multimodal {
   }
 
   private val q27Sql =
-    """SELECT doc_id,
-      |  octet_length(encode(text)) AS byte_len,
-      |  octet_length(encode(text)) % 640 + 16 AS width,
-      |  (octet_length(encode(text)) * 7) % 480 + 16 AS height,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-      |FROM documents
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(doc_id % 512 + 32 AS INTEGER) AS w,
+      |    CAST((doc_id * 3) % 512 + 32 AS INTEGER) AS h
+      |  FROM documents),
+      |hx AS (
+      |  SELECT doc_id, text, w, h,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN '89504e470d0a1a0a0000000d49484452'
+      |        || printf('%08x', w) || printf('%08x', h) || '080600000000000000'
+      |      WHEN 1 THEN 'ffd8ffe000104a46494600010100004800480000fffe0008677261667421ffc0001108'
+      |        || printf('%04x', h) || printf('%04x', w) || '03011100021101031101'
+      |      ELSE '474946383761' || printf('%02x%02x', w % 256, w // 256)
+      |        || printf('%02x%02x', h % 256, h // 256) || 'f00000'
+      |    END AS s
+      |  FROM base)
+      |SELECT doc_id,
+      |  octet_length(unhex(s)) + octet_length(encode(text)) AS byte_len,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN ('0x' || substr(s, 33, 8))::BIGINT
+      |    WHEN 1 THEN ('0x' || substr(s, 75, 4))::BIGINT
+      |    ELSE ('0x' || substr(s, 15, 2) || substr(s, 13, 2))::BIGINT
+      |  END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN ('0x' || substr(s, 41, 8))::BIGINT
+      |    WHEN 1 THEN ('0x' || substr(s, 71, 4))::BIGINT
+      |    ELSE ('0x' || substr(s, 19, 2) || substr(s, 17, 2))::BIGINT
+      |  END AS BIGINT) AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+      |    AS format
+      |FROM hx
       |ORDER BY doc_id""".stripMargin
 
   /** q28: frame-sampling plan shape: each media doc expands to a
@@ -178,7 +228,8 @@ object Multimodal {
 
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q27_multimodal_decode", Seq("EXT-multimodal"),
-      "binary media column + partition-parallel decode stub", q27MultimodalDecode, Some(q27Sql)),
+      "binary media column (real header bytes + opaque body) + partition-parallel header decode",
+      q27MultimodalDecode, Some(q27Sql)),
     GraftQuery("q28_frame_sample", Seq("EXT-multimodal"),
       "frame-sampling explode plan", q28FrameSample, Some(q28Sql)),
     GraftQuery("q135_image_header", Seq("EXT-multimodal"),

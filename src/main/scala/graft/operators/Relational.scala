@@ -451,12 +451,18 @@ object Relational {
     import s.implicits._
     val e = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
     val day = expr("INTERVAL 24 HOURS")
+    // Each anchor table is persisted: the step chain references t1
+    // three times (directly + through t2/t3's lineage) and t2 twice, so
+    // without materialization the events scan replays 6 times — with
+    // it, exactly once per step (3 scans, each type-pruned at the scan).
     val t1 = e.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      .persist()
     val t2 = e.join(broadcast(t1), "user_id")
       .filter($"event_type" === "click" &&
         $"ts" > $"t_view" && $"ts" <= $"t_view" + day)
       .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      .persist()
     val t3 = e.join(broadcast(t2), "user_id")
       .filter($"event_type" === "purchase" &&
         $"ts" > $"t_click" && $"ts" <= $"t_click" + day)

@@ -803,10 +803,13 @@ object TextAnalysis {
     * float-sum drift (~1e-13 on a ~1-5 nat value) cannot flip ordering.
     * The worst-decile flag is per-DOCUMENT — data-scaled — so it must
     * NOT come from a global ntile window (single-partition sort of the
-    * corpus): it is rank <= ceil(n/10) with the rank from
-    * [[GlobalRank.withGlobalRank]]'s range-partitioned parallel ranking,
-    * provably identical to ntile's first tile (the oracle still says
-    * `ntile(10) = 1`).
+    * corpus): ntile(10)'s first tile is exactly the first ceil(n/10)
+    * rows of (nll DESC, doc_id ASC), so the flag is `sort key <=
+    * boundary key` against the ceil(n/10)-th row — found by a bounded
+    * top-k (TakeOrdered keeps a ceil(n/10)-row heap per task, never a
+    * global sort) whose 1-row boundary broadcasts. (doc_id is unique,
+    * so the boundary key is unambiguous; the oracle still says
+    * `ntile(10) = 1`.)
     */
   def q88BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -829,18 +832,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(($"c2" + 1).cast("double") / ($"c1" + $"v"))), 6)
           .as("nll_per_bigram"))
-      // persisted so GlobalRank's range sampling + shuffle read the
-      // 1-row-per-doc result, not the LM join pipeline twice
+      // persisted so the count, the top-k boundary pass and the final
+      // flagging pass all read the 1-row-per-doc result, not the LM
+      // join pipeline three times
       .persist()
     // ntile(10)'s first tile is always ceil(n/10) rows (n = 10q+r: the
-    // first r tiles get q+1), so decile==1  <=>  rank <= ceil(n/10);
-    // n comes from the rank offsets — no separate counting job
-    val (ranked, n) = GlobalRank.withGlobalRankCounted(scored, "__rank",
-      $"nll_per_bigram".desc, $"doc_id".asc)
-    val tile1 = (n + 9) / 10
-    ranked
+    // first r tiles get q+1), so decile==1  <=>  rank <= ceil(n/10)
+    val tile1 = ((scored.count() + 9) / 10).toInt
+    // ascending sort key equivalent to (nll DESC, doc_id ASC)
+    def key(nll: Column, id: Column): Column =
+      struct((-nll).as("k1"), id.as("k2"))
+    val bound = scored
+      .orderBy($"nll_per_bigram".desc, $"doc_id".asc).limit(tile1)
+      .agg(max(key($"nll_per_bigram", $"doc_id")).as("b"))
+    scored.crossJoin(broadcast(bound))
       .select($"doc_id", $"n_bigrams", $"nll_per_bigram",
-        ($"__rank" <= tile1).as("flag_high_ppl"))
+        (key($"nll_per_bigram", $"doc_id") <= $"b").as("flag_high_ppl"))
       .orderBy($"doc_id")
   }
 

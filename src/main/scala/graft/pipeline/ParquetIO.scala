@@ -29,11 +29,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    destination are different directories by construction.
   *
   * Version history doubles as cheap time travel (readVersion) until GC
-  * trims it. Single-writer by design; multi-writer atomicity would need
-  * a lock service or a transactional table format, which the offline jar
-  * set can't ship.
+  * trims it. Single-writer by design: true multi-writer atomicity would
+  * need a lock service or a transactional table format, which the
+  * offline jar set can't ship. What IS shipped is a best-effort guard —
+  * every commit path holds `dir/_writer.lock` (atomic create-new), so a
+  * second concurrent writer FAILS FAST with a clear error instead of
+  * silently racing the pointer; a lock older than [[LockStaleMs]] is
+  * treated as a crashed writer's remnant and stolen.
   */
 object ParquetIO {
+
+  /** A `_writer.lock` older than this is presumed abandoned (crashed
+    * writer) and stolen by the next commit.
+    */
+  val LockStaleMs = 600000L
+
+  /** Serialize commits on `dir`: atomic create-new of `_writer.lock`,
+    * fail-fast (not wait) on a live concurrent holder — the caller is
+    * violating the single-writer contract and should know immediately —
+    * and a one-shot steal of a stale lock.
+    */
+  private def withWriterLock[T](dir: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_writer.lock")
+    def acquire(retryStale: Boolean): Unit =
+      try Files.createFile(lock)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L } // holder just released: treat as live
+          if (age > LockStaleMs && retryStale) {
+            Files.deleteIfExists(lock)
+            acquire(retryStale = false)
+          } else throw new IllegalStateException(
+            s"concurrent writer on $dir: _writer.lock held (age ${age} ms) — " +
+              "the versioned-pointer protocol is single-writer; serialize commits")
+      }
+    acquire(retryStale = true)
+    try body finally Files.deleteIfExists(lock)
+  }
 
   /** How many PREVIOUS committed versions survive GC (in addition to the
     * current one). 1 = an in-flight reader that resolved the pointer
@@ -87,7 +122,7 @@ object ParquetIO {
     * new batch exactly when the parquet job commits — the same
     * guarantee the flat layout gave appends. First load commits v1.
     */
-  def appendInPlace(df: DataFrame, dir: String): Unit =
+  def appendInPlace(df: DataFrame, dir: String): Unit = withWriterLock(dir) {
     currentVersion(dir) match {
       case Some(v) => df.write.mode("append").parquet(versionPath(dir, v))
       case None if Files.exists(Paths.get(dir, "_SUCCESS")) =>
@@ -95,10 +130,14 @@ object ParquetIO {
         // (routing to overwriteSwap here would commit a v1 holding ONLY
         // the new batch and silently hide all prior history from read())
         df.write.mode("append").parquet(dir)
-      case None => overwriteSwap(df, dir)
+      case None => swapLocked(df, dir) // lock already held — not overwriteSwap
     }
+  }
 
-  def overwriteSwap(df: DataFrame, dir: String): Unit = {
+  def overwriteSwap(df: DataFrame, dir: String): Unit =
+    withWriterLock(dir) { swapLocked(df, dir) }
+
+  private def swapLocked(df: DataFrame, dir: String): Unit = {
     val cur = currentVersion(dir)
     val next = cur.getOrElse(0L) + 1
     // an uncommitted remnant of a crashed previous attempt is invisible

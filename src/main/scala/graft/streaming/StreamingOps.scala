@@ -29,23 +29,43 @@ import graft.functions.Fns.exactSum2
   */
 object StreamingOps {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read raw
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet (nanos → µs
-    * conversion mirrors Tables.load).
+  /** The events schema with `ts` at the given physical type — the
+    * generator has shipped the column both as INT64 TIMESTAMP(NANOS)
+    * (readable only as raw long) and as a true parquet TIMESTAMP
+    * (surfacing as TIMESTAMP_NTZ); a readStream schema must match what
+    * is physically in the files, so the source sniffs first.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** One batch-side schema sniff + the matching normalization to a
+    * session-tz TimestampType `ts` — the streaming mirror of
+    * Tables.load's handling (UTC session, so the NTZ cast is
+    * value-preserving and oracle-identical).
+    */
+  private def tsNormalize(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType =>
+        (eventSchema(LongType),
+          df => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        (eventSchema(org.apache.spark.sql.types.TimestampNTZType),
+          df => df.withColumn("ts", col("ts").cast("timestamp")))
+      case other => (eventSchema(other), identity[DataFrame] _)
+    }
+  }
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val (schema, norm) = tsNormalize(spark, dir)
+    norm(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Tumbling 1-hour event-time window with a 2-hour watermark: counts
@@ -602,12 +622,11 @@ object StreamingOps {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         srcDir.resolve("events_replayed.parquet"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = s.readStream
-        .schema(eventSchema)
+      val (schema, norm) = tsNormalize(s, srcDir.toString)
+      val src = norm(s.readStream
+        .schema(schema)
         .option("maxFilesPerTrigger", 1) // two staged files -> two batches
-        .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .parquet(srcDir.toString))
         .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
       val q = upsertSink(src, Seq("user_id"), orderCol = "event_id", tgtDir)
         .option("checkpointLocation", ckptDir.toString)

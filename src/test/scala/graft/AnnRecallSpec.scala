@@ -31,6 +31,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(multi >= 0.3, s"multiprobe recall floor broken: $multi")
   }
 
+  test("q53: production probe-4 variant holds the ≥0.8 recall floor at sf0.01") {
+    val rows = operators.Similarity.q53AnnRecall(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    // measured 0.833 at sf0.01 (probe-5 reaches 0.917, probe-7 = 1.0);
+    // deterministic pipeline, so this is a regression tripwire, not a
+    // flaky statistical bound
+    assert(rows("q54_ivf_probe4") >= 0.8,
+      s"production probe-4 recall floor broken: ${rows("q54_ivf_probe4")}")
+    assert(rows("q54_ivf_probe4") >= rows("q54_ivf_multiprobe"),
+      "deeper probes must never lose recall")
+  }
+
   test("ivfCodebook is fixed-k: ≤ IvfK rows, never data-proportional") {
     import operators.Similarity
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

@@ -326,4 +326,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"reader observed: ${failures.asScala.mkString("; ")}")
     assert(pipeline.ParquetIO.read(spark, dir).count() == 6)
   }
+
+  test("second concurrent writer fails fast; a crashed writer's stale lock is stolen") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val base = Files.createTempDirectory("writer-lock").toString
+    val dir = s"$base/t"
+    pipeline.ParquetIO.overwriteSwap(Seq(1).toDF("v"), dir)
+
+    // a live concurrent writer (fresh lock) => the second commit errors
+    // cleanly instead of silently racing the pointer
+    val lock = Paths.get(dir, "_writer.lock")
+    Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      pipeline.ParquetIO.overwriteSwap(Seq(2).toDF("v"), dir)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(pipeline.ParquetIO.currentVersion(dir).contains(1L),
+      "a refused commit must not move the pointer")
+    // appendInPlace holds the same lock
+    intercept[IllegalStateException] {
+      pipeline.ParquetIO.appendInPlace(Seq(3).toDF("v"), dir)
+    }
+
+    // a crashed writer's lock (older than LockStaleMs) is stolen and
+    // the commit proceeds; the lock is released afterwards
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(
+      System.currentTimeMillis() - pipeline.ParquetIO.LockStaleMs - 60000))
+    pipeline.ParquetIO.overwriteSwap(Seq(2, 3).toDF("v"), dir)
+    assert(pipeline.ParquetIO.read(spark, dir).count() == 2)
+    assert(!Files.exists(lock), "lock must be released after the commit")
+  }
 }
