@@ -95,9 +95,20 @@ object AnnIndex {
   def tableDir(dir: String, name: String): String =
     rootFor(dir).resolve(name).toString
 
-  /** md5 of the source listing: (file name, size, mtime) of every file
-    * under embeddings.parquet — cheap (no data read) and catches both
-    * rewrites and regenerations.
+  /** The trainer geometry baked into the committed artifacts; part of
+    * the freshness fingerprint, so changing any knob (k ceiling, sample
+    * size, probe depth, PQ shape) invalidates every index built with
+    * the old values — without this, a code change would silently serve
+    * stale codebooks that no longer match the oracle's re-derivation.
+    */
+  private def geometry: String = Seq(
+    Similarity.IvfK, Similarity.IvfSampleN, MaxProbes,
+    Similarity.PqSubspaces, Similarity.PqSubDim, Similarity.PqCodewords
+  ).mkString("g:", ",", "")
+
+  /** md5 of the source listing — (file name, size, mtime) of every file
+    * under embeddings.parquet; cheap (no data read) and catches both
+    * rewrites and regenerations — plus the trainer [[geometry]].
     */
   private def fingerprint(dir: String): String = {
     val src = Paths.get(dir, "embeddings.parquet")
@@ -108,7 +119,7 @@ object AnnIndex {
         finally st.close()
       } else if (Files.exists(src)) Seq(src)
       else Seq.empty
-    val lines = files.map { p =>
+    val lines = geometry +: files.map { p =>
       s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
     }
     MessageDigest.getInstance("MD5")

@@ -483,7 +483,15 @@ object Dedup {
       edgeRows.unpersist()
       val out = parent.keys.toSeq.map(k => (k, find(k))).sortBy(_._1)
       spark.createDataFrame(out).toDF("doc_id", "canonical_id")
-    } else distributedCC(pairs, maxIter)
+    } else {
+      // hand the CACHED edge rows down — building the loop's edge table
+      // from the original `pairs` lineage would recompute the entire
+      // upstream candidate+verify chain (cache hits match by plan), and
+      // the threshold count's cache would leak
+      val out = distributedCC(edgeRows, maxIter)
+      edgeRows.unpersist() // loop labels are materialized; cache is dead
+      out
+    }
   }
 
   private def distributedCC(pairs: DataFrame, maxIter: Int): DataFrame = {

@@ -186,9 +186,19 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  // ---- Fixed-k IVF coarse codebook --------------------------------------
-  val IvfK = 64          // centroid count — FIXED, independent of corpus size
-  val IvfSampleN = 512   // Lloyd training-sample size (md5-ranked TakeOrdered)
+  // ---- Bounded-k IVF coarse codebook ------------------------------------
+  // k = min(IvfK, ceil(sqrt(n))): √n scaling — the standard IVF cell
+  // geometry, keeping per-cell occupancy ~√n so cell-local pairing never
+  // goes quadratic — under a FIXED ceiling that bounds the broadcast
+  // (4096 × 64 doubles ≈ 2 MB) at any corpus size. The √n term governs
+  // through n = 16M vectors; the gate-scale corpora (n ≤ 2000) sit far
+  // below the ceiling, so raising it from round 6's 64 changed nothing
+  // at the tested SFs.
+  val IvfK = 4096
+  // Lloyd training-sample size = 8 × IvfK (md5-ranked TakeOrdered — a
+  // bounded per-task heap, never a global sort); corpora smaller than
+  // the sample train on everything.
+  val IvfSampleN = 8 * IvfK
   private val IvfDim = 64      // embedding dimensionality
   private val IvfQuant = 1e6   // exact-integer centroid-mean quantum (= KmQuant)
 
