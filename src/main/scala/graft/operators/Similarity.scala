@@ -223,8 +223,18 @@ object Similarity {
     */
   def ivfCodebook(s: SparkSession, dir: String, salt: String): DataFrame = {
     import s.implicits._
-    val samp = t(s, dir, "embeddings")
-      .select($"vec_id", d($"embedding").as("v"))
+    ivfCodebookOf(s,
+      t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v")),
+      salt)
+  }
+
+  /** [[ivfCodebook]] over an explicit (vec_id, v) source — the seam the
+    * incremental-index contract needs: q161 trains on the BASE corpus
+    * only and routes later deltas against the frozen result.
+    */
+  def ivfCodebookOf(s: SparkSession, ev: DataFrame, salt: String): DataFrame = {
+    import s.implicits._
+    val samp = ev
       .withColumn("mk", md5(concat(lit(salt + ":"), $"vec_id".cast("string"))))
       .orderBy($"mk", $"vec_id").limit(IvfSampleN)
       .persist()
@@ -233,7 +243,7 @@ object Similarity {
     // BOUNDED at IvfK for any corpus ≥ IvfK² vectors. Attached as a
     // broadcast 1-row aggregate (the scalar-attach idiom) — no driver
     // collect.
-    val kTab = t(s, dir, "embeddings")
+    val kTab = ev
       .agg(least(lit(IvfK.toLong),
         greatest(lit(1L), ceil(sqrt(count(lit(1)))))).cast("int").as("k"))
     // the rank window runs over the IvfK survivors of the limit, never
@@ -921,44 +931,49 @@ object Similarity {
       |FROM h CROSS JOIN elig""".stripMargin
 
   /** q137: IVF-PQ — the production ANN composition (FAISS's IVFADC):
-    * coarse IVF routing first (probe the query's top-2 cells), then PQ
-    * asymmetric-distance scoring of ONLY the candidates in those cells.
-    * q74 scores the whole corpus per query (|corpus|×m lookup rows);
-    * here the lookup join runs on the cell-restricted candidate set, so
-    * per-query cost scales with |cell|·probes while the scored
-    * representation stays 16-byte codes — the two orthogonal reductions
-    * (which vectors / how each is scored) composed. Reported against
-    * the exact same-metric L2 truth next to the candidate volume, so
-    * the routing loss (recall below q75's full-corpus ADC) is priced in
-    * the same row that shows what it bought.
+    * coarse IVF routing first, then PQ asymmetric-distance scoring of
+    * ONLY the candidates in the probed cells. q74 scores the whole
+    * corpus per query (|corpus|×m lookup rows); here the lookup join
+    * runs on the cell-restricted candidate set, so per-query cost
+    * scales with |cell|·probes while the scored representation stays
+    * 16-byte codes — the two orthogonal reductions (which vectors / how
+    * each is scored) composed. Round 8: reports probe-2 AND probe-4
+    * from ONE depth-annotated run off the materialized index (a pair's
+    * probe_depth = min over shared cells of max(query rank, neighbor
+    * rank) — the smallest probe budget that surfaces it), each judged
+    * against the exact same-metric L2 truth next to its candidate
+    * volume, so the routing-depth / recall / cost trade reads off two
+    * adjacent rows. Probe-4 recall converges toward q75's full-corpus
+    * ADC (the quantization-loss ceiling for this code size).
     */
   def q137IvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v")).persist()
-    // Both index sides come from the materialized artifact: probe-2
+    // Both index sides come from the materialized artifact: probe-rank
     // routing (pushed rn filter on the persisted cells) and the PQ
     // codes — the query never trains or assigns anything.
-    val cells = AnnIndex.cells(s, dir, "b", maxProbes = 2)
-      .select($"vec_id", $"cell")
-      .persist()
-    val cand = cells.filter($"vec_id" % 100 === 0)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("cell"))
+    val cells = AnnIndex.cells(s, dir, "b", maxProbes = 4)
+    val cq = cells.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"cell", $"rn".as("rnq"))
+    val cn = cells
+      .select($"vec_id".as("neighbor_id"), $"cell", $"rn".as("rnn"))
+    val cand = cq.join(cn, Seq("cell"))
       .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id").distinct()
-      .persist()
+      .select($"query_id", $"neighbor_id",
+        greatest($"rnq", $"rnn").as("pd"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(min($"pd").as("probe_depth"))
+    // score the depth-4 superset ONCE; each probe setting is a filter
     val adc = cand
       .join(AnnIndex.pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"))
       .join(broadcast(pqQueryTerms(s, dir)), Seq("query_id", "s", "cw"))
       .groupBy($"query_id", $"neighbor_id")
-      .agg(sum($"term").cast("double").as("adc_dist"))
-    val w5 = Window.partitionBy($"query_id")
-      .orderBy($"adc_dist".asc, $"neighbor_id".asc)
-    val top5 = adc.withColumn("rank", row_number().over(w5))
-      .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+      .agg(sum($"term").cast("double").as("adc_dist"),
+        min($"probe_depth").as("probe_depth"))
+      .persist()
     val q = e.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
     val wt = Window.partitionBy($"query_id")
@@ -970,14 +985,23 @@ object Similarity {
       .withColumn("rank", row_number().over(wt))
       .filter($"rank" <= 5)
       .select($"query_id", $"neighbor_id")
-    val hits = top5.join(truth, Seq("query_id", "neighbor_id"))
-      .agg(count(lit(1)).as("hits"))
-    truth.agg(count(lit(1)).as("eligible_pairs"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits)
-      .select(lit("q137_ivfpq").as("method"), $"n_candidates", $"hits",
-        $"eligible_pairs",
-        round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+      .persist()
+    val elig = truth.agg(count(lit(1)).as("eligible_pairs"))
+    def reportAt(p: Int): DataFrame = {
+      val sub = adc.filter($"probe_depth" <= p)
+      val w5 = Window.partitionBy($"query_id")
+        .orderBy($"adc_dist".asc, $"neighbor_id".asc)
+      val top5 = sub.withColumn("rank", row_number().over(w5))
+        .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+      val hits = top5.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+      sub.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(elig)
+        .select(lit(s"q137_ivfpq_probe$p").as("method"), $"n_candidates",
+          $"hits", $"eligible_pairs",
+          round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+    }
+    reportAt(2).unionByName(reportAt(4)).orderBy($"method")
   }
 
   private def q137Sql =
@@ -993,14 +1017,16 @@ object Similarity {
       |      AS csim
       |  FROM e CROSS JOIN cents),
       |cells AS (
-      |  SELECT vec_id, centroid_id AS cell FROM (
+      |  SELECT vec_id, centroid_id AS cell, rn FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY csim DESC, centroid_id ASC) AS rn
-      |    FROM csc) WHERE rn <= 2),
+      |    FROM csc) WHERE rn <= 4),
       |cand AS (
-      |  SELECT DISTINCT cq.vec_id AS query_id, cn.vec_id AS neighbor_id
+      |  SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
+      |    min(greatest(cq.rn, cn.rn)) AS probe_depth
       |  FROM cells cq JOIN cells cn USING (cell)
-      |  WHERE cq.vec_id % 100 = 0 AND cq.vec_id <> cn.vec_id),
+      |  WHERE cq.vec_id % 100 = 0 AND cq.vec_id <> cn.vec_id
+      |  GROUP BY 1, 2),
       |$pqIndexSql,
       |adc AS (
       |  SELECT cand.query_id, c.vec_id AS neighbor_id,
@@ -1009,29 +1035,104 @@ object Similarity {
       |                         list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim))
       |      - 2*list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim), cb.cv)
       |      + list_dot_product(cb.cv, cb.cv), 6) AS DECIMAL(18,6)))
-      |      AS DOUBLE) AS adc_dist
+      |      AS DOUBLE) AS adc_dist,
+      |    min(cand.probe_depth) AS probe_depth
       |  FROM cand
       |  JOIN codes c ON c.vec_id = cand.neighbor_id
       |  JOIN cb ON cb.s = c.s AND cb.cw = c.cw
       |  JOIN qv ON qv.query_id = cand.query_id
       |  GROUP BY 1, 2),
-      |pq5 AS (
+      |pq5_2 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS rank
+      |    FROM adc WHERE probe_depth <= 2)
+      |  WHERE rank <= 5),
+      |pq5_4 AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT *, row_number() OVER (PARTITION BY query_id
       |      ORDER BY adc_dist, neighbor_id) AS rank
       |    FROM adc)
       |  WHERE rank <= 5),
       |$pqExactSql,
-      |h AS (SELECT count(*) AS hits
-      |      FROM pq5 JOIN exact USING (query_id, neighbor_id)),
       |elig AS (SELECT count(*) AS eligible_pairs FROM exact),
-      |nc AS (SELECT count(*) AS n_candidates FROM cand)
-      |SELECT 'q137_ivfpq' AS method, nc.n_candidates, h.hits,
-      |  elig.eligible_pairs,
-      |  round(CAST(h.hits AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
-      |FROM h CROSS JOIN elig CROSS JOIN nc""".stripMargin
+      |h2 AS (SELECT count(*) AS hits
+      |       FROM pq5_2 JOIN exact USING (query_id, neighbor_id)),
+      |h4 AS (SELECT count(*) AS hits
+      |       FROM pq5_4 JOIN exact USING (query_id, neighbor_id)),
+      |n2 AS (SELECT count(*) AS n_candidates FROM adc WHERE probe_depth <= 2),
+      |n4 AS (SELECT count(*) AS n_candidates FROM adc)
+      |SELECT * FROM (
+      |  SELECT 'q137_ivfpq_probe2' AS method, n2.n_candidates, h2.hits,
+      |    elig.eligible_pairs,
+      |    round(CAST(h2.hits AS DOUBLE) / elig.eligible_pairs, 4) AS recall_at_5
+      |  FROM h2 CROSS JOIN elig CROSS JOIN n2
+      |  UNION ALL
+      |  SELECT 'q137_ivfpq_probe4', n4.n_candidates, h4.hits,
+      |    elig.eligible_pairs,
+      |    round(CAST(h4.hits AS DOUBLE) / elig.eligible_pairs, 4)
+      |  FROM h4 CROSS JOIN elig CROSS JOIN n4)
+      |ORDER BY method""".stripMargin
+
+  /** q161: incremental index maintenance — the FROZEN-CODEBOOK append
+    * contract every production IVF system runs (FAISS add-after-train;
+    * retrain on drift, not per batch). The codebook trains on the BASE
+    * corpus only (vec_id % 10 ≠ 7, via [[ivfCodebookOf]]); the later
+    * delta batch (vec_id % 10 = 7) routes against that frozen artifact,
+    * so (a) base assignments are byte-identical to what a pre-delta
+    * index held — appends never perturb existing cells — and (b) the
+    * delta's cost is one O(|delta|·k) scoring pass against a ≤2 MB
+    * broadcast, not a rebuild. Emits every vector's top-2 cells tagged
+    * base/delta; the oracle re-trains the same base-only codebook
+    * relationally, so a single leaked delta vector into training breaks
+    * the hash. (This is the semantic twin of [[AnnIndex]]'s
+    * appendInPlace note: the artifact-level append lands cells/codes
+    * for new vectors against the frozen codebook tables.)
+    */
+  def q161IndexAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val base = all.filter($"vec_id" % 10 =!= 7).select($"vec_id", $"v")
+    val cb = ivfCodebookOf(s, base, "c")
+    val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    all.crossJoin(broadcast(cb))
+      .select($"vec_id", $"centroid_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"vec_id",
+        when($"vec_id" % 10 === 7, lit("delta")).otherwise(lit("base")).as("src"),
+        $"rn", $"centroid_id".as("cell"))
+      .orderBy($"vec_id", $"rn")
+  }
+
+  private def q161Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 10 <> 7),
+      |$ivfDimsSql,
+      |${ivfCbSql("c", "c")},
+      |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id, c.cid,
+      |    round(list_dot_product(a.v, c.cv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+      |      AS csim
+      |  FROM allv a CROSS JOIN cb_c c)
+      |SELECT vec_id,
+      |  CASE WHEN vec_id % 10 = 7 THEN 'delta' ELSE 'base' END AS src,
+      |  rn, cid AS cell
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY csim DESC, cid ASC) AS rn
+      |      FROM scored)
+      |WHERE rn <= 2
+      |ORDER BY vec_id, rn""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q161_index_append", Seq("EXT-similarity", "EXT-streaming"),
+      "frozen-codebook incremental index append: base-trained IVF routing of a later delta batch",
+      q161IndexAppend, Some(q161Sql)),
     GraftQuery("q74_pq_adc", Seq("EXT-similarity", "EXT-approx"),
       "product quantization + asymmetric-distance top-5 (4x16 codebooks)",
       q74PqAdc, Some(q74Sql)),
@@ -1039,7 +1140,7 @@ object Similarity {
       "PQ recall@5 vs exact same-metric L2 truth (pure quantization loss)",
       q75PqRecall, Some(q75Sql)),
     GraftQuery("q137_ivfpq", Seq("EXT-similarity", "EXT-approx"),
-      "IVF-PQ (FAISS IVFADC shape): probe-2 cell routing + code-only ADC scoring, recall + candidate volume",
+      "IVF-PQ (FAISS IVFADC shape): probe-2 AND probe-4 routing off the materialized index + code-only ADC, recall + candidate volume per depth",
       q137IvfPq, Some(q137Sql)),
     GraftQuery("q60_embedding_dedup", Seq("EXT-similarity", "EXT-dedup"),
       "embedding-cluster dedup: ANN pairs -> components -> canonical survivors",

@@ -45,6 +45,32 @@ class AnnRecallSpec extends AnyFunSuite {
       "deeper probes must never lose recall")
   }
 
+  test("q161: frozen-codebook append — base-only training, complete routing") {
+    import org.apache.spark.sql.functions._
+    import operators.Similarity
+    val out = Similarity.q161IndexAppend(spark, dir).cache()
+    val srcs = out.select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs == Set("base", "delta"), s"both batches must route: $srcs")
+    // every vector — base or delta — routes to exactly its top-2 cells
+    val bad = out.groupBy("vec_id").count().filter(col("count") =!= 2).count()
+    assert(bad == 0, s"$bad vectors routed to != 2 cells")
+    // freezing is real: the base-trained codebook must differ from a
+    // full-corpus-trained one (otherwise this query couldn't
+    // distinguish append-after-freeze from retrain-per-batch)
+    val sp = spark
+    import sp.implicits._
+    val base = graft.Tables.loadSpread(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .filter($"vec_id" % 10 =!= 7)
+    val frozen = Similarity.ivfCodebookOf(spark, base, "c")
+      .select($"centroid_id", $"cv").collect().map(_.toString).toSet
+    val retrained = Similarity.ivfCodebook(spark, dir, "c")
+      .select($"centroid_id", $"cv").collect().map(_.toString).toSet
+    assert(frozen != retrained,
+      "base-trained and full-trained codebooks coincide — freezing is vacuous here")
+    out.unpersist()
+  }
+
   test("ivfCodebook is fixed-k: ≤ IvfK rows, never data-proportional") {
     import operators.Similarity
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

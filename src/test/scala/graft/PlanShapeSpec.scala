@@ -110,12 +110,14 @@ class PlanShapeSpec extends AnyFunSuite {
     //    q152 applies the same per-round merge attach on the encode side
     //  - q141: crossJoin(broadcast(<1-row bad/good totals>)) onto the
     //    bin table (scalar attach)
+    //  - q161: broadcast k-centroid scoring of the frozen base-trained
+    //    codebook (the q45/q91 coarse-quantizer shape, ≤2 MB broadcast)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
-      "q141_woe_binning", "q144_join_size_estimate")),
+      "q141_woe_binning", "q144_join_size_estimate", "q161_index_append")),
       s"unexpected cross products in: $offenders")
   }
 
