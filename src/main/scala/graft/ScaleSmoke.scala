@@ -120,14 +120,19 @@ object ScaleSmoke {
     // k×; cross-replica pairs see misaligned dims and decorrelate. The
     // vec_id stride is max+1 (2000 at sf0.1, a multiple of 100), so the
     // `vec_id % 100 = 0` query subset scales uniformly with the corpus.
+    // rotation alone aliases at i = 64 (rot_64 = rot_0); composing a
+    // REVERSAL (also a dot-preserving permutation) for the second block
+    // of 64 keeps every replica's permutation distinct through k = 128
     val me = maxOf("embeddings", "vec_id")
     replicate("embeddings", (df, i) => {
+      require(i < 128, s"replica $i: only 128 distinct dim permutations defined")
       val r = i % 64
       val rotated =
         if (r == 0) $"embedding"
         else concat(slice($"embedding", r + 1, 64 - r), slice($"embedding", 1, r))
+      val permuted = if (i < 64) rotated else reverse(rotated)
       df.select(($"vec_id" + i * me).as("vec_id"),
-        rotated.as("embedding"), $"label")
+        permuted.as("embedding"), $"label")
     })
   }
 }

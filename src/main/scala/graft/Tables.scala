@@ -25,13 +25,23 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name != "events") df
-    else df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
-    }
+    else tsVariant(df.schema("ts").dataType)._2(df)
+  }
+
+  /** The (physical read type → normalizer to session-tz TimestampType)
+    * mapping for events.ts, shared by this batch loader and the
+    * streaming file source ([[graft.streaming.StreamingOps]]) so batch
+    * and streaming reads of the same files can never disagree on a
+    * generator variant.
+    */
+  def tsVariant(dt: org.apache.spark.sql.types.DataType)
+      : (org.apache.spark.sql.types.DataType, DataFrame => DataFrame) = dt match {
+    case LongType => // INT64 TIMESTAMP(NANOS) read raw via nanosAsLong
+      (LongType, df => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    case org.apache.spark.sql.types.TimestampNTZType => // true parquet TIMESTAMP
+      (org.apache.spark.sql.types.TimestampNTZType,
+        df => df.withColumn("ts", col("ts").cast("timestamp")))
+    case other => (other, identity[DataFrame] _)
   }
 
   /** Load + spread across all cores. The test tables arrive as a single

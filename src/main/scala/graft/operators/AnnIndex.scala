@@ -95,16 +95,27 @@ object AnnIndex {
   def tableDir(dir: String, name: String): String =
     rootFor(dir).resolve(name).toString
 
+  /** Bump on ANY trainer-algorithm change the numeric knobs below don't
+    * capture — Lloyd round count, sampling key formula, rounding
+    * precision, assignment tie-break, salt set. The committed index is
+    * a pure function of (source bytes, knobs, algorithm); this constant
+    * stands in for the algorithm term.
+    */
+  val TrainerAlgoVersion = 1
+
   /** The trainer geometry baked into the committed artifacts; part of
     * the freshness fingerprint, so changing any knob (k ceiling, sample
-    * size, probe depth, PQ shape) invalidates every index built with
-    * the old values — without this, a code change would silently serve
-    * stale codebooks that no longer match the oracle's re-derivation.
+    * size, probe depth, PQ shape, quantum, salts — or, via
+    * [[TrainerAlgoVersion]], the training algorithm itself) invalidates
+    * every index built with the old values — without this, a code
+    * change would silently serve stale codebooks that no longer match
+    * the oracle's re-derivation.
     */
-  private def geometry: String = Seq(
+  private def geometry: String = (Seq(
+    TrainerAlgoVersion,
     Similarity.IvfK, Similarity.IvfSampleN, MaxProbes,
     Similarity.PqSubspaces, Similarity.PqSubDim, Similarity.PqCodewords
-  ).mkString("g:", ",", "")
+  ) ++ Salts).mkString("g:", ",", "")
 
   /** md5 of the source listing — (file name, size, mtime) of every file
     * under embeddings.parquet; cheap (no data read) and catches both

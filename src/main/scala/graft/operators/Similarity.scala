@@ -202,13 +202,14 @@ object Similarity {
   private val IvfDim = 64      // embedding dimensionality
   private val IvfQuant = 1e6   // exact-integer centroid-mean quantum (= KmQuant)
 
-  /** Fixed-k IVF coarse codebook trained by 2 deterministic Lloyd rounds
-    * over a BOUNDED sample — the replacement for the data-proportional
-    * `vec_id % 100` seeding (k = n/100) that made centroid scoring
-    * O(n²/100) with a broadcast that grew with the corpus. Here k =
-    * [[IvfK]] regardless of n: the training sample is the [[IvfSampleN]]
-    * smallest-md5(salt:vec_id) vectors (`orderBy().limit()` →
-    * TakeOrdered, each task keeps a 512-row heap — never a global sort),
+  /** Bounded-k IVF coarse codebook trained by 2 deterministic Lloyd
+    * rounds over a BOUNDED sample — the replacement for the
+    * data-proportional `vec_id % 100` seeding (k = n/100) that made
+    * centroid scoring O(n²/100) with a broadcast that grew with the
+    * corpus. Here k ≤ [[IvfK]] regardless of n: the training sample is
+    * the [[IvfSampleN]] smallest-md5(salt:vec_id) vectors
+    * (`orderBy().limit()` → TakeOrdered, each task keeps an
+    * ≤IvfSampleN-row heap — never a global sort),
     * seeds are the sample's first k = min([[IvfK]], ⌈√n⌉) in the same
     * md5 order (√n-capped below the fixed ceiling so tiny corpora don't
     * shatter into singleton cells; k is BOUNDED by IvfK at any n), and

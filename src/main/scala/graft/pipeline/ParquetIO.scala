@@ -39,35 +39,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParquetIO {
 
-  /** A `_writer.lock` older than this is presumed abandoned (crashed
-    * writer) and stolen by the next commit.
+  /** A `_writer.lock` whose owner pid cannot be verified dead is still
+    * presumed abandoned past this age and stolen by the next commit —
+    * the fallback for pid-unreadable locks (partially-written file,
+    * foreign host).
     */
   val LockStaleMs = 600000L
 
-  /** Serialize commits on `dir`: atomic create-new of `_writer.lock`,
-    * fail-fast (not wait) on a live concurrent holder — the caller is
-    * violating the single-writer contract and should know immediately —
-    * and a one-shot steal of a stale lock.
+  /** Serialize commits on `dir`: atomic create-new of `_writer.lock`
+    * carrying an ownership token (`pid:nonce`), fail-fast (not wait) on
+    * a LIVE concurrent holder — the caller is violating the
+    * single-writer contract and should know immediately. A lock whose
+    * recorded pid is verifiably dead is a crashed writer's remnant and
+    * is stolen AT ONCE (restoring the protocol's zero-wait crash
+    * recovery); an unreadable-owner lock falls back to the
+    * [[LockStaleMs]] age heuristic. Release deletes the lock only if it
+    * still carries OUR token, so a stealer's lock is never clobbered by
+    * the writer it stole from.
     */
   private def withWriterLock[T](dir: String)(body: => T): T = {
     Files.createDirectories(Paths.get(dir))
     val lock = Paths.get(dir, "_writer.lock")
-    def acquire(retryStale: Boolean): Unit =
-      try Files.createFile(lock)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val age =
-            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
-            catch { case _: java.io.IOException => 0L } // holder just released: treat as live
-          if (age > LockStaleMs && retryStale) {
-            Files.deleteIfExists(lock)
-            acquire(retryStale = false)
-          } else throw new IllegalStateException(
-            s"concurrent writer on $dir: _writer.lock held (age ${age} ms) — " +
-              "the versioned-pointer protocol is single-writer; serialize commits")
-      }
-    acquire(retryStale = true)
-    try body finally Files.deleteIfExists(lock)
+    val token = s"${ProcessHandle.current().pid()}:${System.nanoTime()}"
+    def ownerDead: Boolean =
+      try {
+        val pid = Files.readString(lock).trim.split(":")(0).toLong
+        val oh = ProcessHandle.of(pid)
+        !(oh.isPresent && oh.get().isAlive)
+      } catch { case _: Exception => false } // unreadable/foreign: can't verify
+    def acquire(retrySteal: Boolean): Unit = {
+      try { Files.createFile(lock); Files.writeString(lock, token); return }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val age =
+        try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L } // holder just released: treat as live
+      if (retrySteal && (ownerDead || age > LockStaleMs)) {
+        Files.deleteIfExists(lock)
+        acquire(retrySteal = false) // a racing stealer wins cleanly: we fail fast
+      } else throw new IllegalStateException(
+        s"concurrent writer on $dir: _writer.lock held (age ${age} ms) — " +
+          "the versioned-pointer protocol is single-writer; serialize commits")
+    }
+    acquire(retrySteal = true)
+    try body finally {
+      val mine = try Files.readString(lock).trim == token
+                 catch { case _: Exception => false }
+      if (mine) Files.deleteIfExists(lock)
+    }
   }
 
   /** How many PREVIOUS committed versions survive GC (in addition to the

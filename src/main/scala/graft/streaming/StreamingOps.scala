@@ -45,21 +45,20 @@ object StreamingOps {
       StructField("props", StringType)))
 
   /** One batch-side schema sniff + the matching normalization to a
-    * session-tz TimestampType `ts` — the streaming mirror of
-    * Tables.load's handling (UTC session, so the NTZ cast is
-    * value-preserving and oracle-identical).
+    * session-tz TimestampType `ts` — delegates the per-variant mapping
+    * to [[graft.Tables.tsVariant]] so batch and streaming reads of the
+    * same files can never disagree. An EMPTY landing directory (the
+    * normal start-the-stream-before-data-arrives pattern) can't be
+    * sniffed; assume the current generator's layout (true parquet
+    * TIMESTAMP → TIMESTAMP_NTZ) rather than failing at definition time.
     */
   private def tsNormalize(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema("ts").dataType match {
-      case LongType =>
-        (eventSchema(LongType),
-          df => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        (eventSchema(org.apache.spark.sql.types.TimestampNTZType),
-          df => df.withColumn("ts", col("ts").cast("timestamp")))
-      case other => (eventSchema(other), identity[DataFrame] _)
-    }
+    val physical =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Exception => org.apache.spark.sql.types.TimestampNTZType }
+    val (dt, norm) = graft.Tables.tsVariant(physical)
+    (eventSchema(dt), norm)
   }
 
   /** File-source stream over a directory of events parquet. */
