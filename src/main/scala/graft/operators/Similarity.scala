@@ -708,19 +708,30 @@ object Similarity {
     */
   private def pqCodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = t(s, dir, "embeddings")
-      .select($"vec_id", d($"embedding").as("v"))
+    assignPqCodes(s,
+      t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v")),
+      cbFlat(s, dir))
+  }
+
+  /** PQ code assignment of (vec_id, v) vectors against a GIVEN
+    * flattened codebook — shared by the full-corpus trainer above and
+    * [[AnnIndex]]'s incremental append (frozen-codebook assignment of a
+    * delta batch). Argmin as a lexicographic struct-min:
+    * partial-aggregates map-side (a row_number window would sort the
+    * full |vecs|×m×k scored table); (dsq, cw) min == rank-1 of
+    * ORDER BY dsq, cw — same determinism.
+    */
+  def assignPqCodes(s: SparkSession, vecs: DataFrame, cbFlatDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val sub = vecs
       .select($"vec_id",
         explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"v")
       .select($"vec_id", $"s",
         slice($"v", $"s" * PqSubDim + 1, lit(PqSubDim)).as("sv"))
-    // argmin as a lexicographic struct-min: partial-aggregates map-side
-    // (a row_number window would sort the full |vecs|×m×k scored table);
-    // (dsq, cw) min == rank-1 of ORDER BY dsq, cw — same determinism
     sub.select($"vec_id", $"s",
         element_at($"sv", 1).as("x1"), element_at($"sv", 2).as("x2"),
         dot($"sv", $"sv").as("xx"))
-      .join(broadcast(cbFlat(s, dir)), Seq("s"))
+      .join(broadcast(cbFlatDf), Seq("s"))
       .select($"vec_id", $"s", $"cw",
         round(($"xx" - lit(2.0) * ($"x1" * $"c1" + $"x2" * $"c2"))
           + $"ccv", 6).as("dsq"))

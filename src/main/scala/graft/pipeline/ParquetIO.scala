@@ -155,6 +155,48 @@ object ParquetIO {
   def overwriteSwap(df: DataFrame, dir: String): Unit =
     withWriterLock(dir) { swapLocked(df, dir) }
 
+  /** CRASH-SAFE append: the batch lands in a FRESH `v<N+1>` directory,
+    * the previous version's data files are hard-linked in beside it
+    * (O(delta) I/O — links share inodes; copy fallback for filesystems
+    * without link support), and the pointer flip commits both at once.
+    * Unlike [[appendInPlace]] (which trades crash atomicity for the RAW
+    * layer's zero-rewrite contract), a crash mid-append here leaves an
+    * uncommitted remnant no reader can see, and the retry rebuilds it
+    * cleanly — the same guarantee overwriteSwap gives, at append cost.
+    * GC keeps the retained window; shared inodes survive until every
+    * linking version is collected.
+    */
+  def appendAsVersion(df: DataFrame, dir: String): Unit = withWriterLock(dir) {
+    currentVersion(dir) match {
+      case None => swapLocked(df, dir)
+      case Some(v) =>
+        val next = v + 1
+        val nextP = Paths.get(versionPath(dir, next))
+        deleteRecursive(nextP) // a crashed previous attempt is invisible
+        df.write.mode("overwrite").parquet(nextP.toString)
+        val curP = Paths.get(versionPath(dir, v))
+        val st = Files.list(curP)
+        try st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".") // data files only
+          }
+          .foreach { p =>
+            val dst = nextP.resolve(s"prev${v}_${p.getFileName}")
+            try Files.createLink(dst, p)
+            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        finally st.close()
+        val tmp = Paths.get(dir, "_current.tmp")
+        Files.writeString(tmp, next.toString)
+        Files.move(tmp, currentFile(dir),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        gcOldVersions(dir, next)
+    }
+  }
+
   private def swapLocked(df: DataFrame, dir: String): Unit = {
     val cur = currentVersion(dir)
     val next = cur.getOrElse(0L) + 1

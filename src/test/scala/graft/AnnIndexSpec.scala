@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -53,6 +54,60 @@ class AnnIndexSpec extends AnyFunSuite {
       "recovery must recommit the marker")
     assert(ParquetIO.currentVersion(cellsDir) != v2,
       "a markerless index must be treated as crashed and rebuilt")
+  }
+
+  test("incremental append: frozen codebooks, O(delta) routing, idempotent retry") {
+    import spark.implicits._
+    val corpus = Files.createTempDirectory("annix-inc").toString
+    val srcDir = Paths.get(corpus, "embeddings.parquet")
+    // stage the corpus as a DIRECTORY of per-half files (the layout
+    // incremental ingestion produces): half A first, half B later
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def stage(half: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = Files.createTempDirectory(s"annix-half$tag").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val st = Files.list(Paths.get(tmp))
+      val part =
+        try st.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally st.close()
+      Files.createDirectories(srcDir)
+      Files.copy(part, srcDir.resolve(s"part-$tag.parquet"))
+    }
+    stage(all.filter($"vec_id" < 25), "a")
+    val root = AnnIndex.ensure(spark, corpus)
+    val cbDir = AnnIndex.tableDir(corpus, "codebook_b")
+    val cellsDir = AnnIndex.tableDir(corpus, "cells_b")
+    val cbV1 = ParquetIO.currentVersion(cbDir)
+    val nCellsA = ParquetIO.read(spark, cellsDir).count()
+    val manifestA = Files.readString(root.resolve("_manifest"))
+
+    stage(all.filter($"vec_id" >= 25), "b")
+    AnnIndex.ensure(spark, corpus)
+    // codebook FROZEN (no new version), cells grown to cover both halves
+    assert(ParquetIO.currentVersion(cbDir) == cbV1,
+      "append must not retrain/recommit the codebook")
+    val cells = ParquetIO.read(spark, cellsDir)
+    assert(cells.count() > nCellsA, "delta vectors must join the index")
+    val allVecs = all.count()
+    assert(cells.select("vec_id").distinct().count() == allVecs,
+      "every vector (base + delta) must be routed")
+    // crash retry: simulate dying AFTER the append's table commits but
+    // BEFORE the manifest/fingerprint landed — the re-run takes the
+    // incremental arm again and must re-append idempotently, never
+    // duplicate rows
+    Files.writeString(root.resolve("_manifest"), manifestA)
+    Files.deleteIfExists(root.resolve("_fingerprint"))
+    AnnIndex.ensure(spark, corpus)
+    assert(ParquetIO.currentVersion(cbDir) == cbV1,
+      "crash retry must stay on the incremental arm (frozen codebook)")
+    val cells2 = ParquetIO.read(spark, cellsDir)
+    assert(cells2.count() == cells2.select("vec_id", "rn").distinct().count(),
+      "retried append duplicated (vec_id, rn) rows")
+    assert(cells2.select("vec_id").distinct().count() == allVecs)
+    // PQ codes cover the full corpus too
+    assert(ParquetIO.read(spark, AnnIndex.tableDir(corpus, "pq_codes"))
+      .select("vec_id").distinct().count() == allVecs)
   }
 
   test("cells: probe depth is a pushed filter within the materialized range") {
