@@ -8,7 +8,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.Tables
 import graft.pipeline.ParquetIO
 
 /** Materialized ANN index — build ONCE, query many.
@@ -31,7 +30,7 @@ import graft.pipeline.ParquetIO
   *  - `pq_codebook`      (s, cw, c1, c2, ccv) — the flattened product-
   *    quantization codebook ([[Similarity.trainPqCodebookFlat]]);
   *  - `pq_codes`         (vec_id, s, cw) — each vector's 16-byte PQ
-  *    code in long form ([[Similarity.trainPqCodes]]).
+  *    code in long form ([[Similarity.assignPqCodes]]).
   *
   * Freshness: an index commit records an md5 fingerprint of the source
   * `embeddings.parquet` file listing (name, size, mtime). `ensure`
@@ -40,18 +39,29 @@ import graft.pipeline.ParquetIO
   * same path — forces a full rebuild. The fingerprint marker is written
   * LAST, so a crashed build (mixed old/new table versions) is invisible:
   * the next `ensure` sees a missing/stale marker and rebuilds
-  * everything. Builds are deterministic (md5-ranked sampling,
-  * exact-integer centroid means), so a rebuild reproduces the identical
-  * artifact and the DuckDB oracle can re-derive the same index
-  * relationally — correctness never depends on WHEN the index was
-  * built.
+  * everything. ONE listing snapshot, taken under the build lock, drives
+  * the fingerprint, the append decision, AND the committed manifest —
+  * with independent listings a file landing mid-build could be recorded
+  * as covered without its vectors ever routing. Builds are
+  * deterministic (md5-ranked sampling, exact-integer centroid means),
+  * so a rebuild reproduces the identical artifact and the DuckDB oracle
+  * can re-derive the same index relationally — correctness never
+  * depends on WHEN the index was built.
   *
   * Concurrency: one build at a time per process (object lock) plus a
-  * best-effort cross-process `_build.lock` file (atomic create-new).
-  * A second process either waits for the winner and then fast-paths on
-  * the committed fingerprint, or — past [[LockTimeoutMs]] — steals a
-  * stale lock (deterministic builds make the race benign in content;
-  * the versioned pointer keeps each table's commit atomic).
+  * cross-process `_build.lock` carrying a `pid:nonce` ownership token
+  * (the same protocol as [[ParquetIO]]'s writer lock, shared helpers).
+  * A second process waits for the winner and fast-paths on the
+  * committed fingerprint; a lock whose owner is verifiably dead is
+  * stolen at once; an unverifiable owner is stolen past
+  * [[ParquetIO.LockStaleMs]]; a verifiably LIVE holder past
+  * [[lockTimeoutMs]] is an ERROR, never a steal — stealing a live
+  * builder's lock would just make the pair collide on the per-table
+  * writer locks. Release deletes the lock only if it still carries our
+  * token. If a commit inside the build does hit a concurrent-writer
+  * error (a previously stolen-from builder still flushing), the build
+  * backs off, re-checks freshness, and retries instead of dying
+  * mid-query.
   *
   * At 100 TB: the build is the one expensive pass (O(n·k) routing, PQ
   * assignment — both scan-shaped with tiny broadcasts); searches then
@@ -60,14 +70,22 @@ import graft.pipeline.ParquetIO
   * [[appendBuild]]): when `ensure` finds the committed manifest to be a
   * strict subset of the source listing (old files untouched, new files
   * added), only the new vectors route — against the FROZEN codebooks,
-  * the standard IVF add-after-train contract (retrain on drift, not
-  * per batch) — and their cells/codes commit as hard-linked
-  * append-versions, O(delta) work end to end. NOTE the oracle-identity
-  * caveat: the gate corpora are regenerated whole-file each round, so
-  * the gate always takes the full-rebuild arm and the DuckDB oracle's
-  * full-corpus re-derivation stays exact; a corpus grown incrementally
-  * would (correctly, by the frozen-codebook contract) diverge from a
-  * from-scratch retrain.
+  * the standard IVF add-after-train contract — and their cells/codes
+  * commit as hard-linked append-versions, O(delta) work end to end on
+  * BOTH sides: the delta routes against broadcast codebooks, and retry
+  * idempotency comes from a per-version `_sources` file listing which
+  * source files each table version covers (committed atomically with
+  * the data by the pointer flip), not from an O(index) vec_id
+  * anti-join. "Retrain on drift, not per batch" is enforced, not just
+  * documented: the build persists the base corpus's quantization-error
+  * distribution (mean and p95 of nearest-centroid cosine distance per
+  * salt, `_drift`), and an append whose delta's mean error exceeds the
+  * base p95 for any salt falls back to a full retrain. NOTE the
+  * oracle-identity caveat: the gate corpora are regenerated whole-file
+  * each round, so the gate always takes the full-rebuild arm and the
+  * DuckDB oracle's full-corpus re-derivation stays exact; a corpus
+  * grown incrementally would (correctly, by the frozen-codebook
+  * contract) diverge from a from-scratch retrain.
   */
 object AnnIndex {
 
@@ -81,11 +99,21 @@ object AnnIndex {
     */
   val Salts = Seq("a", "b")
 
-  val LockTimeoutMs = 600000L
+  /** How long a waiting builder tolerates a holder it cannot prove dead
+    * before erroring out (live same-host holders past this are a
+    * genuine wedge the caller must see). System-property override is
+    * for tests, which cannot wait 10 minutes to observe the error arm.
+    */
+  def lockTimeoutMs: Long =
+    sys.props.get("graft.ann.lockTimeoutMs").map(_.toLong).getOrElse(600000L)
 
   private def allTables: Seq[String] =
     Salts.flatMap(s => Seq(s"codebook_$s", s"cells_$s")) ++
       Seq("pq_codebook", "pq_codes")
+
+  /** The per-vector row tables an append grows (codebooks are frozen). */
+  private def appendTables: Seq[String] =
+    Salts.map(s => s"cells_$s") :+ "pq_codes"
 
   /** Index artifacts live OUTSIDE the read-only source directory, keyed
     * by its absolute path: distinct corpora (sf dirs, scale-smoke
@@ -150,12 +178,12 @@ object AnnIndex {
     }
   }
 
-  /** md5 of the source listing — cheap (no data read), catches both
+  /** md5 of a listing snapshot — cheap (no data read), catches both
     * rewrites and regenerations — plus the trainer [[geometry]].
     */
-  private def fingerprint(dir: String): String =
+  private def fingerprintOf(snap: Seq[(String, String)]): String =
     MessageDigest.getInstance("MD5")
-      .digest((geometry +: listing(dir).map(_._1)).mkString("\n").getBytes("UTF-8"))
+      .digest((geometry +: snap.map(_._1)).mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
   private def committedFingerprint(root: Path): Option[String] = {
@@ -163,155 +191,306 @@ object AnnIndex {
     if (Files.exists(f)) Some(Files.readString(f).trim) else None
   }
 
+  private def writeAtomic(root: Path, name: String, content: String): Unit = {
+    val tmp = root.resolve(s"$name.tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, root.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def tablesIntact(root: Path): Boolean =
+    allTables.forall(t => ParquetIO.currentVersion(root.resolve(t).toString).isDefined)
+
   /** Build the index iff absent or stale; returns the index root. The
     * fast path is a directory listing + pointer reads — safe to call
     * from every query invocation.
     */
   def ensure(s: SparkSession, dir: String): Path = synchronized {
     val root = rootFor(dir)
-    val fp = fingerprint(dir)
-    def fresh: Boolean =
-      committedFingerprint(root).contains(fp) &&
-        allTables.forall(t => ParquetIO.currentVersion(root.resolve(t).toString).isDefined)
-    if (fresh) return root
+    def freshNow: Boolean =
+      committedFingerprint(root).contains(fingerprintOf(listing(dir))) &&
+        tablesIntact(root)
+    if (freshNow) return root
 
     Files.createDirectories(root)
     val lock = root.resolve("_build.lock")
-    val acquired =
-      try { Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        // another process is building: wait for it, steal if stale
-        val deadline = System.currentTimeMillis() + LockTimeoutMs
-        var won = false
-        while (!won && Files.exists(lock) &&
-            System.currentTimeMillis() < deadline) {
-          Thread.sleep(200)
-          if (fresh) return root // winner committed while we waited
-        }
-        try { Files.deleteIfExists(lock); Files.createFile(lock); won = true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => }
-        won
+    val deadline = System.currentTimeMillis() + lockTimeoutMs
+    var token: Option[String] = None
+    while (token.isEmpty) {
+      if (freshNow) return root // winner committed while we waited
+      token = ParquetIO.tryLockFile(lock)
+      if (token.isEmpty) {
+        if (ParquetIO.lockOwnerDead(lock) ||
+            ParquetIO.lockAgeMs(lock) > ParquetIO.LockStaleMs)
+          Files.deleteIfExists(lock) // crashed builder's remnant: steal, re-loop
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"ANN index build on $root: _build.lock held by a live builder " +
+              s"past $lockTimeoutMs ms — refusing to steal a live lock; retry later")
+        else Thread.sleep(200)
       }
+    }
     try {
-      if (fresh) return root // re-check under the lock
-      // the append decision reads the OLD manifest — before the marker
-      // surgery below
-      val delta = incrementalDelta(root, dir)
-      // stale marker off FIRST: a crash below leaves no committed claim
-      Files.deleteIfExists(root.resolve("_fingerprint"))
-      delta match {
-        case Some(newFiles) => appendBuild(s, root, newFiles)
-        case None           => build(s, dir, root)
+      var attempt = 0
+      while (true) {
+        // ONE snapshot under the lock: fingerprint, append decision, and
+        // the committed manifest all derive from the same file set
+        val snap = listing(dir)
+        val fp = fingerprintOf(snap)
+        if (committedFingerprint(root).contains(fp) && tablesIntact(root))
+          return root
+        try {
+          // the append decision reads the OLD manifest — before the
+          // marker surgery below
+          val delta = incrementalDelta(root, snap)
+          // stale marker off FIRST: a crash below leaves no committed claim
+          Files.deleteIfExists(root.resolve("_fingerprint"))
+          val appended = delta.exists(newFiles => appendBuild(s, root, newFiles))
+          if (!appended) build(s, root, snap)
+          // manifest before fingerprint: the fingerprint IS the commit
+          // marker (written LAST), so a crash between the two re-runs the
+          // whole decision next time
+          writeAtomic(root, "_manifest", (geometry +: snap.map(_._1)).mkString("\n"))
+          writeAtomic(root, "_fingerprint", fp)
+          return root
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrent writer") && attempt < 3 =>
+            // a stolen-from builder is still flushing its table commits:
+            // back off, re-check freshness (loop head), retry the build
+            attempt += 1
+            Thread.sleep(1000L * attempt)
+        }
       }
-      def writeAtomic(name: String, content: String): Unit = {
-        val tmp = root.resolve(s"$name.tmp")
-        Files.writeString(tmp, content)
-        Files.move(tmp, root.resolve(name),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
-      // manifest before fingerprint: the fingerprint IS the commit
-      // marker (written LAST), so a crash between the two re-runs the
-      // whole decision next time
-      writeAtomic("_manifest", (geometry +: listing(dir).map(_._1)).mkString("\n"))
-      writeAtomic("_fingerprint", fp)
-    } finally if (acquired) Files.deleteIfExists(lock)
-    root
+      root // unreachable — the loop exits only by return/throw
+    } finally token.foreach(t => ParquetIO.releaseLockIfMine(lock, t))
   }
 
   /** Append-only source growth detection: the committed manifest (same
     * geometry, every old data file byte-identical by name:size:mtime)
-    * must be a STRICT subset of the current listing — then the new
-    * files' vectors can join the index against the FROZEN codebooks
+    * must be a STRICT subset of the current listing snapshot — then the
+    * new files' vectors can join the index against the FROZEN codebooks
     * (the standard IVF add-after-train contract) instead of a rebuild.
     * Anything else — a changed old file, a geometry/algorithm change, a
-    * missing table — falls back to the full build.
+    * missing table, a missing `_sources`/`_drift` record (pre-upgrade
+    * index or torn append) — falls back to the full build.
     */
-  private def incrementalDelta(root: Path, dir: String): Option[Seq[String]] = {
+  private def incrementalDelta(
+      root: Path, snap: Seq[(String, String)]): Option[Seq[(String, String)]] = {
     val mf = root.resolve("_manifest")
-    if (!Files.exists(mf)) return None
+    if (!Files.exists(mf) || !Files.exists(root.resolve("_drift"))) return None
     val old = Files.readString(mf).split("\n", -1).toSeq
     if (old.headOption != Some(geometry)) return None
     val oldSet = old.drop(1).filter(_.nonEmpty).toSet
-    val cur = listing(dir)
-    val curSet = cur.map(_._1).toSet
-    val tablesIntact =
-      allTables.forall(t => ParquetIO.currentVersion(root.resolve(t).toString).isDefined)
-    if (tablesIntact && oldSet.nonEmpty && oldSet.subsetOf(curSet) &&
+    val curSet = snap.map(_._1).toSet
+    val recordsIntact = tablesIntact(root) &&
+      appendTables.forall(t => appliedSources(root, t).isDefined)
+    if (recordsIntact && oldSet.nonEmpty && oldSet.subsetOf(curSet) &&
         curSet.size > oldSet.size)
-      Some(cur.filterNot(c => oldSet.contains(c._1)).map(_._2))
+      Some(snap.filterNot(c => oldSet.contains(c._1)))
     else None
+  }
+
+  /** The source-file lines (name:size:mtime) whose vectors the table's
+    * CURRENT version contains — read from the `_sources` file inside
+    * the version directory, so the record commits atomically with the
+    * data at the pointer flip. None = no record (pre-upgrade layout or
+    * a version committed without one): the caller must full-rebuild,
+    * never guess.
+    */
+  private def appliedSources(root: Path, table: String): Option[Set[String]] = {
+    val dirS = root.resolve(table).toString
+    ParquetIO.currentVersion(dirS).flatMap { v =>
+      val f = Paths.get(ParquetIO.versionPath(dirS, v), "_sources")
+      if (Files.exists(f))
+        Some(Files.readString(f).split("\n", -1).filter(_.nonEmpty).toSet)
+      else None
+    }
+  }
+
+  /** Record the applied source set INSIDE the current version directory
+    * (underscore-prefixed: invisible to parquet scans). Written after
+    * the commit that created the version; a crash between the two
+    * leaves a sources-less current version, which [[incrementalDelta]]
+    * refuses to append onto — the failure mode is a redundant rebuild,
+    * never duplicated rows.
+    */
+  private def writeSources(root: Path, table: String, lines: Set[String]): Unit = {
+    val dirS = root.resolve(table).toString
+    val v = ParquetIO.currentVersion(dirS).getOrElse(sys.error(
+      s"writeSources: $table has no committed version"))
+    Files.writeString(Paths.get(ParquetIO.versionPath(dirS, v), "_sources"),
+      lines.toSeq.sorted.mkString("\n"))
+  }
+
+  /** Base-corpus quantization-error distribution per salt, persisted at
+    * build time as `_drift` lines `salt:mean:p95` where the error is
+    * the nearest-centroid cosine DISTANCE (1 - rounded cosine). The
+    * append arm gauges its delta against these frozen numbers.
+    */
+  private def readDrift(root: Path): Map[String, (Double, Double)] = {
+    val f = root.resolve("_drift")
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).split("\n", -1).filter(_.nonEmpty).map { l =>
+      val Array(salt, mean, p95) = l.split(":", 3)
+      salt -> (mean.toDouble, p95.toDouble)
+    }.toMap
+  }
+
+  /** Route (vec_id, v, nrm) vectors against a codebook: top-
+    * [[MaxProbes]] cells per vector by rounded cosine, with the score
+    * retained for the drift gauge.
+    */
+  private def routed(s: SparkSession, e: DataFrame, cb: DataFrame): DataFrame = {
+    import s.implicits._
+    val wc = Window.partitionBy($"vec_id")
+      .orderBy($"csim".desc, $"centroid_id".asc)
+    e.crossJoin(broadcast(cb))
+      .select($"vec_id", $"centroid_id",
+        round(Similarity.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(wc))
+      .filter($"rn" <= MaxProbes)
+  }
+
+  /** Mean nearest-centroid cosine distance of a routed set — the
+    * quantization-error statistic both sides of the drift gauge use.
+    */
+  private def meanNearestDist(s: SparkSession, scored: DataFrame): Double = {
+    import s.implicits._
+    scored.filter($"rn" === 1)
+      .agg(avg(lit(1.0) - $"csim")).head().getDouble(0)
   }
 
   /** The incremental arm of the index job: route ONLY the new files'
     * vectors against the FROZEN committed codebooks and append their
-    * cells/codes. Each append commits as a fresh hard-linked version
-    * ([[ParquetIO.appendAsVersion]]) — crash-invisible, O(delta) I/O —
-    * and an anti-join on vec_id makes a retried append (crash after
-    * tables, before the fingerprint) idempotent instead of
-    * row-duplicating.
+    * cells/codes. Returns false — take the full-rebuild arm instead —
+    * when the delta has DRIFTED off the base distribution (mean
+    * nearest-centroid distance above the base p95 for any salt): frozen
+    * codebooks would silently degrade recall on such a batch, and
+    * "retrain on drift" is this index's stated contract. Each append
+    * commits as a fresh hard-linked version ([[ParquetIO
+    * .appendAsVersion]]) — crash-invisible, O(delta) I/O — and each
+    * table's per-version `_sources` record scopes a retried append
+    * (crash after some tables, before the fingerprint) to exactly the
+    * files that table has not yet landed: idempotency without reading
+    * the index.
     */
-  private def appendBuild(s: SparkSession, root: Path, newFiles: Seq[String]): Unit = {
+  private def appendBuild(
+      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
     import s.implicits._
-    val e = s.read.parquet(newFiles: _*)
+    val baseStats = readDrift(root)
+    if (Salts.exists(salt => !baseStats.contains(salt))) return false
+    val e = s.read.parquet(newFiles.map(_._2): _*)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm($"v"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .persist()
+    val scoredBySalt = Salts.map { salt =>
+      val cb = ParquetIO.read(s, root.resolve(s"codebook_$salt").toString)
+      salt -> routed(s, e, cb).persist()
+    }.toMap
+    try {
+      // drift gauge BEFORE any commit: an append that needs a retrain
+      // must not half-land first. Trigger = the delta's mean error sits
+      // beyond the base's p95 TAIL and at 2× its center — i.e. the
+      // delta quantizes at least twice as badly as the base did. The 2×
+      // guard absorbs training-set optimism: on a toy corpus the Lloyd
+      // sample IS the corpus, so base stats are in-sample-flattered
+      // (measured on sf0.001 halves: base mean 0.50 vs an
+      // in-distribution delta's 0.86 — a 1.7× gap with ZERO real
+      // drift); at production scale the sample is a vanishing fraction
+      // and the stats are effectively out-of-sample, so a genuine
+      // distribution shift (error doubling) clears 2× easily.
+      val drifted = Salts.exists { salt =>
+        val (baseMean, baseP95) = baseStats(salt)
+        meanNearestDist(s, scoredBySalt(salt)) > math.max(baseP95, 2.0 * baseMean)
+      }
+      if (drifted) return false
+      for (salt <- Salts) {
+        val table = s"cells_$salt"
+        val applied = appliedSources(root, table).getOrElse(Set.empty)
+        val sub = newFiles.filterNot(f => applied.contains(f._1))
+        if (sub.nonEmpty) {
+          val all = scoredBySalt(salt)
+          // a retry appends only the files this table hasn't landed yet;
+          // the semi-join reads just the vec_id column of those files
+          val rows =
+            if (sub.size == newFiles.size) all
+            else all.join(
+              s.read.parquet(sub.map(_._2): _*).select($"vec_id"),
+              Seq("vec_id"), "left_semi")
+          ParquetIO.appendAsVersion(
+            rows.select($"vec_id", $"centroid_id".as("cell"), $"rn"),
+            root.resolve(table).toString)
+          writeSources(root, table, applied ++ sub.map(_._1))
+        }
+      }
+      val codesApplied = appliedSources(root, "pq_codes").getOrElse(Set.empty)
+      val codesSub = newFiles.filterNot(f => codesApplied.contains(f._1))
+      if (codesSub.nonEmpty) {
+        val vecs =
+          if (codesSub.size == newFiles.size) e.select($"vec_id", $"v")
+          else e.select($"vec_id", $"v").join(
+            s.read.parquet(codesSub.map(_._2): _*).select($"vec_id"),
+            Seq("vec_id"), "left_semi")
+        val codes = Similarity.assignPqCodes(s, vecs,
+          ParquetIO.read(s, root.resolve("pq_codebook").toString))
+        ParquetIO.appendAsVersion(codes, root.resolve("pq_codes").toString)
+        writeSources(root, "pq_codes", codesApplied ++ codesSub.map(_._1))
+      }
+      true
+    } finally {
+      scoredBySalt.values.foreach(_.unpersist(false))
+      e.unpersist(false)
+    }
+  }
+
+  /** The one expensive pass: train both codebooks, route the corpus to
+    * its top-[[MaxProbes]] cells per salt, assign PQ codes. Each table
+    * commits atomically via the versioned pointer. Reads EXACTLY the
+    * snapshot's files (not the directory) so the `_sources` records are
+    * true of the rows; persists the base quantization-error stats
+    * (`_drift`) alongside, the frozen yardstick future appends gauge
+    * drift against.
+    */
+  private def build(
+      s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    require(snap.nonEmpty, s"ANN index build: no embeddings files under $root")
+    val snapLines = snap.map(_._1).toSet
+    val e = s.read.parquet(snap.map(_._2): _*)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", Similarity.norm($"v"))
       .repartition(s.sparkContext.defaultParallelism)
       .persist()
     try {
-      for (salt <- Salts) {
-        val cellsDir = root.resolve(s"cells_$salt").toString
-        val cb = ParquetIO.read(s, root.resolve(s"codebook_$salt").toString)
-        val wc = Window.partitionBy($"vec_id")
-          .orderBy($"csim".desc, $"centroid_id".asc)
-        val cells = e.crossJoin(broadcast(cb))
-          .select($"vec_id", $"centroid_id",
-            round(Similarity.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
-          .withColumn("rn", row_number().over(wc))
-          .filter($"rn" <= MaxProbes)
-          .select($"vec_id", $"centroid_id".as("cell"), $"rn")
-        val existing = ParquetIO.read(s, cellsDir).select($"vec_id").distinct()
-        ParquetIO.appendAsVersion(
-          cells.join(existing, Seq("vec_id"), "left_anti"), cellsDir)
-      }
-      val codesDir = root.resolve("pq_codes").toString
-      val codes = Similarity.assignPqCodes(s, e.select($"vec_id", $"v"),
-        ParquetIO.read(s, root.resolve("pq_codebook").toString))
-      val existing = ParquetIO.read(s, codesDir).select($"vec_id").distinct()
-      ParquetIO.appendAsVersion(
-        codes.join(existing, Seq("vec_id"), "left_anti"), codesDir)
-    } finally e.unpersist(false)
-  }
-
-  /** The one expensive pass: train both codebooks, route the corpus to
-    * its top-[[MaxProbes]] cells per salt, assign PQ codes. Each table
-    * commits atomically via the versioned pointer.
-    */
-  private def build(s: SparkSession, dir: String, root: Path): Unit = {
-    import s.implicits._
-    val e = Tables.loadSpread(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm($"v"))
-      .persist()
-    try {
-      for (salt <- Salts) {
-        val cb = Similarity.ivfCodebook(s, dir, salt)
+      val drift = Salts.map { salt =>
+        val cb = Similarity.ivfCodebookOf(s, e.select($"vec_id", $"v"), salt)
         ParquetIO.overwriteSwap(
           cb.select($"centroid_id", $"cv", $"cnrm"),
           root.resolve(s"codebook_$salt").toString)
-        val wc = Window.partitionBy($"vec_id")
-          .orderBy($"csim".desc, $"centroid_id".asc)
-        val cells = e.crossJoin(broadcast(cb))
-          .select($"vec_id", $"centroid_id",
-            round(Similarity.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
-          .withColumn("rn", row_number().over(wc))
-          .filter($"rn" <= MaxProbes)
-          .select($"vec_id", $"centroid_id".as("cell"), $"rn")
-        ParquetIO.overwriteSwap(cells, root.resolve(s"cells_$salt").toString)
+        val scored = routed(s, e, cb).persist()
+        try {
+          ParquetIO.overwriteSwap(
+            scored.select($"vec_id", $"centroid_id".as("cell"), $"rn"),
+            root.resolve(s"cells_$salt").toString)
+          writeSources(root, s"cells_$salt", snapLines)
+          val mean = meanNearestDist(s, scored)
+          val p95 = scored.filter($"rn" === 1)
+            .agg(expr("percentile_approx(1.0 - csim, 0.95, 10000)"))
+            .head().getDouble(0)
+          s"$salt:$mean:$p95"
+        } finally scored.unpersist(false)
       }
-      ParquetIO.overwriteSwap(Similarity.trainPqCodebookFlat(s, dir),
-        root.resolve("pq_codebook").toString)
-      ParquetIO.overwriteSwap(Similarity.trainPqCodes(s, dir),
+      val cbFlat = Similarity.trainPqCodebookFlatOf(s, e.select($"vec_id", $"v"))
+      ParquetIO.overwriteSwap(cbFlat, root.resolve("pq_codebook").toString)
+      ParquetIO.overwriteSwap(
+        Similarity.assignPqCodes(s, e.select($"vec_id", $"v"),
+          ParquetIO.read(s, root.resolve("pq_codebook").toString)),
         root.resolve("pq_codes").toString)
+      writeSources(root, "pq_codes", snapLines)
+      writeAtomic(root, "_drift", drift.mkString("\n"))
     } finally e.unpersist(false)
   }
 

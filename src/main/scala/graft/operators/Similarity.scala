@@ -684,12 +684,21 @@ object Similarity {
     */
   private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    pqCodebookOf(s,
+      t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v")))
+  }
+
+  /** [[pqCodebook]] over an explicit (vec_id, v) source — the seam
+    * [[AnnIndex.build]] needs to train on exactly its listing-snapshot
+    * file set.
+    */
+  private def pqCodebookOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
     // Anchor pick = orderBy().limit(16) -> TakeOrderedAndProject (each
     // task keeps a 16-row heap); the cw rank window then runs over the
     // 16 survivors only, never over the full embedding table.
-    val anchors = t(s, dir, "embeddings")
-      .select($"vec_id", d($"embedding").as("v"),
-        md5($"vec_id".cast("string")).as("mk"))
+    val anchors = ev
+      .select($"vec_id", $"v", md5($"vec_id".cast("string")).as("mk"))
       .orderBy($"mk", $"vec_id").limit(PqCodewords)
     val w = Window.orderBy($"mk", $"vec_id")
     anchors
@@ -747,9 +756,12 @@ object Similarity {
     * remaining bit-identical to l2sq's fold: a dim-2 sequential-fold dot
     * IS (0 + a1*b1) + a2*b2 = a1*b1 + a2*b2 exactly.
     */
-  private def cbFlat(s: SparkSession, dir: String): DataFrame = {
+  private def cbFlat(s: SparkSession, dir: String): DataFrame =
+    flattenPqCb(s, pqCodebook(s, dir))
+
+  private def flattenPqCb(s: SparkSession, cb: DataFrame): DataFrame = {
     import s.implicits._
-    pqCodebook(s, dir).select($"s", $"cw",
+    cb.select($"s", $"cw",
       element_at($"cv", 1).as("c1"), element_at($"cv", 2).as("c2"),
       dot($"cv", $"cv").as("ccv"))
   }
@@ -763,6 +775,12 @@ object Similarity {
     */
   def trainPqCodebookFlat(s: SparkSession, dir: String): DataFrame =
     cbFlat(s, dir)
+
+  /** [[trainPqCodebookFlat]] over an explicit (vec_id, v) source — for
+    * the index job's snapshot-exact build.
+    */
+  def trainPqCodebookFlatOf(s: SparkSession, ev: DataFrame): DataFrame =
+    flattenPqCb(s, pqCodebookOf(s, ev))
 
   def trainPqCodes(s: SparkSession, dir: String): DataFrame =
     pqCodes(s, dir)

@@ -46,46 +46,79 @@ object ParquetIO {
     */
   val LockStaleMs = 600000L
 
-  /** Serialize commits on `dir`: atomic create-new of `_writer.lock`
-    * carrying an ownership token (`pid:nonce`), fail-fast (not wait) on
-    * a LIVE concurrent holder — the caller is violating the
-    * single-writer contract and should know immediately. A lock whose
-    * recorded pid is verifiably dead is a crashed writer's remnant and
-    * is stolen AT ONCE (restoring the protocol's zero-wait crash
-    * recovery); an unreadable-owner lock falls back to the
-    * [[LockStaleMs]] age heuristic. Release deletes the lock only if it
-    * still carries OUR token, so a stealer's lock is never clobbered by
-    * the writer it stole from.
+  /** Atomically materialize `lock` ALREADY CARRYING a fresh `pid:nonce`
+    * ownership token, or return None if it exists. The token is written
+    * to a uniquely-named sibling first and hard-LINKED into place
+    * (create-new semantics + content in one atomic step), so a crash can
+    * never leave a token-less lock that blocks every later writer for
+    * the full [[LockStaleMs]] despite its holder being dead. Filesystems
+    * without hard links fall back to create-new + write (token-less
+    * window shrinks to two syscalls; the age heuristic still bounds it).
+    */
+  private[graft] def tryLockFile(lock: Path): Option[String] = {
+    val token = s"${ProcessHandle.current().pid()}:${System.nanoTime()}"
+    val tmp = lock.resolveSibling(
+      s"${lock.getFileName}.${token.replace(':', '_')}.tmp")
+    Files.writeString(tmp, token)
+    try { Files.createLink(lock, tmp); Some(token) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        try { Files.createFile(lock); Files.writeString(lock, token); Some(token) }
+        catch { case _: java.nio.file.FileAlreadyExistsException => None }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** True iff the lock's recorded owner pid is verifiably dead on THIS
+    * host. Unreadable/foreign owners report false — callers fall back
+    * to the [[LockStaleMs]] age heuristic via [[lockAgeMs]].
+    */
+  private[graft] def lockOwnerDead(lock: Path): Boolean =
+    try {
+      val pid = Files.readString(lock).trim.split(":")(0).toLong
+      val oh = ProcessHandle.of(pid)
+      !(oh.isPresent && oh.get().isAlive)
+    } catch { case _: Exception => false }
+
+  /** Age of the lock file; 0 (treat as live) if it vanished mid-check. */
+  private[graft] def lockAgeMs(lock: Path): Long =
+    try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+    catch { case _: java.io.IOException => 0L }
+
+  /** Delete the lock only if it still carries OUR token — a stealer's
+    * lock is never clobbered by the writer it stole from.
+    */
+  private[graft] def releaseLockIfMine(lock: Path, token: String): Unit = {
+    val mine = try Files.readString(lock).trim == token
+               catch { case _: Exception => false }
+    if (mine) Files.deleteIfExists(lock)
+  }
+
+  /** Serialize commits on `dir`: atomic token-carrying create of
+    * `_writer.lock` ([[tryLockFile]]), fail-fast (not wait) on a LIVE
+    * concurrent holder — the caller is violating the single-writer
+    * contract and should know immediately. A lock whose recorded pid is
+    * verifiably dead is a crashed writer's remnant and is stolen AT
+    * ONCE (restoring the protocol's zero-wait crash recovery); an
+    * unreadable-owner lock falls back to the [[LockStaleMs]] age
+    * heuristic. Release deletes the lock only if it still carries OUR
+    * token ([[releaseLockIfMine]]).
     */
   private def withWriterLock[T](dir: String)(body: => T): T = {
     Files.createDirectories(Paths.get(dir))
     val lock = Paths.get(dir, "_writer.lock")
-    val token = s"${ProcessHandle.current().pid()}:${System.nanoTime()}"
-    def ownerDead: Boolean =
-      try {
-        val pid = Files.readString(lock).trim.split(":")(0).toLong
-        val oh = ProcessHandle.of(pid)
-        !(oh.isPresent && oh.get().isAlive)
-      } catch { case _: Exception => false } // unreadable/foreign: can't verify
-    def acquire(retrySteal: Boolean): Unit = {
-      try { Files.createFile(lock); Files.writeString(lock, token); return }
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      val age =
-        try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
-        catch { case _: java.io.IOException => 0L } // holder just released: treat as live
-      if (retrySteal && (ownerDead || age > LockStaleMs)) {
-        Files.deleteIfExists(lock)
-        acquire(retrySteal = false) // a racing stealer wins cleanly: we fail fast
-      } else throw new IllegalStateException(
-        s"concurrent writer on $dir: _writer.lock held (age ${age} ms) — " +
-          "the versioned-pointer protocol is single-writer; serialize commits")
-    }
-    acquire(retrySteal = true)
-    try body finally {
-      val mine = try Files.readString(lock).trim == token
-                 catch { case _: Exception => false }
-      if (mine) Files.deleteIfExists(lock)
-    }
+    def acquire(retrySteal: Boolean): String =
+      tryLockFile(lock).getOrElse {
+        val age = lockAgeMs(lock)
+        if (retrySteal && (lockOwnerDead(lock) || age > LockStaleMs)) {
+          Files.deleteIfExists(lock)
+          acquire(retrySteal = false) // a racing stealer wins cleanly: we fail fast
+        } else throw new IllegalStateException(
+          s"concurrent writer on $dir: _writer.lock held (age ${age} ms) — " +
+            "the versioned-pointer protocol is single-writer; serialize commits")
+      }
+    val token = acquire(retrySteal = true)
+    try body finally releaseLockIfMine(lock, token)
   }
 
   /** How many PREVIOUS committed versions survive GC (in addition to the
