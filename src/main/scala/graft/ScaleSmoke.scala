@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    graph also scales ~10×, not quadratically (identical copies would
   *    form 10-deep cross-replica clusters: 100× the edges).
   *
-  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [workDir]
+  * Usage: runMain graft.ScaleSmoke [srcSfDir] [K] [workDir] [queryRegex]
   */
 object ScaleSmoke {
 
@@ -37,6 +37,7 @@ object ScaleSmoke {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = if (args.length > 1) args(1).toInt else 10
     val work = if (args.length > 2) args(2) else "/tmp/graft-scale"
+    val pat = if (args.length > 3) args(3) else ".*"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -59,7 +60,7 @@ object ScaleSmoke {
       "q89_pagerank", "q133_pagerank_deep", "q140_label_propagation",
       "q157_lpa_semi_sync", "q145_bfs_distance", "q134_cc_distributed",
       "q18_dedup_jaccard", "q19_dedup_minhash_lsh", "q121_sparse_cosine",
-      "q53_ann_recall", "q137_ivfpq")
+      "q53_ann_recall", "q137_ivfpq").filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
     // accounting would

@@ -131,6 +131,12 @@ object AnnIndex {
   def tableDir(dir: String, name: String): String =
     rootFor(dir).resolve(name).toString
 
+  /** The index root a source directory maps to — for harnesses
+    * ([[graft.AppendSmoke]]) that must clear a stale index so a timed
+    * phase measures a real build, not the fast-path listing.
+    */
+  def indexPathFor(dir: String): Path = rootFor(dir)
+
   /** Bump on ANY trainer-algorithm change the numeric knobs below don't
     * capture — Lloyd round count, sampling key formula, rounding
     * precision, assignment tie-break, salt set. The committed index is

@@ -492,36 +492,117 @@ object Similarity {
       |    (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Ground-truth query budget for the recall harness (q53): the
+    * exact-truth side scores only the [[AnnTruthQueryCap]] smallest-
+    * md5(vec_id) queries of the `% 100` subset, so its cost is
+    * O(cap · n) at ANY corpus size — a recall ESTIMATE never needed the
+    * query set to scale with the corpus, but the old q22-derived truth
+    * did exactly that (queries ∝ n ⇒ truth pairs ∝ n²/100, the round-8
+    * scale-smoke's 6.7× at 10× data). At the gate SFs (5 and 20
+    * queries) the cap does not bind, so outputs — and the locked recall
+    * floors — are unchanged.
+    */
+  val AnnTruthQueryCap = 32
+
   /** q53: ANN recall harness — the number every geometry knob (band
     * width, probe depth, centroid count) is tuned against. Ground truth
-    * is q22's brute-force top-5 restricted to the ≥0.35 near-dup regime
-    * (the set the ANN variants are contractually after); each method's
-    * verified pairs are joined against it and recall@5 emitted per
-    * method. The q54 probe-1 twin is included so the multiprobe delta is
-    * measured like-for-like (same trained codebook): with the fixed-k
-    * Lloyd codebooks neither centroid set coincides with the query set,
-    * so every number is honest routing quality (the old residue-0
-    * seeding made q45's recall 1.0 by construction — every query was
-    * the center of its own cell).
+    * is brute-force cosine top-5 (q22's pipeline) over a FIXED-SIZE
+    * md5-ranked query sample ([[AnnTruthQueryCap]]), restricted to the
+    * ≥0.35 near-dup regime (the set the ANN variants are contractually
+    * after); each method's verified pairs are joined against it and
+    * recall@5 emitted per method — with every method arm generating
+    * candidates from the QUERY side only (a pair not touching a sampled
+    * query can never be a hit), so the whole gauge is O(cap · n) at any
+    * corpus size while reporting bit-identical recall to the corpus-wide
+    * formulation the DuckDB oracle still runs. The q54 probe-1 twin is
+    * included so
+    * the multiprobe delta is measured like-for-like (same trained
+    * codebook): with the fixed-k Lloyd codebooks neither centroid set
+    * coincides with the query set, so every number is honest routing
+    * quality (the old residue-0 seeding made q45's recall 1.0 by
+    * construction — every query was the center of its own cell).
     */
   def q53AnnRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val truth = q22AnnBruteForce(s, dir)
-      .filter($"cos_sim" >= 0.35)
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .persist()
+    // orderBy().limit() → TakeOrdered: each task keeps a cap-sized
+    // heap; the sampled query set then broadcasts into the truth scan
+    val qset = e.filter($"vec_id" % 100 === 0)
+      .withColumn("mk", md5($"vec_id".cast("string")))
+      .orderBy($"mk", $"vec_id").limit(AnnTruthQueryCap)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val wbf = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    val truth = broadcast(qset)
+      .crossJoin(e.select($"vec_id".as("neighbor_id"), $"v", $"nrm"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wbf))
+      .filter($"rank" <= 5 && $"cos_sim" >= 0.35)
       .select(least($"query_id", $"neighbor_id").as("vec_a"),
         greatest($"query_id", $"neighbor_id").as("vec_b"))
       .distinct()
       .persist()
+    // The method arms are QUERY-RESTRICTED twins of q29/q45/q54: a
+    // method pair can only score a hit if it touches a sampled query
+    // (truth contains nothing else), so generating candidates from the
+    // query side — sampled queries' cells/bands joined against the full
+    // cells/bands tables — yields IDENTICAL hit counts at
+    // O(cap · probes · occupancy) candidate cost instead of
+    // materializing each method's full corpus-wide pair set
+    // (cell self-joins are O(n²/k) = O(n^1.5) at k=√n — fine as the
+    // OPERATOR output in q45/q54, pure waste inside a recall gauge;
+    // the round-8 smoke's q53 blowup at 10× data was exactly this, the
+    // depth-4 arm's pair volume, not the truth side it was blamed on).
+    val qIds = qset.select($"query_id".as("vec_id"))
+    def verified(cand: DataFrame): DataFrame = cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("nrm_a")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nrm_b")), "vec_b")
+      .withColumn("cos_sim", round(dot($"va", $"vb") / ($"nrm_a" * $"nrm_b"), 6))
+      .filter($"cos_sim" >= 0.35)
     // one depth-annotated IVF run serves every probe setting ≤ 4: a
     // pair's probe_depth is the smallest budget that surfaces it, so
     // depth-k filters reproduce a probes=k run exactly. probe-4 is the
     // PRODUCTION setting (recall@5 ≥ 0.8 at sf0.01, AnnRecallSpec
     // floor); probe-1/2 stay reported so the depth-recall curve — the
     // knob's price list — is visible in one output.
-    val ivf = ivfPairsDepth(s, dir, salt = "b", maxProbes = 4).persist()
+    def ivfQueryPairs(salt: String, maxProbes: Int): DataFrame = {
+      val cells = AnnIndex.cells(s, dir, salt, maxProbes)
+      val qc = cells.join(broadcast(qIds), Seq("vec_id"))
+      val cand = qc.as("ca").join(cells.as("cb"),
+          col("ca.cell") === col("cb.cell") && col("ca.vec_id") =!= col("cb.vec_id"))
+        .select(least(col("ca.vec_id"), col("cb.vec_id")).as("vec_a"),
+          greatest(col("ca.vec_id"), col("cb.vec_id")).as("vec_b"),
+          greatest(col("ca.rn"), col("cb.rn")).as("pd"))
+        .groupBy($"vec_a", $"vec_b").agg(min($"pd").as("probe_depth"))
+      verified(cand)
+    }
+    val ivf = ivfQueryPairs("b", maxProbes = 4).persist()
+    val lsh = {
+      import graft.functions.NativeExpressions.cosineLshSignature
+      val bandBits = NumPlanes / LshBands
+      val bands = e
+        .withColumn("sig", cosineLshSignature($"v", NumPlanes))
+        .select($"vec_id",
+          posexplode(array((0 until LshBands).map(k =>
+            shiftrightunsigned($"sig", k * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val qb = bands.join(broadcast(qIds), Seq("vec_id"))
+      verified(qb.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+        .distinct())
+    }
     val methods = Seq(
-      "q29_ann_lsh" -> q29AnnLsh(s, dir),
-      "q45_ivf_ann" -> q45IvfAnn(s, dir),
+      "q29_ann_lsh" -> lsh,
+      "q45_ivf_ann" -> ivfQueryPairs("a", maxProbes = 1),
       "q54_ivf_probe1" -> ivf.filter($"probe_depth" === 1),
       "q54_ivf_multiprobe" -> ivf.filter($"probe_depth" <= 2),
       "q54_ivf_probe4" -> ivf)
@@ -548,7 +629,8 @@ object Similarity {
       |$ivfDimsSql,
       |${ivfCbSql("a", "a")},
       |${ivfCbSql("b", "b")},
-      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnTruthQueryCap),
       |bf_scored AS (
       |  SELECT query_id, e.vec_id AS neighbor_id,
       |    round(list_dot_product(qv, v) /
@@ -975,7 +1057,25 @@ object Similarity {
     * volume, so the routing-depth / recall / cost trade reads off two
     * adjacent rows. Probe-4 recall converges toward q75's full-corpus
     * ADC (the quantization-loss ceiling for this code size).
+    *
+    * Round 9 adds the third stage every production IVF-PQ deployment
+    * runs (FAISS refine / DiskANN re-rank): the probe-4 ADC scores are
+    * kept only as a SHORTLIST (top-[[RerankDepth]] per query by ADC
+    * distance), and the shortlist is re-ranked by EXACT L2 against the
+    * true stored vectors. The 16-byte code's quantization noise — the
+    * 0.56 recall ceiling the probe rows sit at — cancels entirely for
+    * any truth pair the shortlist covers, so the reranked row's recall
+    * is pure routing+shortlist coverage — measured 0.92 at BOTH
+    * sf0.001 and sf0.01 (vs 0.40/0.56 for the raw probe-4 ADC: the
+    * code's noise was the binding loss, exactly the ceiling diagnosis)
+    * — while the exact-scored volume stays [[RerankDepth]]·|queries| — at
+    * production scale a vanishing fraction of the corpus (the corpus-
+    * wide exact scan q22 runs is |corpus|·|queries|). Its n_candidates
+    * column reports that exact-rerank volume, directly comparable to
+    * the probe rows' ADC-scored volumes one line up.
     */
+  val RerankDepth = 50
+
   def q137IvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
@@ -1031,7 +1131,36 @@ object Similarity {
           $"hits", $"eligible_pairs",
           round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
     }
-    reportAt(2).unionByName(reportAt(4)).orderBy($"method")
+    // Stage 3: exact re-rank of the ADC shortlist. The shortlist window
+    // runs over the already-persisted depth-4 ADC scores (queries ×
+    // |cell candidates| rows); the exact pass then touches only
+    // RerankDepth true vectors per query — the two joins broadcast the
+    // tiny shortlist/query sides so the vector table is probed, never
+    // shuffled.
+    val wsl = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"neighbor_id".asc)
+    val short = adc.withColumn("srk", row_number().over(wsl))
+      .filter($"srk" <= RerankDepth)
+      .select($"query_id", $"neighbor_id")
+    val wrr = Window.partitionBy($"query_id")
+      .orderBy($"dsq".asc, $"neighbor_id".asc)
+    val rr5 = e.select($"vec_id".as("neighbor_id"), $"v")
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        round(l2sq($"qv", $"v"), 6).as("dsq"))
+      .withColumn("rank", row_number().over(wrr))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val rrHits = rr5.join(truth, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("hits"))
+    val rrReport = short.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(rrHits).crossJoin(elig)
+      .select(lit("q137_ivfpq_rerank").as("method"), $"n_candidates",
+        $"hits", $"eligible_pairs",
+        round($"hits".cast("double") / $"eligible_pairs", 4).as("recall_at_5"))
+    reportAt(2).unionByName(reportAt(4)).unionByName(rrReport)
+      .orderBy($"method")
   }
 
   private def q137Sql =
@@ -1084,14 +1213,34 @@ object Similarity {
       |      ORDER BY adc_dist, neighbor_id) AS rank
       |    FROM adc)
       |  WHERE rank <= 5),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dist, neighbor_id) AS srk
+      |    FROM adc)
+      |  WHERE srk <= $RerankDepth),
+      |rr5 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT sh.query_id, sh.neighbor_id,
+      |      row_number() OVER (PARTITION BY sh.query_id ORDER BY
+      |        round(list_dot_product(qv.qvec, qv.qvec)
+      |          - 2*list_dot_product(qv.qvec, x.v)
+      |          + list_dot_product(x.v, x.v), 6) ASC, sh.neighbor_id ASC) AS rank
+      |    FROM short sh
+      |    JOIN e x ON x.vec_id = sh.neighbor_id
+      |    JOIN qv ON qv.query_id = sh.query_id)
+      |  WHERE rank <= 5),
       |$pqExactSql,
       |elig AS (SELECT count(*) AS eligible_pairs FROM exact),
       |h2 AS (SELECT count(*) AS hits
       |       FROM pq5_2 JOIN exact USING (query_id, neighbor_id)),
       |h4 AS (SELECT count(*) AS hits
       |       FROM pq5_4 JOIN exact USING (query_id, neighbor_id)),
+      |hr AS (SELECT count(*) AS hits
+      |       FROM rr5 JOIN exact USING (query_id, neighbor_id)),
       |n2 AS (SELECT count(*) AS n_candidates FROM adc WHERE probe_depth <= 2),
-      |n4 AS (SELECT count(*) AS n_candidates FROM adc)
+      |n4 AS (SELECT count(*) AS n_candidates FROM adc),
+      |nr AS (SELECT count(*) AS n_candidates FROM short)
       |SELECT * FROM (
       |  SELECT 'q137_ivfpq_probe2' AS method, n2.n_candidates, h2.hits,
       |    elig.eligible_pairs,
@@ -1101,7 +1250,12 @@ object Similarity {
       |  SELECT 'q137_ivfpq_probe4', n4.n_candidates, h4.hits,
       |    elig.eligible_pairs,
       |    round(CAST(h4.hits AS DOUBLE) / elig.eligible_pairs, 4)
-      |  FROM h4 CROSS JOIN elig CROSS JOIN n4)
+      |  FROM h4 CROSS JOIN elig CROSS JOIN n4
+      |  UNION ALL
+      |  SELECT 'q137_ivfpq_rerank', nr.n_candidates, hr.hits,
+      |    elig.eligible_pairs,
+      |    round(CAST(hr.hits AS DOUBLE) / elig.eligible_pairs, 4)
+      |  FROM hr CROSS JOIN elig CROSS JOIN nr)
       |ORDER BY method""".stripMargin
 
   /** q161: incremental index maintenance — the FROZEN-CODEBOOK append
@@ -1170,7 +1324,7 @@ object Similarity {
       "PQ recall@5 vs exact same-metric L2 truth (pure quantization loss)",
       q75PqRecall, Some(q75Sql)),
     GraftQuery("q137_ivfpq", Seq("EXT-similarity", "EXT-approx"),
-      "IVF-PQ (FAISS IVFADC shape): probe-2 AND probe-4 routing off the materialized index + code-only ADC, recall + candidate volume per depth",
+      "IVF-PQ (FAISS IVFADC shape): probe-2/probe-4 routing off the materialized index + code-only ADC, plus exact re-rank of the ADC shortlist (the production two-stage plan) — recall + candidate volume per variant",
       q137IvfPq, Some(q137Sql)),
     GraftQuery("q60_embedding_dedup", Seq("EXT-similarity", "EXT-dedup"),
       "embedding-cluster dedup: ANN pairs -> components -> canonical survivors",

@@ -45,6 +45,31 @@ class AnnRecallSpec extends AnyFunSuite {
       "deeper probes must never lose recall")
   }
 
+  test("q137: exact re-rank of the ADC shortlist holds the ≥0.9 recall floor") {
+    // the two-stage plan (probe-4 ADC shortlist → exact-L2 re-rank of
+    // RerankDepth true vectors per query) must break the raw ADC's
+    // quantization ceiling: measured 0.92 at BOTH sf0.001 and sf0.01
+    // (raw probe-4 ADC: 0.40 / 0.56). Deterministic pipeline — this is
+    // a regression tripwire, not a statistical bound.
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val rows = operators.Similarity.q137IvfPq(spark, d)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4)))
+        .toMap
+      val (nCand, rerank) = rows("q137_ivfpq_rerank")
+      val adc4 = rows("q137_ivfpq_probe4")._2
+      assert(rerank >= 0.9, s"reranked recall floor broken at $d: $rerank")
+      assert(rerank > adc4,
+        s"re-rank must beat the raw ADC it refines ($rerank vs $adc4) at $d")
+      // the exact-scored volume must stay RerankDepth per query — the
+      // whole point is NOT rescanning the corpus
+      val nQueries = graft.Tables.loadSpread(spark, d, "embeddings")
+        .filter(org.apache.spark.sql.functions.expr("vec_id % 100 = 0")).count()
+      assert(nCand <= operators.Similarity.RerankDepth * nQueries,
+        s"rerank scored $nCand pairs > ${operators.Similarity.RerankDepth}/query at $d")
+    }
+  }
+
   test("q161: frozen-codebook append — base-only training, complete routing") {
     import org.apache.spark.sql.functions._
     import operators.Similarity
