@@ -49,16 +49,48 @@ object StreamingOps {
     * to [[graft.Tables.tsVariant]] so batch and streaming reads of the
     * same files can never disagree. An EMPTY landing directory (the
     * normal start-the-stream-before-data-arrives pattern) can't be
-    * sniffed; assume the current generator's layout (true parquet
-    * TIMESTAMP → TIMESTAMP_NTZ) rather than failing at definition time.
+    * sniffed; only THAT case falls back — to the current generator's
+    * layout (true parquet TIMESTAMP → TIMESTAMP_NTZ) by default,
+    * overridable via `graft.stream.tsType` (SQL conf) or
+    * `SPARK_GRAFT_STREAM_TS_TYPE` (env) = `timestamp_ntz | timestamp |
+    * nanos_long` for known generator drift (events.ts shipped as INT64
+    * TIMESTAMP(NANOS) through round 6). Any other read failure — a
+    * corrupt footer, a permission error — propagates: a swallowed real
+    * error here would surface later as a schema-mismatch stream failure
+    * with the cause erased.
     */
   private def tsNormalize(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Exception => org.apache.spark.sql.types.TimestampNTZType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(m =>
+              m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+                m.contains("UNABLE_TO_INFER_SCHEMA") ||
+                m.contains("Unable to infer schema")) =>
+          fallbackTsType(spark)
+      }
     val (dt, norm) = graft.Tables.tsVariant(physical)
     (eventSchema(dt), norm)
+  }
+
+  /** Declared `ts` type when the landing directory is empty at stream
+    * definition time (nothing to sniff). Conf beats env beats the
+    * current generator default; [[graft.Tables.tsVariant]] maps each to
+    * its normalization, so a correct override makes late-arriving files
+    * read exactly as a post-arrival sniff would have.
+    */
+  private def fallbackTsType(spark: SparkSession): org.apache.spark.sql.types.DataType = {
+    val pick = spark.conf.getOption("graft.stream.tsType")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_TS_TYPE"))
+    pick match {
+      case Some("nanos_long")    => LongType
+      case Some("timestamp")     => TimestampType
+      case Some("timestamp_ntz") | None => TimestampNTZType
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft.stream.tsType '$other' not one of timestamp_ntz | timestamp | nanos_long")
+    }
   }
 
   /** File-source stream over a directory of events parquet. */
