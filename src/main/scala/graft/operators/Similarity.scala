@@ -885,10 +885,22 @@ object Similarity {
   private def pqQueryTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    pqQueryTermsOf(s, dir,
+      e.filter($"vec_id" % 100 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv")))
+  }
+
+  /** [[pqQueryTerms]] over an explicit (query_id, qv) set — the seam
+    * that lets a gauge run its ADC lookup table over a FIXED-size query
+    * sample instead of the corpus-proportional `% 100` subset.
+    */
+  private def pqQueryTermsOf(
+      s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    import s.implicits._
     // query slices pre-flattened: (query, s, q1, q2, qq) — m rows/query
-    e.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"v")
+    queries
+      .select($"query_id",
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("s"), $"qv".as("v"))
       .select($"query_id", $"s",
         slice($"v", $"s" * PqSubDim + 1, lit(PqSubDim)).as("qsl"))
       .select($"query_id", $"s",
@@ -1016,19 +1028,24 @@ object Similarity {
       |ORDER BY query_id, rank""".stripMargin
 
   /** Exact squared-L2 top-5 truth CTE (same-metric gauge), shared by
-    * q75 and q137.
+    * q75 (full `% 100` query set) and q137 (capped sample).
     */
-  private val pqExactSql =
-    """exact AS (
+  private def pqExactSqlOf(cap: Option[Int]): String = {
+    val qsrc = "SELECT vec_id AS query_id, v AS qv2 FROM e WHERE vec_id % 100 = 0" +
+      cap.map(c =>
+        s" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $c").getOrElse("")
+    s"""exact AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.query_id, x.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
       |        round(list_dot_product(qv2, qv2) - 2*list_dot_product(qv2, x.v)
       |          + list_dot_product(x.v, x.v), 6), x.vec_id) AS rank
-      |    FROM (SELECT vec_id AS query_id, v AS qv2 FROM e
-      |          WHERE vec_id % 100 = 0) q
+      |    FROM ($qsrc) q
       |    CROSS JOIN e x WHERE q.query_id <> x.vec_id)
       |  WHERE rank <= 5)""".stripMargin
+  }
+
+  private def pqExactSql = pqExactSqlOf(None)
 
   private val q75Sql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1073,6 +1090,12 @@ object Similarity {
     * wide exact scan q22 runs is |corpus|·|queries|). Its n_candidates
     * column reports that exact-rerank volume, directly comparable to
     * the probe rows' ADC-scored volumes one line up.
+    *
+    * Like q53, the gauge's query set is the fixed [[AnnTruthQueryCap]]
+    * md5-ranked sample of the `% 100` subset — every per-query arm
+    * (candidate routing, ADC lookup join, exact truth, re-rank) is
+    * O(cap · n) at any corpus size; gate-SF outputs are unchanged
+    * (5/20 queries < cap).
     */
   val RerankDepth = 50
 
@@ -1081,11 +1104,21 @@ object Similarity {
     val e = t(s, dir, "embeddings")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v")).persist()
+    // FIXED-size query sample ([[AnnTruthQueryCap]], same md5 ranking as
+    // q53): every per-query arm of this gauge — routing candidates, ADC
+    // scoring, exact truth, re-rank — is O(cap · n) at any corpus size
+    // instead of scaling with the `% 100` subset (∝ n). The gate SFs
+    // carry 5/20 queries, below the cap, so outputs are unchanged.
+    val q = e.filter($"vec_id" % 100 === 0)
+      .withColumn("mk", md5($"vec_id".cast("string")))
+      .orderBy($"mk", $"vec_id").limit(AnnTruthQueryCap)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val qIds = q.select($"query_id".as("vec_id"))
     // Both index sides come from the materialized artifact: probe-rank
     // routing (pushed rn filter on the persisted cells) and the PQ
     // codes — the query never trains or assigns anything.
     val cells = AnnIndex.cells(s, dir, "b", maxProbes = 4)
-    val cq = cells.filter($"vec_id" % 100 === 0)
+    val cq = cells.join(broadcast(qIds), Seq("vec_id"))
       .select($"vec_id".as("query_id"), $"cell", $"rn".as("rnq"))
     val cn = cells
       .select($"vec_id".as("neighbor_id"), $"cell", $"rn".as("rnn"))
@@ -1099,13 +1132,11 @@ object Similarity {
     val adc = cand
       .join(AnnIndex.pqCodes(s, dir).withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"))
-      .join(broadcast(pqQueryTerms(s, dir)), Seq("query_id", "s", "cw"))
+      .join(broadcast(pqQueryTermsOf(s, dir, q)), Seq("query_id", "s", "cw"))
       .groupBy($"query_id", $"neighbor_id")
       .agg(sum($"term").cast("double").as("adc_dist"),
         min($"probe_depth").as("probe_depth"))
       .persist()
-    val q = e.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
     val wt = Window.partitionBy($"query_id")
       .orderBy($"dsq".asc, $"neighbor_id".asc)
     val truth = q.crossJoin(e.select($"vec_id".as("neighbor_id"), $"v"))
@@ -1180,26 +1211,30 @@ object Similarity {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY csim DESC, centroid_id ASC) AS rn
       |    FROM csc) WHERE rn <= 4),
+      |qs AS (
+      |  SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id % 100 = 0
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnTruthQueryCap),
       |cand AS (
       |  SELECT cq.vec_id AS query_id, cn.vec_id AS neighbor_id,
       |    min(greatest(cq.rn, cn.rn)) AS probe_depth
       |  FROM cells cq JOIN cells cn USING (cell)
-      |  WHERE cq.vec_id % 100 = 0 AND cq.vec_id <> cn.vec_id
+      |  JOIN qs ON qs.query_id = cq.vec_id
+      |  WHERE cq.vec_id <> cn.vec_id
       |  GROUP BY 1, 2),
       |$pqIndexSql,
       |adc AS (
       |  SELECT cand.query_id, c.vec_id AS neighbor_id,
       |    CAST(sum(CAST(round(
-      |        list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim),
-      |                         list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim))
-      |      - 2*list_dot_product(list_slice(qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim), cb.cv)
+      |        list_dot_product(list_slice(qs.qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim),
+      |                         list_slice(qs.qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim))
+      |      - 2*list_dot_product(list_slice(qs.qvec, c.s*$PqSubDim+1, c.s*$PqSubDim+$PqSubDim), cb.cv)
       |      + list_dot_product(cb.cv, cb.cv), 6) AS DECIMAL(18,6)))
       |      AS DOUBLE) AS adc_dist,
       |    min(cand.probe_depth) AS probe_depth
       |  FROM cand
       |  JOIN codes c ON c.vec_id = cand.neighbor_id
       |  JOIN cb ON cb.s = c.s AND cb.cw = c.cw
-      |  JOIN qv ON qv.query_id = cand.query_id
+      |  JOIN qs ON qs.query_id = cand.query_id
       |  GROUP BY 1, 2),
       |pq5_2 AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -1223,14 +1258,14 @@ object Similarity {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT sh.query_id, sh.neighbor_id,
       |      row_number() OVER (PARTITION BY sh.query_id ORDER BY
-      |        round(list_dot_product(qv.qvec, qv.qvec)
-      |          - 2*list_dot_product(qv.qvec, x.v)
+      |        round(list_dot_product(qs.qvec, qs.qvec)
+      |          - 2*list_dot_product(qs.qvec, x.v)
       |          + list_dot_product(x.v, x.v), 6) ASC, sh.neighbor_id ASC) AS rank
       |    FROM short sh
       |    JOIN e x ON x.vec_id = sh.neighbor_id
-      |    JOIN qv ON qv.query_id = sh.query_id)
+      |    JOIN qs ON qs.query_id = sh.query_id)
       |  WHERE rank <= 5),
-      |$pqExactSql,
+      |${pqExactSqlOf(Some(AnnTruthQueryCap))},
       |elig AS (SELECT count(*) AS eligible_pairs FROM exact),
       |h2 AS (SELECT count(*) AS hits
       |       FROM pq5_2 JOIN exact USING (query_id, neighbor_id)),
