@@ -881,7 +881,133 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** Hashed-feature bucket count for DSIR (q162) — the knob that keeps
+    * the importance model a BROADCASTABLE table (B rows) at any corpus
+    * size, the whole point of the hashed-n-gram construction.
+    */
+  val DsirBuckets = 256
+
+  /** q162: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * reference pipeline's curation layer has no selection step, this is
+    * the standard one a pretraining corpus adds). Mechanics, all
+    * engine-deterministic:
+    *
+    *  1. hashed n-gram features: every unigram + bigram md5-hashes into
+    *     one of [[DsirBuckets]] buckets, so BOTH distribution models are
+    *     fixed-width count vectors no matter the corpus size;
+    *  2. target distribution = the `lang = 'en'` slice (stand-in for
+    *     "high-quality domain"), raw distribution = the whole corpus;
+    *     add-one smoothing over the B buckets; per-bucket log-likelihood
+    *     ratio rounded to 6 digits and REDUCED TO DECIMAL (the q84
+    *     idiom) so per-doc sums are exact integer-decimal arithmetic,
+    *     not float-order-dependent;
+    *  3. per-doc importance log-weight = Σ_b n_b·lr_b (exact decimal);
+    *  4. Gumbel-top-⌈n/5⌉ resampling: key = logw + round(Gumbel(u),6)
+    *     with u an md5-derived uniform (the q151 inverse-CDF idiom) —
+    *     EXACTLY sampling-without-replacement ∝ w, yet reproducible.
+    *
+    * Scale shape: two scan-shaped gram passes (count + per-doc), a
+    * B-row broadcast for the ratio table, and the keep cut via the q88
+    * bounded-heap TakeOrdered boundary — no global sort, no window over
+    * an unpartitioned frame. At 100 TB the only growing state is the
+    * per-doc score table.
+    */
+  def q162DsirResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = lit(DsirBuckets)
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"lang", split($"text", " ").as("t"))
+    val grams = toks.select($"doc_id", $"lang",
+        explode(concat($"t",
+          zip_with(slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (x, y) => concat(x, lit("_"), y)))).as("g"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"g"), 1, 8), 16, 10).cast("long") % b).as("bkt"))
+    // per-(doc, bucket) counts feed BOTH the global models and the
+    // per-doc scoring join — one aggregation, reused
+    val db = grams.groupBy($"doc_id", $"lang", $"bkt")
+      .agg(count(lit(1)).as("nb"))
+      .persist()
+    val raw = db.groupBy($"bkt").agg(sum($"nb").as("cr"))
+    val tgt = db.filter($"lang" === "en")
+      .groupBy($"bkt").agg(sum($"nb").as("ct"))
+    val tot = db.agg(
+      sum($"nb").as("tr"),
+      sum(when($"lang" === "en", $"nb").otherwise(0L)).as("tt"))
+    // ≤ B rows: the whole importance model, broadcast to the scorers
+    val lr = raw.join(tgt, Seq("bkt"), "left").crossJoin(tot)
+      .select($"bkt",
+        round(log((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"tt" + b)) -
+              log(($"cr" + 1).cast("double") / ($"tr" + b)), 6)
+          .cast("decimal(12,6)").as("lr"))
+    val scored = db.join(broadcast(lr), Seq("bkt"))
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"nb").as("n_grams"), sum($"nb" * $"lr").as("lw"))
+      .select($"doc_id", $"lang", $"n_grams",
+        $"lw".cast("decimal(30,6)").as("lw"),
+        // Gumbel(u) = -ln(-ln(u)), u ∈ (0,1) md5-seeded per doc
+        ($"lw".cast("decimal(30,6)") +
+          round(-log(-log((conv(substring(md5(concat(lit("dsir:"),
+              $"doc_id".cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+            4294967296.0)), 6).cast("decimal(12,6)")).as("k"))
+      .persist()
+    val keepN = ((scored.count() + 4) / 5).toInt // ⌈n/5⌉, the DSIR budget
+    def key(k: Column, id: Column): Column = struct((-k).as("k1"), id.as("k2"))
+    val bound = scored.orderBy($"k".desc, $"doc_id".asc).limit(keepN)
+      .agg(max(key($"k", $"doc_id")).as("b"))
+    val out = scored.crossJoin(broadcast(bound))
+      .select($"doc_id", $"lang", $"n_grams",
+        $"lw".cast("double").as("logw"),
+        (key($"k", $"doc_id") <= $"b").as("keep"))
+      .orderBy($"doc_id")
+    db.unpersist(false)
+    out
+  }
+
+  private val q162Sql =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang, unnest(list_concat(t,
+      |    list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1]))) AS g
+      |  FROM toks),
+      |hb AS (SELECT doc_id, lang,
+      |         ('0x' || substr(md5(g), 1, 8))::BIGINT % $DsirBuckets AS bkt
+      |       FROM grams),
+      |db AS (SELECT doc_id, lang, bkt, CAST(count(*) AS BIGINT) AS nb
+      |       FROM hb GROUP BY 1, 2, 3),
+      |raw AS (SELECT bkt, CAST(sum(nb) AS BIGINT) AS cr FROM db GROUP BY 1),
+      |tgt AS (SELECT bkt, CAST(sum(nb) AS BIGINT) AS ct
+      |        FROM db WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS tr,
+      |          CAST(sum(nb) FILTER (WHERE lang = 'en') AS BIGINT) AS tt
+      |        FROM db),
+      |lr AS (
+      |  SELECT raw.bkt,
+      |    CAST(round(ln((COALESCE(ct, 0) + 1) / CAST(tt + $DsirBuckets AS DOUBLE)) -
+      |               ln((cr + 1) / CAST(tr + $DsirBuckets AS DOUBLE)), 6)
+      |      AS DECIMAL(12,6)) AS lr
+      |  FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, lang, CAST(sum(nb) AS BIGINT) AS n_grams,
+      |    CAST(sum(nb * lr) AS DECIMAL(30,6)) AS lw
+      |  FROM db JOIN lr USING (bkt) GROUP BY 1, 2),
+      |keyed AS (
+      |  SELECT *, lw + CAST(round(-ln(-ln(
+      |      (('0x' || substr(md5('dsir:' || doc_id), 1, 8))::BIGINT + 0.5e0)
+      |        / 4294967296e0)), 6) AS DECIMAL(12,6)) AS k
+      |  FROM scored),
+      |n AS (SELECT CAST(ceil(count(*) / 5.0e0) AS BIGINT) AS keep_n FROM keyed)
+      |SELECT doc_id, lang, n_grams, CAST(lw AS DOUBLE) AS logw,
+      |  row_number() OVER (ORDER BY k DESC, doc_id ASC) <= keep_n AS keep
+      |FROM keyed CROSS JOIN n
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q162_dsir_resample", Seq("EXT-curation", "EXT-text", "EXT-approx"),
+      "DSIR importance resampling: hashed n-gram likelihood ratios, Gumbel top-(n/5) draw",
+      q162DsirResample, Some(q162Sql)),
     GraftQuery("q88_bigram_lm", Seq("EXT-text", "EXT-approx"),
       "add-one bigram LM perplexity scoring; worst-decile flag",
       q88BigramLm, Some(q88Sql)),
