@@ -1348,7 +1348,95 @@ object Similarity {
       |WHERE rn <= 2
       |ORDER BY vec_id, rn""".stripMargin
 
+  /** Within-cluster cosine above which two members count as semantic
+    * duplicates for q163 — tuned to the synthetic corpus's intra-label
+    * ceiling (~0.47) the same way the 0.35 near-dup threshold is.
+    */
+  val SemDedupEps = 0.35
+
+  /** q163: SemDeDup (Abbas et al. 2023) — the embedding-space dedup a
+    * pretraining pipeline runs BEFORE any pairwise-graph machinery:
+    * cluster the corpus (here: the materialized IVF index's probe-1
+    * cells, salt "b" — SemDeDup's k-means step is exactly what the
+    * index job already ran), then inside each cluster mark as removable
+    * every member that has a ≥[[SemDedupEps]]-cosine neighbor ranked
+    * CLOSER-to-keep than itself. The paper keeps the member with the
+    * LOWEST cosine to its centroid (the cluster's least-prototypical,
+    * most-informative example); rank = (cent_sim ASC, vec_id ASC), so x
+    * is removed iff some qualifying neighbor y precedes it. One
+    * directed comparison per qualifying pair — no connected components,
+    * no iteration: exactly the paper's one-shot prune, and the contract
+    * that separates q163 from q60 (which builds the full dup-graph and
+    * elects canonical survivors per component).
+    *
+    * Scale: cell-local pairing is the q45 shape — O(n²/k) = O(n^1.5)
+    * candidate work at k=√n cell geometry, never all-pairs; centroid
+    * sims come from one broadcast join against the ≤[[IvfK]]-row
+    * codebook; the removal vote is a cell-keyed semi-join.
+    */
+  def q163SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cb = AnnIndex.codebook(s, dir, "b")
+    val wc = AnnIndex.cells(s, dir, "b", maxProbes = 1)
+      .select($"vec_id", $"cell")
+      .join(e, Seq("vec_id"))
+      .join(broadcast(cb), $"cell" === $"centroid_id")
+      .select($"vec_id", $"cell", $"v", $"nrm",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("cent_sim"))
+      .persist()
+    val x = wc.select($"vec_id".as("xid"), $"cell", $"v".as("xv"),
+      $"nrm".as("xn"), $"cent_sim".as("xc"))
+    val y = wc.select($"vec_id".as("yid"), $"cell", $"v".as("yv"),
+      $"nrm".as("yn"), $"cent_sim".as("yc"))
+    val removed = x.join(y, Seq("cell"))
+      .filter($"xid" =!= $"yid")
+      .filter(round(dot($"xv", $"yv") / ($"xn" * $"yn"), 6) >= SemDedupEps)
+      .filter($"yc" < $"xc" || ($"yc" === $"xc" && $"yid" < $"xid"))
+      .select($"xid").distinct()
+    wc.join(removed, wc("vec_id") === removed("xid"), "left")
+      .select(wc("vec_id"), wc("cell"), $"cent_sim",
+        removed("xid").isNotNull.as("removed"))
+      .orderBy($"vec_id")
+  }
+
+  private def q163Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |sc163 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN cb_b c),
+      |wc AS (
+      |  SELECT vec_id, cid AS cell, csim AS cent_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM sc163) WHERE rn = 1),
+      |wv AS (SELECT wc.vec_id, wc.cell, wc.cent_sim, e.v
+      |       FROM wc JOIN e USING (vec_id)),
+      |rem AS (
+      |  SELECT DISTINCT x.vec_id FROM wv x JOIN wv y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      |  WHERE round(list_dot_product(x.v, y.v) /
+      |      (sqrt(list_dot_product(x.v, x.v)) *
+      |       sqrt(list_dot_product(y.v, y.v))), 6) >= $SemDedupEps
+      |    AND (y.cent_sim < x.cent_sim OR
+      |         (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))),
+      |out163 AS (
+      |  SELECT w.vec_id, w.cell, w.cent_sim,
+      |    (r.vec_id IS NOT NULL) AS removed
+      |  FROM wv w LEFT JOIN rem r ON w.vec_id = r.vec_id)
+      |SELECT vec_id, cell, cent_sim, removed FROM out163
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q163_semdedup", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
+      "SemDeDup: index-cell clustering + within-cluster cosine prune, keep the least-prototypical member",
+      q163SemDedup, Some(q163Sql)),
     GraftQuery("q161_index_append", Seq("EXT-similarity", "EXT-streaming"),
       "frozen-codebook incremental index append: base-trained IVF routing of a later delta batch",
       q161IndexAppend, Some(q161Sql)),
