@@ -1433,7 +1433,93 @@ object Similarity {
       |SELECT vec_id, cell, cent_sim, removed FROM out163
       |ORDER BY vec_id""".stripMargin
 
+  /** Hard negatives emitted per anchor in q164 — the contrastive-batch
+    * fan-out (a real miner ships 1–8 per anchor; 3 keeps the gate
+    * output readable).
+    */
+  val HardNegK = 3
+
+  /** q164: hard-negative mining — the embedding-training companion of
+    * the ANN family: for EVERY anchor vector, the [[HardNegK]]
+    * highest-cosine candidates that carry a DIFFERENT label (the
+    * "hard" negatives that sit inside the anchor's semantic
+    * neighborhood yet must be pushed apart — the batch-construction
+    * step of every modern contrastive embedding recipe). Candidates
+    * come from the materialized index (salt "b", probe-2 shared cells,
+    * the q54 pair machinery made directional), so the miner never
+    * scores the corpus crosswise: per-anchor work is cell occupancy,
+    * not n. Exact cosine + rounded-rank tiebreak keeps the emitted
+    * triplet set engine-deterministic.
+    *
+    * Scale: candidate volume is the q54 collision set (O(n·occupancy)
+    * with √n cells); the per-anchor top-k window partitions on
+    * anchor_id — thousands of small groups, never a global sort; label
+    * lookups ride the same shuffle as the vector join.
+    */
+  def q164HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", $"label", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cells = AnnIndex.cells(s, dir, "b", maxProbes = 2)
+    val ca = cells.select($"vec_id".as("anchor_id"), $"cell")
+    val cn = cells.select($"vec_id".as("neg_id"), $"cell")
+    val cand = ca.join(cn, Seq("cell"))
+      .filter($"anchor_id" =!= $"neg_id")
+      .select($"anchor_id", $"neg_id").distinct()
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"cos_sim".desc, $"neg_id".asc)
+    cand
+      .join(e.select($"vec_id".as("anchor_id"), $"label".as("anchor_label"),
+        $"v".as("av"), $"nrm".as("an")), Seq("anchor_id"))
+      .join(e.select($"vec_id".as("neg_id"), $"label".as("neg_label"),
+        $"v".as("nv"), $"nrm".as("nn")), Seq("neg_id"))
+      .filter($"anchor_label" =!= $"neg_label")
+      .select($"anchor_id", $"neg_id", $"anchor_label", $"neg_label",
+        round(dot($"av", $"nv") / ($"an" * $"nn"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= HardNegK)
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  private def q164Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |sc164 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN cb_b c),
+      |cells164 AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM sc164) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT DISTINCT ca.vec_id AS anchor_id, cb2.vec_id AS neg_id
+      |  FROM cells164 ca JOIN cells164 cb2
+      |    ON ca.cell = cb2.cell AND ca.vec_id <> cb2.vec_id),
+      |scored AS (
+      |  SELECT anchor_id, neg_id, a.label AS anchor_label, b.label AS neg_label,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |  FROM cand
+      |  JOIN e a ON a.vec_id = anchor_id
+      |  JOIN e b ON b.vec_id = neg_id
+      |  WHERE a.label <> b.label)
+      |SELECT anchor_id, neg_id, anchor_label, neg_label, cos_sim, rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |        ORDER BY cos_sim DESC, neg_id ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= $HardNegK
+      |ORDER BY anchor_id, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q164_hard_negatives", Seq("EXT-similarity", "EXT-curation"),
+      "hard-negative mining: per-anchor top-k different-label neighbors from probe-2 index cells",
+      q164HardNegatives, Some(q164Sql)),
     GraftQuery("q163_semdedup", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
       "SemDeDup: index-cell clustering + within-cluster cosine prune, keep the least-prototypical member",
       q163SemDedup, Some(q163Sql)),
