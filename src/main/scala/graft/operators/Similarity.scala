@@ -1516,7 +1516,119 @@ object Similarity {
       |WHERE rank <= $HardNegK
       |ORDER BY anchor_id, rank""".stripMargin
 
+  /** kNN depth for the q165 margin denominator (CCMatrix uses 4–16;
+    * 4 keeps the gate corpus's sparse cells populated).
+    */
+  val MarginK = 4
+
+  /** Ratio-margin above which a mutual pair counts as mined in q165. */
+  val MarginThreshold = 1.05
+
+  /** q165: margin-based parallel-pair mining (Artetxe & Schwenk 2019;
+    * the CCMatrix/LASER construction) — the cross-corpus alignment op a
+    * multilingual training pipeline runs to harvest translation pairs:
+    * split the corpus into two sides (label parity stands in for the
+    * two languages), take each side's kNN over the OTHER side, and
+    * score every candidate pair by the RATIO margin
+    * `2·cos(x,y) / (avgK(x) + avgK(y))` — cosine normalized by how
+    * crowded each endpoint's neighborhood is, which is what separates
+    * true pairs from hubs. A pair is mined iff it is the MUTUAL top-1
+    * in both directions and its margin clears [[MarginThreshold]].
+    *
+    * Candidates come from probe-3 shared cells of the materialized
+    * index (mining at 100 TB is FAISS-backed for exactly this reason —
+    * never side_A × side_B). Determinism: per-pair cosine rounds to 6
+    * digits and REDUCES TO DECIMAL, so the avgK sums are exact and the
+    * one double division per endpoint is IEEE-reproducible.
+    */
+  def q165BitextMargin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", ($"label" % 2).as("side"), d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cells = AnnIndex.cells(s, dir, "b", maxProbes = 3)
+    val xa = cells.join(e.filter($"side" === 0)
+      .select($"vec_id"), Seq("vec_id")).select($"vec_id".as("src_id"), $"cell")
+    val yb = cells.join(e.filter($"side" === 1)
+      .select($"vec_id"), Seq("vec_id")).select($"vec_id".as("tgt_id"), $"cell")
+    val scored = xa.join(yb, Seq("cell"))
+      .select($"src_id", $"tgt_id").distinct()
+      .join(e.select($"vec_id".as("src_id"), $"v".as("xv"), $"nrm".as("xn")),
+        Seq("src_id"))
+      .join(e.select($"vec_id".as("tgt_id"), $"v".as("yv"), $"nrm".as("yn")),
+        Seq("tgt_id"))
+      .select($"src_id", $"tgt_id",
+        round(dot($"xv", $"yv") / ($"xn" * $"yn"), 6)
+          .cast("decimal(9,6)").as("cosd"))
+      .persist()
+    val wx = Window.partitionBy($"src_id").orderBy($"cosd".desc, $"tgt_id".asc)
+    val wy = Window.partitionBy($"tgt_id").orderBy($"cosd".desc, $"src_id".asc)
+    val rk = scored
+      .withColumn("rnx", row_number().over(wx))
+      .withColumn("rny", row_number().over(wy))
+      .persist()
+    val ax = rk.filter($"rnx" <= MarginK).groupBy($"src_id")
+      .agg((sum($"cosd").cast("double") / count(lit(1))).as("ax"))
+    val ay = rk.filter($"rny" <= MarginK).groupBy($"tgt_id")
+      .agg((sum($"cosd").cast("double") / count(lit(1))).as("ay"))
+    val out = rk.filter($"rnx" === 1 && $"rny" === 1)
+      .join(ax, Seq("src_id")).join(ay, Seq("tgt_id"))
+      .select($"src_id", $"tgt_id", $"cosd".cast("double").as("cos_sim"),
+        round(($"cosd".cast("double") * 2) / ($"ax" + $"ay"), 6).as("margin"))
+      .withColumn("mined", $"margin" >= MarginThreshold)
+      .orderBy($"src_id")
+    scored.unpersist(false)
+    out
+  }
+
+  private def q165Sql =
+    s"""WITH e AS (SELECT vec_id, label % 2 AS side,
+      |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |sc165 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN cb_b c),
+      |cells165 AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM sc165) WHERE rn <= 3),
+      |cand AS (
+      |  SELECT DISTINCT xa.vec_id AS src_id, yb.vec_id AS tgt_id
+      |  FROM cells165 xa JOIN e ea ON ea.vec_id = xa.vec_id AND ea.side = 0
+      |  JOIN cells165 yb ON yb.cell = xa.cell
+      |  JOIN e eb ON eb.vec_id = yb.vec_id AND eb.side = 1),
+      |scored AS (
+      |  SELECT src_id, tgt_id,
+      |    CAST(round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS DECIMAL(9,6)) AS cosd
+      |  FROM cand
+      |  JOIN e a ON a.vec_id = src_id
+      |  JOIN e b ON b.vec_id = tgt_id),
+      |rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cosd DESC, tgt_id ASC) AS rnx,
+      |    row_number() OVER (PARTITION BY tgt_id ORDER BY cosd DESC, src_id ASC) AS rny
+      |  FROM scored),
+      |ax AS (SELECT src_id, CAST(sum(cosd) AS DOUBLE) / count(*) AS ax
+      |       FROM rk WHERE rnx <= $MarginK GROUP BY 1),
+      |ay AS (SELECT tgt_id, CAST(sum(cosd) AS DOUBLE) / count(*) AS ay
+      |       FROM rk WHERE rny <= $MarginK GROUP BY 1)
+      |SELECT src_id, tgt_id, CAST(cosd AS DOUBLE) AS cos_sim,
+      |  round((CAST(cosd AS DOUBLE) * 2) / (ax + ay), 6) AS margin,
+      |  round((CAST(cosd AS DOUBLE) * 2) / (ax + ay), 6) >= $MarginThreshold AS mined
+      |FROM rk JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+      |WHERE rnx = 1 AND rny = 1
+      |ORDER BY src_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q165_bitext_margin", Seq("EXT-similarity", "EXT-curation"),
+      "margin-based pair mining: mutual top-1 across label-parity sides, ratio margin over probe-3 cells",
+      q165BitextMargin, Some(q165Sql)),
     GraftQuery("q164_hard_negatives", Seq("EXT-similarity", "EXT-curation"),
       "hard-negative mining: per-anchor top-k different-label neighbors from probe-2 index cells",
       q164HardNegatives, Some(q164Sql)),
