@@ -1625,7 +1625,95 @@ object Similarity {
       |WHERE rnx = 1 AND rny = 1
       |ORDER BY src_id""".stripMargin
 
+  /** Cosine above which a corpus vector counts as contaminated by a
+    * benchmark vector in q166 (same neighborhood scale as the 0.35
+    * near-dup band, one notch looser so paraphrase-level
+    * neighbors surface).
+    */
+  val SemDecontamTau = 0.3
+
+  /** q166: SEMANTIC decontamination — the embedding-space complement of
+    * q58's n-gram decontamination: a held-out benchmark set (the
+    * `vec_id % 50 = 3` residue class, disjoint from every other
+    * harness's query set) is swept against the corpus, and every corpus
+    * vector whose cosine to ANY benchmark vector clears
+    * [[SemDecontamTau]] is flagged with its strongest match. This is
+    * the leakage check run before training on a crawled corpus when
+    * paraphrased test items defeat exact n-gram matching.
+    *
+    * Scale: the benchmark side probes deep (probe-4) into the
+    * materialized index while the corpus side stays at its home cell,
+    * so the sweep is O(|bench|·occupancy); the per-vector strongest
+    * match is a map-side struct-max, not a window.
+    */
+  def q166SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val bench = e.filter($"vec_id" % 50 === 3)
+      .select($"vec_id".as("bench_id"), $"v".as("bv"), $"nrm".as("bn"))
+    val cells = AnnIndex.cells(s, dir, "b", maxProbes = 4)
+    val cb = cells.join(bench.select($"bench_id".as("vec_id")), Seq("vec_id"))
+      .select($"vec_id".as("bench_id"), $"cell")
+    val cc = cells.filter($"rn" === 1)
+      .select($"vec_id", $"cell")
+    cc.join(cb, Seq("cell"))
+      .filter($"vec_id" =!= $"bench_id")
+      .select($"vec_id", $"bench_id").distinct()
+      .join(e, Seq("vec_id"))
+      .join(bench, Seq("bench_id"))
+      .select($"vec_id", $"bench_id",
+        round(dot($"v", $"bv") / ($"nrm" * $"bn"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= SemDecontamTau)
+      // strongest match per corpus vector: lexicographic struct-max on
+      // (cos_sim, -bench_id) — partial-aggregates map-side, no window
+      .groupBy($"vec_id")
+      .agg(max(struct($"cos_sim", (-$"bench_id").as("nb"))).as("m"))
+      .select($"vec_id", (-$"m.nb").as("bench_id"), $"m.cos_sim".as("cos_sim"))
+      .orderBy($"vec_id")
+  }
+
+  private def q166Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |sc166 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN cb_b c),
+      |cells166 AS (
+      |  SELECT vec_id, cid AS cell, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM sc166) WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT cc.vec_id, cb2.vec_id AS bench_id
+      |  FROM cells166 cc JOIN cells166 cb2 ON cc.cell = cb2.cell
+      |  WHERE cc.rn = 1 AND cb2.vec_id % 50 = 3
+      |    AND cc.vec_id <> cb2.vec_id),
+      |hits AS (
+      |  SELECT cand.vec_id, bench_id,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |  FROM cand
+      |  JOIN e a ON a.vec_id = cand.vec_id
+      |  JOIN e b ON b.vec_id = bench_id
+      |  WHERE round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) >= $SemDecontamTau)
+      |SELECT vec_id, bench_id, cos_sim FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, bench_id ASC) AS rn
+      |  FROM hits) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q166_semantic_decontam", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
+      "semantic decontamination: benchmark residue class swept probe-4 against home cells, strongest match per vector",
+      q166SemanticDecontam, Some(q166Sql)),
     GraftQuery("q165_bitext_margin", Seq("EXT-similarity", "EXT-curation"),
       "margin-based pair mining: mutual top-1 across label-parity sides, ratio margin over probe-3 cells",
       q165BitextMargin, Some(q165Sql)),
