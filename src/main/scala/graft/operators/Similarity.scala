@@ -1710,6 +1710,47 @@ object Similarity {
       |  FROM hits) WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** Batch oracle for the STREAMING ANN server
+    * ([[graft.streaming.StreamingOps.q167StreamAnnServe]]) — the
+    * one-shot equivalent of its micro-batched serving loop: queries
+    * route top-2 against the same salt-"b" codebook, corpus vectors sit
+    * at their home cell, collisions exact-score, top-3 per query.
+    * Public (not `private` like the sibling oracles) because the
+    * streaming operator lives in another package and carries this SQL
+    * as its `GraftQuery.oracle`.
+    */
+  def q167Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |${ivfCbSql("b", "b")},
+      |sc167 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e CROSS JOIN cb_b c),
+      |rr167 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY csim DESC, cid ASC) AS rn
+      |  FROM sc167),
+      |corp AS (SELECT vec_id AS neighbor_id, cid AS cell FROM rr167 WHERE rn = 1),
+      |qc AS (SELECT vec_id AS query_id, cid AS cell
+      |       FROM rr167 WHERE rn <= 2 AND vec_id % 100 = 0),
+      |hits AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |  FROM qc JOIN corp USING (cell)
+      |  JOIN e a ON a.vec_id = query_id
+      |  JOIN e b ON b.vec_id = neighbor_id
+      |  WHERE query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      |  FROM hits)
+      |WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q166_semantic_decontam", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
       "semantic decontamination: benchmark residue class swept probe-4 against home cells, strongest match per vector",

@@ -595,7 +595,10 @@ object StreamingOps {
       q125StreamUpsert, Some(q125Sql)),
     GraftQuery("q160_stream_near_dup", Seq("EXT-streaming", "EXT-dedup"),
       "streaming near-dup dedup: micro-batches probe a static minhash band index; union of batches == q76's batch answer",
-      q160StreamNearDup, Some(graft.operators.Dedup.q76Sql)))
+      q160StreamNearDup, Some(graft.operators.Dedup.q76Sql)),
+    GraftQuery("q167_stream_ann_serve", Seq("EXT-streaming", "EXT-similarity"),
+      "streaming ANN serving: micro-batched query vectors route against the broadcast frozen codebook and probe home cells; union of batch top-3s == the batch oracle",
+      q167StreamAnnServe, Some(graft.operators.Similarity.q167Sql)))
 
   /** q120: watermarked streaming deduplication, ORACLE-CARRIED — the
     * source directory is staged with TWO copies of the events file, so
@@ -789,6 +792,120 @@ object StreamingOps {
         .orderBy($"new_doc", $"dup_of")
       val rows = out.collect()
       baseDocs.unpersist(false); baseBands.unpersist(false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
+
+  /** q167: streaming ANN serving — the ONLINE half of the vector-search
+    * story (q45/q54/q137 are the offline index consumers, q161 the
+    * index maintainer): query vectors arrive as a file stream in two
+    * micro-batches, and each batch routes against the BROADCAST frozen
+    * coarse codebook (top-2 cells by rounded cosine), probes the
+    * persisted home-cell corpus table, exact-scores the collisions, and
+    * appends its per-query top-3 to the sink. Per-query results are
+    * independent of batching, so the union of the micro-batch appends
+    * hash-matches the one-shot batch oracle — the same
+    * union==batch-answer contract q160 proves for streaming dedup.
+    *
+    * Scale: serving state is the materialized index (cells + codebook),
+    * built ONCE before the stream starts; per batch the work is
+    * O(|batch|·k) routing + cell-occupancy probes — no per-batch
+    * training, no corpus rescans. This is the FAISS-server topology
+    * expressed as foreachBatch over the shared artifact.
+    */
+  def q167StreamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{AnnIndex, Similarity}
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q167-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q167-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q167-out")
+    val outDir = outRoot.resolve("hits").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // stage the query stream as two single-file batches (query-id parity)
+      val queries = graft.Tables.load(s, dir, "embeddings")
+        .filter($"vec_id" % 100 === 0)
+        .select($"vec_id", $"embedding")
+      def stage(half: Int): Unit = {
+        val tmp = srcDir.resolve(s"stage$half")
+        queries.filter((($"vec_id" / 100) % 2).cast("int") === half)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val f = part.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(f, srcDir.resolve(s"batch$half.parquet"))
+            moved = true
+          }
+        }
+        rmTree(tmp)
+      }
+      stage(0); stage(1)
+
+      // serving state, built before the stream starts: broadcastable
+      // codebook + the corpus at its home cell with vectors attached
+      def widen(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double"))
+      val cb = AnnIndex.codebook(s, dir, "b").persist()
+      val e = graft.Tables.loadSpread(s, dir, "embeddings")
+        .select($"vec_id", widen($"embedding").as("v"))
+        .withColumn("nrm", Similarity.norm($"v"))
+      val corpus = AnnIndex.cells(s, dir, "b", maxProbes = 1)
+        .select($"vec_id", $"cell")
+        .join(e, Seq("vec_id"))
+        .select($"vec_id".as("neighbor_id"), $"cell",
+          $"v".as("nv"), $"nrm".as("nn"))
+        .persist()
+      corpus.count()
+
+      val outSchema = StructType(Seq(
+        StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("cos_sim", DoubleType), StructField("rank", IntegerType)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        .write.mode("overwrite").parquet(outDir)
+
+      val q = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val qv = batch.toDF()
+              .select($"vec_id".as("query_id"), widen($"embedding").as("qv"))
+              .withColumn("qn", Similarity.norm($"qv"))
+            val wr = Window.partitionBy($"query_id")
+              .orderBy($"csim".desc, $"centroid_id".asc)
+            val routed = qv.crossJoin(broadcast(cb))
+              .select($"query_id", $"qv", $"qn", $"centroid_id",
+                round(Similarity.dot($"qv", $"cv") / ($"qn" * $"cnrm"), 6)
+                  .as("csim"))
+              .withColumn("rn", row_number().over(wr))
+              .filter($"rn" <= 2)
+              .select($"query_id", $"qv", $"qn", $"centroid_id".as("cell"))
+            val wk = Window.partitionBy($"query_id")
+              .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+            routed.join(corpus, Seq("cell"))
+              .filter($"query_id" =!= $"neighbor_id")
+              .select($"query_id", $"neighbor_id",
+                round(Similarity.dot($"qv", $"nv") / ($"qn" * $"nn"), 6)
+                  .as("cos_sim"))
+              .withColumn("rank", row_number().over(wk))
+              .filter($"rank" <= 3)
+              .write.mode("append").parquet(outDir)
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(outDir).orderBy($"query_id", $"rank")
+      val rows = out.collect()
+      cb.unpersist(false); corpus.unpersist(false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)

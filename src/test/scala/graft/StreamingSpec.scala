@@ -247,4 +247,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter($"s.session_start" =!= $"b.session_start").count() == 0)
     assert(joined.filter($"s.session_end" =!= $"b.session_end").count() == 0)
   }
+
+  test("q167: streaming ANN serving emits dense per-query top-3 with non-increasing cosine") {
+    import spark.implicits._
+    val out = graft.streaming.StreamingOps
+      .q167StreamAnnServe(spark, "/root/testdata/sf0.001").persist()
+    assert(out.count() > 0, "the serving stream emitted nothing")
+    // every query's ranks are dense 1..n<=3 (union of micro-batches must
+    // never duplicate or drop a rank)
+    val perQ = out.groupBy($"query_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max($"rank").as("mx"),
+        org.apache.spark.sql.functions.min($"rank").as("mn"))
+    assert(perQ.filter($"n" > 3 || $"mx" =!= $"n" || $"mn" =!= 1).count() == 0)
+    // ranked by cosine: rank 1 dominates within each query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"rank")
+    assert(out.withColumn("prev",
+        org.apache.spark.sql.functions.lag($"cos_sim", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" < $"cos_sim").count() == 0)
+    out.unpersist(false)
+  }
 }
