@@ -38,6 +38,7 @@ object Registry {
       graft.operators.Layout.queries ++
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++
+      graft.operators.Maintenance.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.pipeline.ParquetIO
+
+/** Lakehouse maintenance + multi-writer operators: the table-management
+  * layer the reference delegates to Snowflake (transactional MERGE from
+  * concurrent dbt runs; micro-partition compaction behind OPTIMIZE /
+  * automatic clustering — dbt_project.yml:38-56 relies on both without
+  * naming them). Re-expressed for plain parquet via [[ParquetIO]]'s
+  * optimistic CAS commit protocol: version claims by atomic directory
+  * rename, marker-based commit visibility, rebase-on-conflict
+  * read-modify-write, and bin-packing compaction committed as a new
+  * version.
+  *
+  * Both queries are REAL concurrency runs, not simulations: q168 races
+  * three OS threads through `transformConcurrent` on one table. The
+  * oracle can still carry them because the merged content is chosen to
+  * be COMMUTATIVE — disjoint-key upserts union to the same table under
+  * every interleaving, so any serializable protocol produces exactly
+  * the oracle's answer, and any lost update / torn commit breaks the
+  * hash.
+  */
+object Maintenance {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** q168: concurrent MERGE — three writers race keyed upserts of
+    * disjoint customer residue classes into ONE versioned table through
+    * [[ParquetIO.transformConcurrent]] (claim-exactly-base+1 CAS;
+    * losing writers rebase on the winner's commit). The final table
+    * must hold every slice intact regardless of commit order — the
+    * multi-pipeline ingestion shape (three sources landing into one
+    * dimension) that the lock-serialized paths fail fast on. At 100 TB
+    * each writer's work is one anti-join + union shuffled on the key
+    * (broadcast for small batches under AQE); the commit itself is
+    * O(1) renames.
+    */
+  def q168ConcurrentMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = Files.createTempDirectory("graft-q168").resolve("cust").toString
+    val summary = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        graft.functions.Fns.exactSum2($"o_totalprice").as("total_spend"),
+        max($"o_orderdate").as("last_order"))
+    val err = new AtomicReference[Throwable]()
+    val writers = (0 until 3).map { r =>
+      new Thread(() =>
+        try {
+          val slice = summary.filter($"o_custkey" % 3 === r)
+          ParquetIO.transformConcurrent(s, target, maxAttempts = 60) {
+            case None       => slice
+            case Some(base) =>
+              base.join(slice, Seq("o_custkey"), "left_anti").unionByName(slice)
+          }
+        } catch { case e: Throwable => err.compareAndSet(null, e) })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    if (err.get() != null) throw err.get()
+    ParquetIO.read(s, target).orderBy($"o_custkey")
+  }
+
+  private val q168Sql =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |  max(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q169: small-file compaction — land `documents` as 48 micro-batch
+    * shards (the streaming-sink pathology), bin-pack them with
+    * [[ParquetIO.compact]] into ⌈bytes/target⌉ files committed as a new
+    * version, and emit the read-back table's order-free content
+    * checksum beside the file-count verdicts. The oracle computes the
+    * same checksum from the ORIGINAL table — a compaction that drops,
+    * duplicates, or corrupts any row breaks the hash, and one that
+    * fails to reduce the file count breaks the `files_reduced` literal.
+    * (File counts themselves aren't visible to SQL; CompactionSpec in
+    * ConcurrencySpec pins the exact bin-packing arithmetic.)
+    */
+  def q169Compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-q169").resolve("docs").toString
+    ParquetIO.overwriteConcurrent(
+      t(s, dir, "documents").repartition(48), tmp)
+    val filesBefore = ParquetIO.tableFileCount(tmp)
+    val stats = ParquetIO.compact(s, tmp,
+      targetBytes = math.max(256L << 10, ParquetIO.tableBytes(tmp) / 4))
+    ParquetIO.read(s, tmp)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat_ws("|",
+          $"doc_id".cast("string"), md5($"text"))), 1, 8), 16, 10)
+          .cast("long")).as("content_checksum"))
+      .select($"n_docs", $"content_checksum",
+        lit(filesBefore == 48 && stats.filesAfter < stats.filesBefore)
+          .as("files_reduced"))
+  }
+
+  private val q169Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT)
+      |    AS BIGINT) AS content_checksum,
+      |  TRUE AS files_reduced
+      |FROM documents""".stripMargin
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q168_concurrent_merge", Seq("S6", "J4", "EXT-occ"),
+      "three racing writers MERGE disjoint key slices through the optimistic CAS commit protocol",
+      q168ConcurrentMerge, Some(q168Sql)),
+    GraftQuery("q169_compaction", Seq("S7", "EXT-occ", "EXT-olap"),
+      "small-file bin-packing compaction committed as a new table version, content-preservation oracle-carried",
+      q169Compaction, Some(q169Sql)))
+}

@@ -29,13 +29,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    destination are different directories by construction.
   *
   * Version history doubles as cheap time travel (readVersion) until GC
-  * trims it. Single-writer by design: true multi-writer atomicity would
-  * need a lock service or a transactional table format, which the
-  * offline jar set can't ship. What IS shipped is a best-effort guard —
-  * every commit path holds `dir/_writer.lock` (atomic create-new), so a
-  * second concurrent writer FAILS FAST with a clear error instead of
-  * silently racing the pointer; a lock older than [[LockStaleMs]] is
-  * treated as a crashed writer's remnant and stolen.
+  * trims it.
+  *
+  * Two write disciplines share the layout:
+  *
+  *  - **Lock-serialized** (overwriteSwap / appendInPlace /
+  *    appendAsVersion): every commit holds `dir/_writer.lock` (atomic
+  *    create-new with a `pid:nonce` token), so a second concurrent
+  *    writer FAILS FAST with a clear error instead of silently racing
+  *    the pointer; a lock whose owner is verifiably dead (or older than
+  *    [[LockStaleMs]]) is a crashed writer's remnant and stolen. The
+  *    orchestrator's paths — one pipeline, one writer per table.
+  *  - **Optimistic multi-writer** (overwriteConcurrent /
+  *    transformConcurrent): true concurrent commits with NO lock. A
+  *    writer stages into `dir/.staging-<pid>-<nonce>`, drops a
+  *    `_GRAFT_COMMITTED` marker INSIDE the staging dir, then claims
+  *    version N+1 by `ATOMIC_MOVE(staging, v<N+1>)` — the rename is the
+  *    CAS: the filesystem namespace hands each version number to
+  *    exactly one writer, and the moved directory appears fully formed,
+  *    marker included. Readers resolve the committed version as
+  *    max(pointer, highest marker-carrying `v<N>`), so a stale pointer
+  *    can never hide a CAS commit; the winner then advances the pointer
+  *    monotonically as a best-effort cache. `transformConcurrent` is
+  *    the read-modify-write form: it claims EXACTLY base+1, so losing
+  *    the claim proves somebody committed on top of the base it read —
+  *    it re-reads and recomputes (serializable rebase), the same
+  *    optimistic-concurrency shape Delta Lake commits use (public
+  *    PROTOCOL.md), built from nothing but POSIX rename atomicity.
+  *
+  * Mixing both disciplines on one table is safe for readers (resolve
+  * covers both commit markers) but writers should pick one per table:
+  * the locked paths assume they own the version sequence between
+  * acquire and release.
   */
 object ParquetIO {
 
@@ -132,18 +157,41 @@ object ParquetIO {
   def versionPath(dir: String, v: Long): String =
     Paths.get(dir, s"v$v").toString
 
-  /** The committed version, if the table exists. */
+  /** The pointer-committed version, if recorded. With concurrent (CAS)
+    * writers the pointer is a monotone best-effort cache — readers
+    * should resolve through [[resolveVersion]], which also covers
+    * marker-committed versions the pointer hasn't caught up to.
+    */
   def currentVersion(dir: String): Option[Long] =
     if (Files.exists(currentFile(dir)))
       Some(Files.readString(currentFile(dir)).trim.toLong)
     else None
 
+  /** Name of the commit marker a CAS writer stages INSIDE its version
+    * directory before the atomic claim — `_`-prefixed so every parquet
+    * reader (Spark, DuckDB, pyarrow) ignores it as a non-data file.
+    */
+  private val CommittedMarker = "_GRAFT_COMMITTED"
+
+  private def hasMarker(dir: String, v: Long): Boolean =
+    Files.exists(Paths.get(versionPath(dir, v), CommittedMarker))
+
+  /** The authoritative committed version: max of the pointer and the
+    * highest marker-carrying version directory. A lock-serialized
+    * commit is visible via the pointer; a CAS commit is visible the
+    * instant its directory move lands, pointer lag notwithstanding.
+    */
+  def resolveVersion(dir: String): Option[Long] = {
+    val marked = versionsOnDisk(dir).filter(hasMarker(dir, _))
+    (currentVersion(dir).toSeq ++ marked).maxOption
+  }
+
   def exists(dir: String): Boolean =
-    currentVersion(dir).isDefined ||
+    resolveVersion(dir).isDefined ||
       Files.exists(Paths.get(dir, "_SUCCESS")) // pre-versioning layout
 
   def read(spark: SparkSession, dir: String): DataFrame =
-    currentVersion(dir) match {
+    resolveVersion(dir) match {
       case Some(v) => spark.read.parquet(versionPath(dir, v))
       case None    => spark.read.parquet(dir) // plain/legacy directory
     }
@@ -174,7 +222,7 @@ object ParquetIO {
     * guarantee the flat layout gave appends. First load commits v1.
     */
   def appendInPlace(df: DataFrame, dir: String): Unit = withWriterLock(dir) {
-    currentVersion(dir) match {
+    resolveVersion(dir) match {
       case Some(v) => df.write.mode("append").parquet(versionPath(dir, v))
       case None if Files.exists(Paths.get(dir, "_SUCCESS")) =>
         // pre-versioning flat table: append beside the existing files
@@ -200,7 +248,7 @@ object ParquetIO {
     * linking version is collected.
     */
   def appendAsVersion(df: DataFrame, dir: String): Unit = withWriterLock(dir) {
-    currentVersion(dir) match {
+    resolveVersion(dir) match {
       case None => swapLocked(df, dir)
       case Some(v) =>
         val next = v + 1
@@ -231,7 +279,7 @@ object ParquetIO {
   }
 
   private def swapLocked(df: DataFrame, dir: String): Unit = {
-    val cur = currentVersion(dir)
+    val cur = resolveVersion(dir)
     val next = cur.getOrElse(0L) + 1
     // an uncommitted remnant of a crashed previous attempt is invisible
     // to readers — clear and rewrite
@@ -246,18 +294,251 @@ object ParquetIO {
     gcOldVersions(dir, next)
   }
 
-  /** Drop committed versions older than (current - GcRetain), and any
-    * uncommitted directories ABOVE current left by crashed writers of a
-    * previous pointer lineage. Never touches current or the retained
-    * window, so concurrent readers of those versions are safe.
+  /** Drop committed versions older than (resolved - GcRetain), any
+    * uncommitted directories ABOVE the resolved version left by crashed
+    * lock-serialized writers (a marker-carrying directory above the
+    * caller's version is a CAS commit that landed mid-listing — never
+    * touched), and abandoned `.staging-*` remnants of crashed CAS
+    * writers past [[LockStaleMs]]. Never touches the resolved version
+    * or the retained window, so concurrent readers of those are safe.
     */
-  private def gcOldVersions(dir: String, current: Long): Unit =
+  private def gcOldVersions(dir: String, current: Long): Unit = {
+    val resolved = math.max(current, resolveVersion(dir).getOrElse(current))
     versionsOnDisk(dir).foreach { v =>
-      if (v < current - GcRetain || v > current)
+      if (v < resolved - GcRetain || (v > resolved && !hasMarker(dir, v)))
         deleteRecursive(Paths.get(versionPath(dir, v)))
     }
+    val d = Paths.get(dir)
+    if (Files.isDirectory(d)) {
+      val st = Files.list(d)
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".staging-") &&
+          lockAgeMs(p) > LockStaleMs)
+        .foreach(deleteRecursive)
+      finally st.close()
+    }
+  }
 
+  /** Concurrent-GC-tolerant: two committers may race to collect the
+    * same expired version; the loser's vanished-file errors mean the
+    * directory is going away either way.
+    */
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch {
+        case _: java.io.UncheckedIOException | _: java.io.IOException => ()
+      }
+
+  // ------------------------------------------------------------------
+  // Optimistic multi-writer commits (CAS on the version namespace)
+  // ------------------------------------------------------------------
+
+  private def newStaging(dir: String): Path = Paths.get(
+    dir, s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+
+  /** Stage `df` + marker, then claim `v<target>` by atomic rename.
+    * Returns false on a lost claim (another writer owns that version);
+    * the staged directory is removed either way on failure paths.
+    */
+  private def stageAndClaim(df: DataFrame, dir: String, target: Long): Boolean = {
+    val staging = newStaging(dir)
+    var claimed = false
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      Files.createFile(staging.resolve(CommittedMarker))
+      claimed = claimMove(staging, Paths.get(versionPath(dir, target)))
+      claimed
+    } finally if (!claimed) deleteRecursive(staging)
+  }
+
+  /** The CAS itself: rename the staged directory onto the version slot.
+    * False = the slot is taken (the JDK surfaces ENOTEMPTY/EEXIST
+    * variously as FileAlreadyExists / DirectoryNotEmpty / a bare
+    * FileSystemException depending on the provider path, so the whole
+    * FileSystemException family reads as a lost claim — a genuine I/O
+    * fault then exhausts the caller's bounded retries and surfaces
+    * there rather than being silently swallowed).
+    */
+  private def claimMove(staging: Path, target: Path): Boolean =
+    try {
+      Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.nio.file.FileSystemException => false }
+
+  /** Advance the pointer cache to `v` if it is behind. Interleaved
+    * advances can transiently regress the pointer (read-then-rename is
+    * not atomic); harmless — [[resolveVersion]] takes the max over
+    * commit markers, and the next advance heals it.
+    */
+  private def advancePointer(dir: String, v: Long): Unit =
+    if (currentVersion(dir).forall(_ < v)) {
+      val tmp = Paths.get(dir,
+        s"_current.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, currentFile(dir),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Blind overwrite from a concurrent writer: LAST CLAIM WINS. The
+    * data is written once; only the claim is retried, against the next
+    * free version number. Safe under any number of concurrent callers.
+    */
+  def overwriteConcurrent(df: DataFrame, dir: String): Long = {
+    Files.createDirectories(Paths.get(dir))
+    val staging = newStaging(dir)
+    var ok = false
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      Files.createFile(staging.resolve(CommittedMarker))
+      var v = resolveVersion(dir).getOrElse(0L) + 1
+      while (!ok) {
+        ok = claimMove(staging, Paths.get(versionPath(dir, v)))
+        if (!ok) v = math.max(v + 1, resolveVersion(dir).getOrElse(0L) + 1)
+      }
+      advancePointer(dir, v)
+      gcOldVersions(dir, v)
+      v
+    } finally if (!ok) deleteRecursive(staging)
+  }
+
+  /** True serializable read-modify-write under concurrency: read the
+    * committed base, apply `f` (None = table doesn't exist yet), claim
+    * EXACTLY base+1. Losing the claim proves another writer committed
+    * on top of the base we read — re-read and recompute (rebase), up to
+    * `maxAttempts`. Any set of concurrent transforms therefore applies
+    * in SOME serial order with none lost — MERGE/upsert semantics from
+    * many pipelines at once, the gap the lock-serialized paths fail
+    * fast on.
+    *
+    * The base read is lazy (Spark scans at write time); if ≥2 rivals
+    * commit while `f`'s job runs, GC can collect the base mid-scan —
+    * surfacing as a missing-file failure, which is a lost race, not an
+    * error: it rebases like a lost claim.
+    */
+  def transformConcurrent(spark: SparkSession, dir: String, maxAttempts: Int = 12)
+      (f: Option[DataFrame] => DataFrame): Long = {
+    Files.createDirectories(Paths.get(dir))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = resolveVersion(dir)
+      val target = base.getOrElse(0L) + 1
+      val claimed =
+        try stageAndClaim(f(base.map(readVersion(spark, dir, _))), dir, target)
+        catch {
+          case e: Exception if isMissingFileRace(e) && attempt < maxAttempts - 1 =>
+            false // base GC'd under our lazy scan: rebase
+        }
+      if (claimed) {
+        advancePointer(dir, target)
+        gcOldVersions(dir, target)
+        return target
+      }
+      attempt += 1
+      Thread.sleep(25L * attempt)
+    }
+    throw new IllegalStateException(
+      s"transformConcurrent on $dir: lost the version claim $maxAttempts times — " +
+        "contention too high; back off at the caller")
+  }
+
+  /** Outcome of one [[compact]] run. `versionAfter == versionBefore`
+    * means the table was already within budget and nothing was
+    * rewritten (the no-op fast path a scheduled maintenance job hits
+    * most of the time).
+    */
+  final case class CompactionStats(
+      versionBefore: Long, versionAfter: Long,
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long)
+
+  private def dataFiles(vp: Path): Seq[(Path, Long)] = {
+    val st = Files.list(vp)
+    try st.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(p => p -> Files.size(p)).toSeq
+    finally st.close()
+  }
+
+  /** Total data bytes of the committed version — what a maintenance
+    * scheduler sizes compaction targets from.
+    */
+  def tableBytes(dir: String): Long =
+    resolveVersion(dir)
+      .map(v => dataFiles(Paths.get(versionPath(dir, v))).map(_._2).sum)
+      .getOrElse(0L)
+
+  /** Data file count of the committed version. */
+  def tableFileCount(dir: String): Int =
+    resolveVersion(dir)
+      .map(v => dataFiles(Paths.get(versionPath(dir, v))).size)
+      .getOrElse(0)
+
+  /** Small-file compaction — the OPTIMIZE-style maintenance rewrite a
+    * streaming/appending table needs at scale (each micro-batch lands
+    * O(partitions) small files; a year of them makes every scan pay
+    * per-file open + footer costs and starves the scheduler with
+    * million-task stages). Bin-packs the CURRENT version into
+    * ⌈bytes/targetBytes⌉ files via `coalesce` — a shuffle-FREE narrow
+    * merge of input splits (repartition would pay a full shuffle of the
+    * table for no correctness gain; compaction has no key to place by,
+    * and a later Z-order pass — q138 — covers clustering), committed
+    * with the claim-exact-base+1 CAS so a concurrent writer's commit is
+    * never clobbered: lose the claim → re-snapshot → recompact the NEW
+    * current (or no-op out).
+    * Readers mid-scan on the old version finish under the GC retain
+    * window. Content is byte-for-byte the same rows — oracle-carried by
+    * q169's order-free checksum.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20, maxAttempts: Int = 12): CompactionStats = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val base = resolveVersion(dir).getOrElse(throw new IllegalStateException(
+        s"compact($dir): no committed version"))
+      val before = dataFiles(Paths.get(versionPath(dir, base)))
+      val bytes = before.map(_._2).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (before.size <= n) // already within budget: the no-op fast path
+        return CompactionStats(base, base, before.size, before.size, bytes, bytes)
+      val claimed =
+        try stageAndClaim(readVersion(spark, dir, base).coalesce(n), dir, base + 1)
+        catch {
+          case e: Exception if isMissingFileRace(e) && attempt < maxAttempts - 1 =>
+            false // base GC'd under the rewrite: re-snapshot
+        }
+      if (claimed) {
+        advancePointer(dir, base + 1)
+        gcOldVersions(dir, base + 1)
+        val after = dataFiles(Paths.get(versionPath(dir, base + 1)))
+        return CompactionStats(
+          base, base + 1, before.size, after.size, bytes, after.map(_._2).sum)
+      }
+      attempt += 1 // a rival committed on our base: recompact the new current
+      Thread.sleep(25L * attempt)
+    }
+    throw new IllegalStateException(
+      s"compact($dir): lost the version claim $maxAttempts times; retry later")
+  }
+
+  /** A Spark job failure caused by a version directory GC'd mid-scan
+    * (the only self-inflicted failure mode of optimistic readers):
+    * walk the cause chain for the missing-input signatures.
+    */
+  private def isMissingFileRace(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = if (t.getMessage == null) "" else t.getMessage
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          t.isInstanceOf[java.nio.file.NoSuchFileException] ||
+          m.contains("does not exist") || m.contains("FileNotFound") ||
+          m.contains("PATH_NOT_FOUND")) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
 }
