@@ -1751,7 +1751,143 @@ object Similarity {
       |WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q170: int8 scalar quantization (SQ8) — the OTHER production vector
+    * compression beside PQ (q74): per-dimension symmetric scales
+    * s_d = max|v_d| over the corpus, code_d = round(v_d/s_d·127) ∈
+    * [-127,127], reconstruction code_d·s_d/127. 4× smaller than float32
+    * at far higher fidelity than the 16-byte PQ code — the tier an ANN
+    * serving stack keeps in RAM when PQ's recall ceiling (q75) bites
+    * and re-ranking from full vectors (q137) is too much I/O. At scale:
+    * the scale vector is one 64-double broadcast from a scan-local
+    * max-aggregate; encode/decode are scan-local `zip_with` maps —
+    * zero shuffles beyond the 64-row dim reduce. Emits each vector's
+    * reconstruction cosine, the direct gauge of what the 8-bit code
+    * loses (≈1.0 here, vs PQ's 0.56 ADC ceiling).
+    */
+  def q170ScalarQuant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", $"label", d($"embedding").as("v"))
+    // per-dimension max|x|: posexplode → 64-group reduce → one ordered
+    // array on the driver-side single row, broadcast to the encoder
+    val scales = e
+      .select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(greatest(max(abs($"x")), lit(1e-12)).as("sc"))
+      .agg(array_sort(collect_list(struct($"pos", $"sc"))).as("ps"))
+      .select(transform($"ps", p => p("sc")).as("scales"))
+    e.crossJoin(broadcast(scales))
+      .withColumn("r", zip_with($"v", $"scales",
+        (x, sc) => round(x / sc * 127, 0) * sc / lit(127d)))
+      .select($"vec_id", $"label",
+        round(dot($"v", $"r") / (norm($"v") * norm($"r")), 6).as("cos_sq8"))
+      .orderBy($"vec_id")
+  }
+
+  private def q170Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |sc AS (SELECT i, greatest(max(abs(v[i])), 1e-12) AS sc
+      |       FROM e CROSS JOIN dims GROUP BY i),
+      |sarr AS (SELECT list(sc ORDER BY i) AS scales FROM sc),
+      |rec AS (
+      |  SELECT vec_id, label, v,
+      |    list_transform(range(1, ${IvfDim + 1}),
+      |      i -> round(v[i] / scales[i] * 127) * scales[i] / 127) AS r
+      |  FROM e CROSS JOIN sarr)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(v, r) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(r, r))), 6) AS cos_sq8
+      |FROM rec ORDER BY vec_id""".stripMargin
+
+  /** q171: SQ8 retrieval recall — does searching ON the int8 codes
+    * (q170's encoder, applied to query and corpus alike: the
+    * symmetric-distance regime an in-RAM SQ8 index serves) return the
+    * same neighbors as exact float search? Per sampled query
+    * ([[AnnTruthQueryCap]] md5-ranked, q53's fixed set): top-5 under
+    * SQ8-reconstructed cosine vs top-5 under exact cosine, overlap/5.
+    * The counterpart of q75's PQ recall: SQ8's 4× compression should
+    * hold recall ≈ 1.0 where the 16-byte PQ code ceilings at 0.56 —
+    * measured, not assumed, before a serving tier trusts the cheaper
+    * codes. Both arms are O(cap·n) broadcast scoring passes; the scale
+    * vector is the same 64-double broadcast as q170.
+    */
+  def q171Sq8Recall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    val scales = e
+      .select(posexplode($"v").as(Seq("pos", "x")))
+      .groupBy($"pos").agg(greatest(max(abs($"x")), lit(1e-12)).as("sc"))
+      .agg(array_sort(collect_list(struct($"pos", $"sc"))).as("ps"))
+      .select(transform($"ps", p => p("sc")).as("scales"))
+    val rec = e.crossJoin(broadcast(scales))
+      .withColumn("r", zip_with($"v", $"scales",
+        (x, sc) => round(x / sc * 127, 0) * sc / lit(127d)))
+      .select($"vec_id", $"v", $"r",
+        norm($"v").as("nrm"), norm($"r").as("rnrm"))
+      .persist()
+    val qset = rec.filter($"vec_id" % 100 === 0)
+      .withColumn("mk", md5($"vec_id".cast("string")))
+      .orderBy($"mk", $"vec_id").limit(AnnTruthQueryCap)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"r".as("qr"),
+        $"nrm".as("qnrm"), $"rnrm".as("qrnrm"))
+    val pairs = broadcast(qset)
+      .crossJoin(rec.select($"vec_id".as("neighbor_id"), $"v", $"r", $"nrm", $"rnrm"))
+      .filter($"query_id" =!= $"neighbor_id")
+    val w = Window.partitionBy($"query_id").orderBy($"c".desc, $"neighbor_id".asc)
+    def top5(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val truth = top5(pairs.select($"query_id", $"neighbor_id",
+      round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("c")))
+    val sq8 = top5(pairs.select($"query_id", $"neighbor_id",
+      round(dot($"qr", $"r") / ($"qrnrm" * $"rnrm"), 6).as("c")))
+    val hits = truth.join(sq8, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("h"))
+    qset.select($"query_id").join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        round(coalesce($"h", lit(0L)) / lit(5.0), 2).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
+
+  private def q171Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$ivfDimsSql,
+      |sc AS (SELECT i, greatest(max(abs(v[i])), 1e-12) AS sc
+      |       FROM e CROSS JOIN dims GROUP BY i),
+      |sarr AS (SELECT list(sc ORDER BY i) AS scales FROM sc),
+      |rec AS (
+      |  SELECT vec_id, v,
+      |    list_transform(range(1, ${IvfDim + 1}),
+      |      i -> round(v[i] / scales[i] * 127) * scales[i] / 127) AS r
+      |  FROM e CROSS JOIN sarr),
+      |qset AS (SELECT vec_id AS query_id, v AS qv, r AS qr FROM rec
+      |         WHERE vec_id % 100 = 0
+      |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnTruthQueryCap),
+      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, q.qr, c.v, c.r
+      |          FROM qset q CROSS JOIN rec c WHERE q.query_id <> c.vec_id),
+      |truth AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) DESC,
+      |      neighbor_id ASC) AS rk FROM pairs) WHERE rk <= 5),
+      |sq8 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(list_dot_product(qr, r) /
+      |      (sqrt(list_dot_product(qr, qr)) * sqrt(list_dot_product(r, r))), 6) DESC,
+      |      neighbor_id ASC) AS rk FROM pairs) WHERE rk <= 5),
+      |hits AS (SELECT t.query_id, count(*) AS h FROM truth t JOIN sq8 s
+      |         ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+      |         GROUP BY t.query_id)
+      |SELECT q.query_id, round(coalesce(h, 0) / 5.0, 2) AS recall_at_5
+      |FROM qset q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q171_sq8_recall", Seq("EXT-similarity", "EXT-approx"),
+      "SQ8 symmetric-code retrieval recall@5 vs exact cosine truth on the fixed query sample",
+      q171Sq8Recall, Some(q171Sql)),
+    GraftQuery("q170_scalar_quant", Seq("EXT-similarity", "EXT-approx"),
+      "int8 scalar quantization: per-dim symmetric scales, encode/decode, per-vector reconstruction cosine",
+      q170ScalarQuant, Some(q170Sql)),
     GraftQuery("q166_semantic_decontam", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
       "semantic decontamination: benchmark residue class swept probe-4 against home cells, strongest match per vector",
       q166SemanticDecontam, Some(q166Sql)),

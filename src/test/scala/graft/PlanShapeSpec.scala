@@ -114,13 +114,17 @@ class PlanShapeSpec extends AnyFunSuite {
     //    codebook (the q45/q91 coarse-quantizer shape, ≤2 MB broadcast)
     //  - q162: two 1-row scalar attaches (gram totals onto the B-row
     //    ratio table; the q88 TakeOrdered keep boundary onto the scores)
+    //  - q170: crossJoin(broadcast(<1-row per-dim scale array>)) — the
+    //    SQ8 scale vector attached to the encoder (scalar attach)
+    //  - q171: the q170 scale attach + the q53/q98 shape (32 broadcast
+    //    sampled queries scored against the corpus, O(cap·n))
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
-      "q162_dsir_resample")),
+      "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall")),
       s"unexpected cross products in: $offenders")
   }
 
