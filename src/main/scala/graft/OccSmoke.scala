@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the round-9 optimistic-concurrency layer
+  * ([[pipeline.ParquetIO]] CAS commits + compaction) the way AppendSmoke
+  * measures the ANN append arm — numbers, not claims:
+  *
+  *  1. **Compaction scale shape**: land a K-replica `documents` corpus
+  *     as 64 micro-batch shards and time `compact` at two scales (1
+  *     replica vs K) — the rewrite is one narrow coalesce pass, so
+  *     seconds should grow ~linearly with bytes while the file count
+  *     drops 64 → ⌈bytes/target⌉ at both scales; content checksums
+  *     before/after must match.
+  *  2. **OCC contention cost**: W writer threads × C commits each of
+  *     disjoint-key upserts through `transformConcurrent` on ONE table —
+  *     reports wall seconds and effective commits/sec. Every lost claim
+  *     is a rebase (recompute + rewrite), so the gap between ideal
+  *     (W·C·single-commit) and measured wall IS the protocol's
+  *     contention price at this writer count.
+  *
+  * Usage: runMain graft.OccSmoke [srcSfDir] [K] [workDir]
+  */
+object OccSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft-occ-smoke"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warmup
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def checksum(dir: String): Long =
+      pipeline.ParquetIO.read(spark, dir)
+        .agg(sum(conv(substring(md5(concat_ws("|",
+          $"doc_id".cast("string"), md5($"text"))), 1, 8), 16, 10)
+          .cast("long")))
+        .first().getLong(0)
+
+    // ---- 1. compaction at two scales --------------------------------
+    def compactRun(reps: Int): (Double, pipeline.ParquetIO.CompactionStats) = {
+      val dir = s"$work/compact-x$reps/docs"
+      val base = Tables.load(spark, src, "documents")
+      val n = base.count()
+      val scaled = (0 until reps).map { r =>
+        base.select(($"doc_id" + lit(r * n)).as("doc_id"), $"text",
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+      pipeline.ParquetIO.overwriteConcurrent(scaled.repartition(64), dir)
+      val before = checksum(dir)
+      val (stats, sec) = timed(
+        pipeline.ParquetIO.compact(spark, dir, targetBytes = 4L << 20))
+      require(checksum(dir) == before, s"compact x$reps changed content!")
+      (sec, stats)
+    }
+    val (sec1, st1) = compactRun(1)
+    val (secK, stK) = compactRun(k)
+
+    // ---- 2. OCC contention ------------------------------------------
+    val writers = 4
+    val commits = 3
+    val occDir = s"$work/occ/table"
+    // single-writer baseline: one commit of the same shape, uncontended
+    val (_, soloSec) = timed {
+      pipeline.ParquetIO.transformConcurrent(spark, s"$work/occ/solo") {
+        case _ => Seq.tabulate(1000)(i => (i, "seed")).toDF("k", "src")
+      }
+    }
+    val err = new AtomicReference[Throwable]()
+    val (_, occSec) = timed {
+      val ts = (0 until writers).map { w =>
+        new Thread(() => try {
+          (0 until commits).foreach { c =>
+            val slice = Seq.tabulate(1000)(i => (i, s"w$w-c$c"))
+              .filter(_._1 % writers == w).toDF("k", "src")
+            pipeline.ParquetIO.transformConcurrent(spark, occDir, maxAttempts = 80) {
+              case None       => slice
+              case Some(base) =>
+                base.join(slice, Seq("k"), "left_anti").unionByName(slice)
+            }
+          }
+        } catch { case t: Throwable => err.compareAndSet(null, t) })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    if (err.get() != null) throw err.get()
+    val finalRows = pipeline.ParquetIO.read(spark, occDir).count()
+    require(finalRows == 1000, s"OCC lost keys: $finalRows != 1000")
+    val totalCommits = writers * commits
+    System.err.println(
+      f"[occ-smoke] compact x1: $sec1%.2f s (${st1.filesBefore}->${st1.filesAfter} files, " +
+        f"${st1.bytesBefore / 1e6}%.1f MB); compact x$k: $secK%.2f s " +
+        f"(${stK.filesBefore}->${stK.filesAfter} files, ${stK.bytesBefore / 1e6}%.1f MB); " +
+        f"occ: $totalCommits commits / $writers writers in $occSec%.2f s " +
+        f"(${totalCommits / occSec}%.2f commits/s, solo commit $soloSec%.2f s)")
+    println(s"""{"k":$k,"src":"$src","compact1_sec":${f"$sec1%.2f"},""" +
+      s""""compactK_sec":${f"$secK%.2f"},"compact1_files":[${st1.filesBefore},${st1.filesAfter}],""" +
+      s""""compactK_files":[${stK.filesBefore},${stK.filesAfter}],""" +
+      s""""compact1_bytes":${st1.bytesBefore},"compactK_bytes":${stK.bytesBefore},""" +
+      s""""occ_writers":$writers,"occ_commits":$totalCommits,""" +
+      s""""occ_sec":${f"$occSec%.2f"},"occ_solo_sec":${f"$soloSec%.2f"}}""")
+    spark.stop()
+    // scratch tables are at $work; safe to delete between runs
+    rm(work)
+  }
+
+  private def rm(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+}

@@ -65,7 +65,12 @@ object Maintenance {
     }
     writers.foreach(_.start()); writers.foreach(_.join())
     if (err.get() != null) throw err.get()
-    ParquetIO.read(s, target).orderBy($"o_custkey")
+    val out = ParquetIO.read(s, target).orderBy($"o_custkey")
+    // materialize (bounded: one row per customer) before the temp table
+    // is deleted — the q125 harness hygiene, not an operator pattern
+    val rows = out.collect()
+    rmTree(java.nio.file.Paths.get(target).getParent)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   private val q168Sql =
@@ -93,7 +98,7 @@ object Maintenance {
     val filesBefore = ParquetIO.tableFileCount(tmp)
     val stats = ParquetIO.compact(s, tmp,
       targetBytes = math.max(256L << 10, ParquetIO.tableBytes(tmp) / 4))
-    ParquetIO.read(s, tmp)
+    val out = ParquetIO.read(s, tmp)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(conv(substring(md5(concat_ws("|",
@@ -102,7 +107,15 @@ object Maintenance {
       .select($"n_docs", $"content_checksum",
         lit(filesBefore == 48 && stats.filesAfter < stats.filesBefore)
           .as("files_reduced"))
+    val rows = out.collect() // 1 row; frees the temp table for deletion
+    rmTree(java.nio.file.Paths.get(tmp).getParent)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
 
   private val q169Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n_docs,

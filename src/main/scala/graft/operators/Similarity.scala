@@ -1757,7 +1757,10 @@ object Similarity {
     * [-127,127], reconstruction code_d·s_d/127. 4× smaller than float32
     * at far higher fidelity than the 16-byte PQ code — the tier an ANN
     * serving stack keeps in RAM when PQ's recall ceiling (q75) bites
-    * and re-ranking from full vectors (q137) is too much I/O. At scale:
+    * and re-ranking from full vectors (q137) is too much I/O. (q42
+    * reports PER-VECTOR max-abs code stats; the scales here are
+    * CORPUS-GLOBAL per-dimension — the form an index stores once and
+    * every encoder/decoder shares.) At scale:
     * the scale vector is one 64-double broadcast from a scan-local
     * max-aggregate; encode/decode are scan-local `zip_with` maps —
     * zero shuffles beyond the 64-row dim reduce. Emits each vector's

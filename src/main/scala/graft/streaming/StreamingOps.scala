@@ -574,7 +574,82 @@ object StreamingOps {
       |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
       |ORDER BY hour, segment""".stripMargin
 
+  /** q172: streaming sink auto-compaction — the maintenance loop every
+    * long-running file sink needs: each micro-batch APPENDS O(batch)
+    * files to the versioned target ([[graft.pipeline.ParquetIO
+    * .appendInPlace]], the RAW-layer contract), and when the file count
+    * crosses a threshold the sink bin-packs the table with
+    * [[graft.pipeline.ParquetIO.compact]] — committed as a new version
+    * through the CAS protocol, so readers mid-scan on the old version
+    * finish under the GC retain window and the appends that follow land
+    * in the compacted lineage. Without this loop a year of micro-batches
+    * makes every downstream scan pay per-file open + footer + task-
+    * scheduling costs (the classic small-file death); with it the file
+    * count stays bounded by threshold + O(batch) forever. Three staged
+    * copies of `documents` force three batches (append 4 files each;
+    * threshold 8 triggers exactly one mid-stream compaction) and the
+    * emitted checksum proves the append→compact→append cycle lost and
+    * duplicated nothing — the oracle is the 3× batch content.
+    */
+  def q172StreamCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.ParquetIO
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q172-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q172-src")
+    val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q172-tgt")
+    val tgtDir = tgtRoot.resolve("docs").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      (0 until 3).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"),
+          srcDir.resolve(s"batch$i.parquet"))
+      }
+      var compactions = 0
+      val q = s.readStream
+        .schema(graft.Tables.load(s, dir, "documents").schema)
+        .option("maxFilesPerTrigger", 1) // three staged files -> three batches
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            ParquetIO.appendInPlace(batch.toDF().repartition(4), tgtDir)
+            if (ParquetIO.tableFileCount(tgtDir) >= 8) {
+              ParquetIO.compact(s, tgtDir, targetBytes = 1L << 30)
+              compactions += 1
+            }
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val files = ParquetIO.tableFileCount(tgtDir)
+      val out = ParquetIO.read(s, tgtDir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(conv(substring(md5(concat_ws("|",
+            $"doc_id".cast("string"), md5($"text"))), 1, 8), 16, 10)
+            .cast("long")).as("content_checksum"))
+        .select($"n_docs", $"content_checksum",
+          lit(compactions >= 1 && files <= 8).as("files_bounded"))
+      val rows = out.collect() // 1 row; frees the temp table for deletion
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(tgtRoot)
+    }
+  }
+
+  private val q172Sql =
+    """SELECT CAST(count(*) * 3 AS BIGINT) AS n_docs,
+      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT) * 3
+      |    AS BIGINT) AS content_checksum,
+      |  TRUE AS files_bounded
+      |FROM documents""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q172_stream_compact", Seq("EXT-streaming", "S7", "EXT-occ"),
+      "streaming append sink with threshold-triggered auto-compaction: bounded file count, content oracle-carried at 3x",
+      q172StreamCompact, Some(q172Sql)),
     GraftQuery("q55_stream_sessions", Seq("EXT-streaming", "W1", "W2"),
       "transformWithState sessionizer (RocksDB + event-time timers), oracle-carried",
       q55StreamSessions, Some(q55Sql)),
