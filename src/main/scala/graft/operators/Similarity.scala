@@ -1884,7 +1884,118 @@ object Similarity {
       |SELECT q.query_id, round(coalesce(h, 0) / 5.0, 2) AS recall_at_5
       |FROM qset q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** q173: index drift gauge — the oracle-carried twin of [[AnnIndex]]'s
+    * retrain trigger (`_drift` stats + appendBuild's decision rule,
+    * AnnIndex.scala:377-415): a frozen base-trained codebook quantizes
+    * each candidate batch, and the batch's mean nearest-centroid cosine
+    * distance is compared against the base distribution's
+    * max(p95, 2·mean) — above it, frozen-codebook appends would
+    * silently degrade recall, so the decision is REBUILD; within it,
+    * APPEND. Three sides make the rule observable end-to-end: the
+    * clustered base itself (tight in-sample error), an in-distribution
+    * delta (more members of the same clusters — lands under the 2×
+    * guard), and a drifted delta (raw uniform-sphere corpus vectors,
+    * near-orthogonal to every trained centroid — must trip REBUILD).
+    * Mean is an
+    * exact DECIMAL(18,6) sum of the rounded per-vector errors (no
+    * float-summation-order dependence); p95 is the R-7 interpolated
+    * percentile both engines share (q37's parity). At 100 TB the gauge
+    * is one O(|batch|·k) scoring pass against the ≤2 MB broadcast
+    * codebook — the cost of NOT running it is a silently degrading
+    * index.
+    */
+  def q173DriftGauge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The gate corpus is ~uniform on the sphere — there, junk is
+    // statistically indistinguishable from signal and NO quantization-
+    // error gauge can see drift (AnnIndexSpec's observation). A
+    // CLUSTERED base is what gives the gauge something to defend, so
+    // build one deterministically FROM the corpus: 6 anchor vectors ×
+    // 10 members each, perturbed by a tiny j-scaled all-ones shift —
+    // nearest-centroid cosine ≈ 1, tight base stats.
+    val raw = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("av"))
+    val anchors = raw.filter($"vec_id" < 6)
+    def members(lo: Int, hi: Int): DataFrame = anchors
+      .crossJoin(s.range(lo, hi).toDF("j")) // bounded 6×10 product
+      .select(($"vec_id" * 100 + $"j").as("vec_id"),
+        transform($"av", x => x + lit(0.002) * $"j").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val base = members(0, 10).persist()
+    val cb = ivfCodebookOf(s, base.select($"vec_id", $"v"), "c")
+    def errOf(set: DataFrame): DataFrame = set.crossJoin(broadcast(cb))
+      .select($"vec_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .groupBy($"vec_id").agg((lit(1.0) - max($"csim")).as("err"))
+    def meanOf(e: DataFrame, as: String) = e.agg(
+      (sum($"err".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as(as))
+    val baseErr = errOf(base).persist()
+    val bstats = meanOf(baseErr, "bmean")
+      .crossJoin(broadcast(baseErr.agg(
+        expr("percentile(err, 0.95D)").as("bp95"))))
+    // in-distribution growth: more members of the SAME clusters;
+    // drifted batch: raw corpus vectors from elsewhere on the sphere,
+    // near-orthogonal to every trained centroid
+    val deltaIn = members(10, 20)
+    val shifted = raw.filter($"vec_id" >= 100 && $"vec_id" < 140)
+      .select($"vec_id", $"av".as("v")).withColumn("nrm", norm($"v"))
+    def side(name: String, e: DataFrame): DataFrame =
+      meanOf(errOf(e), "m").crossJoin(broadcast(bstats))
+        .select(lit(name).as("side"),
+          round($"m", 6).as("mean_err"),
+          round(greatest($"bp95", $"bmean" * 2), 6).as("threshold"),
+          when(lit(name) === "base", lit("base"))
+            .when($"m" > greatest($"bp95", $"bmean" * 2), lit("rebuild"))
+            .otherwise(lit("append")).as("decision"))
+    side("base", base)
+      .unionByName(side("delta_indist", deltaIn))
+      .unionByName(side("delta_shifted", shifted))
+      .orderBy($"side")
+  }
+
+  private def q173Sql =
+    s"""WITH anch AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av
+      |              FROM embeddings WHERE vec_id < 6),
+      |e AS (
+      |  SELECT anch.vec_id * 100 + j AS vec_id,
+      |    list_transform(av, x -> x + CAST(0.002 AS DOUBLE) * j) AS v
+      |  FROM anch CROSS JOIN (SELECT unnest(range(0, 10)) AS j)),
+      |$ivfDimsSql,
+      |${ivfCbSql("c", "c")},
+      |sides AS (
+      |  SELECT 'base' AS side, vec_id, v FROM e
+      |  UNION ALL
+      |  SELECT 'delta_indist', anch.vec_id * 100 + j,
+      |    list_transform(av, x -> x + CAST(0.002 AS DOUBLE) * j)
+      |  FROM anch CROSS JOIN (SELECT unnest(range(10, 20)) AS j)
+      |  UNION ALL
+      |  SELECT 'delta_shifted', vec_id, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 140),
+      |errs AS (
+      |  SELECT side, vec_id,
+      |    1.0 - max(round(list_dot_product(s.v, c.cv) /
+      |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6))
+      |      AS err
+      |  FROM sides s CROSS JOIN cb_c c GROUP BY side, vec_id),
+      |stats AS (
+      |  SELECT side,
+      |    CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      |  FROM errs GROUP BY side),
+      |bstats AS (
+      |  SELECT CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS bmean,
+      |    quantile_cont(err, 0.95) AS bp95
+      |  FROM errs WHERE side = 'base')
+      |SELECT side, round(m, 6) AS mean_err,
+      |  round(greatest(bp95, bmean * 2), 6) AS threshold,
+      |  CASE WHEN side = 'base' THEN 'base'
+      |       WHEN m > greatest(bp95, bmean * 2) THEN 'rebuild'
+      |       ELSE 'append' END AS decision
+      |FROM stats CROSS JOIN bstats ORDER BY side""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q173_drift_gauge", Seq("EXT-similarity", "EXT-streaming", "EXT-occ"),
+      "index drift gauge: frozen-codebook quantization error of candidate batches vs the base max(p95, 2*mean) retrain threshold",
+      q173DriftGauge, Some(q173Sql)),
     GraftQuery("q171_sq8_recall", Seq("EXT-similarity", "EXT-approx"),
       "SQ8 symmetric-code retrieval recall@5 vs exact cosine truth on the fixed query sample",
       q171Sq8Recall, Some(q171Sql)),

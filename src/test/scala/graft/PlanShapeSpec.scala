@@ -118,13 +118,17 @@ class PlanShapeSpec extends AnyFunSuite {
     //    SQ8 scale vector attached to the encoder (scalar attach)
     //  - q171: the q170 scale attach + the q53/q98 shape (32 broadcast
     //    sampled queries scored against the corpus, O(cap·n))
+    //  - q173: 6-anchor × range(10) member construction (bounded
+    //    product) + the q161 broadcast-codebook scoring shape + two
+    //    1-row base-stat scalar attaches
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
-      "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall")),
+      "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
+      "q173_drift_gauge")),
       s"unexpected cross products in: $offenders")
   }
 
