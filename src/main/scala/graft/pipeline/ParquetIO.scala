@@ -486,16 +486,27 @@ object ParquetIO {
     * ⌈bytes/targetBytes⌉ files via `coalesce` — a shuffle-FREE narrow
     * merge of input splits (repartition would pay a full shuffle of the
     * table for no correctness gain; compaction has no key to place by,
-    * and a later Z-order pass — q138 — covers clustering), committed
+    * and `clusterBy` below covers clustering), committed
     * with the claim-exact-base+1 CAS so a concurrent writer's commit is
     * never clobbered: lose the claim → re-snapshot → recompact the NEW
     * current (or no-op out).
     * Readers mid-scan on the old version finish under the GC retain
     * window. Content is byte-for-byte the same rows — oracle-carried by
     * q169's order-free checksum.
+    *
+    * `clusterBy` non-empty = the OPTIMIZE ZORDER shape (q138 computes
+    * the layout math relationally; this executes it): rows are
+    * range-partitioned and sorted on the given columns (pass a
+    * precomputed Morton/z column for multi-dimensional locality), so
+    * each output file owns a DISJOINT key range and its parquet footer
+    * min/max stats prune range predicates — the one compaction variant
+    * that buys a shuffle, because data-skipping at read time is what
+    * it purchases. Clustering always rewrites (no file-count no-op):
+    * the caller is asserting layout, not just size.
     */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L << 20, maxAttempts: Int = 12): CompactionStats = {
+      targetBytes: Long = 128L << 20, maxAttempts: Int = 12,
+      clusterBy: Seq[String] = Nil): CompactionStats = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = resolveVersion(dir).getOrElse(throw new IllegalStateException(
@@ -503,10 +514,16 @@ object ParquetIO {
       val before = dataFiles(Paths.get(versionPath(dir, base)))
       val bytes = before.map(_._2).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-      if (before.size <= n) // already within budget: the no-op fast path
+      if (clusterBy.isEmpty && before.size <= n) // within budget: no-op fast path
         return CompactionStats(base, base, before.size, before.size, bytes, bytes)
+      val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+      def rewritten = {
+        val cur = readVersion(spark, dir, base)
+        if (clusterBy.isEmpty) cur.coalesce(n)
+        else cur.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+      }
       val claimed =
-        try stageAndClaim(readVersion(spark, dir, base).coalesce(n), dir, base + 1)
+        try stageAndClaim(rewritten, dir, base + 1)
         catch {
           case e: Exception if isMissingFileRace(e) && attempt < maxAttempts - 1 =>
             false // base GC'd under the rewrite: re-snapshot

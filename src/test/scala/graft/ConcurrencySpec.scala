@@ -122,6 +122,36 @@ class ConcurrencySpec extends AnyFunSuite {
       noop.filesAfter == stats.filesAfter, s"second pass must no-op: $noop")
   }
 
+  test("clustered compact: disjoint per-file key ranges, content preserved") {
+    val dir = tmpTable("cluster")
+    // shuffled ids so the incoming layout has NO locality to inherit
+    val df = spark.range(0, 4000)
+      .select($"id", md5($"id".cast("string")).as("h"))
+      .repartition(16, $"h")
+    ParquetIO.overwriteConcurrent(df, dir)
+    val before = ParquetIO.read(spark, dir).orderBy("id").collect()
+
+    val stats = ParquetIO.compact(spark, dir,
+      targetBytes = ParquetIO.tableBytes(dir) / 4, clusterBy = Seq("id"))
+    assert(stats.filesAfter > 1, s"want multiple clustered files: $stats")
+    val after = ParquetIO.read(spark, dir).orderBy("id").collect()
+    assert(after.sameElements(before), "clustered compaction must be content-identical")
+
+    // every output file owns a disjoint id range (the data-skipping
+    // property parquet footer stats then serve)
+    val ranges = ParquetIO.read(spark, dir)
+      .select($"id", input_file_name().as("f"))
+      .groupBy($"f").agg(min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy($"lo").collect()
+    assert(ranges.length == stats.filesAfter)
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"file ranges overlap: ${a.mkString(",")} vs ${b.mkString(",")}")
+      case _ => ()
+    }
+  }
+
   test("compact races a concurrent writer without clobbering its commit") {
     val dir = tmpTable("compact-race")
     ParquetIO.overwriteConcurrent(
