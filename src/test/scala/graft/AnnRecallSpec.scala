@@ -45,6 +45,19 @@ class AnnRecallSpec extends AnyFunSuite {
       "deeper probes must never lose recall")
   }
 
+  test("q171: SQ8 symmetric-code search holds the ≥0.9 mean recall floor at sf0.01") {
+    // the 4x-compression tier must stay near-exact (measured 0.96 mean
+    // at sf0.01: 4 queries at 1.0, one at 0.8) — the contrast with the
+    // 16-byte PQ code's 0.56 ceiling is the reason SQ8 exists.
+    // Deterministic pipeline: a regression tripwire, not a flaky bound.
+    val recalls = operators.Similarity.q171Sq8Recall(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"SQ8 mean recall floor broken: $mean")
+    assert(recalls.forall(_ >= 0.6),
+      s"a single query collapsed under SQ8: ${recalls.mkString(",")}")
+  }
+
   test("q137: exact re-rank of the ADC shortlist holds the ≥0.9 recall floor") {
     // the two-stage plan (probe-4 ADC shortlist → exact-L2 re-rank of
     // RerankDepth true vectors per query) must break the raw ADC's
