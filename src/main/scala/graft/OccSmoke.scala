@@ -74,6 +74,22 @@ object OccSmoke {
     val (sec1, st1) = compactRun(1)
     val (secK, stK) = compactRun(k)
 
+    // clustered variant on the K-scale table: pays one range shuffle +
+    // sort for read-time data skipping — measure the premium over the
+    // narrow coalesce rewrite
+    val clDir = s"$work/compact-cl/docs"
+    pipeline.ParquetIO.overwriteConcurrent(
+      (0 until k).map { r =>
+        val base = Tables.load(spark, src, "documents")
+        val n0 = base.count()
+        base.select(($"doc_id" + lit(r * n0)).as("doc_id"), $"text",
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _).repartition(64, $"text"), clDir)
+    val beforeCl = checksum(clDir)
+    val (stCl, secCl) = timed(pipeline.ParquetIO.compact(
+      spark, clDir, targetBytes = 4L << 20, clusterBy = Seq("doc_id")))
+    require(checksum(clDir) == beforeCl, "clustered compact changed content!")
+
     // ---- 2. OCC contention ------------------------------------------
     val writers = 4
     val commits = 3
@@ -109,12 +125,14 @@ object OccSmoke {
       f"[occ-smoke] compact x1: $sec1%.2f s (${st1.filesBefore}->${st1.filesAfter} files, " +
         f"${st1.bytesBefore / 1e6}%.1f MB); compact x$k: $secK%.2f s " +
         f"(${stK.filesBefore}->${stK.filesAfter} files, ${stK.bytesBefore / 1e6}%.1f MB); " +
+        f"clustered x$k: $secCl%.2f s (${stCl.filesBefore}->${stCl.filesAfter} files); " +
         f"occ: $totalCommits commits / $writers writers in $occSec%.2f s " +
         f"(${totalCommits / occSec}%.2f commits/s, solo commit $soloSec%.2f s)")
     println(s"""{"k":$k,"src":"$src","compact1_sec":${f"$sec1%.2f"},""" +
       s""""compactK_sec":${f"$secK%.2f"},"compact1_files":[${st1.filesBefore},${st1.filesAfter}],""" +
       s""""compactK_files":[${stK.filesBefore},${stK.filesAfter}],""" +
       s""""compact1_bytes":${st1.bytesBefore},"compactK_bytes":${stK.bytesBefore},""" +
+      s""""clusteredK_sec":${f"$secCl%.2f"},"clusteredK_files":[${stCl.filesBefore},${stCl.filesAfter}],""" +
       s""""occ_writers":$writers,"occ_commits":$totalCommits,""" +
       s""""occ_sec":${f"$occSec%.2f"},"occ_solo_sec":${f"$soloSec%.2f"}}""")
     spark.stop()
