@@ -39,6 +39,7 @@ object Registry {
       graft.operators.Retrieval.queries ++
       graft.operators.AsOf.queries ++
       graft.operators.Maintenance.queries ++
+      graft.operators.ChangeFeed.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

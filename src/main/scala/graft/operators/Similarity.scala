@@ -1992,7 +1992,98 @@ object Similarity {
       |       ELSE 'append' END AS decision
       |FROM stats CROSS JOIN bstats ORDER BY side""".stripMargin
 
+  /** q175: 1-bit binary quantization — the last rung of the compression
+    * ladder the engine now measures end-to-end (PQ 16-byte codes ceiling
+    * at 0.56 recall / q75, SQ8 4× at ≈1.0 / q171, binary 32× measured
+    * HERE): each 64-dim vector collapses to its sign bits, packed into
+    * two 32-bit words carried as BIGINTs, and retrieval runs SYMMETRIC
+    * Hamming — `bit_count(xor)` on the packed words, the popcount
+    * kernel binary indexes serve from RAM. Encoding is a scan-local
+    * projection (slice → indexed transform → fold; no shuffle, no
+    * training, no codebook — the operational appeal of the 1-bit tier),
+    * and per sampled query ([[AnnTruthQueryCap]], q53's fixed md5
+    * sample) the gauge reports top-5-by-Hamming ∩ top-5-by-exact-cosine
+    * — the measured price of 32× compression, beside q171's measured
+    * near-zero price of 4×. At 100 TB the corpus side is one scan
+    * producing 16 bytes/row of state; the per-query cost is a popcount
+    * pass, O(cap·n) here and cell-local under the IVF index.
+    */
+  def q175BqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select($"vec_id", d($"embedding").as("v"))
+    // sign bits of dims [lo, lo+32) packed little-endian into one long:
+    // distinct powers of two, so the fold's adds never carry (= bitwise OR)
+    def word(lo: Int): Column = aggregate(
+      transform(slice($"v", lo + 1, 32), (x, i) =>
+        when(x >= 0d, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val coded = e.select($"vec_id", $"v", norm($"v").as("nrm"),
+      word(0).as("w0"), word(32).as("w1")).persist()
+    val qset = coded.filter($"vec_id" % 100 === 0)
+      .withColumn("mk", md5($"vec_id".cast("string")))
+      .orderBy($"mk", $"vec_id").limit(AnnTruthQueryCap)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val pairs = broadcast(qset)
+      .crossJoin(coded.select($"vec_id".as("neighbor_id"), $"v", $"nrm", $"w0", $"w1"))
+      .filter($"query_id" =!= $"neighbor_id")
+    val wTruth = Window.partitionBy($"query_id").orderBy($"c".desc, $"neighbor_id".asc)
+    val truth = pairs
+      .select($"query_id", $"neighbor_id",
+        round(dot($"qv", $"v") / ($"qnrm" * $"nrm"), 6).as("c"))
+      .withColumn("rk", row_number().over(wTruth)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val wHam = Window.partitionBy($"query_id").orderBy($"h".asc, $"neighbor_id".asc)
+    val bq = pairs
+      .select($"query_id", $"neighbor_id",
+        (bit_count($"qw0".bitwiseXOR($"w0")) +
+          bit_count($"qw1".bitwiseXOR($"w1"))).as("h"))
+      .withColumn("rk", row_number().over(wHam)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = truth.join(bq, Seq("query_id", "neighbor_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("h"))
+    qset.select($"query_id").join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        round(coalesce($"h", lit(0L)) / lit(5.0), 2).as("recall_at_5"))
+      .orderBy($"query_id")
+  }
+
+  private def q175Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |coded AS (
+      |  SELECT vec_id, v,
+      |    CAST(list_sum(list_transform(range(1, 33),
+      |      i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+      |    CAST(list_sum(list_transform(range(33, 65),
+      |      i -> CASE WHEN v[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+      |  FROM e),
+      |qset AS (SELECT vec_id AS query_id, v AS qv, w0 AS qw0, w1 AS qw1
+      |         FROM coded WHERE vec_id % 100 = 0
+      |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $AnnTruthQueryCap),
+      |pairs AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, q.qw0, q.qw1,
+      |                 c.v, c.w0, c.w1
+      |          FROM qset q CROSS JOIN coded c WHERE q.query_id <> c.vec_id),
+      |truth AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY round(list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) DESC,
+      |      neighbor_id ASC) AS rk FROM pairs) WHERE rk <= 5),
+      |bq AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) ASC,
+      |      neighbor_id ASC) AS rk FROM pairs) WHERE rk <= 5),
+      |hits AS (SELECT t.query_id, count(*) AS h FROM truth t JOIN bq b
+      |         ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      |         GROUP BY t.query_id)
+      |SELECT q.query_id, round(coalesce(h, 0) / 5.0, 2) AS recall_at_5
+      |FROM qset q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q175_bq_recall", Seq("EXT-similarity", "EXT-approx"),
+      "1-bit binary quantization: sign bits packed into two 32-bit words, symmetric Hamming (popcount-xor) recall@5 vs exact cosine",
+      q175BqRecall, Some(q175Sql)),
     GraftQuery("q173_drift_gauge", Seq("EXT-similarity", "EXT-streaming", "EXT-occ"),
       "index drift gauge: frozen-codebook quantization error of candidate batches vs the base max(p95, 2*mean) retrain threshold",
       q173DriftGauge, Some(q173Sql)),

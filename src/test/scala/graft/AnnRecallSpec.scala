@@ -119,6 +119,21 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("q175: binary sign codes beat the random-top-5 baseline at sf0.01") {
+    // the 32x-compression rung is LOSSY by design — measured mean
+    // recall 0.28 at sf0.01 (64 sign bits on a near-uniform-sphere
+    // corpus), vs a random-baseline expectation of 5/499 ≈ 0.01 per
+    // hit slot (~0.05 overlap). The gauge's job is to keep that price
+    // measured and non-degenerate, not to promise SQ8 fidelity.
+    // Deterministic pipeline: a regression tripwire, not a flaky bound.
+    val recalls = operators.Similarity.q175BqRecall(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.15, s"binary-code mean recall degenerated to $mean")
+    assert(mean < 0.9,
+      s"binary codes at $mean ≈ exact — the gauge stopped measuring loss")
+  }
+
   test("q75: PQ-ADC recall floor against exact same-metric truth") {
     val row = operators.Similarity.q75PqRecall(spark, dir).head()
     assert(row.getLong(2) > 0, "exact L2 truth is empty — gauge is vacuous")

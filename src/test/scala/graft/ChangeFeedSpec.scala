@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ChangeFeed
+import graft.pipeline.ParquetIO
+
+/** The change data feed: row-level diff semantics over DataFrames and
+  * over retained ParquetIO versions (time travel made consumable).
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def byType(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("diff: every change type, unchanged keys silent, images carried intact") {
+    val oldDf = Seq(
+      (1L, "A", 10.0),  // unchanged
+      (2L, "B", 20.0),  // value update
+      (3L, "C", 30.0),  // segment update
+      (4L, "D", 40.0)   // deleted in new
+    ).toDF("k", "seg", "bal")
+    val newDf = Seq(
+      (1L, "A", 10.0),
+      (2L, "B", 25.0),
+      (3L, "X", 30.0),
+      (5L, "E", 50.0)   // inserted
+    ).toDF("k", "seg", "bal")
+    val feed = ChangeFeed.diff(oldDf, newDf, Seq("k"))
+    assert(feed.columns.toSeq == Seq("_change_type", "k", "seg", "bal"))
+    assert(byType(feed) == Map(
+      "insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L))
+    // unchanged key emits nothing
+    assert(feed.filter($"k" === 1L).count() == 0)
+    // the update pair carries pre AND post images of the changed row
+    val k2 = feed.filter($"k" === 2L).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(k2 == Map("update_preimage" -> 20.0, "update_postimage" -> 25.0))
+    // insert carries the post image, delete the pre image
+    assert(feed.filter($"_change_type" === "insert").head().getDouble(3) == 50.0)
+    assert(feed.filter($"_change_type" === "delete").head().getDouble(3) == 40.0)
+  }
+
+  test("diff: null-safe comparison — null->value and value->null are updates, null==null is unchanged") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val newDf = Seq((1L, Some("y")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("k", "v")
+    val feed = ChangeFeed.diff(oldDf, newDf, Seq("k"))
+    assert(byType(feed) == Map("update_preimage" -> 2L, "update_postimage" -> 2L))
+    assert(feed.filter($"k" === 3L).count() == 0, "null == null is not a change")
+  }
+
+  test("between: feed across two committed versions of a real ParquetIO table") {
+    val dir = Files.createTempDirectory("graft-cdf").resolve("t").toString
+    ParquetIO.overwriteSwap(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir)
+    ParquetIO.overwriteSwap(Seq((1L, 1.5), (3L, 3.0)).toDF("k", "v"), dir)
+    val feed = ChangeFeed.between(spark, dir, 1L, 2L, Seq("k"))
+    assert(byType(feed) == Map(
+      "insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    assert(feed.filter($"_change_type" === "insert").head().getLong(1) == 3L)
+    assert(feed.filter($"_change_type" === "delete").head().getLong(1) == 2L)
+  }
+
+  test("q174 carrier: all four change types present and keyed disjointly") {
+    val feed = operators.ChangeFeed.q174ChangeFeed(spark, "/root/testdata/sf0.001")
+    val m = byType(feed)
+    assert(m.keySet == Set("insert", "delete", "update_preimage", "update_postimage"))
+    assert(m("update_preimage") == m("update_postimage"))
+    // the constructed states make the classes disjoint by construction:
+    // inserts are %7=0 keys, deletes %5=0 keys, updates %3=0 keys
+    val badIns = feed.filter($"_change_type" === "insert" && $"c_custkey" % 7 =!= 0).count()
+    val badDel = feed.filter($"_change_type" === "delete" && $"c_custkey" % 5 =!= 0).count()
+    val badUpd = feed.filter($"_change_type".startsWith("update") && $"c_custkey" % 3 =!= 0).count()
+    assert(badIns == 0 && badDel == 0 && badUpd == 0)
+  }
+}

@@ -118,6 +118,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    SQ8 scale vector attached to the encoder (scalar attach)
     //  - q171: the q170 scale attach + the q53/q98 shape (32 broadcast
     //    sampled queries scored against the corpus, O(cap·n))
+    //  - q175: the q171 gauge shape for the binary tier (32 broadcast
+    //    sampled queries popcount-scored against the corpus, O(cap·n))
     //  - q173: 6-anchor × range(10) member construction (bounded
     //    product) + the q161 broadcast-codebook scoring shape + two
     //    1-row base-stat scalar attaches
@@ -128,7 +130,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
       "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
-      "q173_drift_gauge")),
+      "q173_drift_gauge", "q175_bq_recall")),
       s"unexpected cross products in: $offenders")
   }
 
