@@ -200,6 +200,25 @@ object ParquetIO {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
     spark.read.parquet(versionPath(dir, v))
 
+  /** Read the committed version with parquet schema merging — the read
+    * for versions holding MIXED-schema files, which [[appendAsVersion]]
+    * produces when a schema-evolved writer appends (the new batch
+    * carries added columns; the hard-linked history keeps the old
+    * footprint, and merged reads surface the union schema with nulls
+    * for what old files lack). Costs one footer read per file at plan
+    * time, so the plain [[read]] stays the default for single-schema
+    * tables; a 100 TB evolved table would amortize this through a
+    * committed schema artifact, which GcRetain-deep history makes a
+    * cheap future step.
+    */
+  def readMerged(spark: SparkSession, dir: String): DataFrame = {
+    val rd = spark.read.option("mergeSchema", "true")
+    resolveVersion(dir) match {
+      case Some(v) => rd.parquet(versionPath(dir, v))
+      case None    => rd.parquet(dir)
+    }
+  }
+
   /** Committed versions currently on disk, ascending. */
   def versionsOnDisk(dir: String): Seq[Long] = {
     val d = Paths.get(dir)

@@ -70,6 +70,73 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.filter($"_change_type" === "delete").head().getLong(1) == 2L)
   }
 
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("squash: composition law — squash(diff(a,b), diff(b,c)) == diff(a,c), roundtrips vanish") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("k", "v")
+    // b: 1 deleted, 2 updated, 6 inserted, 3 deleted (reinserted in c
+    // identically), 4 deleted (reinserted in c changed)
+    val b = Seq((2L, 21.0), (5L, 50.0), (6L, 60.0)).toDF("k", "v")
+    // c: 2 updated again, 6 deleted again (net nothing), 3 back identical
+    // (net nothing), 4 back changed (net update), 7 inserted
+    val c = Seq((2L, 22.0), (3L, 30.0), (4L, 41.0), (5L, 50.0), (7L, 70.0))
+      .toDF("k", "v")
+    val keys = Seq("k")
+    val squashed = ChangeFeed.squash(
+      ChangeFeed.diff(a, b, keys), ChangeFeed.diff(b, c, keys), keys)
+    val direct = ChangeFeed.diff(a, c, keys)
+    assert(canon(squashed) == canon(direct),
+      s"composition law broken:\n squashed=${canon(squashed)}\n direct=${canon(direct)}")
+    // the interesting cases really occurred: 3 (identical roundtrip) and
+    // 6 (insert-then-delete) are silent; 4 is a net update
+    assert(squashed.filter($"k".isin(3L, 6L)).count() == 0)
+    assert(byType(squashed.filter($"k" === 4L)) ==
+      Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+  }
+
+  test("applyFeed: consumer law — apply(a, diff(a,b)) == b, including through squash") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("k", "v")
+    val b = Seq((2L, 21.0), (5L, 50.0), (6L, 60.0)).toDF("k", "v")
+    val c = Seq((2L, 22.0), (3L, 30.0), (4L, 41.0), (5L, 50.0), (7L, 70.0))
+      .toDF("k", "v")
+    val keys = Seq("k")
+    assert(canon(ChangeFeed.applyFeed(a, ChangeFeed.diff(a, b, keys), keys)) == canon(b))
+    val squashed = ChangeFeed.squash(
+      ChangeFeed.diff(a, b, keys), ChangeFeed.diff(b, c, keys), keys)
+    assert(canon(ChangeFeed.applyFeed(a, squashed, keys)) == canon(c),
+      "applying the squashed chain must reconstruct the final state")
+    // empty feed is the identity
+    val empty = ChangeFeed.diff(a, a, keys)
+    assert(canon(ChangeFeed.applyFeed(a, empty, keys)) == canon(a))
+  }
+
+  test("align + between: evolved schema diffs with typed null preimages") {
+    val dir = Files.createTempDirectory("graft-cdf-evo").resolve("t").toString
+    ParquetIO.overwriteSwap(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir)
+    ParquetIO.overwriteSwap(
+      Seq((1L, 1.0, "x"), (2L, 2.5, "y")).toDF("k", "v", "tag"), dir)
+    val feed = ChangeFeed.between(spark, dir, 1L, 2L, Seq("k"))
+    assert(feed.columns.toSeq == Seq("_change_type", "k", "v", "tag"))
+    // both keys update (tag null -> value); preimages carry null tag
+    assert(byType(feed) == Map("update_preimage" -> 2L, "update_postimage" -> 2L))
+    assert(feed.filter($"_change_type" === "update_preimage" && $"tag".isNotNull).count() == 0)
+    assert(feed.filter($"_change_type" === "update_postimage" && $"tag".isNull).count() == 0)
+  }
+
+  test("readMerged: mixed-schema version from an evolved appendAsVersion") {
+    val dir = Files.createTempDirectory("graft-merged").resolve("t").toString
+    ParquetIO.overwriteSwap(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir)
+    ParquetIO.appendAsVersion(Seq((3L, 3.0, "new")).toDF("k", "v", "tag"), dir)
+    val merged = ParquetIO.readMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("k", "tag", "v"))
+    assert(merged.count() == 3)
+    assert(merged.filter($"k" === 1L).head().getAs[String]("tag") == null)
+    assert(merged.filter($"k" === 3L).head().getAs[String]("tag") == "new")
+  }
+
   test("q174 carrier: all four change types present and keyed disjointly") {
     val feed = operators.ChangeFeed.q174ChangeFeed(spark, "/root/testdata/sf0.001")
     val m = byType(feed)
