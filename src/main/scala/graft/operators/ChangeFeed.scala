@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{GraftQuery, Tables}
 import graft.pipeline.ParquetIO
@@ -213,18 +214,7 @@ object ChangeFeed {
     */
   def q178FeedApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cust = t(s, dir, "customer")
-      .select($"c_custkey", $"c_mktsegment".as("segment"), $"c_acctbal")
-    def state(residues: Seq[Int], plus5: Boolean, plus7: Boolean): DataFrame =
-      cust.filter(($"c_custkey" % 4).isin(residues.map(Integer.valueOf): _*))
-        .select($"c_custkey", $"segment",
-          ($"c_acctbal" +
-            (if (plus5) when($"c_custkey" % 5 === 0, 10d).otherwise(0d) else lit(0d)) +
-            (if (plus7) when($"c_custkey" % 7 === 0, 100d).otherwise(0d) else lit(0d))
-          ).as("bal"))
-    val s1 = state(Seq(0, 1, 2), plus5 = false, plus7 = false)
-    val s2 = state(Seq(0, 1, 3), plus5 = true, plus7 = false)
-    val s3 = state(Seq(0, 2, 3), plus5 = true, plus7 = true)
+    val (s1, s2, s3) = chainStates(s, dir)
     val feed = squash(diff(s1, s2, Seq("c_custkey")), diff(s2, s3, Seq("c_custkey")),
       Seq("c_custkey"))
     applyFeed(s1, feed, Seq("c_custkey"))
@@ -237,6 +227,73 @@ object ChangeFeed {
       |            + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal
       |FROM customer WHERE c_custkey % 4 IN (0, 2, 3)
       |ORDER BY c_custkey""".stripMargin
+
+  /** Per-group aggregate DELTA of a feed — the incremental-view-
+    * maintenance kernel: each feed row contributes its image SIGNED
+    * (+1 for insert/update_postimage, −1 for delete/update_preimage),
+    * so grouping the feed yields exactly the adjustment that moves a
+    * materialized (count, sum) aggregate from the old state's answer
+    * to the new one's — no base-table re-scan. Sums ride DECIMAL(18,2)
+    * (the engine-wide exact-money discipline) so maintenance never
+    * drifts from recompute. O(changes) — one groupBy over the feed.
+    */
+  def aggDelta(feed: DataFrame, groupCols: Seq[String], sumCol: String): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    feed.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(sign).as("d_count"),
+        sum((sign * col(sumCol)).cast(DecimalType(18, 2))).as("d_sum"))
+  }
+
+  /** Merge an [[aggDelta]] into a materialized (count, sum) aggregate:
+    * full-outer on the group key, add, drop groups whose maintained
+    * count reaches zero (the group vanished from the state). The
+    * maintained table is touched once; the delta side is O(changed
+    * groups) and broadcast-able.
+    */
+  def maintainAgg(baseAgg: DataFrame, delta: DataFrame, groupCols: Seq[String],
+      countCol: String, sumCol: String): DataFrame =
+    baseAgg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col(countCol), lit(0L)) + coalesce(col("d_count"), lit(0L)))
+          .as(countCol),
+        (coalesce(col(sumCol).cast(DecimalType(18, 2)), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("d_sum"), lit(0).cast(DecimalType(18, 2)))).as(sumCol)): _*)
+      .filter(col(countCol) > 0)
+
+  /** q179: incremental view maintenance, hash-proved — a per-segment
+    * (count, balance-sum) aggregate materialized over S1 is maintained
+    * to S3 purely from the squashed change feed ([[aggDelta]] +
+    * [[maintainAgg]]): the 100 TB move where the base table is never
+    * re-scanned and the maintenance cost is O(changes). The oracle
+    * recomputes the aggregate DIRECTLY from S3 — maintenance and
+    * recompute must agree to the cent or the hash breaks (exact
+    * DECIMAL sums make that equality well-defined).
+    */
+  def q179IvmAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (s1, s2, s3) = chainStates(s, dir)
+    val baseAgg = s1.groupBy($"segment").agg(
+      count(lit(1)).as("n_customers"),
+      sum($"bal".cast(DecimalType(18, 2))).as("total_bal"))
+    val feed = squash(diff(s1, s2, Seq("c_custkey")), diff(s2, s3, Seq("c_custkey")),
+      Seq("c_custkey"))
+    maintainAgg(baseAgg, aggDelta(feed, Seq("segment"), "bal"),
+      Seq("segment"), "n_customers", "total_bal")
+      .select($"segment", $"n_customers",
+        $"total_bal".cast("double").as("total_bal"))
+      .orderBy($"segment")
+  }
+
+  private val q179Sql =
+    """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal
+      |    + CASE WHEN c_custkey % 5 = 0 THEN 10 ELSE 0 END
+      |    + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE c_custkey % 4 IN (0, 2, 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q176: feed composition — [[squash]]'s algebra hash-proved
     * cross-engine. Three deterministic states of the dimension are
@@ -252,6 +309,21 @@ object ChangeFeed {
     */
   def q176FeedSquash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (s1, s2, s3) = chainStates(s, dir)
+    squash(diff(s1, s2, Seq("c_custkey")), diff(s2, s3, Seq("c_custkey")),
+      Seq("c_custkey"))
+      .orderBy($"c_custkey", $"_change_type")
+  }
+
+  /** The three deterministic dimension states the CDC-algebra queries
+    * share (q176/q178/q179 and the streaming consumer q180): chosen so
+    * every composition case occurs — continuity with updates (k%4=0),
+    * net delete (k%4=1), delete-then-reinsert (k%4=2, netting to
+    * nothing when the image returned identical), net insert (k%4=3) —
+    * with `%5`/`%7` balance bumps staggering WHEN images move.
+    */
+  private[graft] def chainStates(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
     val cust = t(s, dir, "customer")
       .select($"c_custkey", $"c_mktsegment".as("segment"), $"c_acctbal")
     def state(residues: Seq[Int], plus5: Boolean, plus7: Boolean): DataFrame =
@@ -261,12 +333,9 @@ object ChangeFeed {
             (if (plus5) when($"c_custkey" % 5 === 0, 10d).otherwise(0d) else lit(0d)) +
             (if (plus7) when($"c_custkey" % 7 === 0, 100d).otherwise(0d) else lit(0d))
           ).as("bal"))
-    val s1 = state(Seq(0, 1, 2), plus5 = false, plus7 = false)
-    val s2 = state(Seq(0, 1, 3), plus5 = true, plus7 = false)
-    val s3 = state(Seq(0, 2, 3), plus5 = true, plus7 = true)
-    squash(diff(s1, s2, Seq("c_custkey")), diff(s2, s3, Seq("c_custkey")),
-      Seq("c_custkey"))
-      .orderBy($"c_custkey", $"_change_type")
+    (state(Seq(0, 1, 2), plus5 = false, plus7 = false),
+      state(Seq(0, 1, 3), plus5 = true, plus7 = false),
+      state(Seq(0, 2, 3), plus5 = true, plus7 = true))
   }
 
   private val q176Sql =
@@ -391,5 +460,8 @@ object ChangeFeed {
       q177EvolvedFeed, Some(q177Sql)),
     GraftQuery("q178_feed_apply", Seq("S6", "J4", "EXT-cdc", "EXT-occ"),
       "CDC consumer round trip: applying the squashed feed onto the S1 replica reconstructs S3 exactly (anti-join + postimage union)",
-      q178FeedApply, Some(q178Sql)))
+      q178FeedApply, Some(q178Sql)),
+    GraftQuery("q179_ivm_agg", Seq("A2", "S6", "EXT-cdc", "EXT-occ"),
+      "incremental view maintenance: signed feed deltas move a materialized (count, DECIMAL sum) aggregate from S1's answer to S3's without re-scanning the base",
+      q179IvmAgg, Some(q179Sql)))
 }

@@ -646,7 +646,87 @@ object StreamingOps {
       |  TRUE AS files_bounded
       |FROM documents""".stripMargin
 
+  /** q180: streaming CDC consumption — the replication topology every
+    * lakehouse tails: a file-source STREAM of change-feed batches
+    * (diff(S1→S2) staged before diff(S2→S3); modification times pin
+    * the order, `maxFilesPerTrigger=1` makes each feed one micro-batch)
+    * drives a foreachBatch consumer that applies each feed to a
+    * versioned replica through [[graft.pipeline.ParquetIO
+    * .transformConcurrent]] — the serializable read-modify-write, so a
+    * concurrent writer on the replica could interleave safely. The
+    * final replica must equal S3 exactly (the oracle just SELECTs it):
+    * a dropped batch, an out-of-order apply, or a stale image breaks
+    * the hash. Per batch the work is [[graft.operators.ChangeFeed
+    * .applyFeed]]'s one anti-join + union — O(replica) scan, O(changes)
+    * feed side, no state store (the replica IS the state).
+    */
+  def q180StreamFeedApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ChangeFeed
+    import graft.pipeline.ParquetIO
+    val keys = Seq("c_custkey")
+    val (s1, s2, s3) = ChangeFeed.chainStates(s, dir)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q180-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q180-src")
+    val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q180-tgt")
+    val tgtDir = tgtRoot.resolve("replica").toString
+    try {
+      // stage the two feeds as one parquet file each, mtime-ordered —
+      // the file source's processing order for equal-batch triggers
+      val feedSchema = ChangeFeed.diff(s1, s2, keys).schema
+      Seq(ChangeFeed.diff(s1, s2, keys) -> "feed0",
+          ChangeFeed.diff(s2, s3, keys) -> "feed1").zipWithIndex.foreach {
+        case ((feed, name), i) =>
+          val stage = srcDir.resolve(s".stage-$name")
+          feed.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).iterator()
+          val dataFile = Iterator.continually(part)
+            .takeWhile(_.hasNext).map(_.next())
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(dataFile, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          rmTree(stage)
+      }
+      ParquetIO.overwriteSwap(s1, tgtDir) // the replica starts at S1
+      val q = s.readStream
+        .schema(feedSchema)
+        .option("maxFilesPerTrigger", 1) // one staged feed per micro-batch
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val feed = batch.toDF().persist()
+            feed.count() // pin the batch before the replica version moves
+            ParquetIO.transformConcurrent(s, tgtDir) {
+              case Some(base) => ChangeFeed.applyFeed(base, feed, keys)
+              case None       => ChangeFeed.applyFeed(s1, feed, keys)
+            }
+            feed.unpersist()
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = ParquetIO.read(s, tgtDir).orderBy($"c_custkey")
+      val rows = out.collect() // O(dimension) — frees the temp replica
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      rmTree(ckptDir); rmTree(srcDir); rmTree(tgtRoot)
+    }
+  }
+
+  private val q180Sql =
+    """SELECT c_custkey, c_mktsegment AS segment,
+      |  c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10 ELSE 0 END
+      |            + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal
+      |FROM customer WHERE c_custkey % 4 IN (0, 2, 3)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q180_stream_feed_apply", Seq("EXT-streaming", "S6", "J4", "EXT-cdc", "EXT-occ"),
+      "streaming CDC consumption: mtime-ordered feed micro-batches applied to a versioned replica via serializable read-modify-write; final replica == S3",
+      q180StreamFeedApply, Some(q180Sql)),
     GraftQuery("q172_stream_compact", Seq("EXT-streaming", "S7", "EXT-occ"),
       "streaming append sink with threshold-triggered auto-compaction: bounded file count, content oracle-carried at 3x",
       q172StreamCompact, Some(q172Sql)),

@@ -113,6 +113,23 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(canon(ChangeFeed.applyFeed(a, empty, keys)) == canon(a))
   }
 
+  test("aggDelta + maintainAgg: maintenance equals recompute, emptied groups vanish") {
+    val a = Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0))
+      .toDF("k", "g", "v")
+    // group y empties (3 deleted); group z appears (4 inserted); x moves
+    val b = Seq((1L, "x", 15.0), (2L, "x", 20.0), (4L, "z", 40.0))
+      .toDF("k", "g", "v")
+    import org.apache.spark.sql.types.DecimalType
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g").agg(
+      count(lit(1)).as("n"), sum($"v".cast(DecimalType(18, 2))).as("t"))
+    val maintained = ChangeFeed.maintainAgg(
+      aggOf(a), ChangeFeed.aggDelta(ChangeFeed.diff(a, b, Seq("k")), Seq("g"), "v"),
+      Seq("g"), "n", "t")
+    assert(canon(maintained) == canon(aggOf(b)),
+      "maintained aggregate diverged from direct recompute")
+    assert(maintained.filter($"g" === "y").count() == 0, "emptied group must vanish")
+  }
+
   test("align + between: evolved schema diffs with typed null preimages") {
     val dir = Files.createTempDirectory("graft-cdf-evo").resolve("t").toString
     ParquetIO.overwriteSwap(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), dir)
