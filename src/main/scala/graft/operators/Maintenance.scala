@@ -117,6 +117,60 @@ object Maintenance {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.deleteIfExists(f))
 
+  /** q181: merge-on-read deletes — at 100 TB a DELETE that rewrites a
+    * 1 GB file to drop 3 rows is the copy-on-write death spiral, so
+    * [[ParquetIO.deleteWhere]] commits positional deletion vectors
+    * (version, file_name, row_index from the parquet `_metadata`
+    * columns) and [[ParquetIO.readMoR]] subtracts them with one
+    * broadcast anti-join. Two overlapping predicates accumulate
+    * vectors against a 12-shard `documents` table; the query PROVES no
+    * data file was touched (the version's file listing is captured
+    * before and after and compared into the `no_rewrite` literal) and
+    * emits the surviving content checksum — the oracle computes the
+    * same from `documents` with the predicates inverted, so a vector
+    * that misses, double-drops, or mis-indexes any row breaks the
+    * hash.
+    */
+  def q181DeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-q181").resolve("docs").toString
+    ParquetIO.overwriteConcurrent(
+      t(s, dir, "documents").repartition(12), tmp)
+    def dataFiles: Set[String] = {
+      val v = ParquetIO.resolveVersion(tmp).get
+      val st = Files.list(java.nio.file.Paths.get(ParquetIO.versionPath(tmp, v)))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      } finally st.close()
+    }
+    val before = dataFiles
+    val n1 = ParquetIO.deleteWhere(s, tmp, $"doc_id" % 7 === 0)
+    val n2 = ParquetIO.deleteWhere(s, tmp, $"doc_id" % 11 === 3) // overlaps %77=...
+    val untouched = dataFiles == before
+    val ratio = ParquetIO.deleteRatio(s, tmp)
+    val out = ParquetIO.readMoR(s, tmp)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(conv(substring(md5(concat_ws("|",
+          $"doc_id".cast("string"), md5($"text"))), 1, 8), 16, 10)
+          .cast("long")).as("content_checksum"))
+      .select($"n_docs", $"content_checksum",
+        lit(untouched && n1 > 0 && n2 > 0 && ratio > 0).as("no_rewrite"))
+    val rows = out.collect()
+    rmTree(java.nio.file.Paths.get(tmp).getParent)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val q181Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT)
+      |    AS BIGINT) AS content_checksum,
+      |  TRUE AS no_rewrite
+      |FROM documents
+      |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3""".stripMargin
+
   private val q169Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT)
@@ -130,5 +184,8 @@ object Maintenance {
       q168ConcurrentMerge, Some(q168Sql)),
     GraftQuery("q169_compaction", Seq("S7", "EXT-occ", "EXT-olap"),
       "small-file bin-packing compaction committed as a new table version, content-preservation oracle-carried",
-      q169Compaction, Some(q169Sql)))
+      q169Compaction, Some(q169Sql)),
+    GraftQuery("q181_delete_vectors", Seq("S7", "EXT-occ", "EXT-cdc"),
+      "merge-on-read deletes: positional deletion vectors from _metadata columns, broadcast anti-join subtraction, zero data files rewritten",
+      q181DeleteVectors, Some(q181Sql)))
 }

@@ -289,6 +289,22 @@ object ParquetIO {
             }
           }
         finally st.close()
+        // rebase deletion vectors: the carried files were linked in as
+        // prev<v>_<name>, so vectors targeting v keep applying under
+        // the rewritten names at v+1 — deletes survive the O(delta)
+        // append without materializing (the new batch has no vectors)
+        if (exists(deletesDir(dir))) {
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          val spark = df.sparkSession
+          val rebased = read(spark, deletesDir(dir))
+            .filter(col("target_version") === v)
+            .select(lit(next).as("target_version"),
+              concat(lit(s"prev${v}_"), col("file_name")).as("file_name"),
+              col("row_index"))
+          // the _deletes side table has its own writer lock (a distinct
+          // dir), so this nested append cannot deadlock the data lock
+          if (!rebased.isEmpty) appendInPlace(rebased, deletesDir(dir))
+        }
         val tmp = Paths.get(dir, "_current.tmp")
         Files.writeString(tmp, next.toString)
         Files.move(tmp, currentFile(dir),
@@ -444,7 +460,10 @@ object ParquetIO {
       val base = resolveVersion(dir)
       val target = base.getOrElse(0L) + 1
       val claimed =
-        try stageAndClaim(f(base.map(readVersion(spark, dir, _))), dir, target)
+        // the base handed to `f` is the MoR view: a read-modify-write on
+        // a vector-carrying table must see the logical content, and its
+        // full-replacement commit materializes the deletes
+        try stageAndClaim(f(base.map(readVersionMoR(spark, dir, _))), dir, target)
         catch {
           case e: Exception if isMissingFileRace(e) && attempt < maxAttempts - 1 =>
             false // base GC'd under our lazy scan: rebase
@@ -537,7 +556,10 @@ object ParquetIO {
         return CompactionStats(base, base, before.size, before.size, bytes, bytes)
       val cols = clusterBy.map(org.apache.spark.sql.functions.col)
       def rewritten = {
-        val cur = readVersion(spark, dir, base)
+        // through the MoR view: a compaction of a vector-carrying table
+        // MATERIALIZES the deletes (the new version's files are fresh,
+        // so the old vectors stop applying — and must not be needed)
+        val cur = readVersionMoR(spark, dir, base)
         if (clusterBy.isEmpty) cur.coalesce(n)
         else cur.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
       }
@@ -560,6 +582,110 @@ object ParquetIO {
     throw new IllegalStateException(
       s"compact($dir): lost the version claim $maxAttempts times; retry later")
   }
+
+  // ------------------------------------------------------------------
+  // Deletion vectors (merge-on-read deletes)
+  // ------------------------------------------------------------------
+
+  /** Name of the positional-delete side table nested under the data
+    * dir — `_`-prefixed so every parquet reader skips it as a non-data
+    * path; our own version listing matches only `v\d+`, so GC and
+    * resolve never touch it either.
+    */
+  private def deletesDir(dir: String): String =
+    Paths.get(dir, "_deletes").toString
+
+  /** Merge-on-read DELETE — the 100 TB shape: rewriting a 1 GB file to
+    * drop 3 rows is how copy-on-write tables die at scale, so instead
+    * the matching row POSITIONS (version, file_name, row_index — the
+    * parquet `_metadata` columns) are committed to a side table and
+    * subtracted at read time by [[readMoR]]. Positions are only valid
+    * against the exact version whose files they index, so each vector
+    * records the version it targets and readers apply only the current
+    * version's vectors — a compaction naturally invalidates (and thus
+    * materializes) them, the Delta/Iceberg merge-on-read contract.
+    * Appends are O(batch) via [[appendInPlace]]; repeated deletes
+    * accumulate. Returns the number of positions written.
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = resolveVersion(dir).getOrElse(throw new IllegalStateException(
+      s"deleteWhere($dir): no committed version"))
+    val hits = spark.read.parquet(versionPath(dir, v))
+      .filter(predicate)
+      .select(
+        org.apache.spark.sql.functions.lit(v).as("target_version"),
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"))
+    // count once, through a persisted handle, so the write and the
+    // returned count see the same rows
+    val pinned = hits.persist()
+    val n = pinned.count()
+    if (n > 0) appendInPlace(pinned, deletesDir(dir))
+    pinned.unpersist()
+    n
+  }
+
+  /** Positions deleted against the CURRENT version (empty frame with
+    * the right schema when no vectors exist).
+    */
+  private def currentDeletes(spark: SparkSession, dir: String,
+      v: Long): Option[DataFrame] =
+    if (!exists(deletesDir(dir))) None
+    else Some(read(spark, deletesDir(dir))
+      .filter(org.apache.spark.sql.functions.col("target_version") === v)
+      .select("file_name", "row_index"))
+
+  /** Merge-on-read READ: the committed version minus its deletion
+    * vectors — one broadcast-able anti-join on (file_name, row_index);
+    * the base table is scanned once and no data file is ever rewritten.
+    * Falls back to the plain [[read]] when no vectors target the
+    * current version (including after a compaction, whose rewrite
+    * materialized them).
+    */
+  def readMoR(spark: SparkSession, dir: String): DataFrame =
+    resolveVersion(dir) match {
+      case Some(v) => readVersionMoR(spark, dir, v)
+      case None    => read(spark, dir)
+    }
+
+  /** [[readMoR]] pinned to a version — also the view every maintenance
+    * rewrite and optimistic read-modify-write goes through, so
+    * deletion vectors can never resurrect: a rewrite reading this view
+    * MATERIALIZES the deletes into the new version.
+    */
+  private[graft] def readVersionMoR(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    currentDeletes(spark, dir, v) match {
+      case None => readVersion(spark, dir, v)
+      case Some(d) =>
+        val base = spark.read.parquet(versionPath(dir, v))
+        val cols = base.columns.toSeq
+        base
+          .withColumn("__fn", col("_metadata.file_name"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(org.apache.spark.sql.functions.broadcast(
+            d.withColumnsRenamed(Map("file_name" -> "__fn", "row_index" -> "__ri"))),
+            Seq("__fn", "__ri"), "left_anti")
+          .select(cols.map(col): _*)
+    }
+  }
+
+  /** Fraction of the current version's rows carried as delete vectors
+    * — the signal a maintenance job uses to decide when merge-on-read
+    * should flip to a materializing rewrite (compact() on the [[
+    * readMoR]] output), exactly like Delta's DV-to-rewrite threshold.
+    */
+  def deleteRatio(spark: SparkSession, dir: String): Double =
+    resolveVersion(dir).flatMap { v =>
+      currentDeletes(spark, dir, v).map { d =>
+        val total = read(spark, dir).count()
+        // distinct: overlapping deleteWhere predicates may record the
+        // same position twice; the anti-join is idempotent to that
+        if (total == 0) 0.0 else d.distinct().count().toDouble / total
+      }
+    }.getOrElse(0.0)
 
   /** A Spark job failure caused by a version directory GC'd mid-scan
     * (the only self-inflicted failure mode of optimistic readers):
