@@ -121,20 +121,69 @@ object OccSmoke {
     val finalRows = pipeline.ParquetIO.read(spark, occDir).count()
     require(finalRows == 1000, s"OCC lost keys: $finalRows != 1000")
     val totalCommits = writers * commits
+
+    // ---- 3. merge-on-read UPSERT vs full-rewrite MERGE ---------------
+    // same 1%-of-keys batch against the K-scale documents table: the
+    // copy-on-write MERGE re-writes the whole table per batch, upsertMoR
+    // writes O(batch) — wall seconds AND bytes written are the claim
+    def tableBytes(dir: String): Long = pipeline.ParquetIO.tableBytes(dir)
+    val morDir = s"$work/mor/docs"
+    val cowDir = s"$work/cow/docs"
+    val kBase = (0 until k).map { r =>
+      val b = Tables.load(spark, src, "documents")
+      val n0 = b.count()
+      b.select(($"doc_id" + lit(r * n0)).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    pipeline.ParquetIO.overwriteConcurrent(kBase.repartition(16), morDir)
+    pipeline.ParquetIO.overwriteConcurrent(kBase.repartition(16), cowDir)
+    // batch derives from the IMMUTABLE source, not the target table: a
+    // write to the target refreshes Spark's cache for that path, so a
+    // target-derived lazy batch would re-evaluate over its own appended
+    // rows (the upsertMoR contract)
+    val batch = kBase
+      .filter($"doc_id" % 100 === 0)
+      .withColumn("text", concat($"text", lit(" [rev2]"))).persist()
+    batch.count()
+    val bytesBeforeMor = tableBytes(morDir)
+    val (_, morSec) = timed(
+      pipeline.ParquetIO.upsertMoR(spark, morDir, batch, Seq("doc_id")))
+    val morWritten = tableBytes(morDir) - bytesBeforeMor
+    val (_, cowSec) = timed {
+      pipeline.ParquetIO.transformConcurrent(spark, cowDir) {
+        case Some(base) =>
+          base.join(batch.select($"doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(batch)
+        case None => batch
+      }
+    }
+    val cowWritten = tableBytes(cowDir) // the rewrite IS the new version
+    val morRows = pipeline.ParquetIO.readMoR(spark, morDir)
+    val cowRows = pipeline.ParquetIO.read(spark, cowDir)
+    require(morRows.count() == cowRows.count(),
+      "MoR and CoW merges disagree on row count")
+    require(morRows.filter($"text".endsWith("[rev2]")).count() ==
+      cowRows.filter($"text".endsWith("[rev2]")).count(),
+      "MoR and CoW merges disagree on updated rows")
+    batch.unpersist()
     System.err.println(
       f"[occ-smoke] compact x1: $sec1%.2f s (${st1.filesBefore}->${st1.filesAfter} files, " +
         f"${st1.bytesBefore / 1e6}%.1f MB); compact x$k: $secK%.2f s " +
         f"(${stK.filesBefore}->${stK.filesAfter} files, ${stK.bytesBefore / 1e6}%.1f MB); " +
         f"clustered x$k: $secCl%.2f s (${stCl.filesBefore}->${stCl.filesAfter} files); " +
         f"occ: $totalCommits commits / $writers writers in $occSec%.2f s " +
-        f"(${totalCommits / occSec}%.2f commits/s, solo commit $soloSec%.2f s)")
+        f"(${totalCommits / occSec}%.2f commits/s, solo commit $soloSec%.2f s); " +
+        f"merge 1%%-batch x$k: MoR $morSec%.2f s / ${morWritten / 1e6}%.1f MB written " +
+        f"vs CoW $cowSec%.2f s / ${cowWritten / 1e6}%.1f MB")
     println(s"""{"k":$k,"src":"$src","compact1_sec":${f"$sec1%.2f"},""" +
       s""""compactK_sec":${f"$secK%.2f"},"compact1_files":[${st1.filesBefore},${st1.filesAfter}],""" +
       s""""compactK_files":[${stK.filesBefore},${stK.filesAfter}],""" +
       s""""compact1_bytes":${st1.bytesBefore},"compactK_bytes":${stK.bytesBefore},""" +
       s""""clusteredK_sec":${f"$secCl%.2f"},"clusteredK_files":[${stCl.filesBefore},${stCl.filesAfter}],""" +
       s""""occ_writers":$writers,"occ_commits":$totalCommits,""" +
-      s""""occ_sec":${f"$occSec%.2f"},"occ_solo_sec":${f"$soloSec%.2f"}}""")
+      s""""occ_sec":${f"$occSec%.2f"},"occ_solo_sec":${f"$soloSec%.2f"},""" +
+      s""""mor_sec":${f"$morSec%.2f"},"mor_bytes":$morWritten,""" +
+      s""""cow_sec":${f"$cowSec%.2f"},"cow_bytes":$cowWritten}""")
     spark.stop()
     // scratch tables are at $work; safe to delete between runs
     rm(work)

@@ -163,6 +163,75 @@ object Maintenance {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** q182: merge-on-read UPSERT — the O(batch) MERGE
+    * ([[ParquetIO.upsertMoR]]): two overlapping keyed batches land
+    * against a sharded customer dimension; matched keys' positions
+    * become deletion vectors, batch rows append as new files, and the
+    * composition rule (newest image wins — the second batch's key scan
+    * covers the first batch's appended files) plus inserts are all
+    * exercised. The query proves no pre-existing data file was removed
+    * or replaced (the before-listing must be a SUBSET of the after-
+    * listing: merge-on-read only ADDS files) and hash-checks the
+    * logical content — count, exact DECIMAL balance total, and the
+    * insert count — against an oracle that computes the final image
+    * per key with a CASE. A full-rewrite MERGE of the same batches
+    * would re-write the whole table; here write volume is O(batch).
+    */
+  def q182UpsertMoR(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-q182").resolve("cust").toString
+    val base = t(s, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("segment"),
+        $"c_acctbal".as("bal"))
+    ParquetIO.overwriteConcurrent(base.repartition(8), tmp)
+    def files: Set[String] = {
+      val v = ParquetIO.resolveVersion(tmp).get
+      val st = Files.list(java.nio.file.Paths.get(ParquetIO.versionPath(tmp, v)))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      } finally st.close()
+    }
+    val before = files
+    val batch1 = base.filter($"k" % 10 === 0)
+      .select($"k", $"segment", ($"bal" + 1000d).as("bal"))
+      .unionByName(base.filter($"k" % 50 === 0)
+        .select(($"k" + 2000000L).as("k"), lit("NEWSEG").as("segment"),
+          lit(123.45).as("bal")))
+    val batch2 = base.filter($"k" % 4 === 0)
+      .select($"k", $"segment", ($"bal" - 500d).as("bal"))
+    ParquetIO.upsertMoR(s, tmp, batch1, Seq("k"))
+    ParquetIO.upsertMoR(s, tmp, batch2, Seq("k"))
+    val onlyAdded = before.subsetOf(files)
+    val out = ParquetIO.readMoR(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"bal".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_bal"),
+        sum(when($"k" >= 2000000L, 1L).otherwise(0L)).as("n_inserted"))
+      .select($"n_rows", $"total_bal", $"n_inserted",
+        lit(onlyAdded).as("no_rewrite"))
+    val rows = out.collect()
+    rmTree(java.nio.file.Paths.get(tmp).getParent)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val q182Sql =
+    """WITH fin AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal - 500
+      |         WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, 123.45 FROM customer WHERE c_custkey % 50 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  CAST(sum(CASE WHEN k >= 2000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  TRUE AS no_rewrite
+      |FROM fin""".stripMargin
+
   private val q181Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT)
@@ -187,5 +256,8 @@ object Maintenance {
       q169Compaction, Some(q169Sql)),
     GraftQuery("q181_delete_vectors", Seq("S7", "EXT-occ", "EXT-cdc"),
       "merge-on-read deletes: positional deletion vectors from _metadata columns, broadcast anti-join subtraction, zero data files rewritten",
-      q181DeleteVectors, Some(q181Sql)))
+      q181DeleteVectors, Some(q181Sql)),
+    GraftQuery("q182_upsert_mor", Seq("S6", "J4", "EXT-occ", "EXT-cdc"),
+      "merge-on-read UPSERT: matched positions become delete vectors, batches append as new files — O(batch) MERGE, newest image wins, files only added",
+      q182UpsertMoR, Some(q182Sql)))
 }

@@ -672,6 +672,52 @@ object ParquetIO {
     }
   }
 
+  /** Merge-on-read UPSERT — the O(batch) MERGE: matched keys' current
+    * positions become deletion vectors (their rows are superseded) and
+    * the batch's rows land as NEW files in the same version
+    * ([[appendInPlace]], the zero-rewrite append). [[readMoR]] then
+    * serves exactly `base ⟕anti batch ∪ batch` — what a full-rewrite
+    * MERGE computes by re-writing the whole table. Cost: one
+    * key-pruned scan of the version for positions (broadcast-able
+    * batch key set) + O(batch) writes; a year of upserts is then
+    * bounded by [[deleteRatio]]-triggered compaction, which
+    * materializes the vectors. Repeated upserts compose: later
+    * batches' key scans cover earlier batches' appended files too
+    * (they live in the same version directory), so the newest image
+    * wins. Returns the number of superseded positions.
+    *
+    * Contract: `batch` must NOT lazily read the target table — the
+    * append refreshes Spark's cache for the target path, so even a
+    * persisted target-derived batch re-evaluates over its own appended
+    * rows. Derive the batch from its true upstream source (q15's
+    * self-referencing MERGE materializes through a fresh version for
+    * exactly this reason).
+    */
+  def upsertMoR(spark: SparkSession, dir: String, batch: DataFrame,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    resolveVersion(dir) match {
+      case None =>
+        overwriteSwap(batch, dir); 0L
+      case Some(v) =>
+        val keyset = batch.select(keys.map(col): _*).distinct()
+        // the hidden _metadata column resolves only against the file
+        // scan itself — project the positions BEFORE joining
+        val hits = spark.read.parquet(versionPath(dir, v))
+          .select(keys.map(col) ++ Seq(
+            col("_metadata.file_name").as("file_name"),
+            col("_metadata.row_index").as("row_index")): _*)
+          .join(broadcast(keyset), keys, "left_semi")
+          .select(lit(v).as("target_version"), col("file_name"), col("row_index"))
+          .persist()
+        val n = hits.count()
+        if (n > 0) appendInPlace(hits, deletesDir(dir))
+        hits.unpersist()
+        appendInPlace(batch, dir)
+        n
+    }
+  }
+
   /** Fraction of the current version's rows carried as delete vectors
     * — the signal a maintenance job uses to decide when merge-on-read
     * should flip to a materializing rewrite (compact() on the [[

@@ -70,6 +70,31 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(rows(90L) == 181L)
   }
 
+  test("upsertMoR: O(batch) MERGE — newest image wins across composed upserts, inserts land") {
+    val dir = freshTable("upsert")
+    // batch 1: update evens, insert 200..204
+    ParquetIO.upsertMoR(spark, dir,
+      spark.range(0, 100, 2).toDF("k").withColumn("v", $"k" * 10)
+        .unionByName(spark.range(200, 205).toDF("k").withColumn("v", lit(-1L))),
+      Seq("k"))
+    // batch 2 overlaps: re-update multiples of 10 (wins over batch 1)
+    ParquetIO.upsertMoR(spark, dir,
+      spark.range(0, 100, 10).toDF("k").withColumn("v", $"k" * 100), Seq("k"))
+    val rows = ParquetIO.readMoR(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 105)
+    assert(rows(10L) == 1000L, "second upsert must supersede the first")
+    assert(rows(2L) == 20L, "first upsert's non-overlapped keys survive")
+    assert(rows(3L) == 6L, "untouched keys keep the base image")
+    assert(rows(200L) == -1L, "inserts land")
+    // a compaction materializes everything and the content is unchanged
+    ParquetIO.compact(spark, dir, targetBytes = 1L << 30)
+    val after = ParquetIO.readMoR(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == rows, "compaction must preserve the merged content")
+    assert(ParquetIO.deleteRatio(spark, dir) == 0.0)
+  }
+
   test("appendAsVersion rebases vectors under the linked names — deletes survive O(delta) append") {
     val dir = freshTable("append")
     ParquetIO.deleteWhere(spark, dir, $"k" % 4 === 1)
