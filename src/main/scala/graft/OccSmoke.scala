@@ -90,6 +90,50 @@ object OccSmoke {
       spark, clDir, targetBytes = 4L << 20, clusterBy = Seq("doc_id")))
     require(checksum(clDir) == beforeCl, "clustered compact changed content!")
 
+    // ---- 1b. does clustering actually buy read-time skipping? -------
+    // same range predicate against the coalesce-compacted vs clustered
+    // K-scale tables: clustered files own disjoint doc_id ranges, so
+    // parquet row-group stats should kill most of the scan
+    val skipBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          skipBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    })
+    def readBytes(f: => Long): (Long, Long) = {
+      val b0 = skipBytes.get(); val n = f
+      Thread.sleep(200) // listener events drain async
+      (n, skipBytes.get() - b0)
+    }
+    // two 12-file layouts of the same K-scale table: hash-scattered
+    // (every file spans the full doc_id domain) vs range-clustered
+    // (disjoint per-file ranges); a 5%-selectivity range predicate
+    // should read ~1/12 of the clustered bytes and ALL scattered bytes
+    val skipPlain = s"$work/skip-plain/docs"
+    val skipCl = s"$work/skip-cl/docs"
+    val kBase0 = (0 until k).map { r =>
+      val b = Tables.load(spark, src, "documents")
+      val n0 = b.count()
+      b.select(($"doc_id" + lit(r * n0)).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    pipeline.ParquetIO.overwriteConcurrent(kBase0.repartition(12), skipPlain)
+    pipeline.ParquetIO.overwriteConcurrent(kBase0.repartition(12), skipCl)
+    pipeline.ParquetIO.compact(spark, skipCl,
+      targetBytes = math.max(64L << 10, pipeline.ParquetIO.tableBytes(skipCl) / 12),
+      clusterBy = Seq("doc_id"))
+    val nAll = pipeline.ParquetIO.read(spark, skipPlain).count()
+    val rangeHi = nAll / 20 // a 5%-selectivity range predicate
+    // aggregate over the WIDE text column so the measurement captures
+    // data-column I/O (a bare count() reads only doc_id and column
+    // pruning hides the layout difference)
+    def rangeScan(dir: String): Long = pipeline.ParquetIO.read(spark, dir)
+      .filter($"doc_id" < rangeHi)
+      .agg(sum(length($"text"))).first().getLong(0)
+    val (nPlainSel, plainBytes) = readBytes(rangeScan(skipPlain))
+    val (nClSel, clBytes) = readBytes(rangeScan(skipCl))
+    require(nPlainSel == nClSel, "skipping changed the answer!")
+
     // ---- 2. OCC contention ------------------------------------------
     val writers = 4
     val commits = 3
@@ -174,7 +218,8 @@ object OccSmoke {
         f"occ: $totalCommits commits / $writers writers in $occSec%.2f s " +
         f"(${totalCommits / occSec}%.2f commits/s, solo commit $soloSec%.2f s); " +
         f"merge 1%%-batch x$k: MoR $morSec%.2f s / ${morWritten / 1e6}%.1f MB written " +
-        f"vs CoW $cowSec%.2f s / ${cowWritten / 1e6}%.1f MB")
+        f"vs CoW $cowSec%.2f s / ${cowWritten / 1e6}%.1f MB; " +
+        f"5%%-range read: coalesced ${plainBytes / 1e6}%.2f MB vs clustered ${clBytes / 1e6}%.2f MB")
     println(s"""{"k":$k,"src":"$src","compact1_sec":${f"$sec1%.2f"},""" +
       s""""compactK_sec":${f"$secK%.2f"},"compact1_files":[${st1.filesBefore},${st1.filesAfter}],""" +
       s""""compactK_files":[${stK.filesBefore},${stK.filesAfter}],""" +
@@ -183,7 +228,8 @@ object OccSmoke {
       s""""occ_writers":$writers,"occ_commits":$totalCommits,""" +
       s""""occ_sec":${f"$occSec%.2f"},"occ_solo_sec":${f"$soloSec%.2f"},""" +
       s""""mor_sec":${f"$morSec%.2f"},"mor_bytes":$morWritten,""" +
-      s""""cow_sec":${f"$cowSec%.2f"},"cow_bytes":$cowWritten}""")
+      s""""cow_sec":${f"$cowSec%.2f"},"cow_bytes":$cowWritten,""" +
+      s""""range_read_plain_bytes":$plainBytes,"range_read_clustered_bytes":$clBytes}""")
     spark.stop()
     // scratch tables are at $work; safe to delete between runs
     rm(work)
