@@ -232,6 +232,63 @@ object Maintenance {
       |  TRUE AS no_rewrite
       |FROM fin""".stripMargin
 
+  /** q183: right-to-be-forgotten purge — [[ParquetIO.purgeWhere]]
+    * records deletion vectors for the matching keys in EVERY retained
+    * version, so one O(matches) operation hides them from the current
+    * read AND from vector-subtracted time travel, with no version
+    * rewritten. Two committed states keep v1 in the GC retain window;
+    * the `forgotten_everywhere` literal folds the governance proof:
+    * the purged class is absent from the v1 time-travel read, history()
+    * shows vectors bound to BOTH versions, and no data file changed.
+    * The oracle computes the surviving current content directly.
+    */
+  def q183Purge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-q183").resolve("cust").toString
+    val base = t(s, dir, "customer")
+      .select($"c_custkey".as("k"), $"c_mktsegment".as("segment"),
+        $"c_acctbal".as("bal"))
+    ParquetIO.overwriteSwap(base.repartition(4), tmp) // v1
+    ParquetIO.overwriteSwap(base.repartition(4)
+      .select($"k", $"segment",
+        when($"k" % 2 === 0, $"bal" + 7d).otherwise($"bal").as("bal")),
+      tmp) // v2; v1 retained
+    def files: Set[String] = {
+      val v = ParquetIO.resolveVersion(tmp).get
+      val st = Files.list(java.nio.file.Paths.get(ParquetIO.versionPath(tmp, v)))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      } finally st.close()
+    }
+    val before = files
+    val n = ParquetIO.purgeWhere(s, tmp, $"k" % 13 === 0)
+    val ttClean = ParquetIO.readVersionMoR(s, tmp, 1L)
+      .filter($"k" % 13 === 0).count() == 0
+    val hist = ParquetIO.history(s, tmp)
+    val histOk = hist.size == 2 && hist.forall(_.delete_vectors > 0) &&
+      hist.count(_.is_current) == 1
+    val out = ParquetIO.readMoR(s, tmp)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"bal".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_bal"))
+      .select($"n_rows", $"total_bal",
+        lit(n > 0 && ttClean && histOk && files == before)
+          .as("forgotten_everywhere"))
+    val rows = out.collect()
+    rmTree(java.nio.file.Paths.get(tmp).getParent)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private val q183Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 7 ELSE 0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  TRUE AS forgotten_everywhere
+      |FROM customer WHERE c_custkey % 13 <> 0""".stripMargin
+
   private val q181Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8))::BIGINT)
@@ -259,5 +316,8 @@ object Maintenance {
       q181DeleteVectors, Some(q181Sql)),
     GraftQuery("q182_upsert_mor", Seq("S6", "J4", "EXT-occ", "EXT-cdc"),
       "merge-on-read UPSERT: matched positions become delete vectors, batches append as new files — O(batch) MERGE, newest image wins, files only added",
-      q182UpsertMoR, Some(q182Sql)))
+      q182UpsertMoR, Some(q182Sql)),
+    GraftQuery("q183_purge", Seq("S7", "EXT-occ", "EXT-anonymize"),
+      "right-to-be-forgotten purge: vectors recorded against every retained version hide the keys from current reads AND time travel, zero rewrites",
+      q183Purge, Some(q183Sql)))
 }

@@ -583,6 +583,33 @@ object ParquetIO {
       s"compact($dir): lost the version claim $maxAttempts times; retry later")
   }
 
+  /** One retained version's footprint — [[history]]'s row. */
+  final case class VersionInfo(
+      version: Long, is_current: Boolean, files: Int, bytes: Long,
+      delete_vectors: Long)
+
+  /** DESCRIBE HISTORY for a versioned table: every retained version
+    * with its data-file footprint and the number of deletion-vector
+    * positions bound to it — what an operator inspects before time
+    * travel, vacuum tuning, or a purge audit. Driver-side listing
+    * (O(retained versions), no Spark job) except the per-version
+    * vector counts, which read the small `_deletes` side table once.
+    */
+  def history(spark: SparkSession, dir: String): Seq[VersionInfo] = {
+    import org.apache.spark.sql.functions.col
+    val cur = resolveVersion(dir)
+    val delCounts: Map[Long, Long] =
+      if (!exists(deletesDir(dir))) Map.empty
+      else read(spark, deletesDir(dir))
+        .groupBy(col("target_version")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    versionsOnDisk(dir).filter(v => cur.forall(v <= _)).map { v =>
+      val fs = dataFiles(Paths.get(versionPath(dir, v)))
+      VersionInfo(v, cur.contains(v), fs.size, fs.map(_._2).sum,
+        delCounts.getOrElse(v, 0L))
+    }
+  }
+
   // ------------------------------------------------------------------
   // Deletion vectors (merge-on-read deletes)
   // ------------------------------------------------------------------
@@ -650,12 +677,15 @@ object ParquetIO {
       case None    => read(spark, dir)
     }
 
-  /** [[readMoR]] pinned to a version — also the view every maintenance
-    * rewrite and optimistic read-modify-write goes through, so
-    * deletion vectors can never resurrect: a rewrite reading this view
-    * MATERIALIZES the deletes into the new version.
+  /** [[readMoR]] pinned to a version — the vector-subtracted time
+    * travel read, and the view every maintenance rewrite and
+    * optimistic read-modify-write goes through, so deletion vectors
+    * can never resurrect: a rewrite reading this view MATERIALIZES the
+    * deletes into the new version. [[purgeWhere]] relies on the
+    * per-version vector filter here to hide purged rows from history
+    * reads too.
     */
-  private[graft] def readVersionMoR(spark: SparkSession, dir: String, v: Long): DataFrame = {
+  def readVersionMoR(spark: SparkSession, dir: String, v: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     currentDeletes(spark, dir, v) match {
       case None => readVersion(spark, dir, v)
@@ -715,6 +745,36 @@ object ParquetIO {
         hits.unpersist()
         appendInPlace(batch, dir)
         n
+    }
+  }
+
+  /** Right-to-be-forgotten PURGE: record deletion vectors for matching
+    * rows in EVERY retained version, so the key disappears from the
+    * current read ([[readMoR]]) AND from vector-subtracted time travel
+    * ([[readVersionMoR]]) in one O(matches) operation — no version is
+    * rewritten. Physical bytes linger inside the retained version
+    * files until the next materializing rewrite ([[compact]]) and GC
+    * retire them — run `purgeWhere` then `compact` for prompt physical
+    * erasure, the same two-step Delta's DELETE + VACUUM performs.
+    * Returns total positions recorded across versions.
+    */
+  def purgeWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val perVersion = versionsOnDisk(dir).map { v =>
+      spark.read.parquet(versionPath(dir, v))
+        .filter(predicate)
+        .select(lit(v).as("target_version"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+    }
+    if (perVersion.isEmpty) 0L
+    else {
+      val hits = perVersion.reduce(_ unionByName _).persist()
+      val n = hits.count()
+      if (n > 0) appendInPlace(hits, deletesDir(dir))
+      hits.unpersist()
+      n
     }
   }
 

@@ -95,6 +95,24 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(ParquetIO.deleteRatio(spark, dir) == 0.0)
   }
 
+  test("purgeWhere hides keys from every retained version; history reports the bindings") {
+    val dir = freshTable("purge")
+    ParquetIO.overwriteSwap(
+      spark.range(100).toDF("k").withColumn("v", $"k" * 3), dir) // v2, v1 retained
+    val n = ParquetIO.purgeWhere(spark, dir, $"k" % 10 === 0)
+    assert(n == 20, s"10 keys x 2 versions expected, got $n")
+    assert(keys(ParquetIO.readMoR(spark, dir)) == (0L until 100L).filter(_ % 10 != 0).toSet)
+    assert(ParquetIO.readVersionMoR(spark, dir, 1L)
+      .filter($"k" % 10 === 0).count() == 0, "time travel must not see purged keys")
+    val hist = ParquetIO.history(spark, dir)
+    assert(hist.map(_.version) == Seq(1L, 2L))
+    assert(hist.forall(_.delete_vectors == 10L))
+    assert(hist.filter(_.is_current).map(_.version) == Seq(2L))
+    // purge + compact = prompt physical erasure of the current version
+    ParquetIO.compact(spark, dir, targetBytes = 1L << 30)
+    assert(ParquetIO.read(spark, dir).count() == 90)
+  }
+
   test("appendAsVersion rebases vectors under the linked names — deletes survive O(delta) append") {
     val dir = freshTable("append")
     ParquetIO.deleteWhere(spark, dir, $"k" % 4 === 1)
