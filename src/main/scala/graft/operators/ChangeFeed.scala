@@ -36,8 +36,10 @@ object ChangeFeed {
     * update_postimage, carrying the full row image (post for inserts,
     * pre for deletes, both — as two rows — for updates). Unchanged keys
     * (null-safe equality over ALL non-key columns) emit nothing. Both
-    * inputs must share the schema; key columns must be non-null (the
-    * versioned-table contract this feed is defined over).
+    * inputs must share the schema; key columns must be non-null and
+    * UNIQUE per side (the versioned-table contract this feed is
+    * defined over — duplicate keys would cross-product in the
+    * full-outer join, as in any keyed diff).
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     val valCols = oldDf.columns.filterNot(keys.contains).toSeq

@@ -583,10 +583,24 @@ object ParquetIO {
       s"compact($dir): lost the version claim $maxAttempts times; retry later")
   }
 
-  /** One retained version's footprint — [[history]]'s row. */
+  /** One retained version's footprint — [[history]]'s row.
+    * `commit_time_ms` is the version directory's mtime — the last
+    * committed write into that version (in-place appends included).
+    * Only the CURRENT version accepts appends, so the times stay
+    * monotone with the version sequence on one filesystem.
+    */
   final case class VersionInfo(
       version: Long, is_current: Boolean, files: Int, bytes: Long,
-      delete_vectors: Long)
+      delete_vectors: Long, commit_time_ms: Long)
+
+  /** AS OF TIMESTAMP resolution: the newest retained version committed
+    * at or before `tsMs` — Delta's second time-travel axis. None when
+    * the table did not exist yet (no retained version is old enough).
+    * Pair with [[readVersionMoR]] to read it vector-subtracted.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMs: Long): Option[Long] =
+    history(spark, dir).filter(_.commit_time_ms <= tsMs)
+      .map(_.version).maxOption
 
   /** DESCRIBE HISTORY for a versioned table: every retained version
     * with its data-file footprint and the number of deletion-vector
@@ -604,9 +618,12 @@ object ParquetIO {
         .groupBy(col("target_version")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     versionsOnDisk(dir).filter(v => cur.forall(v <= _)).map { v =>
-      val fs = dataFiles(Paths.get(versionPath(dir, v)))
+      val vp = Paths.get(versionPath(dir, v))
+      val fs = dataFiles(vp)
+      val mtime = try Files.getLastModifiedTime(vp).toMillis
+                  catch { case _: java.io.IOException => 0L }
       VersionInfo(v, cur.contains(v), fs.size, fs.map(_._2).sum,
-        delCounts.getOrElse(v, 0L))
+        delCounts.getOrElse(v, 0L), mtime)
     }
   }
 
@@ -716,7 +733,9 @@ object ParquetIO {
     * (they live in the same version directory), so the newest image
     * wins. Returns the number of superseded positions.
     *
-    * Contract: `batch` must NOT lazily read the target table — the
+    * Contract: `batch` must be key-unique (duplicate keys all land and
+    * all survive reads — resolve multiplicity upstream, as Delta MERGE
+    * requires), and it must NOT lazily read the target table — the
     * append refreshes Spark's cache for the target path, so even a
     * persisted target-derived batch re-evaluates over its own appended
     * rows. Derive the batch from its true upstream source (q15's

@@ -113,6 +113,23 @@ class DeleteVectorSpec extends AnyFunSuite {
     assert(ParquetIO.read(spark, dir).count() == 90)
   }
 
+  test("history commit times are monotone; versionAsOf resolves the timestamp axis") {
+    val dir = freshTable("asof")
+    Thread.sleep(1100) // > any fs mtime granularity, so t1 < t2 strictly
+    ParquetIO.overwriteSwap(
+      spark.range(50).toDF("k").withColumn("v", $"k" * 3), dir) // v2
+    val hist = ParquetIO.history(spark, dir)
+    assert(hist.map(_.version) == Seq(1L, 2L))
+    val Seq(t1, t2) = hist.map(_.commit_time_ms)
+    assert(t1 <= t2, "commit times must be monotone with versions")
+    assert(ParquetIO.versionAsOf(spark, dir, t1) == Some(1L))
+    assert(ParquetIO.versionAsOf(spark, dir, t2 + 1000L) == Some(2L))
+    assert(ParquetIO.versionAsOf(spark, dir, t1 - 1000L) == None,
+      "before the first commit the table did not exist")
+    // reading the resolved version is plain time travel
+    assert(ParquetIO.readVersionMoR(spark, dir, 1L).count() == 100)
+  }
+
   test("appendAsVersion rebases vectors under the linked names — deletes survive O(delta) append") {
     val dir = freshTable("append")
     ParquetIO.deleteWhere(spark, dir, $"k" % 4 === 1)
