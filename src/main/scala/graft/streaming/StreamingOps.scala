@@ -723,7 +723,99 @@ object StreamingOps {
       |FROM customer WHERE c_custkey % 4 IN (0, 2, 3)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q184: streaming MERGE-on-read sink — the q125 upsert sink rebuilt
+    * so no micro-batch ever rewrites the table: each batch goes through
+    * [[graft.pipeline.ParquetIO.upsertMoR]] (matched positions →
+    * deletion vectors, batch rows → appended files, O(batch) I/O), and
+    * when [[graft.pipeline.ParquetIO.deleteRatio]] crosses a threshold
+    * the sink compacts — materializing the vectors exactly like Delta's
+    * streaming MERGE + OPTIMIZE loop. Two mtime-ordered update batches
+    * overlap on `%30` keys, so last-writer-wins across batches is part
+    * of the hash; the final read must equal the batch-semantics oracle
+    * (CASE over the original table) and the `maintained` literal folds
+    * the operational proof: a compaction actually triggered and the
+    * final delete ratio returned to zero.
+    */
+  def q184StreamUpsertMoR(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.ParquetIO
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q184-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q184-src")
+    val tgtRoot = java.nio.file.Files.createTempDirectory("graft-q184-tgt")
+    val tgtDir = tgtRoot.resolve("cust").toString
+    try {
+      val base = graft.Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("k"), $"c_mktsegment".as("segment"),
+          $"c_acctbal".as("bal"))
+      ParquetIO.overwriteSwap(base.repartition(4), tgtDir)
+      val batches = Seq(
+        base.filter($"k" % 6 === 0)
+          .select($"k", $"segment", ($"bal" + 10d).as("bal")),
+        base.filter($"k" % 15 === 0)
+          .select($"k", $"segment", ($"bal" + 100d).as("bal")))
+      val feedSchema = batches.head.schema
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val stage = srcDir.resolve(s".stage-$i")
+        b.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val st = java.nio.file.Files.list(stage)
+        val dataFile =
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+          } finally st.close()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(dataFile, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+        rmTree(stage)
+      }
+      var compactions = 0
+      val q = s.readStream
+        .schema(feedSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.toDF().persist()
+            b.count() // pin: upsertMoR's append must not re-evaluate it
+            ParquetIO.upsertMoR(s, tgtDir, b, Seq("k"))
+            b.unpersist()
+            if (ParquetIO.deleteRatio(s, tgtDir) > 0.05) {
+              ParquetIO.compact(s, tgtDir, targetBytes = 1L << 30)
+              compactions += 1
+            }
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val maintained = compactions >= 1 && ParquetIO.deleteRatio(s, tgtDir) == 0.0
+      val out = ParquetIO.readMoR(s, tgtDir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          exactSum2($"bal").as("total_bal"))
+        .select($"n_rows", $"total_bal", lit(maintained).as("maintained"))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      rmTree(ckptDir); rmTree(srcDir); rmTree(tgtRoot)
+    }
+  }
+
+  private val q184Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(c_acctbal
+      |    + CASE WHEN c_custkey % 15 = 0 THEN 100
+      |           WHEN c_custkey % 6 = 0 THEN 10 ELSE 0 END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |  TRUE AS maintained
+      |FROM customer""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q184_stream_upsert_mor", Seq("EXT-streaming", "S6", "J4", "EXT-occ", "EXT-cdc"),
+      "streaming merge-on-read upsert sink: per-batch O(batch) upsertMoR + deleteRatio-triggered compaction; last-writer-wins hash-carried",
+      q184StreamUpsertMoR, Some(q184Sql)),
     GraftQuery("q180_stream_feed_apply", Seq("EXT-streaming", "S6", "J4", "EXT-cdc", "EXT-occ"),
       "streaming CDC consumption: mtime-ordered feed micro-batches applied to a versioned replica via serializable read-modify-write; final replica == S3",
       q180StreamFeedApply, Some(q180Sql)),
