@@ -40,6 +40,7 @@ object Registry {
       graft.operators.AsOf.queries ++
       graft.operators.Maintenance.queries ++
       graft.operators.ChangeFeed.queries ++
+      graft.operators.Curation.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

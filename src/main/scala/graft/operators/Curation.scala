@@ -1,0 +1,490 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Curation QA & provenance operators (round 9, second batch): the
+  * audit layer a pretraining corpus runs AFTER selection — free-text
+  * PII redaction, plagiarism-style fingerprint attribution, leakage-safe
+  * split assignment, a weakly-supervised quality classifier, the
+  * token-budget mixture solver, and cross-document novelty scoring.
+  * The reference pipeline stops at firmographic marts (models/marts/
+  * core/core_companies.sql — no text-safety layer exists there); these
+  * are the standard published passes (CCNet/GPT-3 quality filtering,
+  * MOSS winnowing, domain-granular splits) re-expressed Spark-first.
+  *
+  * Engine-determinism discipline throughout = the q82/q162 idioms:
+  * md5-derived hashes, per-term rounding to 12 digits REDUCED AS
+  * DECIMAL before any float sum, final rounding to 6 digits before
+  * every ranking or threshold cut.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q185
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val CustRe = "Customer#[0-9]{9}"
+
+  /** q185: free-text PII detection + redaction. q49 anonymizes TYPED
+    * columns; real corpora leak PII inside prose, so this pass scans
+    * free text with detector regexes (email / NANP phone / account id
+    * — the FineWeb/CCNet redaction shape), counts hits per type, and
+    * rewrites the text with typed placeholders. The ticket text is
+    * synthesized deterministically from the customer table (the
+    * sandbox corpus itself contains no PII — the detectors must see
+    * hits to be tested, and the construction doubles as the
+    * "support-ticket ingest" shape). `residual` re-runs every detector
+    * over the redacted text and must be 0 — the redaction
+    * completeness proof carried into the oracle hash.
+    *
+    * Scale: pure scan-local projection — regex match + rewrite inside
+    * whole-stage codegen, zero shuffles at any corpus size.
+    */
+  def q185PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ticket = concat(
+      lit("Ticket from "), $"c_name", lit(" <"),
+      lower($"c_mktsegment"), $"c_custkey".cast("string"),
+      lit("@example.com> call 555-"),
+      lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((($"c_custkey" * 7) % 10000).cast("string"), 4, "0"),
+      lit(" account ref "), $"c_nationkey".cast("string"))
+    def hits(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(ticket, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        CustRe, "[CUST]")
+    t(s, dir, "customer")
+      .select($"c_custkey",
+        hits(ticket, EmailRe).cast("long").as("n_email"),
+        hits(ticket, PhoneRe).cast("long").as("n_phone"),
+        hits(ticket, CustRe).cast("long").as("n_custid"),
+        redacted.as("redacted"),
+        (hits(redacted, EmailRe) + hits(redacted, PhoneRe) +
+          hits(redacted, CustRe)).cast("long").as("residual"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q185Sql =
+    s"""WITH tk AS (
+      |  SELECT c_custkey,
+      |    'Ticket from ' || c_name || ' <' || lower(c_mktsegment) || c_custkey ||
+      |    '@example.com> call 555-' ||
+      |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+      |    ' account ref ' || c_nationkey AS ticket
+      |  FROM customer),
+      |red AS (
+      |  SELECT c_custkey, ticket,
+      |    regexp_replace(regexp_replace(regexp_replace(ticket,
+      |      '$EmailRe', '[EMAIL]', 'g'),
+      |      '$PhoneRe', '[PHONE]', 'g'),
+      |      'Customer#[0-9]{9}', '[CUST]', 'g') AS redacted
+      |  FROM tk)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(ticket, '$EmailRe')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(ticket, '$PhoneRe')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(ticket, 'Customer#[0-9]{9}')) AS BIGINT) AS n_custid,
+      |  redacted,
+      |  CAST(len(regexp_extract_all(redacted, '$EmailRe')) +
+      |       len(regexp_extract_all(redacted, '$PhoneRe')) +
+      |       len(regexp_extract_all(redacted, 'Customer#[0-9]{9}')) AS BIGINT) AS residual
+      |FROM red ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+
+  /** Winnowing geometry (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS fingerprinter): char [[WinK]]-grams, guarantee window
+    * [[WinW]]; any shared substring of length ≥ K+W-1 = 11 chars is
+    * guaranteed to share a fingerprint. [[WinDfCap]] drops
+    * boilerplate fingerprints (the q18 df-cap discipline) so the pair
+    * join is bounded; [[WinMinShared]] is the report threshold.
+    */
+  val WinK = 8
+  val WinW = 4
+  val WinDfCap = 20
+  val WinMinShared = 3
+
+  /** q186: winnowing fingerprint attribution — cross-document overlap
+    * detection with a POSITIONAL guarantee (every ≥11-char shared run
+    * is caught), which set-hash dedup (q19 MinHash) cannot give. Per
+    * doc, hash every char 8-gram (substring(md5, 1, 8) — orderable hex)
+    * and keep each 4-window's minimum: the winnowed fingerprint set.
+    * The whole selection runs as ONE nested higher-order-function
+    * projection (transform ∘ array_min ∘ transform) — scan-local,
+    * codegen'd, zero shuffle; the fingerprint recomputes each gram
+    * hash W times to stay join-free, the right CPU-for-shuffle trade.
+    * Then: df-capped inverted index (common fingerprints are
+    * boilerplate, dropped), fingerprint-bucket self-join, pairs
+    * sharing ≥ 3 fingerprints. The two shuffles are both
+    * fingerprint-keyed and df-bounded — the q19 LSH shape, so the
+    * pass never goes all-pairs at any corpus size.
+    */
+  def q186WinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val span = WinK + WinW - 2 // last window start = len - (K+W-2)
+    val fps = Tables.loadSpread(s, dir, "documents")
+      .selectExpr("doc_id",
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(length(text) - $span, 1)),
+           |  j -> array_min(transform(sequence(j, j + ${WinW - 1}),
+           |       i -> substring(md5(substring(text, i, $WinK)), 1, 8))))) AS fps""".stripMargin)
+      .select($"doc_id", explode($"fps").as("fp"))
+      .persist()
+    val keep = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= WinDfCap).select($"fp")
+    val idx = fps.join(broadcast(keep), Seq("fp"))
+    val out = idx.as("a").join(idx.as("b"), Seq("fp"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= WinMinShared)
+      .orderBy($"doc_a", $"doc_b")
+    fps.unpersist(false)
+    out
+  }
+
+  private val q186Sql =
+    s"""WITH fps AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(text) - ${WinK + WinW - 2}, 1) + 1),
+      |    j -> list_min(list_transform(range(j, j + $WinW),
+      |         i -> substr(md5(substr(text, i, $WinK)), 1, 8)))))) AS fp
+      |  FROM documents),
+      |keepfp AS (
+      |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+      |  WHERE df <= $WinDfCap),
+      |idx AS (SELECT doc_id, fp FROM fps JOIN keepfp USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS shared
+      |FROM idx a JOIN idx b USING (fp)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+
+  /** q187: leakage-safe train/val/test split. q50 hashes each doc_id
+    * independently — near-duplicate documents land in different splits
+    * and the eval set leaks into training (the published failure every
+    * dedup paper warns about). The fix: assign splits at the
+    * NEAR-DUP-CLUSTER granularity — here the identity class of the
+    * full 4-hash MinHash signature over word 3-shingles (signature
+    * equality ⇒ overwhelmingly near-dup; 19 multi-doc classes exist at
+    * sf0.01) — keyed by the cluster representative (min doc_id), so
+    * every member inherits ONE split. `naive_leak` marks docs whose
+    * cluster WOULD have straddled splits under per-doc hashing — the
+    * measured leak the policy closes. Shape: one scan-local shingle +
+    * signature projection, one signature-keyed shuffle for the two
+    * window aggregates — no join, no component iteration (signature
+    * identity needs no transitive closure).
+    */
+  def q187LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def splitOf(c: Column): Column = {
+      val h = substring(md5(c.cast("string")), 1, 1)
+      when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    }
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+    val sh = toks.select($"doc_id",
+      explode(array_distinct(transform(
+        sequence(lit(1), size($"t") - 2),
+        i => concat(element_at($"t", i), lit(" "),
+          element_at($"t", i + 1), lit(" "),
+          element_at($"t", i + 2))))).as("s"))
+    val sig = sh.groupBy($"doc_id").agg(
+        concat(
+          min(md5(concat(lit("0:"), $"s"))), min(md5(concat(lit("1:"), $"s"))),
+          min(md5(concat(lit("2:"), $"s"))), min(md5(concat(lit("3:"), $"s"))))
+          .as("ck"))
+      .withColumn("naive", splitOf($"doc_id"))
+    val w = Window.partitionBy($"ck")
+    sig.select($"doc_id",
+        min($"doc_id").over(w).as("rep"),
+        count(lit(1)).over(w).as("n_cluster"),
+        (min($"naive").over(w) =!= max($"naive").over(w)).as("naive_leak"))
+      .withColumn("split", splitOf($"rep"))
+      .select($"doc_id", $"rep", $"n_cluster", $"split", $"naive_leak")
+      .orderBy($"doc_id")
+  }
+
+  private val q187Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 2 + 1),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || s)) || min(md5('1:' || s)) ||
+      |    min(md5('2:' || s)) || min(md5('3:' || s)) AS ck
+      |  FROM sh GROUP BY doc_id),
+      |lab AS (
+      |  SELECT doc_id, ck,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS naive
+      |  FROM sig),
+      |cl AS (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY ck) AS rep,
+      |    CAST(count(*) OVER (PARTITION BY ck) AS BIGINT) AS n_cluster,
+      |    min(naive) OVER (PARTITION BY ck) <> max(naive) OVER (PARTITION BY ck)
+      |      AS naive_leak
+      |  FROM lab)
+      |SELECT doc_id, rep, n_cluster,
+      |  CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |       WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  naive_leak
+      |FROM cl ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+
+  /** Weak-label threshold: stopword-occurrence ratio at which a doc is
+    * heuristically "high quality" (median of the sf0.01 corpus ≈ 0.061
+    * — the threshold splits the corpus roughly in half, which is what
+    * gives the NB weights signal in both classes).
+    */
+  val NbStopThresh = 0.06
+
+  /** q188: weakly-supervised Naive-Bayes quality classifier — the
+    * CCNet/GPT-3 quality-filter shape (train a cheap linear classifier
+    * on heuristic labels, score everything, keep/route by posterior)
+    * with NB instead of fastText so training is CLOSED-FORM counts:
+    * label docs by a stopword-ratio heuristic, count per-(token,label)
+    * occurrences, Laplace-smooth into per-token log-likelihood-ratio
+    * weights, score each doc as prior + Σ llr(token). Every ln() is
+    * rounded to 12 digits and summed as DECIMAL (the q82 device), the
+    * posterior margin rounded to 6 before the sign cut, so the
+    * classification is engine-exact. `disagree` marks docs where the
+    * learned classifier overrules its own teacher — the signal used to
+    * iterate real quality filters. Shape: the weight table is
+    * VOCABULARY-sized (df-capped in a real corpus) and broadcasts; the
+    * only full shuffle is the (doc,token) count any indexer pays.
+    */
+  def q188NbQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .select($"doc_id", $"t",
+        (size(filter($"t", x => x === "the" || x === "a")).cast("double") /
+          size($"t")).as("ratio"))
+      .select($"doc_id", $"t", ($"ratio" >= NbStopThresh).as("weak_good"))
+    val toks = docs.select($"doc_id", $"weak_good", explode($"t").as("tok"))
+      .persist()
+    val cls = toks.groupBy($"tok").agg(
+      sum(when($"weak_good", 1L).otherwise(0L)).as("cg"),
+      sum(when($"weak_good", 0L).otherwise(1L)).as("cb"))
+    val tot = toks.agg(
+      sum(when($"weak_good", 1L).otherwise(0L)).as("tg"),
+      sum(when($"weak_good", 0L).otherwise(1L)).as("tb"),
+      countDistinct($"tok").as("v"),
+      countDistinct(when($"weak_good", $"doc_id")).as("ng"),
+      countDistinct(when(!$"weak_good", $"doc_id")).as("nb"))
+    val wts = cls.crossJoin(broadcast(tot)).select($"tok",
+      round(log(($"cg" + 1).cast("double") / ($"tg" + $"v")) -
+            log(($"cb" + 1).cast("double") / ($"tb" + $"v")), 12)
+        .cast("decimal(20,12)").as("llr"),
+      round(log($"ng".cast("double") / $"nb"), 12)
+        .cast("decimal(20,12)").as("prior"))
+    val out = toks.join(broadcast(wts), Seq("tok"))
+      .groupBy($"doc_id", $"weak_good")
+      .agg(round((first($"prior") + sum($"llr")).cast("double"), 6).as("score"))
+      .select($"doc_id", $"weak_good", ($"score" >= 0).as("nb_good"), $"score")
+      .withColumn("disagree", $"weak_good" =!= $"nb_good")
+      .orderBy($"doc_id")
+    out
+  }
+
+  private val q188Sql =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |lab AS (
+      |  SELECT doc_id, t,
+      |    CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)
+      |      >= $NbStopThresh AS weak_good
+      |  FROM d),
+      |toks AS (SELECT doc_id, weak_good, unnest(t) AS tok FROM lab),
+      |cls AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |    CAST(sum(CASE WHEN weak_good THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM toks GROUP BY tok),
+      |tot AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS tg,
+      |    CAST(sum(CASE WHEN weak_good THEN 0 ELSE 1 END) AS BIGINT) AS tb,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS v,
+      |    CAST(count(DISTINCT CASE WHEN weak_good THEN doc_id END) AS BIGINT) AS ng,
+      |    CAST(count(DISTINCT CASE WHEN NOT weak_good THEN doc_id END) AS BIGINT) AS nb
+      |  FROM toks),
+      |wts AS (
+      |  SELECT tok,
+      |    CAST(round(ln((cg + 1) / CAST(tg + v AS DOUBLE)) -
+      |               ln((cb + 1) / CAST(tb + v AS DOUBLE)), 12)
+      |      AS DECIMAL(20,12)) AS llr,
+      |    CAST(round(ln(ng / CAST(nb AS DOUBLE)), 12) AS DECIMAL(20,12)) AS prior
+      |  FROM cls CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, weak_good,
+      |    round(CAST(first(prior) + sum(llr) AS DOUBLE), 6) AS score
+      |  FROM toks JOIN wts USING (tok) GROUP BY doc_id, weak_good)
+      |SELECT doc_id, weak_good, score >= 0 AS nb_good, score,
+      |  weak_good <> (score >= 0) AS disagree
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+
+  /** Max epoch cap for q189: no source may be repeated more than 4×
+    * (the published over-sampling guard — Muennighoff et al. 2023 show
+    * value decays past ~4 epochs of repeated data).
+    */
+  val MixMaxEpochs = 4.0
+
+  /** q189: token-budget mixture solver — the data-recipe arithmetic a
+    * pretraining run does before any job is launched (the LLaMA /
+    * DoReMi table): given per-source token counts, a uniform target
+    * weight over the 20 sources, and a total budget of 2× the corpus,
+    * compute per-source epochs capped at [[MixMaxEpochs]], the
+    * achieved token counts, and each source's fulfillment of its
+    * target. Under-filled targets (small sources hitting the epoch
+    * cap) surface as fulfillment < 1 — the number the recipe designer
+    * rebalances against. One groupBy(source) + a 1-row broadcast; the
+    * solver is O(sources) no matter the corpus size.
+    */
+  def q189TokenBudgetMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = t(s, dir, "documents")
+      .select($"source", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("tokens"))
+      .persist()
+    val tot = perSrc.agg(sum($"tokens").as("total"),
+      count(lit(1)).as("n_src"))
+    val out = perSrc.crossJoin(broadcast(tot))
+      .select($"source", $"tokens",
+        (($"total" * 2).cast("double") / $"n_src").as("target"))
+      .select($"source", $"tokens",
+        round($"target").cast("long").as("target_tokens"),
+        round(least($"target" / $"tokens", lit(MixMaxEpochs)), 6).as("epochs"))
+      .withColumn("achieved_tokens",
+        round($"epochs" * $"tokens").cast("long"))
+      .withColumn("fulfillment",
+        round($"achieved_tokens".cast("double") / $"target_tokens", 6))
+      .orderBy($"source")
+    out
+  }
+
+  private val q189Sql =
+    s"""WITH perSrc AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+      |          CAST(count(*) AS BIGINT) AS n_src FROM perSrc),
+      |tgt AS (
+      |  SELECT source, tokens,
+      |    CAST(total * 2 AS DOUBLE) / n_src AS target
+      |  FROM perSrc CROSS JOIN tot),
+      |ep AS (
+      |  SELECT source, tokens,
+      |    CAST(round(target) AS BIGINT) AS target_tokens,
+      |    round(least(target / tokens, $MixMaxEpochs), 6) AS epochs,
+      |    target
+      |  FROM tgt)
+      |SELECT source, tokens, target_tokens, epochs,
+      |  CAST(round(epochs * tokens) AS BIGINT) AS achieved_tokens,
+      |  round(CAST(round(epochs * tokens) AS BIGINT) / CAST(target_tokens AS DOUBLE), 6)
+      |    AS fulfillment
+      |FROM ep ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+
+  /** q190: cross-document n-gram novelty — for each doc (in doc_id =
+    * arrival order), the fraction of its DISTINCT word trigrams never
+    * seen in any earlier document. The standard curriculum /
+    * memorization-risk signal: low-novelty docs are re-treads of
+    * earlier content (candidates for down-weighting), novelty ≈ 1 docs
+    * introduce new material. first-seen attribution = min(doc_id) per
+    * trigram — ONE trigram-keyed window, then one doc-keyed aggregate;
+    * both shuffles carry the distinct (doc, trigram) set, which is
+    * what any inverted index materializes anyway. At 100 TB the
+    * trigram key space is huge but uniform — no skew funnel; df-style
+    * capping is unnecessary because nothing joins back to docs.
+    */
+  def q190NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(transform(
+          sequence(lit(1), size($"t") - 2),
+          i => concat(element_at($"t", i), lit(" "),
+            element_at($"t", i + 1), lit(" "),
+            element_at($"t", i + 2))))).as("g"))
+    val w = Window.partitionBy($"g")
+    sh.select($"doc_id", (min($"doc_id").over(w) === $"doc_id").as("novel"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when($"novel", 1L).otherwise(0L)).as("novel"))
+      .select($"doc_id", $"n_tri", $"novel",
+        round($"novel" / $"n_tri", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  private val q190Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 2 + 1),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+      |  FROM toks),
+      |fs AS (
+      |  SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY g) = doc_id AS novel
+      |  FROM sh)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |  CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+      |  round(sum(CASE WHEN novel THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+      |    AS novelty
+      |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- registry
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q185_pii_redact", Seq("EXT-anonymize", "F7", "EXT-text"),
+      "free-text PII detection + redaction with a hash-carried completeness proof (residual = 0)",
+      q185PiiRedact, Some(q185Sql)),
+    GraftQuery("q186_winnow_fingerprints", Seq("EXT-dedup", "EXT-text"),
+      "MOSS winnowing fingerprints: positional-guarantee overlap pairs via df-capped inverted index",
+      q186WinnowFingerprints, Some(q186Sql)),
+    GraftQuery("q187_leakage_safe_split", Seq("EXT-curation", "EXT-dedup"),
+      "leakage-safe split at near-dup-cluster granularity + measured naive-split leak",
+      q187LeakageSafeSplit, Some(q187Sql)),
+    GraftQuery("q188_nb_quality", Seq("EXT-curation", "EXT-text"),
+      "weakly-supervised Naive-Bayes quality classifier: closed-form training, exact-decimal scoring",
+      q188NbQuality, Some(q188Sql)),
+    GraftQuery("q189_token_budget_mixture", Seq("EXT-curation"),
+      "token-budget mixture solver: capped epochs per source against a uniform target recipe",
+      q189TokenBudgetMixture, Some(q189Sql)),
+    GraftQuery("q190_ngram_novelty", Seq("EXT-curation", "EXT-text"),
+      "cross-document n-gram novelty scoring by first-seen attribution",
+      q190NgramNovelty, Some(q190Sql)))
+}

@@ -123,6 +123,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q173: 6-anchor × range(10) member construction (bounded
     //    product) + the q161 broadcast-codebook scoring shape + two
     //    1-row base-stat scalar attaches
+    //  - q188: crossJoin(broadcast(<1-row class totals>)) onto the
+    //    vocabulary-sized NB weight table (scalar attach)
+    //  - q189: crossJoin(broadcast(<1-row corpus total>)) onto the
+    //    20-row per-source table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -130,7 +134,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
       "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
-      "q173_drift_gauge", "q175_bq_recall")),
+      "q173_drift_gauge", "q175_bq_recall",
+      "q188_nb_quality", "q189_token_budget_mixture")),
       s"unexpected cross products in: $offenders")
   }
 
