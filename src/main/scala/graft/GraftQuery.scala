@@ -41,6 +41,7 @@ object Registry {
       graft.operators.Maintenance.queries ++
       graft.operators.ChangeFeed.queries ++
       graft.operators.Curation.queries ++
+      graft.operators.Proximity.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

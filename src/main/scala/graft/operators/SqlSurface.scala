@@ -164,7 +164,90 @@ object SqlSurface {
       |  FROM supplier)
       |ORDER BY party_type, party_name""".stripMargin
 
+  /** q193: recursive CTE hierarchy traversal — WITH RECURSIVE landed in
+    * Spark 4.0 (SPARK-24497), and this query exercises it through the
+    * same spark.sql entry path as q122/q123: a 10-ary org tree over
+    * customers (parent(c) = ⌊(c-1)/10⌋, root 0 — synthesized, the
+    * slim tables carry no hierarchy; the q185/q192 fixture device)
+    * walked from the root, materializing depth + root-to-node path,
+    * then rolled up per level with exact-decimal balance sums. The
+    * warehouse recursive workload (org charts, BOM explosion, account
+    * rollups) the reference would push to Snowflake's CONNECT BY /
+    * recursive CTEs. Catalyst plans it as an iterated union — one
+    * frontier ⋈ table join per level, O(depth) ≈ O(log n) iterations
+    * for a bounded-fanout tree, each shuffled on the parent key; no
+    * driver-side loop, no collect. Oracle: DuckDB runs the SAME text
+    * (both dialects are ANSI WITH RECURSIVE).
+    */
+  private val q193Text =
+    """WITH RECURSIVE org(id, parent, depth, path, bal) AS (
+      |  SELECT c_custkey, CAST(NULL AS BIGINT), 0,
+      |    CAST(c_custkey AS VARCHAR(120)),
+      |    CAST(c_acctbal AS DECIMAL(12,2))
+      |  FROM customer WHERE c_custkey = 0
+      |  UNION ALL
+      |  SELECT c.c_custkey, o.id, o.depth + 1,
+      |    CAST(o.path || '/' || CAST(c.c_custkey AS VARCHAR(20))
+      |      AS VARCHAR(120)),
+      |    CAST(c.c_acctbal AS DECIMAL(12,2))
+      |  FROM customer c JOIN org o
+      |    ON CAST(floor((c.c_custkey - 1) / 10.0) AS BIGINT) = o.id
+      |   AND c.c_custkey > 0)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+      |  min(path) AS first_path, max(path) AS last_path,
+      |  CAST(sum(bal) AS DECIMAL(18,2)) AS level_bal
+      |FROM org GROUP BY depth ORDER BY depth""".stripMargin
+
+  def q193RecursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q193Text)
+  }
+
+  /** q194: pivot → unpivot roundtrip — the wide↔long reshaping pair
+    * (SQL PIVOT / UNPIVOT, pandas pivot/melt). The Spark side builds
+    * the wide order-status matrix with the DataFrame pivot, then melts
+    * it back with the Dataset `unpivot` API (Spark 3.4+) — null cells
+    * from absent (priority, status) combos coalesced to 0 so the melt
+    * is total. The oracle computes the long form DIRECTLY on a
+    * priority × status spine, so the hash proves the roundtrip is the
+    * identity — the property that makes reshaping safe to use in
+    * pipelines. Scale: one groupBy shuffle for the pivot; the unpivot
+    * is a scan-local 3× row expansion of the ALREADY-aggregated (tiny)
+    * wide table.
+    */
+  def q194PivotUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val statuses = Seq("F", "O", "P")
+    val wide = Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+      .na.fill(0L, statuses)
+    wide.unpivot(
+        Array($"o_orderpriority"),
+        statuses.map(col).toArray, "o_orderstatus", "n")
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  private val q194Sql =
+    """WITH spine AS (
+      |  SELECT DISTINCT o_orderpriority, s.st AS o_orderstatus
+      |  FROM orders CROSS JOIN (SELECT unnest(['F', 'O', 'P']) AS st) s),
+      |cnt AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT spine.o_orderpriority, spine.o_orderstatus, COALESCE(cnt.n, 0) AS n
+      |FROM spine LEFT JOIN cnt USING (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q193_recursive_hierarchy", Seq("EXT-olap", "A2", "F9"),
+      "WITH RECURSIVE org-tree traversal + per-level rollup, same text both engines",
+      q193RecursiveHierarchy, Some(q193Text)),
+    GraftQuery("q194_pivot_unpivot", Seq("EXT-olap", "A2"),
+      "pivot->unpivot roundtrip proved to be the identity against a directly-computed long form",
+      q194PivotUnpivot, Some(q194Sql)),
     GraftQuery("q122_star_join", Seq("J1", "A2", "P1", "F9"),
       "TPC-H Q5-shape 6-table star join, authored as SQL text",
       q122StarJoin, Some(q122Sql)),
