@@ -42,6 +42,7 @@ object Registry {
       graft.operators.ChangeFeed.queries ++
       graft.operators.Curation.queries ++
       graft.operators.Proximity.queries ++
+      graft.operators.Platform.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Platform-surface operators (round 9, batch 4): the warehouse
+  * features around the queries — complex-event pattern matching
+  * (MATCH_RECOGNIZE's workload), policy-driven column masking +
+  * row-level security (the Snowflake governance layer the reference's
+  * deployment would lean on — dbt_project.yml grants/permissions stop
+  * at the warehouse boundary), weighted quantiles, and join-key
+  * discovery (schema profiling). All oracle-carried.
+  */
+object Platform {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- q195
+
+  /** The CEP pattern: a `view` eventually followed by a `purchase`
+    * with no intervening `error` (letters are event-type initials —
+    * v/c/p/s/e are distinct in this domain). Greedy leftmost match,
+    * identical under Java regex and RE2.
+    */
+  private val CepPattern = "v[csv]*p"
+
+  /** q195: complex-event pattern matching — the MATCH_RECOGNIZE /
+    * Flink-CEP workload, re-expressed for batch Spark: sessionize (the
+    * q14 gaps-and-islands device, 30-min gap), fold each session's
+    * events into an ordered type-initial string (array_sort over
+    * (ts, event_id, letter) structs — collect_list alone is
+    * NON-deterministic, the sort makes the fold engine-exact), then
+    * run the pattern as a regex over the session string: conversion
+    * sessions = `view` reaching `purchase` with no `error` between.
+    * Regex-over-folded-sequence is the scalable CEP encoding: state
+    * machines per key become ONE codegen'd projection, sessions are
+    * bounded by the gap rule so the folded string cannot grow
+    * unboundedly, and the whole query is one user-keyed shuffle
+    * (window + groupBy share the partitioning). The q67 funnel is the
+    * anchored 3-step special case; this is the general-pattern form.
+    */
+  def q195EventPattern(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    t(s, dir, "events")
+      .select($"event_id", $"ts", $"user_id",
+        substring($"event_type", 1, 1).as("l"))
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ts", $"event_id", $"l"))),
+          x => x.getField("l")), "").as("seq"))
+      .select($"user_id", $"session_seq", $"seq",
+        $"seq".rlike(CepPattern).as("matched"),
+        regexp_extract($"seq", CepPattern, 0).as("match_str"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  private val q195Sql =
+    s"""WITH lagged AS (
+      |  SELECT event_id, ts, user_id, substr(event_type, 1, 1) AS l,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_seq
+      |  FROM marked),
+      |folded AS (
+      |  SELECT user_id, session_seq,
+      |    string_agg(l, '' ORDER BY ts, event_id) AS seq
+      |  FROM sess GROUP BY user_id, session_seq)
+      |SELECT user_id, session_seq, seq,
+      |  regexp_matches(seq, '$CepPattern') AS matched,
+      |  regexp_extract(seq, '$CepPattern', 0) AS match_str
+      |FROM folded ORDER BY user_id, session_seq""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+
+  /** q196: policy-driven column masking + row-level security — the
+    * warehouse governance surface (Snowflake MASKING POLICY / ROW
+    * ACCESS POLICY, Databricks column masks) as an engine operator:
+    * [[maskedView]] applies a role's policy to the customer table —
+    * analysts get names truncated to a 3-char prefix + '***', balances
+    * generalized to their 100-bucket floor, and rows restricted to the
+    * ASIA region (row policy via a broadcast dimension semi-join);
+    * admins read clear. The query emits BOTH role views unioned with a
+    * `role` column, so the oracle hash pins the exact masked rendering
+    * AND the row-policy cut. Masking is scan-local (codegen'd string +
+    * integer ops — floor-bucketing is exact, no float rounding); the
+    * row filter is a 2-dim broadcast join that collapses to a pushed
+    * IN-filter at any scale.
+    */
+  def maskedView(s: SparkSession, dir: String, role: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    val base =
+      if (role == "admin") cust
+      else {
+        val asiaNations = t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey")
+        cust.join(broadcast(asiaNations),
+          $"c_nationkey" === $"n_nationkey", "left_semi")
+      }
+    val name =
+      if (role == "admin") $"c_name"
+      else concat(substring($"c_name", 1, 3), lit("***"))
+    val bal =
+      if (role == "admin") $"c_acctbal"
+      else (floor($"c_acctbal" / 100.0) * 100.0).cast("double")
+    base.select(lit(role).as("role"), $"c_custkey",
+      name.as("c_name"), bal.as("c_acctbal"), $"c_mktsegment")
+  }
+
+  def q196MaskedView(s: SparkSession, dir: String): DataFrame =
+    maskedView(s, dir, "admin")
+      .unionByName(maskedView(s, dir, "analyst"))
+      .orderBy(col("role"), col("c_custkey"))
+
+  private val q196Sql =
+    """SELECT 'admin' AS role, c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT 'analyst' AS role, c_custkey,
+      |  substr(c_name, 1, 3) || '***' AS c_name,
+      |  CAST(floor(c_acctbal / 100.0) * 100.0 AS DOUBLE) AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer
+      |WHERE c_nationkey IN (
+      |  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |ORDER BY role, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+
+  /** q197: weighted median per group — the weighted-quantile shape
+    * (order-count-weighted account balance per market segment): the
+    * smallest value whose running weight reaches half the group
+    * total, computed with an integer-exact `2·cum ≥ total` crossing
+    * test (no float division anywhere near the cut). Plan: one
+    * groupBy(custkey) for the weights, one segment-keyed window for
+    * the running sum, one aggregate for the answer — the exact-order
+    * statistic that q68's GK sketch approximates when groups stop
+    * fitting a partition.
+    */
+  def q197WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wts = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("w"))
+    val vals = t(s, dir, "customer")
+      .join(wts, $"c_custkey" === $"o_custkey")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal", $"w")
+    val bySeg = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .withColumn("cum", sum($"w").over(bySeg))
+      .withColumn("tot", sum($"w").over(Window.partitionBy($"c_mktsegment")))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"c_mktsegment")
+      .agg(min(struct($"c_acctbal", $"c_custkey")).getField("c_acctbal")
+          .as("w_median"),
+        first($"tot").as("total_w"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q197Sql =
+    """WITH wts AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS w
+      |  FROM orders GROUP BY o_custkey),
+      |vals AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal, w
+      |  FROM customer JOIN wts ON c_custkey = o_custkey),
+      |run AS (
+      |  SELECT *,
+      |    CAST(sum(w) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+      |  FROM vals)
+      |SELECT c_mktsegment, min(c_acctbal) AS w_median, min(tot) AS total_w
+      |FROM run WHERE cum * 2 >= tot
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+
+  /** The join-key discovery candidate set: four true FK edges of the
+    * TPC-H-ish schema plus one deliberate NON-key pair — the negative
+    * control that keeps the classifier honest.
+    */
+  private case class FkCand(child: String, childCol: String,
+      parent: String, parentCol: String)
+  private val FkCandidates = Seq(
+    FkCand("orders", "o_custkey", "customer", "c_custkey"),
+    FkCand("lineitem", "l_partkey", "part", "p_partkey"),
+    FkCand("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    FkCand("customer", "c_nationkey", "nation", "n_nationkey"),
+    FkCand("orders", "o_orderkey", "customer", "c_custkey"))
+
+  /** q198: join-key discovery — schema profiling that INFERS foreign
+    * keys from data: for each candidate (child.col → parent.col) pair,
+    * measure value containment (|distinct child ∩ parent| / |distinct
+    * child|) and parent-side uniqueness; is_fk ⇔ containment = 1 and
+    * the parent column is a key. The auto-join/relationship-detection
+    * feature of data catalogs, and the data-driven generalization of
+    * q116's declared-FK audit (q116 checks edges you assert; q198
+    * finds them). The candidate list includes a deliberate non-key
+    * pair as the negative control. Per candidate: two distinct
+    * aggregates and a semi-join on DISTINCT key sets — scan-shaped,
+    * column-pruned to single columns, trivially parallel across
+    * candidates. Ratios compare exact integer counts; the only
+    * rounding is presentational.
+    */
+  def q198FkInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = FkCandidates.map { c =>
+      val childVals = t(s, dir, c.child)
+        .select(col(c.childCol).cast("long").as("v")).distinct()
+      val parentCol = t(s, dir, c.parent).select(col(c.parentCol).cast("long").as("p"))
+      val parentVals = parentCol.distinct()
+      val nChild = childVals.count()
+      val nContained = childVals
+        .join(parentVals, $"v" === $"p", "left_semi").count()
+      val nParentRows = parentCol.count()
+      val nParentDistinct = parentVals.count()
+      val containment = nContained.toDouble / nChild
+      val unique = nParentDistinct == nParentRows
+      (s"${c.child}.${c.childCol}", s"${c.parent}.${c.parentCol}",
+        nChild, math.rint(containment * 1e6) / 1e6, unique,
+        containment == 1.0 && unique)
+    }
+    per.toDF("child", "parent", "n_child_distinct", "containment",
+        "parent_unique", "is_fk")
+      .orderBy($"child", $"parent")
+  }
+
+  private val q198Sql = {
+    val blocks = FkCandidates.map { c =>
+      s"""SELECT '${c.child}.${c.childCol}' AS child,
+         |  '${c.parent}.${c.parentCol}' AS parent,
+         |  (SELECT CAST(count(DISTINCT ${c.childCol}) AS BIGINT) FROM ${c.child})
+         |    AS n_child_distinct,
+         |  round((SELECT CAST(count(*) AS DOUBLE) FROM
+         |      (SELECT DISTINCT ${c.childCol} AS v FROM ${c.child}) cv
+         |      WHERE v IN (SELECT ${c.parentCol} FROM ${c.parent}))
+         |    / (SELECT count(DISTINCT ${c.childCol}) FROM ${c.child}), 6)
+         |    AS containment,
+         |  (SELECT count(DISTINCT ${c.parentCol}) = count(*) FROM ${c.parent})
+         |    AS parent_unique,
+         |  ((SELECT CAST(count(*) AS DOUBLE) FROM
+         |      (SELECT DISTINCT ${c.childCol} AS v FROM ${c.child}) cv
+         |      WHERE v IN (SELECT ${c.parentCol} FROM ${c.parent}))
+         |    = (SELECT count(DISTINCT ${c.childCol}) FROM ${c.child}))
+         |   AND (SELECT count(DISTINCT ${c.parentCol}) = count(*) FROM ${c.parent})
+         |    AS is_fk""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY child, parent")
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q195_event_pattern", Seq("EXT-funnel", "W1", "A3"),
+      "CEP pattern matching: sessionized event streams folded to ordered strings, regex-matched",
+      q195EventPattern, Some(q195Sql)),
+    GraftQuery("q196_masked_view", Seq("EXT-anonymize", "P6"),
+      "policy-driven column masking + row-level security, both role views hash-pinned",
+      q196MaskedView, Some(q196Sql)),
+    GraftQuery("q197_weighted_median", Seq("EXT-percentile", "W1"),
+      "weighted median per group via an integer-exact running-weight crossing",
+      q197WeightedMedian, Some(q197Sql)),
+    GraftQuery("q198_fk_inference", Seq("EXT-olap", "J3", "A1"),
+      "join-key discovery: containment + uniqueness classification with a negative control",
+      q198FkInference, Some(q198Sql)))
+}
