@@ -274,7 +274,118 @@ object Platform {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY child, parent")
   }
 
+  // ---------------------------------------------------------------- q199
+
+  /** q199: Benford first-digit audit — the classic fraud/data-quality
+    * screen: the first significant digit of a naturally-spread numeric
+    * column should follow log10(1 + 1/d); a synthetic or tampered
+    * column fails the chi-square fit (the q77 drift-gauge shape,
+    * pointed at digits instead of bins). Digit extraction is
+    * INTEGER-exact: prices carry 2 decimals, so the first digit of
+    * round(p·100) as a BIGINT's string equals p's first significant
+    * digit — no log10-of-double boundary risk, no double formatting
+    * divergence. Expected counts round through the q82 decimal
+    * discipline before the χ² terms, the per-digit terms DECIMAL-sum
+    * into the total, and the df=8 critical-value flag rides every row.
+    * One groupBy(digit) shuffle (9 groups) + a 1-row scalar attach.
+    */
+  def q199Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = t(s, dir, "orders")
+      .select(substring(round($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n")) // 1-row scalar attach
+    digits.crossJoin(broadcast(tot))
+      .withColumn("expected",
+        round($"n" * log10(lit(1.0) + lit(1.0) / $"digit"), 6))
+      .withColumn("chi_contrib",
+        round(($"n_obs" - $"expected") * ($"n_obs" - $"expected") / $"expected", 6))
+      .withColumn("chi2", round(sum($"chi_contrib".cast("decimal(20,6)"))
+        .over(Window.partitionBy($"n")).cast("double"), 6))
+      .select($"digit", $"n_obs", $"expected", $"chi_contrib",
+        $"chi2", ($"chi2" > 15.507).as("rejects_benford"))
+      .orderBy($"digit")
+  }
+
+  private val q199Sql =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders),
+      |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+      |per AS (
+      |  SELECT digit, n_obs, n,
+      |    round(n * log10(1.0 + 1.0 / digit), 6) AS expected
+      |  FROM obs CROSS JOIN tot),
+      |chi AS (
+      |  SELECT *, round((n_obs - expected) * (n_obs - expected) / expected, 6)
+      |    AS chi_contrib
+      |  FROM per),
+      |wtot AS (
+      |  SELECT *, round(CAST(sum(CAST(chi_contrib AS DECIMAL(20,6)))
+      |    OVER () AS DOUBLE), 6) AS chi2
+      |  FROM chi)
+      |SELECT digit, n_obs, expected, chi_contrib, chi2,
+      |  chi2 > 15.507 AS rejects_benford
+      |FROM wtot ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+
+  /** q200: clamped running balance — the inventory/credit-ledger fold
+    * B(i) = max(B(i-1) + Δᵢ, 0), which LOOKS sequential (and is why
+    * warehouses reach for cursors or per-key UDAFs) but is exactly the
+    * Skorokhod reflection: B(i) = S(i) − min(0, min_{j≤i} S(j)) with S
+    * the plain running sum. So the whole ledger is TWO window
+    * aggregates over one user-keyed sort — no recursion, no state
+    * store, no mapGroups; at 100 TB it is a single shuffle on the key
+    * with bounded per-row state, and the identity (locked by
+    * PlatformSpec against the direct lag-recurrence) is what makes the
+    * window form CORRECT, not an approximation. Deltas are
+    * integer-exact (round(value) − 50), so every balance is exact
+    * integer arithmetic.
+    */
+  def q200ClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts",
+        (round($"value").cast("long") - 50L).as("delta"))
+      .withColumn("s", sum($"delta").over(run))
+      .withColumn("floor_adj", least(lit(0L), min($"s").over(run)))
+      .select($"user_id", $"event_id", $"delta",
+        ($"s" - $"floor_adj").as("bal"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q200Sql =
+    """WITH d AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(round(value) AS BIGINT) - 50 AS delta
+      |  FROM events),
+      |r1 AS (
+      |  SELECT user_id, event_id, ts, delta,
+      |    CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      |  FROM d),
+      |r2 AS (
+      |  SELECT user_id, event_id, delta, s,
+      |    least(0, CAST(min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |      AS floor_adj
+      |  FROM r1)
+      |SELECT user_id, event_id, delta, s - floor_adj AS bal
+      |FROM r2 ORDER BY user_id, event_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q199_benford", Seq("EXT-olap", "P6", "A2"),
+      "Benford first-digit audit: integer-exact digits, decimal chi-square, df=8 gate",
+      q199Benford, Some(q199Sql)),
+    GraftQuery("q200_clamped_balance", Seq("EXT-window", "W1"),
+      "floor-at-zero running balance via the Skorokhod reflection - two windows, no recursion",
+      q200ClampedBalance, Some(q200Sql)),
     GraftQuery("q195_event_pattern", Seq("EXT-funnel", "W1", "A3"),
       "CEP pattern matching: sessionized event streams folded to ordered strings, regex-matched",
       q195EventPattern, Some(q195Sql)),

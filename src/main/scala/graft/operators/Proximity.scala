@@ -185,7 +185,139 @@ object Proximity {
       |        <= ${GeoRadius * GeoRadius}
       |ORDER BY s_suppkey, c_custkey""".stripMargin
 
+  /** DBSCAN geometry: eps-neighborhood radius and the core-point
+    * threshold (neighbors INCLUDING self ≥ MinPts — the convention
+    * that makes an isolated tight pair non-core).
+    */
+  private val DbEps = 25.0
+  private val DbMinPts = 4
+
+  /** q201: DBSCAN (Ester et al., KDD 1996) over the q192 synthesized
+    * point set, grid-accelerated: eps-cell bucketing (the q192 3×3
+    * device, cell = eps) generates neighbor pairs without all-pairs;
+    * points with ≥ [[DbMinPts]] neighbors (incl. self) are CORE;
+    * clusters are connected components of the core–core eps-graph
+    * (labels via [[Dedup.connectedComponents]] — min-id canonical, the
+    * q40 machinery reused verbatim); non-core points adjacent to a
+    * core join that core's cluster as BORDER (min cluster label when
+    * several reach them — deterministic), everything else is NOISE
+    * (cluster −1). Engine determinism: the in-circle predicate is the
+    * q192 IEEE-exact comparison, and every label rule is a min. The
+    * oracle pays the quadratic pair scan outright (the q22 ground-truth
+    * role) and runs the q40 reach-CTE for components — same fixed
+    * point, independently computed. Scale: the grid join + one
+    * neighbor-count aggregate + CC on the (tiny, near-dup-sized)
+    * core-edge graph.
+    */
+  def q201Dbscan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def u(tag: String, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(tag), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0 * GeoSide
+    val pts = t(s, dir, "customer").select($"c_custkey".as("id"),
+        u("px:", $"c_custkey").as("x"), u("py:", $"c_custkey").as("y"))
+      .persist()
+    val a = pts.select($"id".as("ida"), $"x".as("xa"), $"y".as("ya"),
+      floor($"x" / DbEps).cast("long").as("cx"),
+      floor($"y" / DbEps).cast("long").as("cy"))
+    val b = pts.select($"id".as("idb"), $"x".as("xb"), $"y".as("yb"))
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select($"idb", $"xb", $"yb",
+        (floor($"xb" / DbEps).cast("long") + $"dx").as("cx"),
+        (floor($"yb" / DbEps).cast("long") + $"dy").as("cy"))
+    val nbr = a.join(b, Seq("cx", "cy"))
+      .filter($"ida" =!= $"idb" &&
+        ($"xa" - $"xb") * ($"xa" - $"xb") +
+          ($"ya" - $"yb") * ($"ya" - $"yb") <= DbEps * DbEps)
+      .select($"ida", $"idb")
+      .persist()
+    val counts = nbr.groupBy($"ida".as("id")).agg(count(lit(1)).as("nn"))
+    val roles = pts.join(counts, Seq("id"), "left")
+      .select($"id", (coalesce($"nn", lit(0L)) + 1 >= DbMinPts).as("core"))
+      .persist()
+    val coreIds = roles.filter($"core").select($"id")
+    val coreEdges = nbr
+      .join(coreIds.withColumnRenamed("id", "ida"), Seq("ida"), "left_semi")
+      .join(coreIds.withColumnRenamed("id", "idb"), Seq("idb"), "left_semi")
+      .filter($"ida" < $"idb")
+      .select($"ida".as("doc_a"), $"idb".as("doc_b"))
+    val labels = Dedup.connectedComponents(coreEdges)
+      .withColumnRenamed("doc_id", "id").withColumnRenamed("canonical_id", "cl")
+    // isolated cores (no core neighbor) form their own singleton cluster
+    val coreLab = coreIds.join(labels, Seq("id"), "left")
+      .select($"id", coalesce($"cl", $"id").as("cl"))
+    val borderLab = nbr
+      .join(coreLab.withColumnRenamed("id", "idb"), Seq("idb"))
+      .join(roles.filter(!$"core").withColumnRenamed("id", "ida")
+        .select($"ida"), Seq("ida"), "left_semi")
+      .groupBy($"ida".as("id")).agg(min($"cl").as("cl"))
+    val out = roles
+      .join(coreLab.withColumnRenamed("cl", "core_cl"), Seq("id"), "left")
+      .join(borderLab.withColumnRenamed("cl", "border_cl"), Seq("id"), "left")
+      .select($"id".as("c_custkey"),
+        when($"core", "core")
+          .when($"border_cl".isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce($"core_cl", $"border_cl", lit(-1L)).as("cluster"))
+      .orderBy($"c_custkey")
+    val materialized = out.persist()
+    materialized.count()
+    pts.unpersist(false); nbr.unpersist(false); roles.unpersist(false)
+    materialized
+  }
+
+  private val q201Sql =
+    s"""WITH RECURSIVE pts AS (
+      |  SELECT c_custkey AS id,
+      |    ('0x' || substr(md5('px:' || c_custkey), 1, 8))::BIGINT
+      |      / 4294967296.0 * $GeoSide AS x,
+      |    ('0x' || substr(md5('py:' || c_custkey), 1, 8))::BIGINT
+      |      / 4294967296.0 * $GeoSide AS y
+      |  FROM customer),
+      |nbr AS (
+      |  SELECT a.id AS ida, b.id AS idb
+      |  FROM pts a JOIN pts b ON a.id <> b.id
+      |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |        <= ${DbEps * DbEps}),
+      |cnt AS (SELECT ida AS id, count(*) AS nn FROM nbr GROUP BY ida),
+      |roles AS (
+      |  SELECT p.id, COALESCE(nn, 0) + 1 >= $DbMinPts AS core
+      |  FROM pts p LEFT JOIN cnt USING (id)),
+      |core_edges AS (
+      |  SELECT ida AS a, idb AS b FROM nbr
+      |  WHERE ida < idb
+      |    AND ida IN (SELECT id FROM roles WHERE core)
+      |    AND idb IN (SELECT id FROM roles WHERE core)),
+      |edges AS (
+      |  SELECT a, b FROM core_edges UNION ALL SELECT b, a FROM core_edges),
+      |reach AS (
+      |  SELECT DISTINCT a AS src, a AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |cc AS (SELECT src AS id, min(dst) AS cl FROM reach GROUP BY src),
+      |core_lab AS (
+      |  SELECT r.id, COALESCE(cc.cl, r.id) AS cl
+      |  FROM roles r LEFT JOIN cc USING (id) WHERE r.core),
+      |border_lab AS (
+      |  SELECT n.ida AS id, min(k.cl) AS cl
+      |  FROM nbr n JOIN core_lab k ON n.idb = k.id
+      |  WHERE n.ida NOT IN (SELECT id FROM roles WHERE core)
+      |  GROUP BY n.ida)
+      |SELECT r.id AS c_custkey,
+      |  CASE WHEN r.core THEN 'core'
+      |       WHEN b.cl IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  COALESCE(k.cl, b.cl, -1) AS cluster
+      |FROM roles r
+      |LEFT JOIN core_lab k USING (id)
+      |LEFT JOIN border_lab b USING (id)
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q201_dbscan", Seq("EXT-olap", "EXT-dedup", "EXT-graph"),
+      "grid-accelerated DBSCAN: core/border/noise + min-label clusters, quadratic-truth oracle",
+      q201Dbscan, Some(q201Sql)),
     GraftQuery("q191_adamic_adar", Seq("EXT-graph", "EXT-olap"),
       "Adamic-Adar link prediction: degree-bounded common-neighbor scoring, exact-decimal sums",
       q191AdamicAdar, Some(q191Sql)),

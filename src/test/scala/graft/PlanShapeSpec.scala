@@ -123,6 +123,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q173: 6-anchor × range(10) member construction (bounded
     //    product) + the q161 broadcast-codebook scoring shape + two
     //    1-row base-stat scalar attaches
+    //  - q199: crossJoin(broadcast(<1-row digit-count total>)) onto the
+    //    9-row digit table (scalar attach)
     //  - q188: crossJoin(broadcast(<1-row class totals>)) onto the
     //    vocabulary-sized NB weight table (scalar attach)
     //  - q189: crossJoin(broadcast(<1-row corpus total>)) onto the
@@ -135,7 +137,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
       "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
       "q173_drift_gauge", "q175_bq_recall",
-      "q188_nb_quality", "q189_token_budget_mixture")),
+      "q188_nb_quality", "q189_token_budget_mixture", "q199_benford")),
       s"unexpected cross products in: $offenders")
   }
 

@@ -62,6 +62,37 @@ class PlatformSpec extends AnyFunSuite {
     assert(above.filter($"wge" * 2 < $"tot").count() == 0)
   }
 
+  test("q199: digit universe, non-negative chi terms, total consistency") {
+    import spark.implicits._
+    val out = operators.Platform.q199Benford(spark, dir).persist()
+    assert(out.filter($"digit" < 1 || $"digit" > 9).count() == 0)
+    assert(out.agg(sum($"n_obs")).collect()(0).getLong(0) ==
+      Tables.load(spark, dir, "orders").count())
+    assert(out.filter($"chi_contrib" < 0).count() == 0)
+    val chi2 = out.select($"chi2").distinct().collect()
+    assert(chi2.length == 1, "chi2 must be one global value")
+    val summed = out.agg(sum($"chi_contrib")).collect()(0).getDouble(0)
+    assert(math.abs(summed - chi2(0).getDouble(0)) < 1e-6)
+    out.unpersist(false)
+  }
+
+  test("q200: the reflection identity reproduces the direct clamped recurrence") {
+    import spark.implicits._
+    val out = operators.Platform.q200ClampedBalance(spark, dir).persist()
+    assert(out.filter($"bal" < 0).count() == 0, "balance went negative")
+    // direct check: bal = max(prev_bal + delta, 0) row by row, in the
+    // query's own (ts, event_id) order (event_id alone is not time order)
+    val withTs = out.join(
+      Tables.load(spark, dir, "events").select($"event_id", $"ts"), "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val bad = withTs
+      .withColumn("prev", coalesce(lag($"bal", 1).over(w), lit(0L)))
+      .filter($"bal" =!= greatest($"prev" + $"delta", lit(0L)))
+    assert(bad.count() == 0, "reflection identity diverged from the recurrence")
+    out.unpersist(false)
+  }
+
   test("q198: true FK edges classify positive, the negative control stays negative") {
     import spark.implicits._
     val out = operators.Platform.q198FkInference(spark, dir).persist()

@@ -43,6 +43,31 @@ class ProximitySqlSpec extends AnyFunSuite {
     assert(out.exceptAll(brute).count() == 0 && brute.exceptAll(out).count() == 0)
   }
 
+  test("q201: DBSCAN roles satisfy their definitions against a brute-force neighbor count") {
+    import spark.implicits._
+    val out = operators.Proximity.q201Dbscan(spark, dir).persist()
+    assert(out.count() == Tables.load(spark, dir, "customer").count())
+    // brute-force neighbor counts (incl. self) at eps = 25
+    def u(tag: String, c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(tag), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0 * 1000.0
+    val pts = Tables.load(spark, dir, "customer")
+      .select($"c_custkey".as("id"), u("px:", $"c_custkey").as("x"),
+        u("py:", $"c_custkey").as("y"))
+    val nn = pts.as("a").crossJoin(pts.as("b"))
+      .filter(($"a.x" - $"b.x") * ($"a.x" - $"b.x") +
+        ($"a.y" - $"b.y") * ($"a.y" - $"b.y") <= 625.0)
+      .groupBy($"a.id".as("c_custkey")).agg(count(lit(1)).as("nn"))
+    val j = out.join(nn, "c_custkey").persist()
+    assert(j.filter($"role" === "core" && $"nn" < 4).count() == 0)
+    assert(j.filter($"role" =!= "core" && $"nn" >= 4).count() == 0)
+    // noise ⇔ cluster = -1; clustered points carry a member id as label
+    assert(out.filter(($"role" === "noise") =!= ($"cluster" === -1L)).count() == 0)
+    assert(out.filter($"role" === "core" && $"cluster" > $"c_custkey").count() == 0,
+      "min-label canonicalization violated: a core's label exceeds its own id")
+    j.unpersist(false); out.unpersist(false)
+  }
+
   test("q193: recursion covers every customer exactly once; root level is a single node") {
     import spark.implicits._
     val out = operators.SqlSurface.q193RecursiveHierarchy(spark, dir).persist()
