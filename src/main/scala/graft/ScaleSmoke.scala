@@ -60,7 +60,16 @@ object ScaleSmoke {
       "q89_pagerank", "q133_pagerank_deep", "q140_label_propagation",
       "q157_lpa_semi_sync", "q145_bfs_distance", "q134_cc_distributed",
       "q18_dedup_jaccard", "q19_dedup_minhash_lsh", "q121_sparse_cosine",
-      "q53_ann_recall", "q137_ivfpq").filter(_.matches(pat))
+      "q53_ann_recall", "q137_ivfpq",
+      // round-9 additions with linear expectation: winnowing + novelty
+      // (gram streams, rotation keeps cross-replica collisions rare),
+      // link prediction (replica-disjoint graphs), CEP + clamped ledger
+      // (user-keyed windows, replica-disjoint users). q192/q201 are
+      // deliberately EXCLUDED: replicas densify a fixed-area plane, so
+      // fixed-radius neighbor volume grows ~k² by physics, not by plan
+      // defect — their scale story is the plan shape + spec equality.
+      "q186_winnow_fingerprints", "q190_ngram_novelty", "q191_adamic_adar",
+      "q195_event_pattern", "q200_clamped_balance").filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
     // accounting would
@@ -124,6 +133,15 @@ object ScaleSmoke {
     // rotation alone aliases at i = 64 (rot_64 = rot_0); composing a
     // REVERSAL (also a dot-preserving permutation) for the second block
     // of 64 keeps every replica's permutation distinct through k = 128
+    // events: offset ids AND users per replica — users stay disjoint, so
+    // sessions/ledgers replicate k× with identical per-user shapes (ts
+    // passes through; the time range is shared, which is exactly how a
+    // k×-bigger day of traffic looks)
+    val mev = maxOf("events", "event_id")
+    val mu = maxOf("events", "user_id")
+    replicate("events", (df, i) => df.select(
+      ($"event_id" + i * mev).as("event_id"), $"ts",
+      ($"user_id" + i * mu).as("user_id"), $"event_type", $"value"))
     val me = maxOf("embeddings", "vec_id")
     replicate("embeddings", (df, i) => {
       require(i < 128, s"replica $i: only 128 distinct dim permutations defined")
