@@ -475,7 +475,70 @@ object Curation {
 
   // ----------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- q205
+
+  /** q205: Pareto-frontier (skyline) document selection — "the documents
+    * no other document beats on BOTH length and lexical diversity", the
+    * multi-objective form of curation ranking (q24-style scalar scores
+    * force a weighting; the skyline is the weight-free answer every
+    * scalarization would pick from). Dimensions are exact integers:
+    * x = n_chars, y = unique-token permille ((1000·distinct) div total —
+    * floor division, no FP boundary), deliberately anti-correlated
+    * (long docs repeat more), so the frontier is a real curve (31 docs
+    * at sf0.01), not a corner point. Scale shape — the naive NOT EXISTS
+    * is O(n²), dead at corpus scale; this plan is three passes:
+    * (1) coarse fixed-width x-buckets (width 256, data-independent) →
+    * per-bucket max y, a scan-shaped agg over ≤ max_chars/256 rows;
+    * (2) suffix-max over strictly-higher buckets via the tiny
+    * bucket-level self-join, broadcast back: any point with y <=
+    * suffix-max is dominated by SOME higher-bucket point and drops in
+    * the scan — provably sound (higher bucket => strictly greater x),
+    * and provably complete (every true skyline point survives);
+    * (3) exact dominance anti-join among the few survivors. The oracle
+    * states the O(n²) definition directly — the gate proves the pruned
+    * plan equals the definition.
+    */
+  def q205Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = t(s, dir, "documents")
+      .select($"doc_id", $"n_chars".as("x"),
+        expr("(1000 * size(array_distinct(split(text, ' ')))) div size(split(text, ' '))")
+          .as("y"))
+      .persist()
+    val bmax = pts.groupBy(expr("x div 256").as("b"))
+      .agg(max($"y").as("maxy"))
+    val sufmax = bmax.as("lo")
+      .join(bmax.as("hi"), col("hi.b") > col("lo.b"))
+      .groupBy(col("lo.b").as("b")).agg(max(col("hi.maxy")).as("sufmax"))
+    val surv = pts
+      .join(broadcast(sufmax), expr("x div 256") === $"b", "left")
+      .filter($"sufmax".isNull || $"y" > $"sufmax")
+      .select($"doc_id", $"x", $"y")
+    val sky = surv.as("p").join(surv.as("q"),
+        col("q.x") >= col("p.x") && col("q.y") >= col("p.y") &&
+          (col("q.x") > col("p.x") || col("q.y") > col("p.y")),
+        "left_anti")
+    sky.select($"doc_id", $"x".as("n_chars"), $"y".as("uniq_permille"))
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+  }
+
+  private val q205Sql =
+    """WITH pts AS (
+      |  SELECT doc_id, n_chars AS x,
+      |    (1000 * len(list_distinct(string_split(text, ' '))))
+      |      // len(string_split(text, ' ')) AS y
+      |  FROM documents)
+      |SELECT doc_id, x AS n_chars, y AS uniq_permille
+      |FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+      |ORDER BY n_chars DESC, doc_id ASC""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q205_skyline", Seq("EXT-curation", "J3"),
+      "Pareto-frontier (skyline) doc selection: bucket-pruned plan proven equal to the O(n^2) definition",
+      q205Skyline, Some(q205Sql)),
     GraftQuery("q185_pii_redact", Seq("EXT-anonymize", "F7", "EXT-text"),
       "free-text PII detection + redaction with a hash-carried completeness proof (residual = 0)",
       q185PiiRedact, Some(q185Sql)),

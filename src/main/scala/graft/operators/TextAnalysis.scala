@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -1004,7 +1005,101 @@ object TextAnalysis {
       |FROM keyed CROSS JOIN n
       |ORDER BY doc_id""".stripMargin
 
+  /** Minimum bigram occurrences for a q207 collocation candidate — the
+    * standard low-count PMI guard (rare pairs have unboundedly inflated
+    * PMI; Church & Hanks' original collocation work cuts them first).
+    */
+  private val PmiMinCount = 5
+
+  /** q207: PMI collocation mining — corpus-level "which word pairs
+    * co-occur far beyond chance", the association-measure complement to
+    * q88 (which SCORES documents under a bigram LM; this RANKS the
+    * bigrams themselves — the vocabulary-building pass that decides
+    * which adjacent pairs should merge into phrases before tokenizer
+    * training, word2vec-style phrase promotion). PMI(a,b) =
+    * ln(P(a,b) / (P(a)P(b))) over adjacent-pair events, computed from
+    * four exact integer sufficient statistics (c2, c1a, c1b, N, B) with
+    * a TEXTUALLY mirrored multiply/divide order in both engines (the
+    * products round identically in IEEE; ln differences hide under the
+    * 6-digit round that lands BEFORE the rank — house discipline). The
+    * [[PmiMinCount]] cut comes before the joins, so the scored set is
+    * small; top-30 via orderBy().limit() = TakeOrderedAndProject (every
+    * task keeps a 30-row heap — the q89 device, never a global sort),
+    * with the rank window running over 30 survivors only. Scale: two
+    * scan-shaped aggs (unigrams, bigrams) + broadcast joins of the
+    * count-filtered candidates; at open-vocabulary corpus scale the
+    * unigram broadcast swaps for a shuffle join, nothing else moves.
+    */
+  def q207PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents").select($"doc_id", split($"text", " ").as("t"))
+    // vocabulary-sized and read three times (N, both join sides):
+    // persist, unlike the exploded bigram stream (q88's measured rule —
+    // replaying codegen'd split+zip_with beats caching the explosion)
+    val uni = toks.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+      .persist()
+    val bg = toks.select(
+      explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1),
+        slice($"t", lit(2), size($"t") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bb"))
+      .select($"bb.w1".as("w1"), $"bb.w2".as("w2"))
+    val c2 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .filter($"c2" >= PmiMinCount)
+    val nTok = uni.agg(sum($"c1").cast("double").as("n"))
+    // every doc emits exactly len-1 bigrams (len >= 1 always: split of
+    // any string is non-empty), so B = N - |docs| — no bigram re-scan
+    val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("d"))
+    val nBg = nTok.crossJoin(nDocs)
+      .select(($"n" - $"d").cast("double").as("b"))
+    val scored = c2
+      .join(broadcast(uni.select($"w".as("w1"), $"c1".as("c1a"))), Seq("w1"))
+      .join(broadcast(uni.select($"w".as("w2"), $"c1".as("c1b"))), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select($"w1", $"w2", $"c2",
+        round(log((($"c2".cast("double") * $"n") * $"n") /
+          (($"b" * $"c1a") * $"c1b")), 6).as("pmi"))
+    val top = scored.orderBy($"pmi".desc, $"w1".asc, $"w2".asc).limit(30)
+    val w = Window.orderBy($"pmi".desc, $"w1".asc, $"w2".asc)
+    top.withColumn("rank", row_number().over(w))
+      .select($"rank", $"w1", $"w2", $"c2", $"pmi")
+      .orderBy($"rank")
+  }
+
+  private val q207Sql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+      |    SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2 FROM toks,
+      |    LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+      |c2t AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+      |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+      |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+      |b AS (SELECT CAST(n.n - (SELECT count(*) FROM documents) AS DOUBLE) AS b
+      |      FROM n),
+      |scored AS (
+      |  SELECT c.w1, c.w2, c.c2,
+      |    round(ln(((CAST(c.c2 AS DOUBLE) * n.n) * n.n)
+      |      / ((b.b * u1.c1) * u2.c1)), 6) AS pmi
+      |  FROM c2t c
+      |  JOIN uni u1 ON c.w1 = u1.w
+      |  JOIN uni u2 ON c.w2 = u2.w
+      |  CROSS JOIN n CROSS JOIN b)
+      |SELECT rank, w1, w2, c2, pmi FROM (
+      |  SELECT w1, w2, c2, pmi,
+      |    row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 30
+      |ORDER BY rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q207_pmi_collocations", Seq("EXT-text", "A2"),
+      "PMI collocation mining: exact integer sufficient stats, low-count guard, heap top-30",
+      q207PmiCollocations, Some(q207Sql)),
     GraftQuery("q162_dsir_resample", Seq("EXT-curation", "EXT-text", "EXT-approx"),
       "DSIR importance resampling: hashed n-gram likelihood ratios, Gumbel top-(n/5) draw",
       q162DsirResample, Some(q162Sql)),

@@ -91,7 +91,15 @@ object Warehouse {
     * arithmetic. The only unbounded stage left is the pair-support
     * aggregation, one shuffle keyed on the pair — linear in lineitem.
     */
-  def q102Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Canonical (sa < sb) edge list of the k-NN-sparsified co-supply
+    * graph — the shared substrate of the q102 triangle census, the q202
+    * k-core peel and the q203 clustering-coefficient profile. The
+    * sparsification (top-[[KnnK]] partners per supplier by shared-order
+    * support, ties on partner id) is what makes EVERY downstream graph
+    * pass scale: degree — and therefore wedge, triangle and peel work —
+    * is bounded by a constant at any corpus size.
+    */
+  private def knnCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = t(s, dir, "lineitem")
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
@@ -101,10 +109,35 @@ object Warehouse {
     val support = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("support"))
     val wK = Window.partitionBy($"src")
       .orderBy($"support".desc, $"dst".asc)
-    val picked = support.withColumn("rn", row_number().over(wK))
+    support.withColumn("rn", row_number().over(wK))
       .filter($"rn" <= KnnK)
       .select(least($"src", $"dst").as("sa"), greatest($"src", $"dst").as("sb"))
-    val edges = picked.distinct().persist()
+      .distinct()
+  }
+
+  /** The DuckDB mirror of [[knnCoSupplyEdges]] — CTEs ending in `e`
+    * (canonical sa < sb rows), shared by the q102/q202/q203 oracles.
+    */
+  private val knnGraphCtes =
+    """base AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |              FROM lineitem),
+      |sup AS (
+      |  SELECT a.sk AS src, b.sk AS dst, count(*) AS support
+      |  FROM base a JOIN base b ON a.ok = b.ok AND a.sk <> b.sk
+      |  GROUP BY a.sk, b.sk),
+      |pick AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY support DESC, dst ASC) AS rn
+      |    FROM sup)
+      |  WHERE rn <= 3),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS sa, greatest(src, dst) AS sb
+      |  FROM pick)""".stripMargin
+
+  def q102Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = knnCoSupplyEdges(s, dir).persist()
     val tri = edges.as("e1")
       .join(edges.as("e2"), $"e1.sb" === $"e2.sa")
       .select($"e1.sa".as("x"), $"e1.sb".as("y"), $"e2.sb".as("z"))
@@ -123,21 +156,7 @@ object Warehouse {
   }
 
   private val q102Sql =
-    """WITH base AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-      |              FROM lineitem),
-      |sup AS (
-      |  SELECT a.sk AS src, b.sk AS dst, count(*) AS support
-      |  FROM base a JOIN base b ON a.ok = b.ok AND a.sk <> b.sk
-      |  GROUP BY a.sk, b.sk),
-      |pick AS (
-      |  SELECT src, dst FROM (
-      |    SELECT src, dst, row_number() OVER (PARTITION BY src
-      |      ORDER BY support DESC, dst ASC) AS rn
-      |    FROM sup)
-      |  WHERE rn <= 3),
-      |e AS (
-      |  SELECT DISTINCT least(src, dst) AS sa, greatest(src, dst) AS sb
-      |  FROM pick),
+    s"""WITH $knnGraphCtes,
       |tri AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
       |  FROM e e1
@@ -153,6 +172,172 @@ object Warehouse {
       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
       |  round(3e0 * n_triangles / n_wedges, 6) AS clustering
       |FROM tri CROSS JOIN w CROSS JOIN ne""".stripMargin
+
+  /** Minimum degree a node needs to survive a q202 peel round. */
+  private val CoreK = 4
+
+  /** Fixed peel-round budget, mirrored in the unrolled oracle. The q102
+    * graph is 3-degenerate by construction (every node picks top-3
+    * partners), so its 4-core is EMPTY and the peel is a full cascade —
+    * measured at 4 rounds for sf0.001..0.1; 6 leaves slack. If a corpus
+    * ever needed more, both engines stop at the same round 6 state, so
+    * the gate still matches — the budget bounds work, not correctness.
+    */
+  private val PeelRounds = 6
+
+  /** q202: k-core decomposition by iterative peeling over the q102
+    * co-supply graph — the graph-family member that answers COHESION
+    * ("which nodes sit in a dense mutually-connected core") where q89
+    * ranks importance, q140 finds communities and q145 measures reach.
+    * Each round deletes every node whose degree IN THE SURVIVING
+    * subgraph is < [[CoreK]]; a node's peel round is its coreness
+    * witness (the standard degeneracy-ordering construction). The
+    * output is the peel histogram: round 0 = the k-core itself (empty
+    * here — the honest result on a 3-degenerate graph, stated not
+    * hidden), rounds 1.. = the cascade, which is the actual
+    * demonstration: removing the sparse fringe re-exposes new
+    * under-degree nodes round after round. Scale shape: per round one
+    * semi-join-restricted degree count + one anti-join, all keyed on
+    * node — frontier-proportional like q145, never quadratic;
+    * localCheckpoint per round keeps plan depth constant (the q133
+    * discipline). Early stop when a round removes nothing (every later
+    * round would no-op, exactly as the oracle's remaining CTEs do).
+    */
+  def q202KcorePeel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = knnCoSupplyEdges(s, dir)
+    val edges = canon.select($"sa".as("src"), $"sb".as("dst"))
+      .unionByName(canon.select($"sb".as("src"), $"sa".as("dst")))
+      .persist()
+    var live = edges.select($"src".as("node")).distinct().localCheckpoint()
+    var peeled: Option[DataFrame] = None
+    var round = 1
+    var done = false
+    while (round <= PeelRounds && !done) {
+      val deg = edges
+        .join(live.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(live.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("c"))
+      val rem = live.join(deg, Seq("node"), "left")
+        .filter(coalesce($"c", lit(0L)) < CoreK)
+        .select($"node", lit(round).as("peel_round"))
+        .localCheckpoint()
+      if (rem.isEmpty) done = true
+      else {
+        peeled = Some(peeled.map(_.unionByName(rem)).getOrElse(rem))
+        live = live.join(rem.select($"node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    val surv = live.select($"node", lit(0).as("peel_round"))
+    peeled.map(_.unionByName(surv)).getOrElse(surv)
+      .groupBy($"peel_round")
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"node").as("first_node"), max($"node").as("last_node"))
+      .orderBy($"peel_round")
+  }
+
+  private val q202Sql = {
+    // Every per-round CTE is MATERIALIZED: n_i is referenced three
+    // times by round i+1, so DuckDB's default inlining would expand the
+    // chain EXPONENTIALLY (3^rounds scans of the base tables — measured
+    // as an fd-exhaustion crash at 6 rounds). Materialization makes the
+    // oracle linear in rounds, same as the Spark loop's localCheckpoint.
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT e2.src AS node, count(*) AS c FROM e2
+         |  WHERE e2.src IN (SELECT node FROM n${i - 1})
+         |    AND e2.dst IN (SELECT node FROM n${i - 1})
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node, $i AS peel_round
+         |  FROM n${i - 1} n LEFT JOIN d$i d ON n.node = d.node
+         |  WHERE coalesce(d.c, 0) < $CoreK),
+         |n$i AS MATERIALIZED (
+         |  SELECT node FROM n${i - 1}
+         |  WHERE node NOT IN (SELECT node FROM r$i))""".stripMargin
+    val chain = (1 to PeelRounds).map(round).mkString(",\n")
+    val unionAll = (1 to PeelRounds)
+      .map(i => s"SELECT node, peel_round FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $knnGraphCtes,
+       |e2 AS MATERIALIZED (SELECT sa AS src, sb AS dst FROM e
+       |       UNION ALL SELECT sb, sa FROM e),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
+       |$chain,
+       |peeled AS (
+       |  $unionAll
+       |  UNION ALL SELECT node, 0 AS peel_round FROM n$PeelRounds)
+       |SELECT peel_round, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(node) AS first_node, max(node) AS last_node
+       |FROM peeled
+       |GROUP BY 1
+       |ORDER BY peel_round""".stripMargin
+  }
+
+  /** q203: per-node LOCAL clustering coefficient profile of the q102
+    * graph — q102 reports the single global coefficient; this query
+    * answers the per-node question behind ego-net feature extraction
+    * ("how clique-like is each node's neighborhood"): coef(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)). Triangles enumerate once in the
+    * canonical a<b<c orientation (q102's join), then EXPLODE to their
+    * three corners for the per-node count — 3 rows per triangle, the
+    * exact dual of q102's /3-free census. The profile groups by the
+    * exact INTEGER pair (deg, tri) — never by the float coefficient,
+    * whose bucket boundaries would be an engine-dependent hash hazard —
+    * and derives the rounded coefficient from the pair. Scale: degree
+    * is [[KnnK]]-bounded, so triangle work is O(nodes·k²) and the
+    * profile is one shuffle on node plus one on the (deg, tri) pair.
+    */
+  def q203LocalClustering(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = knnCoSupplyEdges(s, dir).persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.sb" === $"e2.sa")
+      .select($"e1.sa".as("x"), $"e1.sb".as("y"), $"e2.sb".as("z"))
+      .join(edges.as("e3"), $"x" === $"e3.sa" && $"z" === $"e3.sb")
+      .select($"x", $"y", $"z")
+    val triPerNode = tri
+      .select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("tri"))
+    val deg = edges.select($"sa".as("node"))
+      .unionByName(edges.select($"sb".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select($"deg", coalesce($"tri", lit(0L)).as("tri"))
+      .groupBy($"deg", $"tri")
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("local_coef",
+        round(lit(2.0) * $"tri" / ($"deg" * ($"deg" - 1)), 6))
+      .orderBy($"deg", $"tri")
+  }
+
+  private val q203Sql =
+    s"""WITH $knnGraphCtes,
+      |tri AS (
+      |  SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e1.sb = e2.sa
+      |  JOIN e e3 ON e1.sa = e3.sa AND e2.sb = e3.sb),
+      |tpn AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri
+      |  FROM (SELECT x AS node FROM tri
+      |        UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri)
+      |  GROUP BY node),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT sa AS node FROM e UNION ALL SELECT sb AS node FROM e)
+      |  GROUP BY node)
+      |SELECT deg, tri, n_nodes,
+      |  round(2e0 * tri / (deg * (deg - 1)), 6) AS local_coef
+      |FROM (
+      |  SELECT d.deg, coalesce(t.tri, 0) AS tri,
+      |    CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM deg d LEFT JOIN tpn t ON d.node = t.node
+      |  GROUP BY 1, 2)
+      |ORDER BY deg, tri""".stripMargin
 
   /** q104: gaps-and-islands — merge each customer's overlapping order
     * activity windows ([orderdate, orderdate+30d)) into maximal covered
@@ -1204,6 +1389,12 @@ object Warehouse {
     GraftQuery("q102_triangles", Seq("EXT-graph", "J1", "A2"),
       "oriented triangle census + clustering coeff of the co-supply graph",
       q102Triangles, Some(q102Sql)),
+    GraftQuery("q202_kcore_peel", Seq("EXT-graph", "J3", "A2"),
+      "k-core decomposition by iterative peeling: peel-round histogram, frontier-proportional rounds",
+      q202KcorePeel, Some(q202Sql)),
+    GraftQuery("q203_local_clustering", Seq("EXT-graph", "A2"),
+      "per-node local clustering coefficient profile grouped by exact (deg, tri) pairs",
+      q203LocalClustering, Some(q203Sql)),
     GraftQuery("q104_interval_merge", Seq("W1", "A3"),
       "gaps-and-islands merge of overlapping activity intervals",
       q104IntervalMerge, Some(q104Sql)),

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-9 additions q202-q207 — each query
+  * is oracle-hash-gated against DuckDB, so these tests check what the
+  * hash cannot: that BOTH engines' shared semantics equal an
+  * independent brute-force restatement computed in plain Scala.
+  */
+class GraphCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The q102/q202/q203 graph, reconstructed independently: canonical
+    * (sa < sb) edges of the top-3-partner co-supply graph.
+    */
+  private def bruteEdges(): Set[(Long, Long)] = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".cast("long"), $"l_suppkey".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val support = (for {
+      (ok, sk) <- base.toSeq
+      (ok2, sk2) <- base if ok2 == ok && sk2 != sk
+    } yield (sk, sk2)).groupBy(identity).view.mapValues(_.size).toMap
+    val picked = support.keys.map(_._1).toSeq.distinct.flatMap { src =>
+      support.filter(_._1._1 == src).toSeq
+        .sortBy { case ((_, dst), sup) => (-sup, dst) }
+        .take(3)
+        .map { case ((a, b), _) => (math.min(a, b), math.max(a, b)) }
+    }
+    picked.toSet
+  }
+
+  test("q202: peel rounds match an independent sequential k-core peel") {
+    val rows = operators.Warehouse.q202KcorePeel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent peel: adjacency from brute edges, K=4
+    val canon = bruteEdges()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    canon.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Set.empty) + b
+      adj(b) = adj.getOrElse(b, Set.empty) + a
+    }
+    var live = adj.keySet.toSet
+    val peelOf = scala.collection.mutable.Map[Long, Int]()
+    var round = 1
+    var changed = true
+    while (changed) {
+      val rem = live.filter(n => (adj(n) & live).size < 4)
+      changed = rem.nonEmpty
+      if (changed) { rem.foreach(peelOf(_) = round); live --= rem; round += 1 }
+    }
+    live.foreach(peelOf(_) = 0)
+    val expect = peelOf.toSeq.groupBy(_._2).map { case (pr, ns) =>
+      pr -> (ns.size, ns.map(_._1).min, ns.map(_._1).max)
+    }
+    val got = rows.map(r => r.getInt(0) ->
+      (r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"got $got vs brute $expect")
+    // the graph is 3-degenerate by construction: 4-core must be empty
+    assert(!got.contains(0), "4-core unexpectedly non-empty on a top-3 graph")
+    // and the cascade must be a real iteration, not a single sweep
+    assert(got.keySet.max >= 2, "peel converged in one round — no cascade")
+  }
+
+  test("q203: coefficient profile is consistent with the q102 census") {
+    val prof = operators.Warehouse.q203LocalClustering(spark, dir).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val (deg, tri, coef) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(coef >= 0.0 && coef <= 1.0, s"coef $coef out of [0,1]")
+      assert(tri <= deg * (deg - 1) / 2, "more triangles than wedges at a node")
+    }
+    val census = operators.Warehouse.q102Triangles(spark, dir).collect().head
+    // corner-exploded per-node counts sum to exactly 3 per triangle
+    val triSum = prof.map(r => r.getLong(1) * r.getLong(2)).sum
+    assert(triSum == 3 * census.getLong(3),
+      s"per-node tri sum $triSum != 3 * ${census.getLong(3)}")
+    // node counts agree with the census
+    assert(prof.map(_.getLong(2)).sum == census.getLong(0))
+  }
+
+  test("q204: prefix-filtered join equals brute-force all-pairs Jaccard") {
+    import spark.implicits._
+    val got = operators.Dedup.q204PpjoinExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the FULL (uncapped) shingle universe
+    val sets = Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"text").as[(Long, String)]
+      .collect().map { case (id, text) =>
+        val t = text.split(" ", -1)
+        id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (ida, sa) = sets(i)
+      (idb, sb) = sets(j)
+      common = (sa & sb).size
+      if common > 0 && common.toDouble / (sa.size + sb.size - common) >= 0.6
+    } yield {
+      val (x, y) = if (ida < idb) (ida, idb) else (idb, ida)
+      (x, y, common.toLong)
+    }).toSet
+    assert(got == brute,
+      s"ppjoin missed ${(brute -- got).size}, extra ${(got -- brute).size}")
+    assert(brute.nonEmpty, "vacuous: no qualifying pair at sf0.001")
+  }
+
+  test("q205: bucket-pruned skyline equals the brute-force definition") {
+    import spark.implicits._
+    val got = operators.Curation.q205Skyline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = Tables.load(spark, dir, "documents")
+      .select($"doc_id".cast("long"), $"n_chars".cast("long"), $"text")
+      .as[(Long, Long, String)].collect().map { case (id, nc, text) =>
+        val t = text.split(" ", -1)
+        (id, nc, 1000L * t.distinct.length / t.length)
+      }
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.toSet
+    assert(got == brute, s"skyline mismatch: got ${got.size}, brute ${brute.size}")
+    assert(brute.size >= 3, "degenerate skyline")
+  }
+
+  test("q207: top-30 is rank-contiguous, count-guarded, PMI-sorted") {
+    val rows = operators.TextAnalysis.q207PmiCollocations(spark, dir).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 30))
+    rows.foreach(r => assert(r.getLong(3) >= 5, "low-count pair leaked"))
+    val pmis = rows.map(_.getDouble(4)).toSeq
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "not sorted")
+  }
+}
