@@ -531,6 +531,94 @@ object StreamingOps {
       | AND epoch_us(c.ts) < epoch_us(p.ts)
       |ORDER BY l_event_id, r_event_id""".stripMargin
 
+  /** q206: LEFT OUTER stream-stream interval join, ORACLE-CARRIED —
+    * the completion of q109's join-topology story. An outer
+    * stream-stream join is semantically harder than the inner: NULL
+    * rows cannot emit when the left row arrives (a match may still
+    * come) — they emit only when the WATERMARK proves no future right
+    * row can satisfy the interval, so the watermark governs emission
+    * itself, not just state eviction. That makes the emitted set
+    * watermark-dependent at the tail: a purchase too close to stream
+    * end never gets its no-match verdict. Determinism discipline: the
+    * query applies ITS OWN final-watermark cut (outer rows kept only
+    * strictly below max(ts) - 2h, the same device q63 uses for window
+    * emission) so the gate pins the boundary to stated arithmetic, not
+    * to the engine's batch-boundary heuristics; matched rows are
+    * inner-semantics and always kept. State/scale: identical bounds to
+    * q109 — both sides' state is watermark-trimmed, keyed on user_id.
+    */
+  def q206StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emitted = memorySinkRun(s, "q206_oj", dir) { src =>
+      val l = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("l_event_id"), col("user_id"),
+          col("ts").as("l_ts"), col("event_type").as("l_type"))
+        .withWatermark("l_ts", "2 hours")
+      val r = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("r_event_id"),
+          col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+          col("event_type").as("r_type"))
+        .withWatermark("r_ts", "2 hours")
+      l.join(r,
+          col("user_id") === col("r_user_id") &&
+            col("r_ts") >= col("l_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("r_ts") < col("l_ts"),
+          "leftOuter")
+        .select(col("l_event_id"), col("r_event_id"), col("user_id"),
+          col("l_ts"), col("r_ts"), col("r_type"))
+    }
+    // The final watermark is the MIN over both sides' per-operator
+    // watermarks — each side watermarks AFTER its event_type filter, so
+    // the boundary is min(max purchase ts, max click ts) - 2h, and
+    // outer eviction fires at the watermark itself (a left row is safe
+    // to close once no in-watermark right can satisfy r_ts < l_ts —
+    // verified against the emitted set: last outer row sits just under
+    // this bound, first withheld one just over it)
+    val cut = graft.Tables.load(s, dir, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy($"event_type").agg(max($"ts").as("mx"))
+      .agg((min($"mx") - expr("INTERVAL 2 HOURS")).as("cut"))
+    // NULL-free surface: sentinel-fill the outer columns in BOTH
+    // engines (a nullable int64 parquet column round-trips through the
+    // gate's pandas load as float64 — sentinels keep every column's
+    // dtype, and therefore its hash, unambiguous)
+    emitted
+      .crossJoin(broadcast(cut))
+      .filter($"r_event_id".isNotNull || $"l_ts" < $"cut")
+      .select($"l_event_id",
+        coalesce($"r_event_id", lit(-1L)).as("r_event_id"),
+        $"user_id", $"l_ts",
+        coalesce($"r_ts", to_timestamp(lit("1970-01-01"))).as("r_ts"),
+        coalesce($"r_type", lit("NO_CLICK")).as("r_type"))
+      .orderBy($"l_event_id", $"r_event_id")
+  }
+
+  private val q206Sql =
+    """WITH mx AS (
+      |  SELECT min(m) AS max_us FROM (
+      |    SELECT event_type, max(epoch_us(CAST(ts AS TIMESTAMP))) AS m
+      |    FROM events WHERE event_type IN ('purchase', 'click')
+      |    GROUP BY event_type)),
+      |matched AS (
+      |  SELECT p.event_id AS l_event_id, c.event_id AS r_event_id,
+      |    p.user_id,
+      |    CAST(p.ts AS TIMESTAMP) AS l_ts, CAST(c.ts AS TIMESTAMP) AS r_ts,
+      |    c.event_type AS r_type
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+      |   AND epoch_us(c.ts) < epoch_us(p.ts))
+      |SELECT l_event_id, r_event_id, user_id, l_ts, r_ts, r_type FROM matched
+      |UNION ALL
+      |SELECT p.event_id, CAST(-1 AS BIGINT), p.user_id,
+      |  CAST(p.ts AS TIMESTAMP), TIMESTAMP '1970-01-01', 'NO_CLICK'
+      |FROM events p CROSS JOIN mx
+      |WHERE p.event_type = 'purchase'
+      |  AND p.event_id NOT IN (SELECT l_event_id FROM matched)
+      |  AND epoch_us(p.ts) < mx.max_us - 7200000000
+      |ORDER BY l_event_id, r_event_id""".stripMargin
+
   /** q139: STREAM-STATIC enrichment join, ORACLE-CARRIED — the
     * remaining join topology after q109's stream-stream: a streaming
     * fact enriched against a broadcast static dimension (the profile /
@@ -834,6 +922,9 @@ object StreamingOps {
     GraftQuery("q109_stream_interval_join", Seq("EXT-streaming", "J1"),
       "watermarked stream-stream interval join, lossless-state oracle-carried",
       q109StreamIntervalJoin, Some(q109Sql)),
+    GraftQuery("q206_stream_outer_join", Seq("EXT-streaming", "J1", "J3"),
+      "LEFT OUTER stream-stream interval join: watermark-gated NULL emission, final cut pinned by stated arithmetic",
+      q206StreamOuterJoin, Some(q206Sql)),
     GraftQuery("q120_stream_dedup", Seq("EXT-streaming", "A3"),
       "watermarked streaming dropDuplicates over a doubled source, oracle-carried",
       q120StreamDedup, Some(q120Sql)),

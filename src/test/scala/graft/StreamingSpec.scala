@@ -248,6 +248,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter($"s.session_end" =!= $"b.session_end").count() == 0)
   }
 
+  test("q206: outer join = q109's matches plus watermark-closed NO_CLICK verdicts") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val outer = graft.streaming.StreamingOps
+      .q206StreamOuterJoin(spark, dir).persist()
+    val inner = graft.streaming.StreamingOps
+      .q109StreamIntervalJoin(spark, dir)
+      .select($"l_event_id", $"r_event_id").persist()
+    // matched arm == the inner join exactly (outer adds rows, never
+    // changes matches)
+    val m = outer.filter($"r_event_id" =!= -1L)
+      .select($"l_event_id", $"r_event_id")
+    assert(m.exceptAll(inner).isEmpty && inner.exceptAll(m).isEmpty,
+      "matched arm differs from the inner interval join")
+    // the NULL arm exists and respects the stated cut: every NO_CLICK
+    // verdict is strictly below min(max purchase ts, max click ts) - 2h
+    val noc = outer.filter($"r_event_id" === -1L).persist()
+    assert(noc.count() > 0, "no outer verdict emitted (vacuous)")
+    val cut = Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.max($"ts").as("mx"))
+      .agg(org.apache.spark.sql.functions.min($"mx"))
+      .head().getTimestamp(0)
+    val cutMs = cut.getTime - 2 * 3600 * 1000L
+    assert(noc.filter($"l_ts" >= new java.sql.Timestamp(cutMs)).count() == 0,
+      "NO_CLICK verdict at/above the watermark cut")
+    // a verdict is a verdict: no doc appears in both arms
+    assert(noc.join(inner, Seq("l_event_id"), "left_semi").count() == 0,
+      "a purchase got both a match and a NO_CLICK verdict")
+    outer.unpersist(false); inner.unpersist(false); noc.unpersist(false)
+  }
+
   test("q167: streaming ANN serving emits dense per-query top-3 with non-increasing cosine") {
     import spark.implicits._
     val out = graft.streaming.StreamingOps
