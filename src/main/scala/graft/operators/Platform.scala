@@ -379,7 +379,69 @@ object Platform {
       |SELECT user_id, event_id, delta, s - floor_adj AS bal
       |FROM r2 ORDER BY user_id, event_id""".stripMargin
 
+  /** q209 candidate FDs: (lhs expr, rhs expr) over `orders`, chosen to
+    * exercise every verdict class — a key-LHS hold, a derived-column
+    * hold with a NON-unique LHS (the case uniqueness checks miss), and
+    * three fails of different violation densities. Expressions are the
+    * engine-shared SQL dialect (split_part/year exist verbatim in both).
+    */
+  private val FdCandidates: Seq[(String, String)] = Seq(
+    ("o_orderkey", "o_custkey"),
+    ("o_orderpriority", "split_part(o_orderpriority, '-', 1)"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("year(o_orderdate)", "o_orderstatus"))
+
+  /** q209: functional-dependency discovery — the COLUMN-level
+    * profiling twin of q198 (which infers cross-table join keys; this
+    * infers within-table determinism "does A fix B", the check behind
+    * normalization advice, denormalization safety, and train/serve
+    * feature-leak audits). FD A→B holds iff no A-group carries two
+    * distinct B values; the query reports exact group counts, the
+    * violating-group count, and the maximum per-group B-cardinality
+    * for each candidate, so a consumer can distinguish "holds", "holds
+    * approximately" and "unrelated" — not just a boolean. The candidate
+    * set covers a key-LHS hold, a derived-column hold over a non-unique
+    * LHS (uniqueness-based tests cannot see it), and three graded
+    * fails. Scale: one shuffle per candidate keyed on its LHS (the
+    * TANE-style single-pass per level), all counts exact integers.
+    */
+  def q209FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val per = FdCandidates.map { case (lhs, rhs) =>
+      val g = orders.groupBy(expr(lhs).as("l"))
+        .agg(count_distinct(expr(rhs)).as("nb"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when($"nb" > 1, 1L).otherwise(0L)).as("n_violating"),
+          max($"nb").as("max_rhs_card"))
+        .head()
+      (lhs, rhs, g.getLong(0), g.getLong(1), g.getLong(2),
+        g.getLong(1) == 0L)
+    }
+    per.toDF("lhs", "rhs", "n_groups", "n_violating", "max_rhs_card", "holds")
+      .orderBy($"lhs", $"rhs")
+  }
+
+  private val q209Sql = {
+    val blocks = FdCandidates.map { case (lhs, rhs) =>
+      s"""SELECT '${lhs.replace("'", "''")}' AS lhs,
+         |  '${rhs.replace("'", "''")}' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(max(nb) AS BIGINT) AS max_rhs_card,
+         |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         |FROM (SELECT $lhs AS l, count(DISTINCT $rhs) AS nb
+         |      FROM orders GROUP BY 1)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q209_fd_discovery", Seq("EXT-olap", "A2", "P6"),
+      "functional-dependency discovery: exact per-LHS group cardinalities grade holds/approx/unrelated",
+      q209FdDiscovery, Some(q209Sql)),
     GraftQuery("q199_benford", Seq("EXT-olap", "P6", "A2"),
       "Benford first-digit audit: integer-exact digits, decimal chi-square, df=8 gate",
       q199Benford, Some(q199Sql)),

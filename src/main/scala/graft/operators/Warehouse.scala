@@ -276,6 +276,108 @@ object Warehouse {
        |ORDER BY peel_round""".stripMargin
   }
 
+  /** Minimum triangle support a q208 edge needs (k-truss with k = 4:
+    * every surviving edge sits in >= k-2 = 2 triangles of the truss).
+    */
+  private val TrussMinSupport = 2
+
+  /** Fixed peel-round budget for q208 (measured convergence: 2 rounds
+    * at sf0.001/0.01, 1 at sf0.1; 4 leaves slack, and past convergence
+    * both engines no-op identically — the q202 argument).
+    */
+  private val TrussRounds = 4
+
+  /** q208: k-truss decomposition — q202's peel at EDGE granularity, the
+    * standard strictly-stronger cohesion filter (Cohen 2008): each
+    * round recounts triangle SUPPORT inside the surviving subgraph and
+    * deletes every edge in fewer than [[TrussMinSupport]] triangles.
+    * A node survives k-core on degree alone (a hub of bridges passes);
+    * an edge survives the truss only if its endpoints share >= k-2
+    * common neighbors — bridges die, triangle-dense cores stay. Output
+    * is the edge-peel histogram, round 0 = the truss (EMPTY at gate SF
+    * beyond sf0.001 — stated, and itself informative: the top-3
+    * co-supply graph has pockets of triangles but no 2-triangle-deep
+    * edge community). Per round: one canonical 3-way self-join
+    * (degree-bounded, the q102 shape) + corner-explode to per-edge
+    * support + one anti-join — all keyed on the edge pair;
+    * localCheckpoint per round (q133 discipline). The oracle unrolls
+    * the same rounds as MATERIALIZED CTEs (q202's exponential-inlining
+    * lesson).
+    */
+  def q208KtrussPeel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var cur = knnCoSupplyEdges(s, dir).localCheckpoint()
+    var peeled: Option[DataFrame] = None
+    var round = 1
+    var done = false
+    while (round <= TrussRounds && !done) {
+      val tri = cur.as("e1")
+        .join(cur.as("e2"), $"e1.sb" === $"e2.sa")
+        .select($"e1.sa".as("x"), $"e1.sb".as("y"), $"e2.sb".as("z"))
+        .join(cur.as("e3"), $"x" === $"e3.sa" && $"z" === $"e3.sb")
+        .select($"x", $"y", $"z")
+      val support = tri.select($"x".as("sa"), $"y".as("sb"))
+        .unionByName(tri.select($"y".as("sa"), $"z".as("sb")))
+        .unionByName(tri.select($"x".as("sa"), $"z".as("sb")))
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("sup"))
+      val rem = cur.join(support, Seq("sa", "sb"), "left")
+        .filter(coalesce($"sup", lit(0L)) < TrussMinSupport)
+        .select($"sa", $"sb", lit(round).as("peel_round"))
+        .localCheckpoint()
+      if (rem.isEmpty) done = true
+      else {
+        peeled = Some(peeled.map(_.unionByName(rem)).getOrElse(rem))
+        cur = cur.join(rem.select($"sa", $"sb"), Seq("sa", "sb"), "left_anti")
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    val surv = cur.select($"sa", $"sb", lit(0).as("peel_round"))
+    peeled.map(_.unionByName(surv)).getOrElse(surv)
+      .groupBy($"peel_round")
+      .agg(count(lit(1)).as("n_edges"),
+        min($"sa").as("min_node"), max($"sb").as("max_node"))
+      .orderBy($"peel_round")
+  }
+
+  private val q208Sql = {
+    def round(i: Int) =
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT e1.sa AS x, e1.sb AS y, e2.sb AS z
+         |  FROM c${i - 1} e1
+         |  JOIN c${i - 1} e2 ON e1.sb = e2.sa
+         |  JOIN c${i - 1} e3 ON e1.sa = e3.sa AND e2.sb = e3.sb),
+         |sup$i AS MATERIALIZED (
+         |  SELECT sa, sb, count(*) AS sup FROM (
+         |    SELECT x AS sa, y AS sb FROM tri$i
+         |    UNION ALL SELECT y, z FROM tri$i
+         |    UNION ALL SELECT x, z FROM tri$i)
+         |  GROUP BY 1, 2),
+         |rm$i AS MATERIALIZED (
+         |  SELECT c.sa, c.sb, $i AS peel_round
+         |  FROM c${i - 1} c LEFT JOIN sup$i s
+         |    ON c.sa = s.sa AND c.sb = s.sb
+         |  WHERE coalesce(s.sup, 0) < $TrussMinSupport),
+         |c$i AS MATERIALIZED (
+         |  SELECT sa, sb FROM c${i - 1}
+         |  EXCEPT SELECT sa, sb FROM rm$i)""".stripMargin
+    val chain = (1 to TrussRounds).map(round).mkString(",\n")
+    val unionAll = (1 to TrussRounds)
+      .map(i => s"SELECT sa, sb, peel_round FROM rm$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $knnGraphCtes,
+       |c0 AS MATERIALIZED (SELECT sa, sb FROM e),
+       |$chain,
+       |peeled AS (
+       |  $unionAll
+       |  UNION ALL SELECT sa, sb, 0 AS peel_round FROM c$TrussRounds)
+       |SELECT peel_round, CAST(count(*) AS BIGINT) AS n_edges,
+       |  min(sa) AS min_node, max(sb) AS max_node
+       |FROM peeled
+       |GROUP BY 1
+       |ORDER BY peel_round""".stripMargin
+  }
+
   /** q203: per-node LOCAL clustering coefficient profile of the q102
     * graph — q102 reports the single global coefficient; this query
     * answers the per-node question behind ego-net feature extraction
@@ -1395,6 +1497,9 @@ object Warehouse {
     GraftQuery("q203_local_clustering", Seq("EXT-graph", "A2"),
       "per-node local clustering coefficient profile grouped by exact (deg, tri) pairs",
       q203LocalClustering, Some(q203Sql)),
+    GraftQuery("q208_ktruss_peel", Seq("EXT-graph", "J3", "A2"),
+      "k-truss edge peel: per-round triangle-support recount, bridges die, triangle cores stay",
+      q208KtrussPeel, Some(q208Sql)),
     GraftQuery("q104_interval_merge", Seq("W1", "A3"),
       "gaps-and-islands merge of overlapping activity intervals",
       q104IntervalMerge, Some(q104Sql)),

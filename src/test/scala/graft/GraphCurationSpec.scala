@@ -127,6 +127,54 @@ class GraphCurationSpec extends AnyFunSuite {
     assert(brute.size >= 3, "degenerate skyline")
   }
 
+  test("q208: edge peel matches an independent sequential k-truss peel") {
+    val rows = operators.Warehouse.q208KtrussPeel(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var cur = bruteEdges()
+    val peelOf = scala.collection.mutable.Map[(Long, Long), Int]()
+    var round = 1
+    var changed = true
+    while (changed) {
+      val tris = for {
+        (x, y) <- cur; (y2, z) <- cur if y2 == y && cur.contains((x, z))
+      } yield (x, y, z)
+      val sup = tris.toSeq.flatMap { case (x, y, z) =>
+        Seq((x, y), (y, z), (x, z))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val rem = cur.filter(e => sup.getOrElse(e, 0) < 2)
+      changed = rem.nonEmpty
+      if (changed) { rem.foreach(peelOf(_) = round); cur --= rem; round += 1 }
+    }
+    cur.foreach(peelOf(_) = 0)
+    val expect = peelOf.toSeq.groupBy(_._2).map { case (pr, es) =>
+      pr -> (es.size, es.map(_._1._1).min, es.map(_._1._2).max)
+    }
+    val got = rows.map(r => r.getInt(0) ->
+      (r.getLong(1).toInt, r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"got $got vs brute $expect")
+    assert(got.keySet.max >= 2, "truss peel converged in one round — no cascade")
+  }
+
+  test("q209: verdicts are internally consistent and both classes appear") {
+    val rows = operators.Platform.q209FdDiscovery(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (ng, nv, mx, holds) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(holds == (nv == 0L), "holds flag disagrees with violation count")
+      assert(nv <= ng && mx >= 1)
+      if (holds) assert(mx == 1L, "held FD with a multi-valued group")
+    }
+    // the key LHS groups once per row; the derived FD holds on a
+    // NON-unique LHS (the class uniqueness checks cannot certify)
+    val byLhs = rows.map(r => r.getString(0) -> r).toMap
+    val nOrders = Tables.load(spark, dir, "orders").count()
+    assert(byLhs("o_orderkey").getLong(2) == nOrders)
+    val derived = byLhs("o_orderpriority")
+    assert(derived.getBoolean(5) && derived.getLong(2) < nOrders)
+    assert(rows.exists(!_.getBoolean(5)), "no failing candidate (vacuous)")
+  }
+
   test("q207: top-30 is rank-contiguous, count-guarded, PMI-sorted") {
     val rows = operators.TextAnalysis.q207PmiCollocations(spark, dir).collect()
     assert(rows.length == 30)
