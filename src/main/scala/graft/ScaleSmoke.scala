@@ -69,7 +69,14 @@ object ScaleSmoke {
       // fixed-radius neighbor volume grows ~k² by physics, not by plan
       // defect — their scale story is the plan shape + spec equality.
       "q186_winnow_fingerprints", "q190_ngram_novelty", "q191_adamic_adar",
-      "q195_event_pattern", "q200_clamped_balance").filter(_.matches(pat))
+      "q195_event_pattern", "q200_clamped_balance",
+      // round-9 batch 5: peels are frontier-proportional per round
+      // (q202 nodes, q208 edges — replica-disjoint graphs), PPJoin
+      // candidates are bounded by prefix posting lists (the rotation
+      // keeps them replica-local), skyline prunes through fixed-width
+      // buckets, PMI is two scan-shaped aggs
+      "q202_kcore_peel", "q208_ktruss_peel", "q204_ppjoin_exact",
+      "q205_skyline", "q207_pmi_collocations").filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
     // accounting would
@@ -123,7 +130,10 @@ object ScaleSmoke {
       translate(
         translate($"text", Letters, rot(Letters, i % Letters.length)),
         Letters2, rot(Letters2, (i / Letters.length) % Letters2.length))
-        .as("text")))
+        .as("text"),
+      // letter rotation is length-preserving, so n_chars passes through
+      // (q205 skyline reads it)
+      $"n_chars"))
     // embeddings: per-replica DIMENSION ROTATION — a permutation applied
     // to both sides of any within-replica pair preserves every dot
     // product (and norm) EXACTLY, so the near-dup structure replicates

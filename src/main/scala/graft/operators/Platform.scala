@@ -438,7 +438,98 @@ object Platform {
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
   }
 
+  /** q210 era split: orders strictly before this date are the REFERENCE
+    * population (the "training window"), the rest are CURRENT.
+    */
+  private val PsiSplit = "1998-01-01"
+
+  /** q210: Population Stability Index drift audit — the standard
+    * model-monitoring gauge ("did the serving distribution drift off
+    * the training distribution") run warehouse-side: o_totalprice's
+    * reference-era deciles become fixed bin edges, the current era is
+    * binned against them, and PSI = Σ (p_i − q_i)·ln(p_i/q_i)
+    * accumulates per bin (industry rule of thumb: < 0.1 stable,
+    * > 0.25 shifted). Output is the per-bin audit (counts + term), not
+    * just the scalar, so a consumer sees WHERE the mass moved. Exact
+    * decile edges come from the q72 ntile device over the REFERENCE
+    * half only (documented single-sort baseline; at corpus scale the
+    * same cuts come from q68's GK sketch) — then 9 edge scalars pin
+    * scan-local binning of the current era: no join, no second
+    * shuffle. Laplace +1 smoothing keeps ln defined on empty bins;
+    * both engines state the identical formula textually, rounded to 6
+    * AFTER the product.
+    */
+  def q210PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice".as("price"), $"o_orderdate")
+    val split = lit(PsiSplit).cast("timestamp")
+    val ref = o.filter($"o_orderdate" < split)
+    val cur = o.filter($"o_orderdate" >= split)
+    val w = Window.orderBy($"price", $"o_orderkey")
+    val refCounts = ref.withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_ref"), max($"price").as("edge"))
+      .persist()
+    // 9 boundary scalars: bounded driver assembly (the q198 shape) —
+    // binning is then a scan-local comparison chain, shuffle-free
+    val edges = refCounts.filter($"decile" <= 9)
+      .select($"decile", $"edge").collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val bin = edges.foldLeft(lit(1)) { (acc, e) =>
+      acc + when($"price" > e, 1).otherwise(0)
+    }
+    val curCounts = cur.select(bin.as("decile"))
+      .groupBy($"decile").agg(count(lit(1)).as("n_cur"))
+    val nRefTot = ref.count().toDouble
+    val nCurTot = cur.count().toDouble
+    val p = ($"n_ref" + 1) / lit(nRefTot + 10)
+    val q = (coalesce($"n_cur", lit(0L)) + 1) / lit(nCurTot + 10)
+    refCounts.join(curCounts, Seq("decile"), "left")
+      .select($"decile", $"n_ref",
+        coalesce($"n_cur", lit(0L)).as("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy($"decile")
+  }
+
+  private val q210Sql =
+    s"""WITH ref AS (
+      |  SELECT o_orderkey, o_totalprice AS price FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '$PsiSplit'),
+      |cur AS (
+      |  SELECT o_totalprice AS price FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '$PsiSplit'),
+      |rc AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_ref,
+      |    max(price) AS edge
+      |  FROM (SELECT price,
+      |          ntile(10) OVER (ORDER BY price, o_orderkey) AS decile
+      |        FROM ref)
+      |  GROUP BY decile),
+      |cc AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cur FROM (
+      |    SELECT 1 + (SELECT count(*) FROM rc e
+      |                WHERE e.decile <= 9 AND cur.price > e.edge) AS decile
+      |    FROM cur)
+      |  GROUP BY decile),
+      |tot AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ref) AS nr,
+      |    (SELECT CAST(count(*) AS DOUBLE) FROM cur) AS nc)
+      |SELECT rc.decile, rc.n_ref,
+      |  coalesce(cc.n_cur, 0) AS n_cur,
+      |  round(((rc.n_ref + 1) / (tot.nr + 10)
+      |         - (coalesce(cc.n_cur, 0) + 1) / (tot.nc + 10))
+      |    * ln(((rc.n_ref + 1) / (tot.nr + 10))
+      |         / ((coalesce(cc.n_cur, 0) + 1) / (tot.nc + 10))), 6)
+      |    AS psi_term
+      |FROM rc LEFT JOIN cc ON rc.decile = cc.decile
+      |CROSS JOIN tot
+      |ORDER BY rc.decile""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q210_psi_drift", Seq("EXT-olap", "A2", "EXT-percentile"),
+      "PSI drift audit: reference-era decile edges pin scan-local binning of the current era, per-bin terms",
+      q210PsiDrift, Some(q210Sql)),
     GraftQuery("q209_fd_discovery", Seq("EXT-olap", "A2", "P6"),
       "functional-dependency discovery: exact per-LHS group cardinalities grade holds/approx/unrelated",
       q209FdDiscovery, Some(q209Sql)),

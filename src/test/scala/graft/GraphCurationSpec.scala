@@ -175,6 +175,25 @@ class GraphCurationSpec extends AnyFunSuite {
     assert(rows.exists(!_.getBoolean(5)), "no failing candidate (vacuous)")
   }
 
+  test("q210: PSI terms are non-negative, bins cover both eras exactly") {
+    import spark.implicits._
+    val rows = operators.Platform.q210PsiDrift(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "bins not dense 1..10")
+    // (p-q)ln(p/q) has matching signs in both factors: every term >= 0
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0, "negative PSI term"))
+    // bin populations partition each era exactly
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val o = Tables.load(spark, dir, "orders")
+    val split = to_timestamp(lit("1998-01-01"))
+    assert(rows.map(_.getLong(1)).sum ==
+      o.filter($"o_orderdate" < split).count())
+    assert(rows.map(_.getLong(2)).sum ==
+      o.filter($"o_orderdate" >= split).count())
+    // ntile makes reference tiles near-equal: sizes differ by <= 1
+    val nr = rows.map(_.getLong(1))
+    assert(nr.max - nr.min <= 1, "reference deciles not equi-depth")
+  }
+
   test("q207: top-30 is rank-contiguous, count-guarded, PMI-sorted") {
     val rows = operators.TextAnalysis.q207PmiCollocations(spark, dir).collect()
     assert(rows.length == 30)

@@ -129,6 +129,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //    vocabulary-sized NB weight table (scalar attach)
     //  - q189: crossJoin(broadcast(<1-row corpus total>)) onto the
     //    20-row per-source table (scalar attach)
+    //  - q205: bucket-level suffix-max self-join (≤ max_chars/256 rows
+    //    per side) + survivor dominance anti-join (bucket-bounded set)
+    //  - q206: crossJoin(broadcast(<1-row watermark-cut scalar>))
+    //  - q207: two 1-row scalar attaches (token total N, bigram total B)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -137,7 +141,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q141_woe_binning", "q144_join_size_estimate", "q161_index_append",
       "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
       "q173_drift_gauge", "q175_bq_recall",
-      "q188_nb_quality", "q189_token_budget_mixture", "q199_benford")),
+      "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
+      "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -177,7 +182,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // q156: risk-set and survival cumulations run over the distinct-
       // DURATION table — calendar-bounded (days between dates), a
       // few thousand rows at any corpus size (the q95 argument)
-      "q156_survival_km")
+      "q156_survival_km",
+      // q210: reference-era decile edges via the q72 ntile device —
+      // the same documented single-sort exact baseline (its docstring
+      // states the scale path: q68's GK sketch yields the same cuts);
+      // everything downstream of the 9 edge scalars is scan-local
+      "q210_psi_drift")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {
