@@ -526,7 +526,65 @@ object Platform {
       |CROSS JOIN tot
       |ORDER BY rc.decile""".stripMargin
 
+  /** q211: chi-square independence audit between two categorical
+    * columns — the third member of the stats-audit family (q199 tests
+    * CONFORMANCE to a law, q210 tests DRIFT across eras; this tests
+    * ASSOCIATION between columns, the check behind "is this feature
+    * informative" and "did a filter introduce selection bias"). One
+    * contingency pass over (o_orderstatus × o_orderpriority): observed
+    * cell counts, expected = row·col/N from exact integer marginals,
+    * per-cell (O−E)²/E contribution rounded to 6 BEFORE anything reads
+    * it. Output is the 15-cell table with its marginals — the consumer
+    * sums the terms against the df=8 critical value (15.507), exactly
+    * the q199 gate's shape. Scale: one groupBy on the cell pair +
+    * broadcast marginal attaches; never a second fact scan (marginals
+    * re-aggregate from the 15-row cell table).
+    */
+  def q211Chi2Independence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "orders")
+      .groupBy($"o_orderstatus".as("status"), $"o_orderpriority".as("prio"))
+      .agg(count(lit(1)).as("n_obs"))
+      .persist()
+    val rowTot = cells.groupBy($"status").agg(sum($"n_obs").as("row_tot"))
+    val colTot = cells.groupBy($"prio").agg(sum($"n_obs").as("col_tot"))
+    val n = cells.agg(sum($"n_obs").cast("double").as("n"))
+    val e = ($"row_tot" * $"col_tot") / $"n"
+    cells
+      .join(broadcast(rowTot), Seq("status"))
+      .join(broadcast(colTot), Seq("prio"))
+      .crossJoin(broadcast(n))
+      .select($"status", $"prio", $"n_obs", $"row_tot", $"col_tot",
+        round(e, 6).as("expected"),
+        round(($"n_obs" - e) * ($"n_obs" - e) / e, 6).as("chi2_term"))
+      .orderBy($"status", $"prio")
+  }
+
+  private val q211Sql =
+    """WITH cells AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |    CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT status, CAST(sum(n_obs) AS BIGINT) AS row_tot
+      |       FROM cells GROUP BY status),
+      |ct AS (SELECT prio, CAST(sum(n_obs) AS BIGINT) AS col_tot
+      |       FROM cells GROUP BY prio),
+      |n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM cells)
+      |SELECT c.status, c.prio, c.n_obs, rt.row_tot, ct.col_tot,
+      |  round((rt.row_tot * ct.col_tot) / n.n, 6) AS expected,
+      |  round((c.n_obs - (rt.row_tot * ct.col_tot) / n.n)
+      |      * (c.n_obs - (rt.row_tot * ct.col_tot) / n.n)
+      |      / ((rt.row_tot * ct.col_tot) / n.n), 6) AS chi2_term
+      |FROM cells c
+      |JOIN rt ON c.status = rt.status
+      |JOIN ct ON c.prio = ct.prio
+      |CROSS JOIN n
+      |ORDER BY c.status, c.prio""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q211_chi2_independence", Seq("EXT-olap", "A2", "P6"),
+      "chi-square independence audit: exact-marginal contingency table with per-cell contributions",
+      q211Chi2Independence, Some(q211Sql)),
     GraftQuery("q210_psi_drift", Seq("EXT-olap", "A2", "EXT-percentile"),
       "PSI drift audit: reference-era decile edges pin scan-local binning of the current era, per-bin terms",
       q210PsiDrift, Some(q210Sql)),

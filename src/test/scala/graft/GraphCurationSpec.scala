@@ -194,6 +194,24 @@ class GraphCurationSpec extends AnyFunSuite {
     assert(nr.max - nr.min <= 1, "reference deciles not equi-depth")
   }
 
+  test("q211: contingency cells partition orders; expected sums match marginals") {
+    val rows = operators.Platform.q211Chi2Independence(spark, dir).collect()
+    val nOrders = Tables.load(spark, dir, "orders").count()
+    // observed cells partition the table exactly
+    assert(rows.map(_.getLong(2)).sum == nOrders, "cells don't partition orders")
+    // every chi2 term is finite and >= 0 (E > 0 whenever a cell exists)
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0, "non-positive expected count")
+      assert(r.getDouble(6) >= 0.0 && !r.getDouble(6).isNaN, "bad chi2 term")
+    }
+    // each status's row_tot equals the sum of its observed cells (marginal
+    // consistency — the broadcast attach didn't duplicate or drop)
+    rows.groupBy(_.getString(0)).foreach { case (_, grp) =>
+      assert(grp.map(_.getLong(2)).sum == grp.head.getLong(3),
+        "row marginal != sum of observed cells")
+    }
+  }
+
   test("q207: top-30 is rank-contiguous, count-guarded, PMI-sorted") {
     val rows = operators.TextAnalysis.q207PmiCollocations(spark, dir).collect()
     assert(rows.length == 30)

@@ -133,6 +133,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    per side) + survivor dominance anti-join (bucket-bounded set)
     //  - q206: crossJoin(broadcast(<1-row watermark-cut scalar>))
     //  - q207: two 1-row scalar attaches (token total N, bigram total B)
+    //  - q211: crossJoin(broadcast(<1-row grand total N>)) onto the
+    //    15-row contingency-cell table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -142,7 +144,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q162_dsir_resample", "q170_scalar_quant", "q171_sq8_recall",
       "q173_drift_gauge", "q175_bq_recall",
       "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
-      "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations")),
+      "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
+      "q211_chi2_independence")),
       s"unexpected cross products in: $offenders")
   }
 
