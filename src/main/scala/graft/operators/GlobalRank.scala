@@ -80,6 +80,55 @@ object GlobalRank {
   // the one pinned range shuffle from the most recent withGlobalRank call
   private var lastParts: Option[DataFrame] = None
 
+  /** df plus exact global running (inclusive) sums of the given LONG
+    * columns under `order` — the prefix-scan analogue of
+    * [[withGlobalRank]], same device: range partitioning, ordinary
+    * per-partition window sums, and a P-row table of per-partition
+    * totals scanLeft'd on the driver into additive offsets (P =
+    * shuffle partitions — never data-scaled). This is the scale-safe
+    * form of `sum(x).over(Window.orderBy(...))`, which Spark would
+    * plan as Exchange SinglePartition — and cumulative sums under a
+    * global order are the global-CDF / running-ledger workhorse (KS
+    * statistics, CUSUM series, quantile tables). A ones-column input
+    * degenerates to [[withGlobalRank]] itself (a prefix sum of 1s IS
+    * the global row number). `cums` maps source column → new
+    * cumulative column name. Same unique-sort-key requirement and
+    * pinned-cache contract as withGlobalRank (shares the one-slot
+    * cache).
+    */
+  def withGlobalPrefixSums(df: DataFrame, cums: Seq[(String, String)],
+      order: Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val parts = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // one row per non-empty partition, one long per summed column
+    val aggs = cums.map { case (src, _) => sum(col(src)).as(s"__t_$src") }
+    val byPid = parts.groupBy($"__pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> cums.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val maxPid = if (byPid.isEmpty) 0 else byPid.keys.max
+    val zero: Seq[Long] = cums.map(_ => 0L)
+    val offsets = (0 to maxPid).scanLeft(zero) { (acc, p) =>
+      acc.lazyZip(byPid.getOrElse(p, zero)).map(_ + _)
+    }
+    val offDf = (0 to maxPid).map(p => (p, offsets(p))).toDF("__pid", "__offs")
+    val w = Window.partitionBy($"__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = cums.zipWithIndex.foldLeft(
+        parts.join(broadcast(offDf), Seq("__pid"))) {
+      case (d, ((src, dst), i)) =>
+        d.withColumn(dst, sum(col(src)).over(w) + $"__offs".getItem(i))
+    }.drop("__pid", "__offs")
+    GlobalRank.synchronized {
+      lastParts.foreach(_.unpersist(false))
+      lastParts = Some(parts)
+    }
+    out
+  }
+
   /** q132: exact global ranking of every order by price — the operator
     * above, oracle-checked against DuckDB's `row_number() OVER (ORDER
     * BY ...)`. The rank column in the result is bit-identical to the

@@ -581,7 +581,252 @@ object Platform {
       |CROSS JOIN n
       |ORDER BY c.status, c.prio""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+
+  /** q212: two-sample Kolmogorov–Smirnov drift test between the q210
+    * eras — the NONPARAMETRIC member of the stats-audit family (q199
+    * tests conformance to a law, q210 binned drift, q211 association):
+    * D = sup over the pooled support of |F_ref(x) − F_cur(x)|, no
+    * bins, no distributional assumption. Shape: ONE scan collapses
+    * orders to per-price era counts (the only fact-table shuffle);
+    * both CDFs then come from [[GlobalRank.withGlobalPrefixSums]]
+    * (range partitioning + P-row driver offsets), so the global
+    * cumulative sums D needs never funnel through a single-partition
+    * window — the difference between a demo KS and one that survives
+    * a 100 TB support. Output is one row (ks_d, ks_at, n_ref, n_cur);
+    * the argmax location tie-breaks to the smallest price via
+    * struct-max.
+    */
+  def q212KsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = lit(PsiSplit).cast("timestamp")
+    val cells = t(s, dir, "orders")
+      .groupBy($"o_totalprice".as("v"))
+      .agg(sum(when($"o_orderdate" < split, 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"o_orderdate" >= split, 1L).otherwise(0L)).as("n_cur"))
+      .persist()
+    val cum = GlobalRank.withGlobalPrefixSums(
+      cells, Seq("n_ref" -> "cr", "n_cur" -> "cc"), $"v".asc)
+    val tot = cells.agg(sum($"n_ref").as("tr"), sum($"n_cur").as("tc"))
+    cum.crossJoin(broadcast(tot))
+      .select($"v",
+        round(abs($"cr".cast("double") / $"tr" -
+          $"cc".cast("double") / $"tc"), 6).as("gap"),
+        $"tr", $"tc")
+      .agg(max(struct($"gap", (-$"v").as("negv"))).as("m"),
+        max($"tr").as("n_ref"), max($"tc").as("n_cur"))
+      .select($"m.gap".as("ks_d"), (-$"m.negv").as("ks_at"),
+        $"n_ref", $"n_cur")
+  }
+
+  private val q212Sql =
+    s"""WITH cells AS (
+      |  SELECT o_totalprice AS v,
+      |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$PsiSplit'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$PsiSplit'
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+      |             CAST(sum(n_cur) AS BIGINT) AS tc FROM cells),
+      |g AS (
+      |  SELECT v,
+      |    round(abs(CAST(sum(n_ref) OVER (ORDER BY v) AS DOUBLE) / tr
+      |            - CAST(sum(n_cur) OVER (ORDER BY v) AS DOUBLE) / tc), 6)
+      |      AS gap
+      |  FROM cells CROSS JOIN t)
+      |SELECT g.gap AS ks_d, g.v AS ks_at, t.tr AS n_ref, t.tc AS n_cur
+      |FROM g CROSS JOIN t
+      |ORDER BY g.gap DESC, g.v ASC LIMIT 1""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+
+  /** q213: information-gain feature audit — for each candidate
+    * categorical feature X, how much knowing X reduces the entropy of
+    * the label Y = o_orderstatus: H(Y), H(Y|X), IG = H(Y) − H(Y|X),
+    * and the C4.5 gain ratio IG / H(X). This is the decision-tree
+    * split criterion run as a column-profiling sweep — "is this
+    * feature informative, or a constant, or an overfit key" — the
+    * entropy-based counterpart of q211's chi-square association and
+    * q209's functional dependencies. ONE scan: each row explodes to
+    * its (candidate, value) pairs, one groupBy builds every
+    * candidate's contingency cells, and ALL marginals re-aggregate
+    * from the cell table (never a second fact scan). Entropy terms
+    * round to 12 decimals and sum as DECIMAL(20,12) — the q188 device
+    * — so the float sums are associative and engine-exact. Two
+    * control candidates pin the scale ends: `constant` (one value —
+    * must report IG = 0 and a NULL gain ratio) and `cust_mod16` (a
+    * hash bucket of the customer key — informative about nothing,
+    * IG ≈ 0 with a real denominator).
+    */
+  def q213InfoGain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "orders")
+      .select($"o_orderstatus".as("y"), explode(array(
+        struct(lit("constant").as("cand"), lit("all").as("xv")),
+        struct(lit("cust_mod16").as("cand"),
+          ($"o_custkey" % 16).cast("string").as("xv")),
+        struct(lit("priority").as("cand"), $"o_orderpriority".as("xv")),
+        struct(lit("year").as("cand"),
+          year($"o_orderdate").cast("string").as("xv")))).as("c"))
+      .groupBy($"c.cand".as("cand"), $"c.xv".as("xv"), $"y")
+      .agg(count(lit(1)).as("nxy"))
+      .persist()
+    val nx = cells.groupBy($"cand", $"xv").agg(sum($"nxy").as("nx"))
+    val ny = cells.groupBy($"cand", $"y").agg(sum($"nxy").as("ny"))
+    val nTot = cells.groupBy($"cand").agg(sum($"nxy").as("n"))
+    def negEntropy(cnt: Column): Column =
+      sum(round((cnt.cast("double") / $"n") * log(cnt.cast("double") / $"n"), 12)
+        .cast("decimal(20,12)"))
+    val hyx = cells.join(broadcast(nx), Seq("cand", "xv"))
+      .join(broadcast(nTot), Seq("cand"))
+      .groupBy($"cand")
+      .agg(sum(round(($"nxy".cast("double") / $"n") *
+          log($"nxy".cast("double") / $"nx"), 12)
+        .cast("decimal(20,12)")).as("neg_hyx"))
+    val hy = ny.join(broadcast(nTot), Seq("cand"))
+      .groupBy($"cand").agg(negEntropy($"ny").as("neg_hy"))
+    val hx = nx.join(broadcast(nTot), Seq("cand"))
+      .groupBy($"cand")
+      .agg(negEntropy($"nx").as("neg_hx"), count(lit(1)).as("n_values"))
+    hy.join(hx, Seq("cand")).join(hyx, Seq("cand"))
+      .select($"cand", $"n_values",
+        round((-$"neg_hy").cast("double"), 6).as("h_y"),
+        round((-$"neg_hyx").cast("double"), 6).as("h_y_given_x"),
+        round(($"neg_hyx" - $"neg_hy").cast("double"), 6).as("info_gain"),
+        when($"neg_hx" < 0,
+          round(($"neg_hyx" - $"neg_hy").cast("double") /
+            (-$"neg_hx").cast("double"), 6)).as("gain_ratio"))
+      .orderBy($"cand")
+  }
+
+  private val q213Sql =
+    """WITH base AS (
+      |  SELECT o_orderstatus AS y, 'constant' AS cand, 'all' AS xv FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'cust_mod16',
+      |    CAST(o_custkey % 16 AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'priority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'year',
+      |    CAST(year(o_orderdate) AS VARCHAR) FROM orders),
+      |cells AS (
+      |  SELECT cand, xv, y, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM base GROUP BY 1, 2, 3),
+      |nx AS (SELECT cand, xv, CAST(sum(nxy) AS BIGINT) AS nx
+      |       FROM cells GROUP BY 1, 2),
+      |ny AS (SELECT cand, y, CAST(sum(nxy) AS BIGINT) AS ny
+      |       FROM cells GROUP BY 1, 2),
+      |nt AS (SELECT cand, CAST(sum(nxy) AS BIGINT) AS n
+      |       FROM cells GROUP BY 1),
+      |hyx AS (
+      |  SELECT c.cand,
+      |    sum(CAST(round((CAST(c.nxy AS DOUBLE) / nt.n) *
+      |        ln(CAST(c.nxy AS DOUBLE) / nx.nx), 12) AS DECIMAL(20,12)))
+      |      AS neg_hyx
+      |  FROM cells c
+      |  JOIN nx ON c.cand = nx.cand AND c.xv = nx.xv
+      |  JOIN nt ON c.cand = nt.cand
+      |  GROUP BY 1),
+      |hy AS (
+      |  SELECT ny.cand,
+      |    sum(CAST(round((CAST(ny.ny AS DOUBLE) / nt.n) *
+      |        ln(CAST(ny.ny AS DOUBLE) / nt.n), 12) AS DECIMAL(20,12)))
+      |      AS neg_hy
+      |  FROM ny JOIN nt ON ny.cand = nt.cand GROUP BY 1),
+      |hx AS (
+      |  SELECT nx.cand,
+      |    sum(CAST(round((CAST(nx.nx AS DOUBLE) / nt.n) *
+      |        ln(CAST(nx.nx AS DOUBLE) / nt.n), 12) AS DECIMAL(20,12)))
+      |      AS neg_hx,
+      |    CAST(count(*) AS BIGINT) AS n_values
+      |  FROM nx JOIN nt ON nx.cand = nt.cand GROUP BY 1)
+      |SELECT hy.cand, hx.n_values,
+      |  round(CAST(-neg_hy AS DOUBLE), 6) AS h_y,
+      |  round(CAST(-neg_hyx AS DOUBLE), 6) AS h_y_given_x,
+      |  round(CAST(neg_hyx - neg_hy AS DOUBLE), 6) AS info_gain,
+      |  CASE WHEN neg_hx < 0 THEN
+      |    round(CAST(neg_hyx - neg_hy AS DOUBLE) /
+      |          CAST(-neg_hx AS DOUBLE), 6)
+      |  END AS gain_ratio
+      |FROM hy
+      |JOIN hx ON hy.cand = hx.cand
+      |JOIN hyx ON hy.cand = hyx.cand
+      |ORDER BY hy.cand""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+
+  /** q214: CUSUM change-point detection over the monthly revenue
+    * series — where did the level of a time series shift? S_t =
+    * Σ_{i≤t}(x_i − x̄) peaks (in absolute value) at the change point;
+    * the month of the peak is flagged. Arithmetic is integer-exact to
+    * the end: revenues aggregate as DECIMAL cents into longs, and
+    * S_t = ccum_t − t·total/M is computed from longs with ONE double
+    * division — no float accumulation anywhere. Shape: one scan
+    * collapses orders to the month table; the running sums (and the
+    * month index t itself — a prefix sum of ones) come from
+    * [[GlobalRank.withGlobalPrefixSums]], so the device holds even
+    * for a per-second series with billions of points; the mean and
+    * the peak are 1-row broadcast scalar attaches. Output: the full
+    * (month, revenue, s_t) series with the change point flagged —
+    * tie-break earliest month.
+    */
+  def q214CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("revd"))
+      .select($"m", ($"revd" * 100).cast("long").as("cents"),
+        lit(1L).as("one"))
+      .persist()
+    val cum = GlobalRank.withGlobalPrefixSums(
+      monthly, Seq("cents" -> "ccum", "one" -> "t"), $"m".asc)
+    val tot = monthly.agg(sum($"cents").as("tc"), sum($"one").as("mm"))
+    val g = cum.crossJoin(broadcast(tot))
+      .select($"m", ($"cents" / lit(100.0)).as("revenue"), $"t",
+        round(($"ccum".cast("double") -
+          $"t".cast("double") * $"tc" / $"mm") / 100.0, 6).as("s_t"))
+    val peak = g.agg(
+      max(struct(abs($"s_t").as("a"), (-$"t").as("negt"))).as("p"))
+    g.crossJoin(broadcast(peak))
+      .select($"m", $"revenue", $"s_t",
+        ($"t" === -$"p.negt").as("is_changepoint"))
+      .orderBy($"m")
+  }
+
+  private val q214Sql =
+    """WITH mo AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT m, cents,
+      |    CAST(sum(cents) OVER (ORDER BY m) AS BIGINT) AS ccum,
+      |    CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+      |  FROM mo),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc,
+      |               CAST(count(*) AS BIGINT) AS mm FROM mo),
+      |g AS (
+      |  SELECT m, cents / 100.0 AS revenue, t,
+      |    round((CAST(ccum AS DOUBLE) -
+      |           CAST(t AS DOUBLE) * tc / mm) / 100.0, 6) AS s_t
+      |  FROM c CROSS JOIN tot),
+      |pk AS (SELECT t AS pt FROM g ORDER BY abs(s_t) DESC, m ASC LIMIT 1)
+      |SELECT m, revenue, s_t, t = pt AS is_changepoint
+      |FROM g CROSS JOIN pk ORDER BY m""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q214_cusum_changepoint", Seq("EXT-olap", "A2", "EXT-window"),
+      "CUSUM change-point: integer-exact centered running sums via global prefix device, peak month flagged",
+      q214CusumChangepoint, Some(q214Sql)),
+    GraftQuery("q213_info_gain", Seq("EXT-olap", "A2", "P6"),
+      "information-gain feature audit: one-scan exploded contingency cells, exact-decimal entropies, C4.5 gain ratio",
+      q213InfoGain, Some(q213Sql)),
+    GraftQuery("q212_ks_test", Seq("EXT-olap", "A2", "EXT-percentile"),
+      "two-sample KS drift test: era CDFs via range-partitioned global prefix sums, exact sup-gap",
+      q212KsTest, Some(q212Sql)),
     GraftQuery("q211_chi2_independence", Seq("EXT-olap", "A2", "P6"),
       "chi-square independence audit: exact-marginal contingency table with per-cell contributions",
       q211Chi2Independence, Some(q211Sql)),

@@ -1451,7 +1451,161 @@ object Warehouse {
       |GROUP BY user_id, sid
       |ORDER BY user_id, s_start""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+
+  /** Era floor for the q215 directed graph — bounds the oracle's
+    * transitive closure while leaving a ~1500-vertex, ~6k-edge graph
+    * at sf0.01 (one 708-member giant SCC, a 2-cycle, 780 trivial).
+    */
+  private val SccSplit = "1998-07-01"
+
+  /** Hard outer-round ceiling for q215 — a safety rail only: every
+    * round decides at least the residual minimum vertex's SCC, so the
+    * loop terminates in ≤ #SCC rounds and measured convergence is 2–3
+    * rounds at gate SFs. Hitting the ceiling raises, never returns a
+    * partial answer (the oracle is EXACT, so a budget-truncated result
+    * would hash-mismatch rather than degrade gracefully).
+    */
+  private val SccMaxRounds = 60
+
+  /** q215: strongly connected components — the directed-graph member
+    * the graph family was missing (q40/q134 solve the UNDIRECTED
+    * version; direction changes the algorithm entirely, because
+    * reachability stops being symmetric). Implemented as the standard
+    * distributed FW-BW-Trim peel (the algorithm behind Spark GraphX's
+    * and Giraph's SCC): each outer round (1) TRIMS — iteratively
+    * discards vertices with no in- or no out-edges in the live
+    * subgraph, each its own trivial SCC (kills the star periphery in
+    * one pass); (2) runs TWO min-label fixpoints, forward (F(v) = min
+    * vertex reaching v) and backward (B(v) = min vertex reachable from
+    * v); (3) decides every vertex with F(v) = B(v) = r — r is then
+    * mutually reachable with v and provably the SCC's minimum member,
+    * so the label IS the canonical id the oracle derives from full
+    * closure. At least the residual min vertex's SCC decides each
+    * round, so termination needs no budget-matched oracle (unlike
+    * q202/q208 the answer is exact, not round-stamped). The graph:
+    * day-hub stars over late-era orders — the first orderer of each
+    * day points at every other customer ordering that day; repeat hubs
+    * weave the cores together, one-time customers stay periphery.
+    * Scale shape: every step is a keyed join on vertex or edge ends —
+    * frontier-proportional, never quadratic; per-round
+    * localCheckpoint (the q133 discipline) keeps plan depth constant;
+    * the label tables are one row per LIVE vertex and shrink
+    * monotonically. Oracle: recursive-CTE closure + mutual-reach
+    * minimum (exact, era-bounded so the closure stays ~1M pairs).
+    */
+  def q215Scc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit(SccSplit).cast("timestamp"))
+      .select($"o_custkey".as("c"), $"o_orderdate".as("d"),
+        $"o_orderkey".as("k"))
+    val hub = o.groupBy($"d").agg(min_by($"c", $"k").as("h"))
+    val edges = o.join(hub, Seq("d"))
+      .filter($"c" =!= $"h")
+      .select($"h".as("src"), $"c".as("dst"))
+      .distinct()
+      .persist()
+    var active = edges.select($"src".as("v"))
+      .unionByName(edges.select($"dst".as("v")))
+      .distinct().localCheckpoint()
+    var decided: Option[DataFrame] = None // (v, scc_id)
+    def decide(chunk: DataFrame): Unit =
+      decided = Some(decided.map(_.unionByName(chunk)).getOrElse(chunk))
+    var outer = 0
+    while (!active.isEmpty) {
+      outer += 1
+      require(outer <= SccMaxRounds,
+        s"q215: $SccMaxRounds rounds without convergence — not a plausible SCC count")
+      // TRIM to a fixpoint: a vertex with no live in-edge or no live
+      // out-edge can't sit on a cycle — it is its own SCC
+      var trimming = true
+      while (trimming && !active.isEmpty) {
+        val liveE = edges
+          .join(active.select($"v".as("src")), Seq("src"), "left_semi")
+          .join(active.select($"v".as("dst")), Seq("dst"), "left_semi")
+        val keep = liveE.select($"src".as("v")).distinct()
+          .join(liveE.select($"dst".as("v")).distinct(), Seq("v"), "left_semi")
+          .localCheckpoint()
+        val trivial = active.join(keep, Seq("v"), "left_anti")
+        if (trivial.isEmpty) trimming = false
+        else {
+          decide(trivial.select($"v", $"v".as("scc_id")).localCheckpoint())
+          active = keep
+        }
+      }
+      if (!active.isEmpty) {
+        val liveE = edges
+          .join(active.select($"v".as("src")), Seq("src"), "left_semi")
+          .join(active.select($"v".as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+        // min-label fixpoint: along `in` edges for F, `out` for B
+        def minLabelFixpoint(from: String, to: String): DataFrame = {
+          var lab = active.select($"v", $"v".as("lab")).localCheckpoint()
+          var changed = 1L
+          while (changed > 0) {
+            val inmin = liveE.join(
+                lab.select($"v".as(from), $"lab"), Seq(from))
+              .groupBy(col(to).as("v")).agg(min($"lab").as("m"))
+            val next = lab.join(inmin, Seq("v"), "left")
+              .select($"v",
+                least($"lab", coalesce($"m", $"lab")).as("lab"))
+              .localCheckpoint()
+            changed = next
+              .join(lab.withColumnRenamed("lab", "old"), Seq("v"))
+              .filter($"lab" =!= $"old").count()
+            lab = next
+          }
+          lab
+        }
+        val f = minLabelFixpoint("src", "dst")
+        val b = minLabelFixpoint("dst", "src")
+        val scc = f.join(b.withColumnRenamed("lab", "blab"), Seq("v"))
+          .filter($"lab" === $"blab")
+          .select($"v", $"lab".as("scc_id"))
+          .localCheckpoint()
+        decide(scc)
+        active = active.join(scc.select($"v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    edges.unpersist(false)
+    val all = decided.getOrElse(
+      active.select($"v", $"v".as("scc_id")).limit(0))
+    val sizes = all.groupBy($"scc_id").agg(count(lit(1)).as("scc_size"))
+    all.join(sizes, Seq("scc_id"))
+      .select($"v".as("custkey"), $"scc_id", $"scc_size")
+      .orderBy($"custkey")
+  }
+
+  private val q215Sql =
+    s"""WITH RECURSIVE o AS (
+      |  SELECT o_custkey c, o_orderdate d, o_orderkey k FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '$SccSplit'),
+      |hub AS (SELECT d, min_by(c, k) AS h FROM o GROUP BY d),
+      |e AS (
+      |  SELECT DISTINCT hub.h AS src, o.c AS dst
+      |  FROM o JOIN hub ON o.d = hub.d WHERE o.c <> hub.h),
+      |reach(u, v) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.u, e.dst FROM reach r JOIN e ON r.v = e.src),
+      |verts AS (SELECT src AS x FROM e UNION SELECT dst FROM e),
+      |mutual AS (
+      |  SELECT a.u, a.v FROM reach a
+      |  JOIN reach b ON a.u = b.v AND a.v = b.u),
+      |scc AS (
+      |  SELECT x, least(x, coalesce(min(m.v), x)) AS sid
+      |  FROM verts LEFT JOIN mutual m ON m.u = verts.x
+      |  GROUP BY x)
+      |SELECT x AS custkey, sid AS scc_id,
+      |  CAST(count(*) OVER (PARTITION BY sid) AS BIGINT) AS scc_size
+      |FROM scc ORDER BY custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q215_scc", Seq("EXT-graph", "J3", "A2"),
+      "strongly connected components: distributed FW-BW-Trim min-label peel over day-hub stars, exact closure oracle",
+      q215Scc, Some(q215Sql)),
     GraftQuery("q146_grouped_auc", Seq("A2", "W1", "EXT-olap"),
       "grouped ROC-AUC from exact integer pair counts over score cells, degenerate groups null",
       q146GroupedAuc, Some(q146Sql)),

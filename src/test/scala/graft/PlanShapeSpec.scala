@@ -135,6 +135,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q207: two 1-row scalar attaches (token total N, bigram total B)
     //  - q211: crossJoin(broadcast(<1-row grand total N>)) onto the
     //    15-row contingency-cell table (scalar attach)
+    //  - q212: crossJoin(broadcast(<1-row era totals>)) onto the
+    //    cumulative cell table (scalar attach)
+    //  - q214: two 1-row scalar attaches (series total + mean divisor;
+    //    the |S| peak used for the change-point flag)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -145,7 +149,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q173_drift_gauge", "q175_bq_recall",
       "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
-      "q211_chi2_independence")),
+      "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint")),
       s"unexpected cross products in: $offenders")
   }
 

@@ -93,6 +93,72 @@ class PlatformSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("withGlobalPrefixSums matches the single-partition window bit for bit") {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", lit(1L).as("one"),
+        ($"o_custkey" % 7).as("sev"))
+    val dev = operators.GlobalRank
+      .withGlobalPrefixSums(o, Seq("one" -> "c1", "sev" -> "c7"),
+        $"o_orderkey".asc)
+      .select($"o_orderkey", $"c1", $"c7")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = o.coalesce(1)
+      .select($"o_orderkey", sum($"one").over(w).as("c1"),
+        sum($"sev").over(w).as("c7"))
+    assert(dev.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(dev).count() == 0,
+      "prefix-sum device diverged from the single-partition window")
+  }
+
+  test("q212: D in [0,1], attained at an observed price, totals partition orders") {
+    import spark.implicits._
+    val r = operators.Platform.q212KsTest(spark, dir).collect()
+    assert(r.length == 1)
+    val (d, at) = (r(0).getDouble(0), r(0).getDouble(1))
+    assert(d >= 0.0 && d <= 1.0, s"KS statistic out of range: $d")
+    val o = Tables.load(spark, dir, "orders")
+    assert(o.filter($"o_totalprice" === at).count() > 0,
+      "argmax location is not an observed value")
+    assert(r(0).getLong(2) + r(0).getLong(3) == o.count(),
+      "era counts don't partition orders")
+  }
+
+  test("q213: constant candidate degenerates exactly; entropies consistent") {
+    val rows = operators.Platform.q213InfoGain(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("constant", "cust_mod16", "priority", "year"))
+    val byCand = rows.map(r => r.getString(0) -> r).toMap
+    val const = byCand("constant")
+    assert(const.getLong(1) == 1 && const.getDouble(4) == 0.0,
+      "constant column must have one value and zero gain")
+    assert(const.isNullAt(5), "gain ratio over H(X)=0 must be NULL")
+    // H(Y) is a property of Y alone: identical across candidates
+    assert(rows.map(_.getDouble(2)).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= -1e-6, s"negative info gain: $r")
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-6,
+        "conditioning increased entropy")
+    }
+  }
+
+  test("q214: centered cumsum closes at zero, exactly one change point") {
+    import spark.implicits._
+    val out = operators.Platform.q214CusumChangepoint(spark, dir).persist()
+    val rows = out.orderBy($"m").collect()
+    assert(rows.length > 12, "monthly series too short")
+    assert(rows.last.getDouble(2) == 0.0,
+      s"S_M must be exactly 0, got ${rows.last.getDouble(2)}")
+    assert(rows.count(_.getBoolean(3)) == 1, "change point flag not unique")
+    val peak = rows.filter(_.getBoolean(3)).head
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <=
+      math.abs(peak.getDouble(2))), "flagged month is not the |S| peak")
+    out.unpersist(false)
+  }
+
   test("q198: true FK edges classify positive, the negative control stays negative") {
     import spark.implicits._
     val out = operators.Platform.q198FkInference(spark, dir).persist()
