@@ -1539,30 +1539,31 @@ object Warehouse {
           .join(active.select($"v".as("src")), Seq("src"), "left_semi")
           .join(active.select($"v".as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint()
-        // min-label fixpoint: along `in` edges for F, `out` for B
-        def minLabelFixpoint(from: String, to: String): DataFrame = {
-          var lab = active.select($"v", $"v".as("lab")).localCheckpoint()
-          var changed = 1L
-          while (changed > 0) {
-            val inmin = liveE.join(
-                lab.select($"v".as(from), $"lab"), Seq(from))
-              .groupBy(col(to).as("v")).agg(min($"lab").as("m"))
-            val next = lab.join(inmin, Seq("v"), "left")
-              .select($"v",
-                least($"lab", coalesce($"m", $"lab")).as("lab"))
-              .localCheckpoint()
-            changed = next
-              .join(lab.withColumnRenamed("lab", "old"), Seq("v"))
-              .filter($"lab" =!= $"old").count()
-            lab = next
-          }
-          lab
+        // F and B min-label fixpoints run in LOCKSTEP — one label table
+        // carries both, so each round costs one checkpoint + one
+        // convergence count instead of two of each (round count is
+        // max(dF, dB), not dF + dB; on a local[32] harness the
+        // per-round job overhead dominates these tiny frames)
+        var lab = active.select($"v", $"v".as("f"), $"v".as("b"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val fmin = liveE.join(lab.select($"v".as("src"), $"f"), Seq("src"))
+            .groupBy($"dst".as("v")).agg(min($"f").as("fm"))
+          val bmin = liveE.join(lab.select($"v".as("dst"), $"b"), Seq("dst"))
+            .groupBy($"src".as("v")).agg(min($"b").as("bm"))
+          val next = lab
+            .join(fmin, Seq("v"), "left").join(bmin, Seq("v"), "left")
+            .select($"v", least($"f", coalesce($"fm", $"f")).as("f"),
+              least($"b", coalesce($"bm", $"b")).as("b"))
+            .localCheckpoint()
+          changed = next
+            .join(lab.select($"v", $"f".as("of"), $"b".as("ob")), Seq("v"))
+            .filter($"f" =!= $"of" || $"b" =!= $"ob").count()
+          lab = next
         }
-        val f = minLabelFixpoint("src", "dst")
-        val b = minLabelFixpoint("dst", "src")
-        val scc = f.join(b.withColumnRenamed("lab", "blab"), Seq("v"))
-          .filter($"lab" === $"blab")
-          .select($"v", $"lab".as("scc_id"))
+        val scc = lab.filter($"f" === $"b")
+          .select($"v", $"f".as("scc_id"))
           .localCheckpoint()
         decide(scc)
         active = active.join(scc.select($"v"), Seq("v"), "left_anti")

@@ -212,6 +212,28 @@ class GraphCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q215: scc ids are min members, sizes partition the vertex set, a core exists") {
+    import spark.implicits._
+    val out = operators.Warehouse.q215Scc(spark, dir).persist()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the canonical id is the component's minimum member
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0),
+      s"scc_id above a member: $r"))
+    assert(out.filter($"custkey" === $"scc_id").select($"custkey").distinct()
+      .count() == out.select($"scc_id").distinct().count(),
+      "some component's id is not one of its members")
+    // sizes are consistent: each scc_id appears exactly scc_size times
+    val bad = out.groupBy($"scc_id", $"scc_size").count()
+      .filter($"count" =!= $"scc_size")
+    assert(bad.count() == 0, "scc_size disagrees with the membership count")
+    // the day-hub construction must yield at least one non-trivial core
+    assert(rows.map(_.getLong(2)).max >= 2, "no non-trivial SCC found")
+    // every vertex appears exactly once
+    assert(out.select($"custkey").distinct().count() == rows.length)
+    out.unpersist(false)
+  }
+
   test("q207: top-30 is rank-contiguous, count-guarded, PMI-sorted") {
     val rows = operators.TextAnalysis.q207PmiCollocations(spark, dir).collect()
     assert(rows.length == 30)
