@@ -60,10 +60,15 @@ object Multimodal {
     * layout with independent substr arithmetic — a mis-indexed byte on
     * either side breaks the hash. Only (doc_id, text) reaches the scan.
     */
-  def q27MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = ($"doc_id" % 512 + 32).cast("int")
-    val h = (($"doc_id" * 3) % 512 + 32).cast("int")
+  /** The q27/q216 media-header hex: per-doc PNG / JPEG-with-COM /
+    * GIF87a header bytes, assembled relationally — shared so the
+    * decode (q27) and resize (q216) passes provably read the SAME
+    * payload layout.
+    */
+  private def mediaHeaderHex: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val w = (id % 512 + 32).cast("int")
+    val h = ((id * 3) % 512 + 32).cast("int")
     // PNG: sig + IHDR(len,name) + w(BE32) + h(BE32) + depth/color/etc
     val pngHex = concat(lit("89504e470d0a1a0a0000000d49484452"),
       format_string("%08x", w), format_string("%08x", h),
@@ -78,12 +83,16 @@ object Multimodal {
       format_string("%02x%02x", w.bitwiseAND(lit(255)), shiftright(w, 8)),
       format_string("%02x%02x", h.bitwiseAND(lit(255)), shiftright(h, 8)),
       lit("f00000"))
-    val headerHex = when($"doc_id" % 3 === 0, pngHex)
-      .when($"doc_id" % 3 === 1, jpegHex)
+    when(id % 3 === 0, pngHex)
+      .when(id % 3 === 1, jpegHex)
       .otherwise(gifHex)
+  }
+
+  def q27MultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val media = t(s, dir, "documents")
       .select($"doc_id",
-        concat(unhex(headerHex), $"text".cast("binary")).as("payload"))
+        concat(unhex(mediaHeaderHex), $"text".cast("binary")).as("payload"))
     val meta = media
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
@@ -226,7 +235,114 @@ object Multimodal {
       |FROM hx
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** First byte past the media header — the structural walk a resize
+    * pass needs to find the pixel body, computed from the BYTES (never
+    * from a hardcoded layout constant): PNG = signature + one
+    * length-prefixed IHDR chunk + CRC; JPEG = marker-segment walk to
+    * the end of the SOF payload (skipping APP0/COM like a real
+    * decoder); GIF = signature + logical screen + flags/bg/aspect.
+    */
+  private def bodyOffset(b: Array[Byte], format: String): Int = format match {
+    case "png" => 8 + 4 + 4 + be32(b, 8) + 4
+    case "gif" => 13
+    case "jpeg" =>
+      var i = 2
+      var out = b.length
+      while (out == b.length && i + 3 < b.length) {
+        val m = b(i + 1) & 0xff
+        val segLen = be16(b, i + 2)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          out = i + 2 + segLen
+        else i = i + 2 + segLen
+      }
+      out
+    case _ => 0
+  }
+
+  /** Resized-thumbnail metadata (what a real resize kernel would emit
+    * alongside the output tile).
+    */
+  final case class ThumbMeta(
+      doc_id: Long,
+      format: String,
+      body_len: Long,
+      thumb_checksum: Long)
+
+  /** The resize kernel: nearest-neighbor downsample of the payload's
+    * pixel body to a 64-sample tile (the byte stream stands in for the
+    * pixel buffer — the sampling arithmetic is exactly what a 1-D
+    * nearest-neighbor resampler computes, source index = floor(target
+    * index × srcLen / dstLen)); the checksum position-weights each
+    * sampled byte so any off-by-one in EITHER the header walk or the
+    * resample arithmetic changes the output.
+    */
+  def resizeThumb(docId: Long, payload: Array[Byte]): ThumbMeta = {
+    val m = graft.functions.NativeExpressions.ImageHeader.parse(payload)
+    val fmt = if (m == null) "unknown" else m.format
+    val off = bodyOffset(payload, fmt)
+    val bodyLen = payload.length - off
+    var ck = 0L
+    if (bodyLen > 0) {
+      var j = 0
+      while (j < 64) {
+        val idx = ((j.toLong * bodyLen) / 64).toInt
+        ck += (j + 1).toLong * (payload(off + idx) & 0xff)
+        j += 1
+      }
+    }
+    ThumbMeta(docId, fmt, bodyLen.toLong, ck)
+  }
+
+  /** q216: media RESIZE pass — the multimodal family member between
+    * decode (q27/q135) and frame-sample (q28): every payload's pixel
+    * body is located by a REAL structural header walk
+    * ([[bodyOffset]] — PNG chunk length, JPEG segment walk, GIF screen)
+    * and nearest-neighbor-resampled to a fixed 64-sample thumbnail in
+    * the same partition-parallel mapPartitions seam a JNI resize kernel
+    * would occupy. The oracle re-derives the sampled bytes from the
+    * TEXT side of the payload with independent integer arithmetic
+    * (`ascii(substr(text, (j·len)//64 + 1, 1))`), so the hash proves
+    * the Scala walk skipped exactly the header and the resampler hit
+    * exactly the nearest-neighbor positions. Scan reads only
+    * (doc_id, text); the kernel is per-row opaque compute — the one
+    * legitimate mapPartitions site, same as q27.
+    */
+  def q216ResizeThumb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        concat(unhex(mediaHeaderHex), $"text".cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => resizeThumb(id, bytes) })
+      .toDF()
+      .select($"doc_id", $"format", $"body_len", $"thumb_checksum")
+      .orderBy($"doc_id")
+  }
+
+  private val q216Sql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+      |    AS format,
+      |  CAST(length(text) AS BIGINT) AS body_len,
+      |  CAST(list_sum(list_transform(range(0, 64),
+      |    j -> (j + 1) * ascii(substr(text,
+      |           CAST((j * length(text)) // 64 AS INTEGER) + 1, 1))))
+      |    AS BIGINT) AS thumb_checksum
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q216_resize_thumb", Seq("EXT-multimodal"),
+      "media resize pass: structural header walk + nearest-neighbor 64-sample thumbnail, byte-exact oracle",
+      q216ResizeThumb, Some(q216Sql)),
     GraftQuery("q27_multimodal_decode", Seq("EXT-multimodal"),
       "binary media column (real header bytes + opaque body) + partition-parallel header decode",
       q27MultimodalDecode, Some(q27Sql)),

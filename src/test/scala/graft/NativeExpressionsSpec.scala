@@ -218,6 +218,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rows.drop(3).forall(_.isNullAt(1)), "malformed payloads must be null")
   }
 
+  test("resizeThumb: header walk finds the body start, resampler hits NN positions") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val body = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    def expect(b: String): Long =
+      (0 until 64).map(j => (j + 1).toLong * b((j * b.length) / 64).toInt).sum
+    val png = hx("89504e470d0a1a0a0000000d49484452" + "00000140" + "000000f0" +
+      "080600000000000000") ++ body.getBytes("UTF-8")
+    val mP = operators.Multimodal.resizeThumb(3L, png)
+    assert(mP.format == "png" && mP.body_len == 100)
+    assert(mP.thumb_checksum == expect(body), "PNG body offset or sampling off")
+    // JPEG with a COM segment before SOF0 — the walk must skip it and
+    // end the header exactly at the SOF payload boundary
+    val jpeg = hx("ffd8" + "ffe000104a46494600010100004800480000" +
+      "fffe0008677261667421" + "ffc00011" + "08" + "0155" + "0207" +
+      "03011100021101031101") ++ body.getBytes("UTF-8")
+    val mJ = operators.Multimodal.resizeThumb(1L, jpeg)
+    assert(mJ.format == "jpeg" && mJ.body_len == 100 &&
+      mJ.thumb_checksum == expect(body), "JPEG segment walk off")
+    // body shorter than the tile: nearest-neighbor positions repeat
+    val gif = hx("474946383761" + "4001" + "f000" + "f00000") ++
+      "abcdefgh".getBytes("UTF-8")
+    val mG = operators.Multimodal.resizeThumb(2L, gif)
+    assert(mG.format == "gif" && mG.body_len == 8 &&
+      mG.thumb_checksum == expect("abcdefgh"), "short-body resample off")
+  }
+
   test("JaroWinkler: textbook values, boost gate, floor transpositions") {
     import spark.implicits._
     // Expected values are DuckDB's jaro_winkler_similarity outputs
