@@ -1236,7 +1236,54 @@ object Extended {
       |GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+
+  /** q217: arbitrary GROUPING SETS — the general form q31 (rollup) and
+    * q41 (cube) are special cases of: a hand-picked set list that
+    * NEITHER a rollup chain nor a cube lattice produces — the detail
+    * level (status, prio-class), one rollup arm (status), an
+    * ORTHOGONAL dimension (order year) that shares no prefix with the
+    * others, and the grand total. This is the report-workbook shape
+    * (several unrelated summary panels off one scan) and, like
+    * rollup/cube, it costs ONE shuffle: Spark expands the grouping-set
+    * lattice map-side (the Expand operator), so four panels never
+    * means four scans. Per-column grouping() flags disambiguate the
+    * NULL semantics (a NULL key value vs "aggregated over").
+    */
+  def q217GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("prio", substring($"o_orderpriority", 1, 1))
+      .withColumn("yr", year($"o_orderdate").cast("int"))
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"prio"), Seq($"o_orderstatus"),
+          Seq($"yr"), Seq()),
+        $"o_orderstatus", $"prio", $"yr")
+      .agg(count(lit(1)).as("n"), exactSum2($"o_totalprice").as("revenue"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"prio").cast("int").as("g_prio"),
+        grouping($"yr").cast("int").as("g_yr"))
+      .orderBy($"g_status", $"g_prio", $"g_yr",
+        $"o_orderstatus", $"prio", $"yr")
+  }
+
+  private val q217Sql =
+    """SELECT o_orderstatus, prio, yr, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(grouping(prio) AS INTEGER) AS g_prio,
+      |  CAST(grouping(yr) AS INTEGER) AS g_yr
+      |FROM (SELECT o_orderstatus, substring(o_orderpriority, 1, 1) AS prio,
+      |        CAST(year(o_orderdate) AS INTEGER) AS yr, o_totalprice
+      |      FROM orders)
+      |GROUP BY GROUPING SETS ((o_orderstatus, prio), (o_orderstatus),
+      |  (yr), ())
+      |ORDER BY g_status, g_prio, g_yr, o_orderstatus, prio, yr""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q217_grouping_sets", Seq("EXT-cube", "A2"),
+      "arbitrary GROUPING SETS: four unrelated report panels in one Expand-lattice shuffle, per-column grouping flags",
+      q217GroupingSets, Some(q217Sql)),
     GraftQuery("q154_shapley_attribution", Seq("EXT-window", "A2", "J1"),
       "exact Shapley channel attribution over coalition bitmasks: one keyed pass, 16-row coalition algebra",
       q154ShapleyAttribution, Some(q154Sql)),

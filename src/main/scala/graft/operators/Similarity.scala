@@ -390,7 +390,7 @@ object Similarity {
     * Requires a `dims AS (SELECT unnest(range(1, ${IvfDim + 1})) AS i)`
     * CTE in scope (emitted once per query, shared across tags).
     */
-  private def ivfCbSql(salt: String, tag: String): String = {
+  private[graft] def ivfCbSql(salt: String, tag: String): String = {
     def asgSql(cents: String, out: String) =
       s"""$out AS (
          |  SELECT vec_id, cid FROM (
@@ -457,7 +457,7 @@ object Similarity {
       |  WHERE round(list_dot_product(a.v, b.v) /
       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35)""".stripMargin
 
-  private def ivfDimsSql: String =
+  private[graft] def ivfDimsSql: String =
     s"dims AS (SELECT unnest(range(1, ${IvfDim + 1})) AS i)"
 
   private def q54Sql =

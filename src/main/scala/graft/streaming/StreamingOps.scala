@@ -900,7 +900,55 @@ object StreamingOps {
       |  TRUE AS maintained
       |FROM customer""".stripMargin
 
+  /** q218's oracle: q173's derivation chain (same clustered base, same
+    * frozen codebook CTEs from [[graft.operators.Similarity]]), with
+    * the base side feeding only the threshold and the two delta sides
+    * emitted — the one-shot batch answer the micro-batch union must
+    * hash-match.
+    */
+  private def q218Sql =
+    s"""WITH anch AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av
+      |              FROM embeddings WHERE vec_id < 6),
+      |e AS (
+      |  SELECT anch.vec_id * 100 + j AS vec_id,
+      |    list_transform(av, x -> x + CAST(0.002 AS DOUBLE) * j) AS v
+      |  FROM anch CROSS JOIN (SELECT unnest(range(0, 10)) AS j)),
+      |${graft.operators.Similarity.ivfDimsSql},
+      |${graft.operators.Similarity.ivfCbSql("c", "c")},
+      |sides AS (
+      |  SELECT 'base' AS side, vec_id, v FROM e
+      |  UNION ALL
+      |  SELECT 'delta_indist', anch.vec_id * 100 + j,
+      |    list_transform(av, x -> x + CAST(0.002 AS DOUBLE) * j)
+      |  FROM anch CROSS JOIN (SELECT unnest(range(10, 20)) AS j)
+      |  UNION ALL
+      |  SELECT 'delta_shifted', vec_id, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id >= 100 AND vec_id < 140),
+      |errs AS (
+      |  SELECT side, vec_id,
+      |    1.0 - max(round(list_dot_product(s.v, c.cv) /
+      |      (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6))
+      |      AS err
+      |  FROM sides s CROSS JOIN cb_c c GROUP BY side, vec_id),
+      |stats AS (
+      |  SELECT side, CAST(count(*) AS BIGINT) AS n_vecs,
+      |    CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+      |  FROM errs WHERE side <> 'base' GROUP BY side),
+      |bstats AS (
+      |  SELECT CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS bmean,
+      |    quantile_cont(err, 0.95) AS bp95
+      |  FROM errs WHERE side = 'base')
+      |SELECT side, n_vecs, round(m, 6) AS mean_err,
+      |  round(greatest(bp95, bmean * 2), 6) AS threshold,
+      |  CASE WHEN m > greatest(bp95, bmean * 2) THEN 'rebuild'
+      |       ELSE 'append' END AS decision
+      |FROM stats CROSS JOIN bstats ORDER BY side""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q218_stream_drift_monitor",
+      Seq("EXT-streaming", "EXT-similarity", "EXT-occ"),
+      "streaming index-drift monitor: frozen base stats gauge each micro-batch, append/rebuild stamped before landing",
+      q218StreamDriftMonitor, Some(q218Sql)),
     GraftQuery("q184_stream_upsert_mor", Seq("EXT-streaming", "S6", "J4", "EXT-occ", "EXT-cdc"),
       "streaming merge-on-read upsert sink: per-batch O(batch) upsertMoR + deleteRatio-triggered compaction; last-writer-wins hash-carried",
       q184StreamUpsertMoR, Some(q184Sql)),
@@ -1244,6 +1292,130 @@ object StreamingOps {
       val out = s.read.parquet(outDir).orderBy($"query_id", $"rank")
       val rows = out.collect()
       cb.unpersist(false); corpus.unpersist(false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
+
+  /** q218: streaming index-drift monitor — q173's retrain decision run
+    * ONLINE, the gauge an [[graft.operators.AnnIndex]]-shaped serving
+    * stack runs against every candidate append batch BEFORE it lands:
+    * the clustered base and its frozen quantization-error statistics
+    * (exact-decimal mean + interpolated p95) are built once before the
+    * stream starts — exactly the `_drift` artifact the batch index
+    * persists — and each arriving micro-batch is scored against the
+    * broadcast frozen codebook, reduced to its mean nearest-centroid
+    * cosine distance, and stamped APPEND or REBUILD by the
+    * max(p95, 2·mean) rule. Two staged batches make both arms observable:
+    * an in-distribution delta (more members of the trained clusters)
+    * must stamp `append`, a drifted delta (raw uniform-sphere vectors,
+    * near-orthogonal to every centroid) must stamp `rebuild`. The
+    * per-batch decision depends only on that batch's vectors, so the
+    * union of the micro-batch emissions hash-matches the one-shot batch
+    * oracle (q160/q167's union==batch contract). At 100 TB: monitor
+    * state is two scalars + a ≤2 MB codebook; per batch one
+    * O(|batch|·k) scoring pass — the streaming cost of never letting a
+    * frozen-codebook index silently degrade.
+    */
+  def q218StreamDriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Similarity
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q218-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q218-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q218-out")
+    val outDir = outRoot.resolve("drift").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def widen(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double"))
+      // the q173 clustered base: 6 anchors × 10 perturbed members
+      val raw = graft.Tables.load(s, dir, "embeddings")
+        .select($"vec_id", widen($"embedding").as("av"))
+      val anchors = raw.filter($"vec_id" < 6)
+      def members(lo: Int, hi: Int): DataFrame = anchors
+        .crossJoin(s.range(lo, hi).toDF("j")) // bounded 6×10 product
+        .select(($"vec_id" * 100 + $"j").as("vec_id"),
+          transform($"av", x => x + lit(0.002) * $"j").as("v"))
+      val base = members(0, 10).withColumn("nrm", Similarity.norm($"v"))
+        .persist()
+      val cb = Similarity.ivfCodebookOf(s, base.select($"vec_id", $"v"), "c")
+        .persist()
+      cb.count()
+      def errOf(set: DataFrame): DataFrame = set.crossJoin(broadcast(cb))
+        .select($"vec_id",
+          round(Similarity.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6)
+            .as("csim"))
+        .groupBy($"vec_id").agg((lit(1.0) - max($"csim")).as("err"))
+      // the frozen monitor state: two scalars, the streaming analogue
+      // of AnnIndex's persisted `_drift` line
+      val bs = errOf(base).agg(
+        (sum($"err".cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("bmean"),
+        expr("percentile(err, 0.95D)").as("bp95")).head()
+      val (bmean, bp95) = (bs.getDouble(0), bs.getDouble(1))
+
+      // stage the two candidate batches as single-file micro-batches
+      val deltaIn = members(10, 20)
+        .select(lit("delta_indist").as("side"), $"vec_id", $"v")
+      val shifted = raw.filter($"vec_id" >= 100 && $"vec_id" < 140)
+        .select(lit("delta_shifted").as("side"), $"vec_id", $"av".as("v"))
+      def stage(idx: Int, df: DataFrame): Unit = {
+        val tmp = srcDir.resolve(s"stage$idx")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator()
+        var moved = false
+        while (part.hasNext && !moved) {
+          val f = part.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(f, srcDir.resolve(s"batch$idx.parquet"))
+            moved = true
+          }
+        }
+        rmTree(tmp)
+      }
+      stage(0, deltaIn); stage(1, shifted)
+
+      val outSchema = StructType(Seq(
+        StructField("side", StringType), StructField("n_vecs", LongType),
+        StructField("mean_err", DoubleType),
+        StructField("threshold", DoubleType),
+        StructField("decision", StringType)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        .write.mode("overwrite").parquet(outDir)
+
+      val q = s.readStream
+        .schema("side STRING, vec_id LONG, v ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val b = batch.toDF().withColumn("nrm", Similarity.norm($"v"))
+            val errs = b.crossJoin(broadcast(cb))
+              .select($"side", $"vec_id",
+                round(Similarity.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6)
+                  .as("csim"))
+              .groupBy($"side", $"vec_id")
+              .agg((lit(1.0) - max($"csim")).as("err"))
+            errs.groupBy($"side")
+              .agg(count(lit(1)).as("n_vecs"),
+                (sum($"err".cast(DecimalType(18, 6))).cast("double") /
+                  count(lit(1))).as("m"))
+              .select($"side", $"n_vecs", round($"m", 6).as("mean_err"),
+                round(greatest(lit(bp95), lit(bmean) * 2), 6).as("threshold"),
+                when($"m" > greatest(lit(bp95), lit(bmean) * 2), lit("rebuild"))
+                  .otherwise(lit("append")).as("decision"))
+              .write.mode("append").parquet(outDir)
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = s.read.parquet(outDir).orderBy($"side")
+      val rows = out.collect()
+      base.unpersist(false); cb.unpersist(false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)

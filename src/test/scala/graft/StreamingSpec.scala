@@ -302,4 +302,21 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"prev".isNotNull && $"prev" < $"cos_sim").count() == 0)
     out.unpersist(false)
   }
+
+  test("q218: both monitor arms fire — in-distribution appends, drifted rebuilds") {
+    val rows = graft.streaming.StreamingOps
+      .q218StreamDriftMonitor(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2, s"expected one verdict per staged batch: ${rows.toSeq}")
+    val byShard = rows.map(r => r.getString(0) -> r).toMap
+    val ind = byShard("delta_indist")
+    val drf = byShard("delta_shifted")
+    assert(ind.getString(4) == "append",
+      s"in-distribution delta must stamp append: $ind")
+    assert(drf.getString(4) == "rebuild",
+      s"drifted delta must stamp rebuild: $drf")
+    // the decision rule itself: mean vs the SAME threshold on both rows
+    assert(ind.getDouble(3) == drf.getDouble(3), "thresholds diverged")
+    assert(ind.getDouble(2) <= ind.getDouble(3), "append despite mean>thr")
+    assert(drf.getDouble(2) > drf.getDouble(3), "rebuild despite mean<=thr")
+  }
 }
