@@ -76,7 +76,19 @@ object ScaleSmoke {
       // keeps them replica-local), skyline prunes through fixed-width
       // buckets, PMI is two scan-shaped aggs
       "q202_kcore_peel", "q208_ktruss_peel", "q204_ppjoin_exact",
-      "q205_skyline", "q207_pmi_collocations").filter(_.matches(pat))
+      "q205_skyline", "q207_pmi_collocations",
+      // round-9 batch 6: q212's CDF cells and q214's month table ride
+      // the range-partitioned prefix device (P-row driver state at any
+      // size); q211/q213/q217 are cell-bounded contingency/lattice
+      // aggs; q215's FW-BW peel is frontier-proportional per round
+      // (replicas share the calendar, so day-hub edges blend across
+      // replicas — a k×-denser day, the honest growth mode for this
+      // graph); q216 is a pure scan-shaped kernel pass. q218 is
+      // EXCLUDED: its staged batches are fixed-size by construction
+      // (6 anchors × 10), so it is scale-invariant, not scale-tested.
+      "q211_chi2_independence", "q212_ks_test", "q213_info_gain",
+      "q214_cusum_changepoint", "q215_scc", "q216_resize_thumb",
+      "q217_grouping_sets").filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
     // accounting would
@@ -115,9 +127,14 @@ object ScaleSmoke {
       (0 until k).map(i => f(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // full orders schema: the stats-audit family (q211-q215, q217)
+    // reads status/priority/price/date; value columns pass through, so
+    // per-replica distributions are identical and drift/association
+    // statistics stay comparable across scales
     replicate("orders", (df, i) => df.select(
       ($"o_orderkey" + i * mo).as("o_orderkey"),
-      ($"o_custkey" + i * mc).as("o_custkey")))
+      ($"o_custkey" + i * mc).as("o_custkey"),
+      $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
     replicate("lineitem", (df, i) => df.select(
       ($"l_orderkey" + i * mo).as("l_orderkey"),
       ($"l_suppkey" + i * ms).as("l_suppkey")))

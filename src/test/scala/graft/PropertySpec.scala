@@ -53,6 +53,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalPrefixSums equals the sequential scan under randomized inputs") {
+    import spark.implicits._
+    // randomized sizes straddle the partition count (empty partitions,
+    // single-row partitions, heavy partitions) — the offset bookkeeping
+    // must be exact in every layout, including negative addends
+    for (n <- Seq(1, 7, 31, 997, 5000)) {
+      val rows = (1 to n).map(i =>
+        (rnd.nextLong(), rnd.between(-1000L, 1000L), rnd.nextLong() % 5))
+        .distinct // unique sort key required by the device
+      val df = rows.toDF("k", "a", "b").repartition(13)
+      val got = operators.GlobalRank
+        .withGlobalPrefixSums(df, Seq("a" -> "ca", "b" -> "cb"), $"k".asc)
+        .select($"k", $"ca", $"cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      var (sa, sb) = (0L, 0L)
+      val want = rows.sortBy(_._1).map { case (k, a, b) =>
+        sa += a; sb += b; (k, sa, sb)
+      }
+      assert(got.toSeq == want, s"prefix sums diverged at n=$n")
+    }
+  }
+
   test("SCD2 invariants hold under randomized three-run sequences") {
     import spark.implicits._
     def batch(keys: Seq[Int], day: Int) =
