@@ -889,7 +889,119 @@ object Dedup {
       |HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, n_occ DESC, span ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+
+  /** q220: LSH banding quality gauge — the dedup family's missing
+    * MEASUREMENT (q53/q75/q171/q175 gauge every ANN tier; nothing
+    * gauged the MinHash bands): how many true near-dup pairs do the
+    * q19 bands actually surface, and how much junk rides along? Truth
+    * side: the df-capped inverted index (q18's generator) verified
+    * with FULL-shingle-set Jaccard ≥ 0.6; banded side: the q19
+    * band-collision pairs verified with the SAME full-set Jaccard —
+    * identical numerators and denominators on both sides, so recall =
+    * found-truth / truth and precision = true-dups / band-collisions
+    * compare like for like. One row out: the counts, the recall the
+    * 4-band/4-row signature delivers, and the precision cost of
+    * banding. At 100 TB the audit costs one q18 pass + one q19 pass
+    * over a sampled slice — the number that decides band geometry
+    * BEFORE a corpus-wide dedup run, measured instead of assumed.
+    */
+  def q220LshQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = corpusDocs(s, dir).filter(size($"shs") > 0)
+    val (interCapped, _) = cappedShinglePairs(s, dir)
+    val truth = interCapped.select($"doc_a", $"doc_b")
+      .join(docs.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          (size($"sa") + size($"sb") -
+            size(array_intersect($"sa", $"sb")))).as("jac"))
+      .filter($"jac" >= 0.6).select($"doc_a", $"doc_b").persist()
+    val banded = minhashPairs(s, dir).persist()
+    val bandedDup = banded.filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b").persist()
+    val nTruth = truth.count()
+    val nBanded = banded.count()
+    val nDup = bandedDup.count()
+    val nMissed = truth.join(bandedDup, Seq("doc_a", "doc_b"), "left_anti")
+      .count()
+    truth.unpersist(false); banded.unpersist(false); bandedDup.unpersist(false)
+    Seq((nTruth, nBanded, nDup, nMissed))
+      .toDF("n_truth", "n_banded", "n_banded_dup", "n_missed")
+      .select($"n_truth", $"n_banded", $"n_banded_dup", $"n_missed",
+        when($"n_truth" > 0,
+          round(($"n_truth" - $"n_missed").cast("double") / $"n_truth", 6))
+          .as("recall"),
+        when($"n_banded" > 0,
+          round($"n_banded_dup".cast("double") / $"n_banded", 6))
+          .as("prec"))
+  }
+
+  private lazy val q220Sql = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
+      val cols = (0 until BandSize)
+        .map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+      |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ShingleDfCap),
+      |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
+      |candt AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |szf AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |jact AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jac
+      |  FROM candt c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  JOIN szf sa ON sa.doc_id = c.doc_a
+      |  JOIN szf sb ON sb.doc_id = c.doc_b
+      |  GROUP BY c.doc_a, c.doc_b, sa.n, sb.n),
+      |truth AS (SELECT doc_a, doc_b FROM jact WHERE jac >= 0.6),
+      |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |candb AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |interb AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM candb c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  GROUP BY 1, 2),
+      |banded AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+      |  FROM interb i
+      |  JOIN szf sa ON sa.doc_id = i.doc_a
+      |  JOIN szf sb ON sb.doc_id = i.doc_b),
+      |bdup AS (SELECT doc_a, doc_b FROM banded WHERE jac >= 0.6),
+      |missed AS (SELECT * FROM truth EXCEPT SELECT * FROM bdup),
+      |nn AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM banded) AS n_banded,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bdup) AS n_banded_dup,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM missed) AS n_missed)
+      |SELECT n_truth, n_banded, n_banded_dup, n_missed,
+      |  CASE WHEN n_truth > 0 THEN
+      |    round(CAST(n_truth - n_missed AS DOUBLE) / n_truth, 6) END AS recall,
+      |  CASE WHEN n_banded > 0 THEN
+      |    round(CAST(n_banded_dup AS DOUBLE) / n_banded, 6) END AS prec
+      |FROM nn""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q220_lsh_quality", Seq("EXT-dedup", "EXT-approx"),
+      "LSH banding quality gauge: band-collision recall/precision vs full-set Jaccard truth, like-for-like denominators",
+      q220LshQuality, Some(q220Sql)),
     GraftQuery("q99_block_dedup", Seq("EXT-dedup", "W1"),
       "block-level exact-substring dedup, global keep-first policy",
       q99BlockDedup, Some(q99Sql)),

@@ -2080,7 +2080,99 @@ object Similarity {
       |SELECT q.query_id, round(coalesce(h, 0) / 5.0, 2) AS recall_at_5
       |FROM qset q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+
+  /** q219: Johnson–Lindenstrauss random projection — the
+    * DIMENSIONALITY member of the compression ladder (PQ q74 encodes
+    * cells, SQ8 q170 narrows scalars, BQ q175 keeps signs; JL keeps
+    * fewer DIMENSIONS): a deterministic ±1 matrix (md5-parity entries —
+    * the Achlioptas construction the JL guarantees cover) maps 64 → 16
+    * dims, and the gauge measures exactly what the lemma promises to
+    * preserve — pairwise distances, reported as the per-pair ratio
+    * √(‖Rx−Ry‖²/16) / ‖x−y‖ over the fixed %100 sample. Arithmetic is
+    * integer-exact end to end (the IvfQuant floor device: coordinates
+    * quantize to 1e-6 longs, projections are signed integer sums, both
+    * squared distances are exact longs); the only floats are the two
+    * final sqrts, so both engines agree to the last bit before the one
+    * rounded division. Scale: the matrix is a 1024-row broadcast, the
+    * projection is one explode+agg pass — O(n·d_in·d_out) scan-shaped
+    * with a single (vec_id, k) aggregation — and the gauge's pair
+    * enumeration is over the O(1) fixed sample, never the corpus.
+    */
+  def q219JlProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5(concat(lit("jl:"), $"i".cast("string"),
+      lit(":"), $"k".cast("string"))), 1, 8), 16, 10).cast("long")
+    val R = s.range(0, 64).toDF("i")
+      .crossJoin(s.range(0, 16).toDF("k")) // bounded 64×16 matrix build
+      .select($"i", $"k", when(h % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+    val sampled = t(s, dir, "embeddings")
+      .filter($"vec_id" % 100 === 0)
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000000).cast("long")).as("vq"))
+      .persist()
+    val pv = sampled
+      .select($"vec_id", posexplode($"vq").as(Seq("i", "x")))
+      .join(broadcast(R), Seq("i"))
+      .groupBy($"vec_id", $"k").agg(sum($"sgn" * $"x").as("p"))
+      .persist()
+    val dorig = sampled.select($"vec_id".as("a"), $"vq".as("va"))
+      .join(sampled.select($"vec_id".as("b"), $"vq".as("vb")), $"a" < $"b")
+      .select($"a", $"b",
+        aggregate(zip_with($"va", $"vb", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, z) => acc + z).as("d2o"))
+    val dproj = pv.select($"vec_id".as("a"), $"k", $"p".as("pa"))
+      .join(pv.select($"vec_id".as("b"), $"k", $"p".as("pb")), Seq("k"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(sum(($"pa" - $"pb") * ($"pa" - $"pb")).as("d2p"))
+    dorig.join(dproj, Seq("a", "b"))
+      .select($"a", $"b", $"d2o", $"d2p",
+        when($"d2o" > 0,
+          round(sqrt($"d2p" / lit(16.0)) / sqrt($"d2o".cast("double")), 6))
+          .as("dist_ratio"))
+      .orderBy($"a", $"b")
+  }
+
+  private val q219Sql =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |R AS (
+      |  SELECT ii.i, kk.k,
+      |    CASE WHEN ('0x' || substr(md5('jl:' || ii.i || ':' || kk.k), 1, 8))::BIGINT
+      |           % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(0, 64)) AS i) ii
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS k) kk),
+      |proj AS (
+      |  SELECT s.vec_id, R.k, CAST(sum(R.sgn * s.vq[R.i + 1]) AS BIGINT) AS p
+      |  FROM s CROSS JOIN R GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b, a.vq AS va, b.vq AS vb
+      |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+      |dorig AS (
+      |  SELECT a, b, CAST(list_sum(list_transform(range(1, 65),
+      |    i -> (va[i] - vb[i]) * (va[i] - vb[i]))) AS BIGINT) AS d2o
+      |  FROM pairs),
+      |dproj AS (
+      |  SELECT pa.vec_id AS a, pb.vec_id AS b,
+      |    CAST(sum((pa.p - pb.p) * (pa.p - pb.p)) AS BIGINT) AS d2p
+      |  FROM proj pa JOIN proj pb ON pa.k = pb.k AND pa.vec_id < pb.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT d.a, d.b, d.d2o, p.d2p,
+      |  CASE WHEN d.d2o > 0
+      |    THEN round(sqrt(p.d2p / 16.0) / sqrt(CAST(d.d2o AS DOUBLE)), 6)
+      |  END AS dist_ratio
+      |FROM dorig d JOIN dproj p ON d.a = p.a AND d.b = p.b
+      |ORDER BY d.a, d.b""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q219_jl_projection", Seq("EXT-similarity", "EXT-approx"),
+      "Johnson-Lindenstrauss 64->16 projection: md5-parity sign matrix, integer-exact distances, per-pair distortion gauge",
+      q219JlProjection, Some(q219Sql)),
     GraftQuery("q175_bq_recall", Seq("EXT-similarity", "EXT-approx"),
       "1-bit binary quantization: sign bits packed into two 32-bit words, symmetric Hamming (popcount-xor) recall@5 vs exact cosine",
       q175BqRecall, Some(q175Sql)),

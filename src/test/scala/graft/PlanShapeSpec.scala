@@ -137,6 +137,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    15-row contingency-cell table (scalar attach)
     //  - q212: crossJoin(broadcast(<1-row era totals>)) onto the
     //    cumulative cell table (scalar attach)
+    //  - q219: bounded 64×16 sign-matrix build (range crossJoin) + the
+    //    q22/q171 shape: pair enumeration over the fixed %100 sample
     //  - q214: two 1-row scalar attaches (series total + mean divisor;
     //    the |S| peak used for the change-point flag)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
@@ -149,7 +151,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q173_drift_gauge", "q175_bq_recall",
       "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
-      "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint")),
+      "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
+      "q219_jl_projection")),
       s"unexpected cross products in: $offenders")
   }
 
