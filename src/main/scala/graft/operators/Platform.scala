@@ -817,7 +817,98 @@ object Platform {
       |SELECT m, revenue, s_t, t = pt AS is_changepoint
       |FROM g CROSS JOIN pk ORDER BY m""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+
+  /** q223: linear-time MMD² two-sample test over the EMBEDDING
+    * distribution — the multivariate member of the drift family. PSI
+    * (q210) and KS (q212) gauge one feature at a time and q173 gauges
+    * drift against a trained codebook; MMD (Gretton et al., JMLR 2012)
+    * tests the joint distribution directly with no training and no
+    * binning. The full U-statistic is O(n²); the linear-time estimator
+    * pairs consecutive samples — h(t) = k(x₁,x₂)+k(y₁,y₂)−k(x₁,y₂)
+    * −k(x₂,y₁) over disjoint quadruples, mean(h) estimates MMD² — and
+    * is the only form that runs at 100 TB: a scan-shaped pass whose
+    * shuffles carry (t, 64-long) rows keyed by the pairing index, never
+    * a pairwise matrix. Two arms make the gauge self-calibrating: the
+    * even/odd split of one corpus (truth ≈ 0) and the same split with
+    * the odd side's first coordinate shifted (truth > 0). Kernel is
+    * quadratic-polynomial on 1e-6-quantized longs — dot products are
+    * exact in both engines' arithmetic (≤6.4e13 < 2⁵³), each h is one
+    * fixed 4-term float expression rounded at 6 and summed as
+    * DECIMAL(18,6), so the mean is order-independent and engine-exact
+    * (the q222 device). RBF would need exp(); the polynomial kernel
+    * keeps the characteristic-enough geometry AND cross-engine
+    * determinism.
+    */
+  def q223MmdDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vq = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding",
+        x => floor(x.cast("double") * 1000000).cast("long")).as("vq"))
+    // dense vec_ids: even ids are sample X, odd ids sample Y, and the
+    // pairing index is plain arithmetic — no global-order window.
+    val X = vq.filter($"vec_id" % 2 === 0)
+      .select(($"vec_id" / 2).cast("long").as("r"), $"vq")
+    val Y0 = vq.filter($"vec_id" % 2 === 1)
+      .select((($"vec_id" - 1) / 2).cast("long").as("r"), $"vq")
+    def dotq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+    def kpoly(a: Column, b: Column): Column = {
+      val dd = lit(1.0) + dotq(a, b).cast("double") / lit(1.0e12)
+      dd * dd
+    }
+    def arm(label: String, y: DataFrame): DataFrame = {
+      def slot(df: DataFrame, sl: Int, out: String) =
+        df.filter($"r" % 2 === sl)
+          .select(($"r" / 2).cast("long").as("t"), $"vq".as(out))
+      val h = slot(X, 0, "x1").join(slot(X, 1, "x2"), "t")
+        .join(slot(y, 0, "y1"), "t").join(slot(y, 1, "y2"), "t")
+        .select(
+          round(kpoly($"x1", $"x2") + kpoly($"y1", $"y2")
+            - kpoly($"x1", $"y2") - kpoly($"x2", $"y1"), 6)
+            .cast("decimal(18,6)").as("h"))
+      h.agg(count(lit(1)).as("n_pairs"),
+        round(sum($"h").cast("double") / count(lit(1)), 6).as("mmd2"))
+        .select(lit(label).as("arm"), $"n_pairs", $"mmd2")
+    }
+    val shifted = Y0.select($"r",
+      concat(array(element_at($"vq", 1) + lit(1000000L)),
+        slice($"vq", 2, 63)).as("vq"))
+    arm("same", Y0).unionAll(arm("shifted", shifted)).orderBy($"arm")
+  }
+
+  private val q223Sql = {
+    def k(a: String, b: String) =
+      s"(1.0 + list_dot_product($a.vq, $b.vq) / 1.0e12) * " +
+        s"(1.0 + list_dot_product($a.vq, $b.vq) / 1.0e12)"
+    def armSql(label: String, ytab: String) =
+      s"""SELECT '$label' AS arm, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(h) AS DOUBLE) / count(*), 6) AS mmd2
+        |FROM (
+        |  SELECT CAST(round(${k("x1", "x2")} + ${k("y1", "y2")}
+        |      - ${k("x1", "y2")} - ${k("x2", "y1")}, 6)
+        |    AS DECIMAL(18,6)) AS h
+        |  FROM (SELECT r // 2 AS t, vq FROM x WHERE r % 2 = 0) x1
+        |  JOIN (SELECT r // 2 AS t, vq FROM x WHERE r % 2 = 1) x2 USING (t)
+        |  JOIN (SELECT r // 2 AS t, vq FROM $ytab WHERE r % 2 = 0) y1 USING (t)
+        |  JOIN (SELECT r // 2 AS t, vq FROM $ytab WHERE r % 2 = 1) y2 USING (t))""".stripMargin
+    s"""WITH vq AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    v -> CAST(floor(v * 1000000) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |x AS (SELECT vec_id // 2 AS r, vq FROM vq WHERE vec_id % 2 = 0),
+      |y AS (SELECT (vec_id - 1) // 2 AS r, vq FROM vq WHERE vec_id % 2 = 1),
+      |ys AS (SELECT r, list_concat([vq[1] + 1000000], vq[2:64]) AS vq FROM y)
+      |${armSql("same", "y")}
+      |UNION ALL
+      |${armSql("shifted", "ys")}
+      |ORDER BY arm""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q223_mmd_drift", Seq("EXT-olap", "A2", "EXT-approx"),
+      "linear-time MMD^2 two-sample embedding-drift test: paired quadruples, polynomial kernel, decimal-exact mean",
+      q223MmdDrift, Some(q223Sql)),
     GraftQuery("q214_cusum_changepoint", Seq("EXT-olap", "A2", "EXT-window"),
       "CUSUM change-point: integer-exact centered running sums via global prefix device, peak month flagged",
       q214CusumChangepoint, Some(q214Sql)),

@@ -2170,6 +2170,9 @@ object Similarity {
       |ORDER BY d.a, d.b""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q222_silhouette", Seq("EXT-similarity", "EXT-approx"),
+      "simplified-silhouette cluster quality over q91's k-means: centroid-distance a/b, decimal-exact per-cluster means",
+      q222Silhouette, Some(q222Sql)),
     GraftQuery("q219_jl_projection", Seq("EXT-similarity", "EXT-approx"),
       "Johnson-Lindenstrauss 64->16 projection: md5-parity sign matrix, integer-exact distances, per-pair distortion gauge",
       q219JlProjection, Some(q219Sql)),
@@ -2407,5 +2410,128 @@ object Similarity {
        |${assignSql("c2", "a3")}
        |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a3
        |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q222
+
+  /** q222: simplified-silhouette cluster quality — the gauge that
+    * decides whether q91's clusters are GOOD ENOUGH to drive
+    * cluster-balanced sampling (q59/q189 mixture work) or need a larger
+    * k. Full silhouette is O(n²) (mean distance to every point); the
+    * simplified form (Hruschka et al.) replaces point-set means with
+    * CENTROID distances — a = dist to own centroid, b = dist to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) — and is the form any
+    * 100 TB system actually runs: one broadcast-k scoring pass, shuffle
+    * carries only per-cluster partials. Determinism end to end: d2 is
+    * rounded at 6 (the q91 device), sqrt/divide are single IEEE ops,
+    * each s_i is rounded then summed as DECIMAL(18,6) so the
+    * per-cluster mean is order-independent and engine-exact.
+    */
+  def q222Silhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v")).persist()
+    val seeds = e.filter($"vec_id" % 100 === 0 && $"vec_id" < KmK * 100)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+
+    def dist2(v: Column, cv: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)
+      e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"v", $"cid", round(dist2($"v", $"cv"), 6).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cid", $"d2")
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select($"cid", posexplode($"v"))
+        .groupBy($"cid", $"pos")
+        .agg((sum(floor($"col" * KmQuant).cast("long")).cast("double") /
+          (count(lit(1)) * KmQuant)).as("m"))
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+          x => x("m")).as("cv"))
+
+    // final centroids (same 2 Lloyd rounds as q91), then ONE scoring
+    // pass keeping the two nearest centroids per vector: rn=1 is the
+    // assignment (a), rn=2 the nearest other centroid (b).
+    val cents = update(assign(update(assign(seeds))))
+    val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)
+    val scored = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", round(dist2($"v", $"cv"), 6).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    val ab = scored.groupBy($"vec_id").agg(
+      min(when($"rn" === 1, $"cid")).as("cluster"),
+      min(when($"rn" === 1, $"d2")).as("a2"),
+      min(when($"rn" === 2, $"d2")).as("b2"))
+    val si = ab.select($"cluster",
+      round((sqrt($"b2") - sqrt($"a2")) /
+        greatest(sqrt($"a2"), sqrt($"b2")), 6)
+        .cast("decimal(18,6)").as("s"))
+    si.groupBy($"cluster")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"s").cast("double") / count(lit(1)), 6).as("mean_sil"),
+        min($"s").cast("double").as("min_sil"),
+        max($"s").cast("double").as("max_sil"))
+      .orderBy($"cluster")
+  }
+
+  private val q222Sql = {
+    def assignSql(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      round(list_dot_product(e.v, e.v)
+         |        - 2.0 * list_dot_product(e.v, c.cv)
+         |        + list_dot_product(c.cv, c.cv), 6) AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_dot_product(e.v, e.v)
+         |          - 2.0 * list_dot_product(e.v, c.cv)
+         |          + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def updateSql(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT a.cid, dims.i,
+         |      CAST(sum(CAST(floor(e.v[dims.i] * ${KmQuant.toLong}) AS BIGINT))
+         |        AS DOUBLE) / (count(*) * ${KmQuant.toLong}) AS m
+         |    FROM $assigned a JOIN e ON e.vec_id = a.vec_id
+         |    CROSS JOIN dims
+         |    GROUP BY a.cid, dims.i)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${KmDim + 1})) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       WHERE vec_id % 100 = 0 AND vec_id < ${KmK * 100}),
+       |${assignSql("c0", "a1")},
+       |${updateSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${updateSql("a2", "c2")},
+       |sc AS (
+       |  SELECT vec_id, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC)
+       |      AS rn
+       |  FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      round(list_dot_product(e.v, e.v)
+       |        - 2.0 * list_dot_product(e.v, c.cv)
+       |        + list_dot_product(c.cv, c.cv), 6) AS d2
+       |    FROM e CROSS JOIN c2 c)),
+       |ab AS (
+       |  SELECT vec_id,
+       |    min(CASE WHEN rn = 1 THEN cid END) AS cluster,
+       |    min(CASE WHEN rn = 1 THEN d2 END) AS a2,
+       |    min(CASE WHEN rn = 2 THEN d2 END) AS b2
+       |  FROM sc WHERE rn <= 2 GROUP BY vec_id),
+       |si AS (
+       |  SELECT cluster,
+       |    CAST(round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6)
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM ab)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_sil,
+       |  CAST(min(s) AS DOUBLE) AS min_sil,
+       |  CAST(max(s) AS DOUBLE) AS max_sil
+       |FROM si GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -289,7 +289,125 @@ object Sketches {
       |WHERE rank <= 5
       |ORDER BY o_orderstatus, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+
+  /** KMV sketch size for the rollup tiles (smaller than q81's 512: the
+    * tile cube multiplies sketches by grain cardinality, and the exact
+    * oracle means no tolerance needs the extra resolution).
+    */
+  private val RollK = 128
+  // (RollK-1) * 2^52, the estimator numerator over 52-bit hashes; both
+  // factors are powers-of-two-scaled small ints, so the double is exact.
+  private val RollNum = (RollK - 1).toDouble * 4503599627370496.0
+
+  /** q221: re-aggregatable distinct-count TILES — the sketch-cube
+    * pattern that makes "distinct customers by any grain" answerable at
+    * 100 TB without rescanning the fact table. One pass builds a KMV
+    * sketch per finest-grain tile (nation × order-year); every coarser
+    * grain — per nation, per year, global — is computed by MERGING tile
+    * arrays (smallest-K of the union), shuffling O(tiles × K) longs and
+    * never touching a raw row again. The oracle is the strong form of
+    * the mergeability claim: DuckDB computes each grain's smallest-K
+    * DIRECTLY from the raw data, so the hash compare proves the merge
+    * is exactly associative (merged tiles ≡ direct sketch), not just
+    * approximately right. Hashes are 52-bit md5 prefixes (exact in
+    * doubles and in both engines' integer parsers — the q219 device);
+    * the tile build is the bounded-heap topk_by aggregate over the
+    * distinct (tile, key) stream, so no group is ever materialized or
+    * sorted whole. `exact_n` is the small-SF validation baseline, same
+    * contract as q80/q81.
+    */
+  def q221SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val base = t(s, dir, "orders")
+      .select($"o_custkey", year(to_date($"o_orderdate")).as("yr"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nat"), $"yr", $"o_custkey".as("ck"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5($"ck".cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .persist()
+    val tiles = base.groupBy($"nat", $"yr")
+      .agg(topkBy((-$"h").cast("double"), $"h", RollK).as("tk"))
+      .select($"nat", $"yr",
+        expr("transform(tk, x -> x.id)").as("sk"))
+    // merged grain = smallest K of the tile-sketch union: the only data
+    // touched past the tile build is tiles × K longs.
+    def grain(label: String, key: Column, by: Seq[String]): DataFrame = {
+      val byCols = by.map(col)
+      val merged = tiles.groupBy(byCols: _*)
+        .agg(count(lit(1)).as("n_tiles"),
+          slice(array_sort(array_distinct(flatten(collect_list($"sk")))),
+            1, RollK).as("sk"))
+      val exact = base.groupBy(byCols: _*)
+        .agg(count_distinct($"ck").as("exact_n"))
+      val joined = if (by.isEmpty) merged.crossJoin(broadcast(exact))
+        else merged.join(exact, by)
+      joined.select(lit(label).as("grain"), key.as("gkey"), $"n_tiles",
+        size($"sk").as("m"),
+        when(size($"sk") < RollK, size($"sk").cast("double"))
+          .otherwise(round(lit(RollNum) / element_at($"sk", RollK), 4))
+          .as("est"),
+        $"exact_n")
+    }
+    grain("nation", $"nat".cast("string"), Seq("nat"))
+      .unionAll(grain("year", $"yr".cast("string"), Seq("yr")))
+      .unionAll(grain("all", lit("ALL"), Seq.empty))
+      .orderBy($"grain", $"gkey")
+  }
+
+  private val q221Sql = {
+    // per-grain block: s = direct smallest-K stats, t = tile count,
+    // e = exact distinct — all from hb, joined on the grain key (cross
+    // join of 1-row tables for the global grain).
+    def grainSql(label: String, keyExpr: String, by: String,
+        tileExpr: String) = {
+      val sel = if (by.isEmpty) "" else s"$by, "
+      val part = if (by.isEmpty) "" else s"PARTITION BY $by "
+      val grp = if (by.isEmpty) "" else s"GROUP BY $by"
+      val joinT = if (by.isEmpty) "CROSS JOIN" else "JOIN"
+      val onT = if (by.isEmpty) "" else s" USING ($by)"
+      s"""SELECT '$label' AS grain, $keyExpr AS gkey, t.n_tiles,
+        |  CAST(least(s.mtot, $RollK) AS INTEGER) AS m,
+        |  CASE WHEN s.mtot < $RollK THEN CAST(s.mtot AS DOUBLE)
+        |       ELSE round($RollNum / s.kth, 4) END AS est,
+        |  e.exact_n
+        |FROM (
+        |  SELECT ${sel}count(*) AS mtot,
+        |    max(CASE WHEN rn <= $RollK THEN h END) AS kth
+        |  FROM (SELECT ${sel}h,
+        |          row_number() OVER (${part}ORDER BY h) AS rn
+        |        FROM (SELECT DISTINCT ${sel}h FROM hb))
+        |  $grp) s
+        |$joinT (
+        |  SELECT ${sel}CAST(count(*) AS BIGINT) AS n_tiles
+        |  FROM (SELECT DISTINCT ${sel}$tileExpr FROM hb) $grp) t$onT
+        |$joinT (
+        |  SELECT ${sel}CAST(count(DISTINCT ck) AS BIGINT) AS exact_n
+        |  FROM hb $grp) e$onT""".stripMargin
+    }
+    s"""WITH base AS (
+      |  SELECT DISTINCT c_nationkey AS nat,
+      |    year(CAST(o_orderdate AS DATE)) AS yr, o_custkey AS ck
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hb AS (
+      |  SELECT nat, yr, ck,
+      |    ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 13))::BIGINT AS h
+      |  FROM base)
+      |${grainSql("nation", "CAST(s.nat AS VARCHAR)", "nat", "yr")}
+      |UNION ALL
+      |${grainSql("year", "CAST(s.yr AS VARCHAR)", "yr", "nat")}
+      |UNION ALL
+      |${grainSql("all", "'ALL'", "", "nat, yr")}
+      |ORDER BY grain, gkey""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q221_sketch_rollup", Seq("EXT-approx", "EXT-olap", "A2"),
+      "KMV sketch-cube rollup: per-(nation,year) tiles merged to coarser grains, merge-associativity proven against direct sketches",
+      q221SketchRollup, Some(q221Sql)),
     GraftQuery("q143_topk_groups", Seq("EXT-approx", "A2", "W2"),
       "grouped top-5 via bounded-heap topk_by aggregate (O(groups x k) shuffle, no group sort)",
       q143TopkGroups, Some(q143Sql)),

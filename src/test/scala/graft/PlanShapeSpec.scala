@@ -141,6 +141,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //    q22/q171 shape: pair enumeration over the fixed %100 sample
     //  - q214: two 1-row scalar attaches (series total + mean divisor;
     //    the |S| peak used for the change-point flag)
+    //  - q221: global-grain crossJoin(broadcast(<1-row exact count>))
+    //    onto the 1-row merged-sketch table (scalar attach)
+    //  - q222: the q91 shape: broadcast-k centroid scoring pass (k=5)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -152,7 +155,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
       "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
-      "q219_jl_projection")),
+      "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette")),
       s"unexpected cross products in: $offenders")
   }
 
