@@ -737,7 +737,110 @@ object Analytics {
       |FROM d WHERE change_type <> 'unchanged'
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+
+  private val PprIters = 4
+  private val PprSeedMod = 50
+
+  /** q224: PERSONALIZED PageRank from a seed set — graph-proximity
+    * scoring relative to a query set rather than global importance
+    * (q89/q133). This is the graph-side data-selection primitive:
+    * "rank everything by closeness to these seeds" drives
+    * neighborhood sampling, related-entity expansion, and
+    * seed-anchored curation the same way q164/q165 do it in embedding
+    * space. Recurrence p ← (1−d)·e_S + d·W·p with p₀ = e_S over the
+    * q89 customer–supplier graph; seeds are the customers with
+    * custkey ≡ 0 (mod $PprSeedMod$). The vector is kept SPARSE
+    * (pr > 0 filter): support grows one hop per round from the seeds,
+    * so at 100 TB each iteration joins the edge list against a
+    * NEIGHBORHOOD-sized vector, not a graph-sized one — the locality
+    * that makes PPR the scalable member of the PageRank family.
+    * Undirected edges mean no dangling mass: total mass stays exactly
+    * 1 per round. Same engine-exactness devices as q89: per-round
+    * round-10, localCheckpoint lineage truncation, fixed-point early
+    * stop indistinguishable from running the remaining rounds, and
+    * TakeOrdered top-20 (never a global window over the vector).
+    */
+  def q224PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir).persist()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
+    val seeds = deg.filter($"src".startsWith("c") &&
+        substring($"src", 2, 20).cast("long") % PprSeedMod === 0)
+      .select($"src".as("node"))
+    val nSeeds = seeds.count()
+    val su = 1.0 / nSeeds
+    val restart = seeds.withColumn("rmass", lit((1 - Damping) * su)).persist()
+    var pr = seeds.withColumn("pr", lit(su))
+    var it = 0
+    var converged = false
+    while (it < PprIters && !converged) {
+      val prev = pr
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select($"dst", ($"pr" / $"deg").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("in_pr"))
+        .select($"dst".as("node"), $"in_pr")
+      pr = restart.join(contrib, Seq("node"), "full")
+        .select($"node",
+          round(coalesce($"rmass", lit(0.0)) +
+            lit(Damping) * coalesce($"in_pr", lit(0.0)), 10).as("pr"))
+        .filter($"pr" > 0)
+        .localCheckpoint()
+      it += 1
+      if (it < PprIters)
+        converged = pr
+          .join(prev.withColumnRenamed("pr", "prev_pr"), Seq("node"), "full")
+          .filter($"pr".isNull || $"prev_pr".isNull || $"pr" =!= $"prev_pr")
+          .isEmpty
+    }
+    val top = pr.orderBy($"pr".desc, $"node".asc).limit(20)
+    val w = Window.orderBy($"pr".desc, $"node".asc)
+    top.withColumn("rank", row_number().over(w))
+      .select($"rank", $"node", round($"pr", 8).as("ppr"))
+      .orderBy($"rank")
+  }
+
+  private val q224Sql = {
+    def iter(prev: String, i: Int) =
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(p.pr / d.deg) AS in_pr
+         |  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT node, pr FROM (
+         |    SELECT coalesce(c.node, r.node) AS node,
+         |      round(coalesce(r.rmass, 0) + $Damping * coalesce(c.in_pr, 0),
+         |        10) AS pr
+         |    FROM c$i c FULL JOIN r ON c.node = r.node)
+         |  WHERE pr > 0)""".stripMargin
+    val chain = (1 to PprIters).map(i => iter(s"p${i - 1}", i)).mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |seeds AS (
+       |  SELECT src AS node FROM deg
+       |  WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) % $PprSeedMod = 0),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+       |r AS (SELECT node, (SELECT (1 - $Damping) / ns FROM ns) AS rmass
+       |      FROM seeds),
+       |p0 AS (SELECT node, (SELECT 1.0 / ns FROM ns) AS pr FROM seeds),
+       |$chain
+       |SELECT rank, node, ppr FROM (
+       |  SELECT node, round(pr, 8) AS ppr,
+       |    row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+       |  FROM p$PprIters)
+       |WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q224_personalized_pagerank", Seq("EXT-graph", "A2", "J1"),
+      "personalized PageRank from a seed set: sparse restart-anchored vector, one-hop-per-round support growth, top-20",
+      q224PersonalizedPagerank, Some(q224Sql)),
     GraftQuery("q87_cohort_retention", Seq("A3", "W2", "EXT-olap"),
       "first-order-month cohort retention matrix, offsets 0-3",
       q87CohortRetention, Some(q87Sql)),

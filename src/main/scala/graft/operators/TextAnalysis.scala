@@ -1096,7 +1096,73 @@ object TextAnalysis {
       |WHERE rank <= 30
       |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+
+  /** q226: QUANTILE NORMALIZATION across sources — the multi-source
+    * score-alignment pass: each document's within-source rank maps to
+    * the pooled distribution's value at the same quantile, so "top
+    * decile of src3" and "top decile of src7" mean the same thing even
+    * when the sources' raw n_chars distributions differ (the
+    * batch-effect correction genomics runs before cross-batch
+    * comparison; here it is what makes per-source quality cutoffs
+    * comparable before a q65/q189-style mixture). All index arithmetic
+    * is integer-exact: within-source rank r of n_h rows maps to pooled
+    * index ⌈(2r−1)·N / (2·n_h)⌉ (nearest-rank at quantile (r−½)/n_h,
+    * computed as (a+b−1) div b — no floats anywhere), and the pooled
+    * value lookup is a rank-keyed join. The pooled ranking uses the
+    * GlobalRank range-partition device, never a single-partition
+    * window; within-source windows partition by source. Output is the
+    * deterministic doc_id % 37 sample of the full mapping.
+    */
+  def q226QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+      .persist()
+    val bySrc = Window.partitionBy($"source")
+      .orderBy($"n_chars".asc, $"doc_id".asc)
+    val ranked = d.withColumn("r", row_number().over(bySrc))
+      .withColumn("n_h", count(lit(1)).over(Window.partitionBy($"source")))
+    val (pooled, nTot) = GlobalRank.withGlobalRankCounted(
+      d.select($"n_chars".as("pool_chars"), $"doc_id".as("pool_doc")),
+      "grank", $"pool_chars".asc, $"pool_doc".asc)
+    val mapped = ranked
+      .withColumn("idx",
+        (((lit(2L) * $"r" - 1) * lit(nTot) + lit(2L) * $"n_h" - 1) /
+          (lit(2L) * $"n_h")).cast("long"))
+      .join(pooled.select($"grank".as("idx"), $"pool_chars"), Seq("idx"))
+      .select($"doc_id", $"source", $"n_chars", $"r".cast("long").as("r"),
+        $"n_h", $"idx", $"pool_chars".as("norm_chars"))
+    mapped.filter($"doc_id" % 37 === 0).orderBy($"doc_id")
+  }
+
+  private val q226Sql =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_h
+      |  FROM d),
+      |pooled AS (
+      |  SELECT n_chars AS pool_chars,
+      |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+      |      AS grank
+      |  FROM d),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM d),
+      |mapped AS (
+      |  SELECT doc_id, source, n_chars, r, n_h,
+      |    ((2 * r - 1) * nt + 2 * n_h - 1) // (2 * n_h) AS idx
+      |  FROM ranked CROSS JOIN n)
+      |SELECT m.doc_id, m.source, m.n_chars, CAST(m.r AS BIGINT) AS r,
+      |  m.n_h, m.idx, p.pool_chars AS norm_chars
+      |FROM mapped m JOIN pooled p ON p.grank = m.idx
+      |WHERE m.doc_id % 37 = 0
+      |ORDER BY m.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q226_quantile_normalize", Seq("EXT-curation", "EXT-text", "W1"),
+      "quantile normalization across sources: integer-exact nearest-rank mapping onto the pooled distribution, GlobalRank pooled ranking",
+      q226QuantileNormalize, Some(q226Sql)),
     GraftQuery("q207_pmi_collocations", Seq("EXT-text", "A2"),
       "PMI collocation mining: exact integer sufficient stats, low-count guard, heap top-30",
       q207PmiCollocations, Some(q207Sql)),

@@ -1603,7 +1603,75 @@ object Warehouse {
       |  CAST(count(*) OVER (PARTITION BY sid) AS BIGINT) AS scc_size
       |FROM scc ORDER BY custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+
+  /** q225: NEYMAN (variance-optimal) sampling allocation — how a fixed
+    * labeling/inspection budget should split across strata: n_h ∝
+    * N_h·S_h, versus the proportional n_h ∝ N_h that q101 implements.
+    * High-variance sources earn more budget; uniform ones need almost
+    * none — the survey-sampling result that minimizes estimator
+    * variance for a fixed total n, and the principled version of "how
+    * many docs per source do we audit". Everything before the final
+    * divisions is integer-exact: per-stratum Σc and Σc² are exact
+    * longs, var_num = n·Σc² − (Σc)² stays < 2⁵³ so its double is
+    * exact, and N_h·S_h = √var_num algebraically (the n cancels) — one
+    * IEEE sqrt per stratum, rounded then summed as DECIMAL so the
+    * share denominator is order-independent. One scan, one 20-row
+    * aggregate, a 1-row scalar attach: the report costs nothing at any
+    * scale.
+    */
+  def q225NeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = t(s, dir, "documents").select($"source", $"n_chars")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sc"),
+        sum($"n_chars" * $"n_chars").as("sc2"))
+      .withColumn("var_num", $"n_docs" * $"sc2" - $"sc" * $"sc")
+      .withColumn("w",
+        round(sqrt($"var_num".cast("double")), 6).cast("decimal(18,6)"))
+    val tot = st.agg(sum($"w").cast("decimal(28,6)").as("wtot"),
+      sum($"n_docs").as("ntot"))
+    st.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        round($"sc".cast("double") / $"n_docs", 4).as("mean_chars"),
+        round(sqrt($"var_num".cast("double")) / $"n_docs", 4).as("sd_chars"),
+        round($"w".cast("double") / $"wtot".cast("double"), 6)
+          .as("neyman_share"),
+        floor(lit(1000.0) * $"w".cast("double") / $"wtot".cast("double"))
+          .cast("long").as("neyman_n"),
+        expr("(1000 * n_docs) div ntot").as("prop_n"))
+      .orderBy($"source")
+  }
+
+  private val q225Sql =
+    """WITH st AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sc,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sc2
+      |  FROM documents GROUP BY source),
+      |wt AS (
+      |  SELECT *, n_docs * sc2 - sc * sc AS var_num,
+      |    CAST(round(sqrt(CAST(n_docs * sc2 - sc * sc AS DOUBLE)), 6)
+      |      AS DECIMAL(18,6)) AS w
+      |  FROM st),
+      |tot AS (
+      |  SELECT CAST(sum(w) AS DECIMAL(28,6)) AS wtot,
+      |    CAST(sum(n_docs) AS BIGINT) AS ntot
+      |  FROM wt)
+      |SELECT source, n_docs,
+      |  round(CAST(sc AS DOUBLE) / n_docs, 4) AS mean_chars,
+      |  round(sqrt(CAST(var_num AS DOUBLE)) / n_docs, 4) AS sd_chars,
+      |  round(CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS neyman_share,
+      |  CAST(floor(1000.0 * CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE))
+      |    AS BIGINT) AS neyman_n,
+      |  (1000 * n_docs) // ntot AS prop_n
+      |FROM wt CROSS JOIN tot ORDER BY source""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q225_neyman_allocation", Seq("EXT-curation", "A2", "EXT-approx"),
+      "Neyman variance-optimal sampling allocation per source: integer-exact moments, sqrt(var_num) weights, vs proportional",
+      q225NeymanAllocation, Some(q225Sql)),
     GraftQuery("q215_scc", Seq("EXT-graph", "J3", "A2"),
       "strongly connected components: distributed FW-BW-Trim min-label peel over day-hub stars, exact closure oracle",
       q215Scc, Some(q215Sql)),

@@ -144,6 +144,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q221: global-grain crossJoin(broadcast(<1-row exact count>))
     //    onto the 1-row merged-sketch table (scalar attach)
     //  - q222: the q91 shape: broadcast-k centroid scoring pass (k=5)
+    //  - q225: crossJoin(broadcast(<1-row weight/doc totals>)) onto the
+    //    20-row per-source stratum table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -155,7 +157,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q188_nb_quality", "q189_token_budget_mixture", "q199_benford",
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
       "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
-      "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette")),
+      "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette",
+      "q225_neyman_allocation")),
       s"unexpected cross products in: $offenders")
   }
 
