@@ -295,10 +295,10 @@ object Sketches {
     * tile cube multiplies sketches by grain cardinality, and the exact
     * oracle means no tolerance needs the extra resolution).
     */
-  private val RollK = 128
+  private[graft] val RollK = 128
   // (RollK-1) * 2^52, the estimator numerator over 52-bit hashes; both
   // factors are powers-of-two-scaled small ints, so the double is exact.
-  private val RollNum = (RollK - 1).toDouble * 4503599627370496.0
+  private[graft] val RollNum = (RollK - 1).toDouble * 4503599627370496.0
 
   /** q221: re-aggregatable distinct-count TILES — the sketch-cube
     * pattern that makes "distinct customers by any grain" answerable at

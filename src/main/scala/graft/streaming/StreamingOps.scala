@@ -93,10 +93,19 @@ object StreamingOps {
     }
   }
 
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of events parquet.
+    * `maxFilesPerTrigger` is a SOURCE option — passing it here (not on
+    * the sink, where it is silently ignored) is what makes each staged
+    * file its own micro-batch with a watermark update in between.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val (schema, norm) = tsNormalize(spark, dir)
-    norm(spark.readStream.schema(schema).parquet(dir))
+    val base = spark.readStream.schema(schema)
+    val withOpt = maxFilesPerTrigger
+      .map(n => base.option("maxFilesPerTrigger", n.toString))
+      .getOrElse(base)
+    norm(withOpt.parquet(dir))
   }
 
   /** Tumbling 1-hour event-time window with a 2-hour watermark: counts
@@ -944,7 +953,307 @@ object StreamingOps {
       |       ELSE 'append' END AS decision
       |FROM stats CROSS JOIN bstats ORDER BY side""".stripMargin
 
+  /** Write `df` as exactly ONE parquet file named `batch<idx>.parquet`
+    * inside `srcDir` — the staged-micro-batch device (q218's stager,
+    * shared): with `maxFilesPerTrigger=1` each staged file becomes one
+    * deterministic micro-batch in arrival order.
+    */
+  private def stageBatch(srcDir: java.nio.file.Path, idx: Int,
+      df: DataFrame): Unit = {
+    val tmp = srcDir.resolve(s"stage$idx")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val f = part.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(f, srcDir.resolve(s"batch$idx.parquet"))
+        moved = true
+      }
+    }
+    rmTree(tmp)
+  }
+
+  // ---------------------------------------------------------------- q227
+
+  /** q227: STREAMING KMV sketch tiles — q221's sketch-cube maintained
+    * incrementally under a live feed: each micro-batch computes its own
+    * per-event-type smallest-K partial (bounded-heap topk_by over the
+    * batch's distinct user-day keys) and merges it into a tiny persisted
+    * state table (smallest-K of the array union, ≤types×K longs — the
+    * "real-time distinct counts" state is KILOBYTES regardless of feed
+    * volume). Because KMV union is exactly associative AND idempotent
+    * (array_distinct absorbs keys recurring across batches), the final
+    * merged state is bit-identical to the sketch a one-shot batch build
+    * would produce — which is precisely what the oracle checks: DuckDB
+    * computes each type's smallest-K DIRECTLY from all rows, so the
+    * hash compare proves the streaming merge loses nothing. The 3-way
+    * event_id split makes batch boundaries deterministic (q218/q160
+    * staging contract).
+    */
+  def q227StreamSketchTiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Sketches.{RollK, RollNum}
+    import graft.functions.SketchAggregates.topkBy
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q227-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q227-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q227-out")
+    val stateDir = outRoot.resolve("tiles").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ev = graft.Tables.load(s, dir, "events")
+      (0 to 2).foreach(b =>
+        stageBatch(srcDir, b, ev.filter(pmod($"event_id", lit(3)) === b)))
+      val stateSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("sk", ArrayType(LongType, containsNull = false))))
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+        .write.mode("overwrite").parquet(stateDir)
+      val q = readEvents(s, srcDir.toString, maxFilesPerTrigger = Some(1))
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val part = batch.toDF()
+              .select(col("event_type"),
+                concat_ws("|", col("user_id"),
+                  to_date(col("ts")).cast("string")).as("k"))
+              .distinct()
+              .withColumn("h",
+                conv(substring(md5(col("k")), 1, 13), 16, 10).cast("long"))
+              .groupBy(col("event_type"))
+              .agg(topkBy((-col("h")).cast("double"), col("h"), RollK)
+                .as("tk"))
+              .select(col("event_type"),
+                expr("transform(tk, x -> x.id)").as("sk"))
+            val merged = batch.sparkSession.read.parquet(stateDir)
+              .unionByName(part)
+              .groupBy(col("event_type"))
+              .agg(slice(array_sort(array_distinct(
+                flatten(collect_list(col("sk"))))), 1, RollK).as("sk"))
+            // types×K longs: materialize the next state off the old one
+            // before overwriting the path the read came from
+            val rows = merged.collect()
+            batch.sparkSession
+              .createDataFrame(java.util.Arrays.asList(rows: _*), stateSchema)
+              .write.mode("overwrite").parquet(stateDir)
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val exact = ev.select($"event_type",
+          concat_ws("|", $"user_id", to_date($"ts").cast("string")).as("k"))
+        .distinct()
+        .groupBy($"event_type").agg(count(lit(1)).as("exact_n"))
+      val out = s.read.parquet(stateDir)
+        .join(exact, "event_type")
+        .select($"event_type", size($"sk").as("m"),
+          when(size($"sk") < RollK, size($"sk").cast("double"))
+            .otherwise(round(lit(RollNum) / element_at($"sk", RollK), 4))
+            .as("est"),
+          $"exact_n", lit(3).as("n_batches"))
+        .orderBy($"event_type")
+      // materialize off the temp state dir before the finally removes it
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
+
+  private val q227Sql = {
+    val k = graft.operators.Sketches.RollK
+    val num = graft.operators.Sketches.RollNum
+    s"""WITH ud AS (
+      |  SELECT DISTINCT event_type,
+      |    user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+      |  FROM events),
+      |dh AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(k), 1, 13))::BIGINT AS h
+      |  FROM ud),
+      |r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS mtot
+      |  FROM dh),
+      |st AS (
+      |  SELECT event_type, CAST(least(max(mtot), $k) AS INTEGER) AS m,
+      |    max(CASE WHEN rn <= $k THEN h END) AS kth, max(mtot) AS mtot
+      |  FROM r GROUP BY event_type),
+      |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+      |       FROM ud GROUP BY event_type)
+      |SELECT st.event_type, m,
+      |  CASE WHEN mtot < $k THEN CAST(mtot AS DOUBLE)
+      |       ELSE round($num / kth, 4) END AS est,
+      |  exact_n, CAST(3 AS INTEGER) AS n_batches
+      |FROM st JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q228
+
+  /** q228: WATERMARK LATE-DATA AUDIT — what a streaming windowed
+    * aggregation ACTUALLY does with late rows, pinned by oracle.
+    * Folklore says "the watermark drops late data"; measured Spark 4.1
+    * semantics are sharper, and this query hash-checks all three arms:
+    * late-event FILTERING uses the watermark of the PREVIOUS
+    * micro-batch while EVICTION uses the current one (the
+    * SPARK-40925 split), so a late row gets a ONE-BATCH GRACE — it is
+    * accepted, and its already-closed window emits at that batch's
+    * end — while a row arriving two or more batches after its window
+    * closed is dropped and counted by `numRowsDroppedByWatermark`.
+    * Consequently every window reaches an append sink EXACTLY once.
+    *
+    * Four deterministic micro-batches staged out of time order build
+    * all three populations: the middle five days (sets the eviction
+    * watermark wm0 = its max − 24 h), the oldest twenty days split by
+    * event_id parity — the even half rides the grace batch (accepted,
+    * emitted under wm0 at its own batch end), the odd half arrives one
+    * batch later and is DROPPED against wm0 — then the newest five
+    * days (advances the final watermark so the no-data batch flushes
+    * remaining closed windows). Emission = accepted rows in windows
+    * with end ≤ (global max − 24 h), one row per window; the audit row
+    * carries input size, emitted total, the semantic dropped count
+    * (odd-half rows with window end ≤ wm0), the never-emitted
+    * remainder, and a flag that the engine's own
+    * `numRowsDroppedByWatermark` fired (the raw metric counts
+    * post-partial-aggregation rows, so only its sign is stable).
+    */
+  def q228WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q228-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q228-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q228-out")
+    val outDir = outRoot.resolve("wins").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ev = graft.Tables.load(s, dir, "events")
+        .withColumn("es", unix_millis($"ts".cast("timestamp")))
+        .persist()
+      val maxAll = ev.agg(max($"es")).head().getLong(0)
+      val d5 = maxAll - 5L * 86400000L
+      val d10 = maxAll - 10L * 86400000L
+      stageBatch(srcDir, 0, ev.filter($"es" > d10 && $"es" <= d5).drop("es"))
+      stageBatch(srcDir, 1,
+        ev.filter($"es" <= d10 && pmod($"event_id", lit(2)) === 0).drop("es"))
+      stageBatch(srcDir, 2,
+        ev.filter($"es" <= d10 && pmod($"event_id", lit(2)) === 1).drop("es"))
+      stageBatch(srcDir, 3, ev.filter($"es" > d5).drop("es"))
+      val outSchema = StructType(Seq(
+        StructField("win_start", TimestampNTZType),
+        StructField("event_type", StringType),
+        StructField("n", LongType)))
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+        .write.mode("overwrite").parquet(outDir)
+      val q = readEvents(s, srcDir.toString, maxFilesPerTrigger = Some(1))
+        .withWatermark("ts", "24 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val metricDropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsDroppedByWatermark).sum
+      val sink = s.read.schema(outSchema).parquet(outDir)
+      val emitted = Option(sink.agg(sum($"n")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val total = ev.count()
+      // semantic dropped count: odd late half against wm0 (the rule the
+      // window rows already pin; the engine metric counts post-partial
+      // rows so only its sign is portable)
+      val maxM = ev.filter($"es" > d10 && $"es" <= d5)
+        .agg(max($"es")).head().getLong(0)
+      val wm0 = maxM - 86400000L
+      val dropped = ev.filter($"es" <= d10 &&
+          pmod($"event_id", lit(2)) === 1 &&
+          (floor($"es" / 3600000L) * 3600000L + 3600000L) <= wm0)
+        .count()
+      ev.unpersist(false)
+      val audit = Seq(("__audit", emitted, total, dropped,
+          total - emitted - dropped, if (metricDropped > 0) 1L else 0L))
+        .toDF("event_type", "n", "n_input", "n_dropped", "n_unemitted",
+          "engine_dropped")
+        .withColumn("win_start", lit(null).cast(TimestampNTZType))
+      val out = sink
+        .select($"win_start", $"event_type", $"n",
+          lit(null).cast(LongType).as("n_input"),
+          lit(null).cast(LongType).as("n_dropped"),
+          lit(null).cast(LongType).as("n_unemitted"),
+          lit(null).cast(LongType).as("engine_dropped"))
+        .unionByName(audit.select($"win_start", $"event_type", $"n",
+          $"n_input", $"n_dropped", $"n_unemitted", $"engine_dropped"))
+        .orderBy($"event_type", $"win_start")
+      // materialize off the temp sink dir before the finally removes it
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
+
+  private val q228Sql =
+    """WITH et AS (
+      |  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_ms(CAST(ts AS TIMESTAMP)) AS es
+      |  FROM events),
+      |mx AS (SELECT max(es) AS m FROM et),
+      |wm0 AS (
+      |  SELECT max(es) - 86400000 AS w0 FROM et CROSS JOIN mx
+      |  WHERE es > m - 10 * 86400000 AND es <= m - 5 * 86400000),
+      |cls AS (
+      |  SELECT event_id, event_type, date_trunc('hour', ts) AS win_start,
+      |    epoch_ms(date_trunc('hour', ts)) + 3600000 AS we,
+      |    (es <= m - 10 * 86400000) AS late_batch,
+      |    (event_id % 2 = 1) AS second_half
+      |  FROM et CROSS JOIN mx),
+      |-- drop rule: a row is filtered iff it arrives with the PREVIOUS
+      |-- batch's watermark already past its window end; under the staged
+      |-- schedule that is exactly the odd late half against wm0
+      |dropped AS (
+      |  SELECT * FROM cls CROSS JOIN wm0
+      |  WHERE late_batch AND second_half AND we <= w0),
+      |accepted AS (
+      |  SELECT c.* FROM cls c CROSS JOIN wm0
+      |  WHERE NOT (late_batch AND second_half AND we <= w0)),
+      |-- eviction rule: a window reaches the sink (exactly once) when
+      |-- the final watermark passes its end
+      |wins AS (
+      |  SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM accepted CROSS JOIN mx
+      |  WHERE we <= m - 86400000
+      |  GROUP BY win_start, event_type),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM et),
+      |drp AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dropped),
+      |acc AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS a FROM wins)
+      |SELECT win_start, event_type, n,
+      |  CAST(NULL AS BIGINT) AS n_input, CAST(NULL AS BIGINT) AS n_dropped,
+      |  CAST(NULL AS BIGINT) AS n_unemitted, CAST(NULL AS BIGINT) AS engine_dropped
+      |FROM wins
+      |UNION ALL
+      |SELECT CAST(NULL AS TIMESTAMP), '__audit', a, n_input, d,
+      |  n_input - a - d, CAST(1 AS BIGINT)
+      |FROM acc CROSS JOIN tot CROSS JOIN drp
+      |ORDER BY event_type, win_start""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q227_stream_sketch_tiles",
+      Seq("EXT-streaming", "EXT-approx", "EXT-olap"),
+      "streaming KMV sketch tiles: per-batch bounded-heap partials merged into kilobyte state, final state == one-shot build",
+      q227StreamSketchTiles, Some(q227Sql)),
+    GraftQuery("q228_watermark_audit", Seq("EXT-streaming", "A2", "P6"),
+      "watermark late-data audit: staged newest-first batches force late drops; oracle mirrors the window-end <= watermark cut",
+      q228WatermarkAudit, Some(q228Sql)),
     GraftQuery("q218_stream_drift_monitor",
       Seq("EXT-streaming", "EXT-similarity", "EXT-occ"),
       "streaming index-drift monitor: frozen base stats gauge each micro-batch, append/rebuild stamped before landing",

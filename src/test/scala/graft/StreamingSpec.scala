@@ -319,4 +319,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(ind.getDouble(2) <= ind.getDouble(3), "append despite mean>thr")
     assert(drf.getDouble(2) > drf.getDouble(3), "rebuild despite mean<=thr")
   }
+
+  test("q227: streamed sketch-tile merge equals a one-shot KMV build") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.streaming.StreamingOps
+      .q227StreamSketchTiles(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getInt(1)
+      val est = r.getDouble(2)
+      val exact = r.getLong(3)
+      // below capacity the sketch IS the distinct set: est must be exact
+      if (m < graft.operators.Sketches.RollK)
+        assert(est == exact.toDouble, s"undersized sketch not exact: $r")
+      assert(r.getInt(4) == 3)
+    }
+  }
+
+  test("q228: audit identity holds and the engine visibly dropped rows") {
+    import spark.implicits._
+    val out = graft.streaming.StreamingOps
+      .q228WatermarkAudit(spark, "/root/testdata/sf0.01")
+    val audit = out.filter($"event_type" === "__audit").collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    val (emitted, input, dropped, unemitted) =
+      (a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5))
+    assert(emitted + dropped + unemitted == input,
+      s"audit identity broken: $a")
+    assert(dropped > 0, "staged odd-late half produced no drops")
+    assert(a.getLong(6) == 1L, "engine dropped-by-watermark metric silent")
+    // append-sink uniqueness: one row per (window, type)
+    val wins = out.filter($"event_type" =!= "__audit")
+    assert(wins.groupBy($"win_start", $"event_type").count()
+      .filter($"count" > 1).count() == 0)
+  }
 }
