@@ -88,7 +88,25 @@ object ScaleSmoke {
       // (6 anchors × 10), so it is scale-invariant, not scale-tested.
       "q211_chi2_independence", "q212_ks_test", "q213_info_gain",
       "q214_cusum_changepoint", "q215_scc", "q216_resize_thumb",
-      "q217_grouping_sets").filter(_.matches(pat))
+      "q217_grouping_sets",
+      // round-9 batch 7: q219's distortion pairs ride a FIXED ≤128-vector
+      // sample (O(1) truth at any scale — the q53 rule); q220 is one q18
+      // pass + one q19 pass (collision-rate-bounded); q221's fact shuffle
+      // is the only corpus-sized stage (grain merges move tiles×K longs);
+      // q222/q223 are O(n·k)/O(n) scan-shaped; q224's per-round join is
+      // neighborhood-sized (seeds grow with replicas, support is
+      // replica-local); q225 is a 20-row stratum agg; q226 is two
+      // rankings + a rank-keyed join. q227/q228 are EXCLUDED like q218:
+      // staged-micro-batch harnesses whose fixed per-batch overhead
+      // dominates at smoke scale (their state is kilobytes / calendar-
+      // bounded by construction).
+      "q219_jl_projection", "q220_lsh_quality", "q221_sketch_rollup",
+      "q222_silhouette", "q223_mmd_drift", "q224_personalized_pagerank",
+      "q225_neyman_allocation", "q226_quantile_normalize",
+      // q229 rides the q19 band-bounded pair stream + a sources²-bounded
+      // matrix agg; q230 is one scan-shaped O(n·17) argmax projection
+      "q229_source_contamination", "q230_rendezvous_sharding")
+      .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
     // accounting would
@@ -149,8 +167,9 @@ object ScaleSmoke {
         Letters2, rot(Letters2, (i / Letters.length) % Letters2.length))
         .as("text"),
       // letter rotation is length-preserving, so n_chars passes through
-      // (q205 skyline reads it)
-      $"n_chars"))
+      // (q205 skyline reads it); source/lang pass through so per-source
+      // strata (q225/q226/q229) grow k× in size with identical labels
+      $"n_chars", $"source", $"lang"))
     // embeddings: per-replica DIMENSION ROTATION — a permutation applied
     // to both sides of any within-replica pair preserves every dot
     // product (and norm) EXACTLY, so the near-dup structure replicates

@@ -998,7 +998,82 @@ object Dedup {
       |FROM nn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q229
+
+  /** q229: SOURCE-CONTAMINATION MATRIX — where the near-duplicates
+    * actually come from: the q19 banded pairs aggregated into a
+    * symmetric source×source matrix of candidate and verified-dup
+    * counts. Within-source mass is ordinary redundancy; CROSS-source
+    * mass is the signal a curation pipeline acts on — mirrored dumps,
+    * syndicated content, one source scraping another — and decides
+    * which source to keep when q46-style survivor selection has to
+    * pick. Cost at 100 TB: the pair stream is already band-bounded
+    * (never all-pairs); the matrix aggregation adds one
+    * sources²-bounded groupBy on top — the report is O(pairs), and the
+    * source lookup rides two joins against the (doc_id, source)
+    * projection.
+    */
+  def q229SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = t(s, dir, "documents").select($"doc_id", $"source")
+    minhashPairs(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("src_a"),
+        greatest($"sa", $"sb").as("src_b"), $"jaccard")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when($"jaccard" >= 0.6, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("cross_source", $"src_a" =!= $"src_b")
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private lazy val q229Sql = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
+      val cols = (0 until BandSize)
+        .map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesCte,
+      |szf AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |candb AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |interb AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |  FROM candb c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  GROUP BY 1, 2),
+      |banded AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+      |  FROM interb i
+      |  JOIN szf sa ON sa.doc_id = i.doc_a
+      |  JOIN szf sb ON sb.doc_id = i.doc_b),
+      |pairs AS (
+      |  SELECT least(da.source, db.source) AS src_a,
+      |    greatest(da.source, db.source) AS src_b, p.jac
+      |  FROM banded p
+      |  JOIN documents da ON da.doc_id = p.doc_a
+      |  JOIN documents db ON db.doc_id = p.doc_b)
+      |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_cand,
+      |  CAST(sum(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  src_a <> src_b AS cross_source
+      |FROM pairs GROUP BY src_a, src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q229_source_contamination", Seq("EXT-dedup", "A2", "J1"),
+      "source-contamination matrix: banded near-dup pairs aggregated source x source, cross-source mass flagged",
+      q229SourceContamination, Some(q229Sql)),
     GraftQuery("q220_lsh_quality", Seq("EXT-dedup", "EXT-approx"),
       "LSH banding quality gauge: band-collision recall/precision vs full-set Jaccard truth, like-for-like denominators",
       q220LshQuality, Some(q220Sql)),

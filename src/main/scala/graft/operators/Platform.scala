@@ -905,7 +905,94 @@ object Platform {
       |ORDER BY arm""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q230
+
+  /** q230: RENDEZVOUS (highest-random-weight) SHARDING and the cost of
+    * rebalancing — the shard-assignment discipline a 100 TB corpus
+    * needs when the shard count changes: naive `key mod S` reassigns
+    * ~(1−1/S′) ≈ 94% of every shard on S=16 → S′=17, while rendezvous
+    * hashing (Thaler–Ravishankar) moves EXACTLY the keys whose new
+    * shard's hash beats all incumbents — 1/17 in expectation — with no
+    * ring state at all: shard(k) = argmax_s h(k,s), a pure scan-shaped
+    * O(n·S) projection that any executor computes independently. The
+    * query assigns every document under 16 and 17 shards, reports
+    * per-shard sizes and moved counts, and a `__total` row comparing
+    * rendezvous churn against the mod-hash churn on the same keys.
+    * Hashes are the 52-bit md5 device; argmax is a struct-max (h, s)
+    * aggregate, partial-aggregated map-side — no window, no join, one
+    * doc-keyed shuffle of 17-row groups.
+    */
+  def q230RendezvousSharding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = t(s, dir, "documents").select($"doc_id")
+      .select($"doc_id", explode(sequence(lit(0), lit(16))).as("sh"))
+      .withColumn("h",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"sh".cast("string"))), 1, 13), 16, 10).cast("long"))
+      .groupBy($"doc_id")
+      .agg(
+        max(when($"sh" < 16, struct($"h", $"sh"))).getField("sh").as("s16"),
+        max(struct($"h", $"sh")).getField("sh").as("s17"))
+      .withColumn("mod_moved",
+        pmod($"doc_id", lit(16)) =!= pmod($"doc_id", lit(17)))
+    val perShard = asg.groupBy($"s16".as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"s16" =!= $"s17", 1L).otherwise(0L)).as("n_moved"))
+      .withColumn("churn", round($"n_moved".cast("double") / $"n_docs", 4))
+      .withColumn("mod_churn", lit(null).cast("double"))
+    val total = asg.agg(count(lit(1)).as("n_docs"),
+        sum(when($"s16" =!= $"s17", 1L).otherwise(0L)).as("n_moved"),
+        sum(when($"mod_moved", 1L).otherwise(0L)).as("n_mod_moved"))
+      .select(lit(-1).as("shard"), $"n_docs", $"n_moved",
+        round($"n_moved".cast("double") / $"n_docs", 4).as("churn"),
+        round($"n_mod_moved".cast("double") / $"n_docs", 4).as("mod_churn"))
+    perShard.unionByName(total).orderBy($"shard")
+  }
+
+  private val q230Sql =
+    """WITH ex AS (
+      |  SELECT doc_id, sh.sh AS sh,
+      |    ('0x' || substr(md5(doc_id || ':' || sh.sh), 1, 13))::BIGINT AS h
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(0, 17)) AS sh) sh),
+      |r16 AS (
+      |  SELECT doc_id, sh AS s16 FROM (
+      |    SELECT doc_id, sh,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY h DESC, sh DESC) AS rn
+      |    FROM ex WHERE sh < 16) WHERE rn = 1),
+      |r17 AS (
+      |  SELECT doc_id, sh AS s17 FROM (
+      |    SELECT doc_id, sh,
+      |      row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY h DESC, sh DESC) AS rn
+      |    FROM ex) WHERE rn = 1),
+      |asg AS (
+      |  SELECT r16.doc_id, s16, s17,
+      |    (r16.doc_id % 16) <> (r16.doc_id % 17) AS mod_moved
+      |  FROM r16 JOIN r17 ON r16.doc_id = r17.doc_id)
+      |SELECT CAST(s16 AS INTEGER) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved,
+      |  round(CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS churn,
+      |  CAST(NULL AS DOUBLE) AS mod_churn
+      |FROM asg GROUP BY s16
+      |UNION ALL
+      |SELECT -1, CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT),
+      |  round(CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4),
+      |  round(CAST(sum(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4)
+      |FROM asg
+      |ORDER BY shard""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q230_rendezvous_sharding", Seq("EXT-olap", "A2", "EXT-split"),
+      "rendezvous-hash shard assignment: argmax struct-max over 17 candidate hashes, measured 1/17 rebalance churn vs ~94% mod-hash churn",
+      q230RendezvousSharding, Some(q230Sql)),
     GraftQuery("q223_mmd_drift", Seq("EXT-olap", "A2", "EXT-approx"),
       "linear-time MMD^2 two-sample embedding-drift test: paired quadruples, polynomial kernel, decimal-exact mean",
       q223MmdDrift, Some(q223Sql)),

@@ -2097,7 +2097,9 @@ object Similarity {
     * rounded division. Scale: the matrix is a 1024-row broadcast, the
     * projection is one explode+agg pass — O(n·d_in·d_out) scan-shaped
     * with a single (vec_id, k) aggregation — and the gauge's pair
-    * enumeration is over the O(1) fixed sample, never the corpus.
+    * enumeration is over the O(1) fixed sample (≤128 vectors — the
+    * %100 stride capped at vec_id 12800, the q53 fixed-sample rule),
+    * never the corpus.
     */
   def q219JlProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2107,7 +2109,7 @@ object Similarity {
       .crossJoin(s.range(0, 16).toDF("k")) // bounded 64×16 matrix build
       .select($"i", $"k", when(h % 2 === 0, 1L).otherwise(-1L).as("sgn"))
     val sampled = t(s, dir, "embeddings")
-      .filter($"vec_id" % 100 === 0)
+      .filter($"vec_id" % 100 === 0 && $"vec_id" < 12800)
       .select($"vec_id", transform($"embedding",
         x => floor(x.cast("double") * 1000000).cast("long")).as("vq"))
       .persist()
@@ -2139,7 +2141,7 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS vq
-      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 12800),
       |R AS (
       |  SELECT ii.i, kk.k,
       |    CASE WHEN ('0x' || substr(md5('jl:' || ii.i || ':' || kk.k), 1, 8))::BIGINT
