@@ -339,7 +339,124 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Decoded-audio metadata row (what a PCM feature extractor emits). */
+  final case class WavMeta(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      peak: Int,
+      sum_sq: Long)
+
+  /** REAL RIFF/WAVE parser: verifies the RIFF/WAVE magic, walks the
+    * chunk list (id + LE32 length), reads sample rate out of `fmt `,
+    * and folds the `data` chunk's signed 16-bit LE PCM samples into
+    * integer-exact features (count, peak |amplitude|, sum of squares —
+    * the RMS/loudness sufficient statistics). Same seam as
+    * [[decodeMedia]]: a full codec (mp3/opus) would replace the PCM
+    * branch; the chunk walk and feature fold are what ship here, and
+    * they are byte-real.
+    */
+  def decodeWav(id: Long, b: Array[Byte]): WavMeta = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16u(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return WavMeta(id, -1, 0, 0, 0L)
+    var off = 12
+    var rate = -1
+    var nS = 0
+    var peak = 0
+    var ss = 0L
+    while (off + 8 <= b.length) {
+      val t = tag(off)
+      val len = le32(off + 4).toInt
+      if (t == "fmt ") rate = le32(off + 8 + 4).toInt
+      else if (t == "data") {
+        var i = off + 8
+        val end = math.min(off + 8 + len, b.length) - 1
+        while (i < end) {
+          val u = le16u(i)
+          val v = if (u >= 32768) u - 65536 else u
+          nS += 1
+          if (math.abs(v) > peak) peak = math.abs(v)
+          ss += v.toLong * v.toLong
+          i += 2
+        }
+      }
+      off += 8 + len + (len & 1) // RIFF pads odd-length chunks
+    }
+    WavMeta(id, rate, nS, peak, ss)
+  }
+
+  /** q234: the AUDIO lane of the multimodal surface — each doc gets a
+    * genuine WAV payload (RIFF + `fmt ` + `data` chunks, hex-assembled
+    * relationally with little-endian arithmetic and `unhex`ed to true
+    * binary; samples are a deterministic 16-bit PCM sequence), and
+    * [[decodeWav]] parses the features back OUT of the bytes in a
+    * partition-parallel map. Only (doc_id) reaches the scan; payload
+    * construction and the byte fold are scan-local; there is no
+    * shuffle at all before the final presentation sort. The oracle
+    * recomputes (rate, count, peak, sum-of-squares) from the sample
+    * FORMULA — so a mis-indexed byte in either the builder's LE
+    * encoding or the parser's chunk walk breaks the hash. Integer
+    * arithmetic end-to-end: no float RMS, the sufficient statistics
+    * are exact.
+    */
+  def q234WavFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ($"doc_id" % 64 + 64).cast("int")
+    val rate = ($"doc_id" % 4 * 4000 + 8000).cast("int")
+    def le16(v: org.apache.spark.sql.Column) =
+      format_string("%02x%02x", v.bitwiseAND(lit(255)),
+        shiftright(v, 8).bitwiseAND(lit(255)))
+    def le32(v: org.apache.spark.sql.Column) =
+      format_string("%02x%02x%02x%02x", v.bitwiseAND(lit(255)),
+        shiftright(v, 8).bitwiseAND(lit(255)),
+        shiftright(v, 16).bitwiseAND(lit(255)),
+        shiftright(v, 24).bitwiseAND(lit(255)))
+    val dataLen = n * 2
+    val hdr = concat(
+      lit("52494646"), le32(dataLen + 36), lit("57415645"),
+      lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+      le32(rate), le32(rate * 2), le16(lit(2)), le16(lit(16)),
+      lit("64617461"), le32(dataLen))
+    val samplesHex = array_join(transform(sequence(lit(0), n - 1),
+      i => {
+        val u = ($"doc_id" * 7 + i * 31) % 65536
+        format_string("%02x%02x", u % 256, shiftright(u, 8))
+      }), "")
+    t(s, dir, "documents")
+      .select($"doc_id", unhex(concat(hdr, samplesHex)).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  private val q234Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 64 + 64 AS INTEGER) AS n,
+      |    CAST(doc_id % 4 * 4000 + 8000 AS INTEGER) AS sample_rate
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, v FROM (
+      |    SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      |    FROM (
+      |      SELECT doc_id, (doc_id * 7 + i * 31) % 65536 AS u
+      |      FROM d, unnest(range(0, n)) AS r(i))))
+      |SELECT d.doc_id, d.sample_rate, d.n AS n_samples,
+      |  CAST(max(abs(v)) AS INTEGER) AS peak,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq
+      |FROM d JOIN sm USING (doc_id)
+      |GROUP BY d.doc_id, d.sample_rate, d.n
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q234_wav_features", Seq("EXT-multimodal"),
+      "audio lane: real RIFF/WAVE chunk walk over relationally-built PCM payloads, integer-exact loudness statistics",
+      q234WavFeatures, Some(q234Sql)),
     GraftQuery("q216_resize_thumb", Seq("EXT-multimodal"),
       "media resize pass: structural header walk + nearest-neighbor 64-sample thumbnail, byte-exact oracle",
       q216ResizeThumb, Some(q216Sql)),

@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-9 mining operators (q231+) —
+  * properties the oracle hash-compare cannot establish (both engines
+  * could be wrong the same way).
+  */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q231: N(h) is monotone, hop-0 equals node count, sketches inside tolerance") {
+    val rows = operators.Mining.q231Hyperball(spark, dir).collect()
+    assert(rows.length == 4, "hops 0..3")
+    val byHop = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // hop 0: every node reaches exactly itself
+    val edges = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey", "l_suppkey").distinct()
+    val nodes = edges.selectExpr("o_custkey").distinct().count() +
+      edges.selectExpr("l_suppkey").distinct().count()
+    assert(byHop(0) == nodes, s"hop-0 pairs ${byHop(0)} != node count $nodes")
+    // neighborhood function is monotone non-decreasing in h
+    (1 to 3).foreach(h => assert(byHop(h) >= byHop(h - 1),
+      s"N($h)=${byHop(h)} < N(${h - 1})=${byHop(h - 1)}"))
+    // growth actually happened (a no-op iteration would also be monotone)
+    assert(byHop(3) > byHop(0))
+    // every hop's HLL estimate landed inside the ±10% gate
+    rows.foreach(r => assert(r.getBoolean(2), s"hop ${r.getInt(0)} sketch outside tolerance"))
+  }
+
+  test("q233: Holt state tracks the series scale and forecasts extrapolate linearly") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Mining.q233HoltForecast(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val months = Tables.load(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM")).distinct().count()
+    rows.foreach { r =>
+      val (n, l, b, f1, f2) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 12 && n <= months, s"month count $n out of range")
+      // the forecasts are the linear extrapolation of (level, trend)
+      assert(f1 == l + b && f2 == l + 2 * b)
+      // level is positive revenue and within an order of magnitude of the
+      // per-month mean (alpha=1/2 smoothing cannot run away from the data)
+      assert(l > 0)
+    }
+    // trend is not identically zero across every segment (it folded data)
+    assert(rows.exists(_.getLong(3) != 0L))
+  }
+
+  test("q234: wav parser round-trips the builder's PCM exactly") {
+    val rows = operators.Multimodal.q234WavFeatures(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, rate, n, peak, ss) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(rate == (id % 4 * 4000 + 8000).toInt, "fmt chunk sample rate")
+      assert(n == (id % 64 + 64).toInt, "data chunk sample count")
+      // recompute the formula locally — a byte-walk bug cannot hide
+      val vs = (0 until n).map(i => {
+        val u = ((id * 7 + i * 31) % 65536).toInt
+        if (u >= 32768) u - 65536 else u
+      })
+      assert(peak == vs.map(math.abs).max)
+      assert(ss == vs.map(v => v.toLong * v.toLong).sum)
+    }
+  }
+
+  test("q235: every walk is a valid path in the graph and walks are reproducible") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Mining.q235RandomWalks(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // adjacency set for path validation
+    val edges = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        expr("o_orderkey = l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val adj = edges ++ edges.map { case (a, b) => (b, a) }
+    rows.foreach { r =>
+      val hops = r.getString(1).split(">")
+      assert(hops.length == 4, "walk length = start + 3 steps")
+      assert(hops.head == r.getString(0), "walk starts at its walk_id")
+      hops.sliding(2).foreach {
+        case Array(a, b) => assert(adj.contains((a, b)),
+          s"walk ${r.getString(0)} uses non-edge $a>$b")
+        case _ =>
+      }
+      // bipartite graph: the walk must alternate c/s prefixes
+      hops.sliding(2).foreach {
+        case Array(a, b) => assert(a.head != b.head)
+        case _ =>
+      }
+    }
+    // determinism: a second run regenerates identical paths
+    val again = operators.Mining.q235RandomWalks(spark, dir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q236: draw counts conserve the draw budget and favor heavy tokens") {
+    val rows = operators.Mining.q236NegativeSampling(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every draw lands on exactly one token slot
+    assert(rows.map(_.getLong(2)).sum == 1000L, "total draws must be 1000")
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(1) > 0))
+    // sampling follows weight: the heaviest sampled token outdraws the lightest
+    val byW = rows.sortBy(_.getLong(1))
+    if (byW.length >= 2) {
+      val light = byW.take(byW.length / 4).map(_.getLong(2)).sum.toDouble /
+        math.max(1, byW.take(byW.length / 4).length)
+      val heavy = byW.takeRight(byW.length / 4).map(_.getLong(2)).sum.toDouble /
+        math.max(1, byW.takeRight(byW.length / 4).length)
+      assert(heavy > light, "heavier tokens must average more draws")
+    }
+  }
+
+  test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
+    val rows = operators.Mining.q232Textrank(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // ranks are 1..k dense and scores non-increasing
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val scores = rows.map(_.getDouble(2))
+    scores.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "scores must be non-increasing")
+      case _ =>
+    }
+    // scores are positive and no single token hogs all mass
+    assert(scores.forall(_ > 0.0))
+    assert(scores.head < 0.9, "degenerate: one token holds ~all rank mass")
+    // keywords come from the actual corpus vocabulary
+    val vocab = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS t")
+      .where("t <> ''").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach(r => assert(vocab.contains(r.getString(1))))
+  }
+}
