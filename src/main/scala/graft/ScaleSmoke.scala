@@ -105,7 +105,18 @@ object ScaleSmoke {
       "q225_neyman_allocation", "q226_quantile_normalize",
       // q229 rides the q19 band-bounded pair stream + a sources²-bounded
       // matrix agg; q230 is one scan-shaped O(n·17) argmax projection
-      "q229_source_contamination", "q230_rendezvous_sharding")
+      "q229_source_contamination", "q230_rendezvous_sharding",
+      // round-9 batch 8 (mining): q232's graph aggregates to the FIXED
+      // vocabulary (the token stream scans, the PageRank is V-sized);
+      // q233 is one monthly rollup + scan-local folds; q234 is a pure
+      // per-row byte kernel; q235's per-step join is frontier-sized
+      // (walks scale with nodes, adjacency with edges); q236's weight
+      // line is vocabulary-sized and the draw join is bucket-banded.
+      // q231 itself is EXCLUDED (its exact arm is the test-scale
+      // verification harness, quadratic by design) — the smoke times
+      // the sketch-only production arm as q231_hyperball_sketch below.
+      "q232_textrank", "q233_holt_forecast", "q234_wav_features",
+      "q235_random_walks", "q236_negative_sampling")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
@@ -114,15 +125,19 @@ object ScaleSmoke {
     operators.AnnIndex.ensure(spark, dir)
     val ixSec = (System.nanoTime() - tIx) / 1e9
     System.err.println(f"[scale-smoke] ann_index_build: $ixSec%.2f s (k=$k)")
-    val times = queries.map { name =>
-      val q = Registry.all.find(_.name == name).get
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
-      name -> sec
+    val extras: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq("q231_hyperball_sketch" -> operators.Mining.hyperballSketchOnly _)
+        .filter(_._1.matches(pat))
+    val times = (queries.map(n =>
+        n -> Registry.all.find(_.name == n).get.fn) ++ extras).map {
+      case (name, fn) =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
+        name -> sec
     } :+ ("ann_index_build" -> ixSec)
     val json = times.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }
       .mkString("{", ",", "}")
@@ -156,8 +171,12 @@ object ScaleSmoke {
     replicate("lineitem", (df, i) => df.select(
       ($"l_orderkey" + i * mo).as("l_orderkey"),
       ($"l_suppkey" + i * ms).as("l_suppkey")))
+    // c_mktsegment passes through: q233's per-segment series grow k× in
+    // per-month mass with unchanged month count — the forecaster's
+    // honest growth mode (more revenue, same calendar)
     replicate("customer", (df, i) => df.select(
-      ($"c_custkey" + i * mc).as("c_custkey"), $"c_nationkey"))
+      ($"c_custkey" + i * mc).as("c_custkey"), $"c_nationkey",
+      $"c_mktsegment"))
     def rot(alpha: String, r: Int): String =
       alpha.drop(r % alpha.length) ++ alpha.take(r % alpha.length)
     replicate("documents", (df, i) => df.select(

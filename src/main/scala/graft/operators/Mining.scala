@@ -54,12 +54,18 @@ object Mining {
     * which recomputes the exact closure by unrolled CTE and pins the
     * flag TRUE — a >10% sketch error on any hop breaks the hash.
     */
-  def q231Hyperball(s: SparkSession, dir: String): DataFrame = {
+  private def hyperballRun(s: SparkSession, dir: String,
+      withExact: Boolean): Seq[(Int, Long, Long)] = {
     import s.implicits._
     val edges = csEdges(s, dir).persist()
     // approx arm: one HLL register file per node
     var sk = edges.select($"src".as("node")).distinct()
-      .groupBy($"node").agg(hll_sketch_agg($"node", lit(12)).as("sk"))
+      // lgK=9: 512 registers ≈ 0.6 KB serialized — the sketch rides
+      // every edge through the per-hop shuffle, so sketch BYTES are the
+      // cost driver (lgK=12 measured 8× slower for no flag headroom:
+      // per-node sd ~4.6% vs the 10% gate, and hop-3 saturation
+      // correlates the per-node errors rather than compounding them)
+      .groupBy($"node").agg(hll_sketch_agg($"node", lit(9)).as("sk"))
       .localCheckpoint()
     // exact arm (verification harness; quadratic by design — see doc)
     var pairs = edges.select($"src".as("node")).distinct()
@@ -68,7 +74,7 @@ object Mining {
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     def record(h: Int): Unit = {
       val approx = sk.agg(sum(hll_sketch_estimate($"sk"))).as[Long].head()
-      val exact = pairs.count()
+      val exact = if (withExact) pairs.count() else -1L
       rows += ((h, exact, approx))
     }
     record(0)
@@ -78,19 +84,39 @@ object Mining {
         .unionByName(sk)
         .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
         .localCheckpoint()
-      pairs = edges.join(pairs.withColumnRenamed("node", "src"), Seq("src"))
-        .select($"dst".as("node"), $"member")
-        .unionByName(pairs)
-        .distinct()
-        .localCheckpoint()
+      if (withExact)
+        pairs = edges.join(pairs.withColumnRenamed("node", "src"), Seq("src"))
+          .select($"dst".as("node"), $"member")
+          .unionByName(pairs)
+          .distinct()
+          .localCheckpoint()
       record(h)
     }
     edges.unpersist()
-    val out = rows.toSeq.toDF("hop", "exact_pairs", "approx_pairs")
+    rows.toSeq
+  }
+
+  def q231Hyperball(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = hyperballRun(s, dir, withExact = true)
+      .toDF("hop", "exact_pairs", "approx_pairs")
     out.select($"hop", $"exact_pairs",
         (abs($"approx_pairs" - $"exact_pairs") <=
           $"exact_pairs" * 0.10).as("within_tol"))
       .orderBy($"hop")
+  }
+
+  /** The production arm alone — per-hop sketch estimates with no exact
+    * closure: O(nodes · sketch) state, one shuffle per hop, at ANY
+    * scale. [[graft.ScaleSmoke]] measures THIS (the exact arm is the
+    * test-scale verification harness and is quadratic by design — the
+    * same truth-vs-production split as q53's fixed query sample).
+    */
+  def hyperballSketchOnly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hyperballRun(s, dir, withExact = false)
+      .toDF("hop", "exact_pairs", "approx_pairs")
+      .select($"hop", $"approx_pairs").orderBy($"hop")
   }
 
   private val q231Sql = {
@@ -417,6 +443,75 @@ object Mining {
        |GROUP BY r.token, r.w
        |ORDER BY token""".stripMargin
 
+  private val CfTopK = 5
+  private val CfMinSupport = 2L
+
+  /** q237: ITEM-ITEM COLLABORATIVE FILTERING — cosine similarity over
+    * order baskets (Sarwar et al. '01, the production recommender
+    * baseline). Candidate pairs come from WITHIN-BASKET pairing only
+    * (self-join on the order key with `i < j`): per-basket cost is
+    * bounded by basket size squared — ~7 lines per order here and
+    * bounded everywhere real — so the pair stream is O(orders ·
+    * basket²), linear in the fact table, never |items|². Cosine
+    * normalizes by per-item basket counts (broadcast-sized dimension
+    * join-back), support-filters noise pairs, and takes top-K per
+    * anchor with a PARTITIONED rank window (per-anchor groups are
+    * support-bounded; no global sort anywhere). The oracle replays the
+    * identical algebra in SQL; IEEE sqrt + round(8) pins the float.
+    */
+  def q237ItemCf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = t(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      .persist()
+    val n = op.groupBy($"p").agg(count(lit(1)).as("n"))
+    val co = op.join(op.withColumnRenamed("p", "q"), Seq("o"))
+      .filter($"p" < $"q")
+      .groupBy($"p", $"q").agg(count(lit(1)).as("c"))
+      .filter($"c" >= CfMinSupport)
+    val sym = co.unionByName(
+      co.select($"q".as("p"), $"p".as("q"), $"c"))
+    val scored = sym
+      .join(n.withColumnRenamed("p", "pp").withColumnRenamed("n", "np"),
+        $"p" === $"pp")
+      .join(n.withColumnRenamed("p", "qq").withColumnRenamed("n", "nq"),
+        $"q" === $"qq")
+      .select($"p".as("item"), $"q".as("neighbor"), $"c".as("co_orders"),
+        round($"c" / sqrt($"np" * $"nq"), 8).as("cosine"))
+    val w = Window.partitionBy($"item")
+      .orderBy($"cosine".desc, $"neighbor".asc)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= CfTopK)
+      .select($"item", $"rank", $"neighbor", $"co_orders", $"cosine")
+      .orderBy($"item", $"rank")
+      .localCheckpoint()
+    op.unpersist()
+    out
+  }
+
+  private val q237Sql =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+       |co AS (
+       |  SELECT a.p, b.p AS q, CAST(count(*) AS BIGINT) AS c
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  HAVING count(*) >= $CfMinSupport),
+       |sym AS (
+       |  SELECT p, q, c FROM co UNION ALL SELECT q AS p, p AS q, c FROM co),
+       |scored AS (
+       |  SELECT sym.p AS item, sym.q AS neighbor, sym.c AS co_orders,
+       |    round(sym.c / sqrt(np.n * nq.n), 8) AS cosine
+       |  FROM sym JOIN n np ON sym.p = np.p JOIN n nq ON sym.q = nq.p)
+       |SELECT item, rank, neighbor, co_orders, cosine FROM (
+       |  SELECT item, neighbor, co_orders, cosine,
+       |    row_number() OVER (PARTITION BY item
+       |      ORDER BY cosine DESC, neighbor ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $CfTopK
+       |ORDER BY item, rank""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q231_hyperball", Seq("EXT-graph", "EXT-approx"),
       "HyperBall neighborhood function: per-node HLL sketches iterated one shuffle per hop, exact-closure harness pins the ±10% flag",
@@ -432,5 +527,8 @@ object Mining {
       q235RandomWalks, Some(q235Sql)),
     GraftQuery("q236_negative_sampling", Seq("EXT-text", "EXT-sample", "EXT-approx"),
       "word2vec negative-sampling table: integer-exact cf^0.75 weights, global-prefix-sum weight line, banded inverse-CDF range join",
-      q236NegativeSampling, Some(q236Sql)))
+      q236NegativeSampling, Some(q236Sql)),
+    GraftQuery("q237_item_cf", Seq("EXT-similarity", "EXT-olap", "J1", "A2"),
+      "item-item collaborative filtering: within-basket pair stream, cosine over basket counts, support-filtered top-5 per item",
+      q237ItemCf, Some(q237Sql)))
 }

@@ -1246,7 +1246,49 @@ object StreamingOps {
       |FROM acc CROSS JOIN tot CROSS JOIN drp
       |ORDER BY event_type, win_start""".stripMargin
 
+  /** q238: CHAINED STATEFUL OPERATORS in one continuous query —
+    * watermarked streaming dedup feeding a watermarked tumbling-window
+    * aggregation (Spark's multiple-stateful-operator support, the shape
+    * every production ingest runs: dedupe the at-least-once transport,
+    * THEN aggregate). The source is deliberately doubled (two copies of
+    * the events file), so the dedup state is doing real work: a
+    * duplicate row is either inside the watermark horizon (suppressed
+    * by id state) or behind it (dropped as late) — both paths keep it
+    * out of the aggregate, which is why the oracle is the SINGLE-copy
+    * q63 arithmetic (same window sums, same `window_end <= max(ts) -
+    * 2h` append-mode emission cut). State bounds: id state one
+    * watermark horizon wide, window state one emission horizon — both
+    * watermark-trimmed, cluster-safe at any rate.
+    */
+  def q238StreamChained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    memorySinkRun(s, "q238_chain", dir, copies = 2) { src =>
+      src.withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum2(col("value")).as("total_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("total_value"))
+    }.orderBy($"hour", $"event_type")
+  }
+
+  private val q238Sql =
+    """WITH agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS max_ms FROM events)
+      |SELECT hour, event_type, n, total_value
+      |FROM agg CROSS JOIN mx
+      |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
+      |ORDER BY hour, event_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q238_stream_chained", Seq("EXT-streaming", "A3", "A2"),
+      "chained stateful operators: watermarked streaming dedup over a doubled source feeding a watermarked window aggregation, single-copy oracle",
+      q238StreamChained, Some(q238Sql)),
     GraftQuery("q227_stream_sketch_tiles",
       Seq("EXT-streaming", "EXT-approx", "EXT-olap"),
       "streaming KMV sketch tiles: per-batch bounded-heap partials merged into kilobyte state, final state == one-shot build",

@@ -119,6 +119,33 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q237: recommendations are symmetric-scored, support-bounded, correctly ranked") {
+    val rows = operators.Mining.q237ItemCf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byItem = rows.groupBy(_.getLong(0))
+    byItem.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to rs.length), "dense ranks per item")
+      assert(rs.length <= 5)
+      val ordered = rs.sortBy(_.getInt(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 2L, "support filter")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0, "cosine in (0,1]")
+      assert(r.getLong(0) != r.getLong(2), "no self-recommendation")
+    }
+    // cosine symmetry: if (a,b) scored, score(a->b) == score(b->a) when
+    // b also ranks a (same c, same norms)
+    val score = rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    score.foreach { case ((a, b), v) =>
+      score.get((b, a)).foreach(v2 => assert(v == v2, s"asymmetric $a-$b"))
+    }
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -356,4 +356,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(wins.groupBy($"win_start", $"event_type").count()
       .filter($"count" > 1).count() == 0)
   }
+
+  test("q238: chained dedup+agg equals the single-copy agg despite the doubled source") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingOps.q238StreamChained(spark, dir)
+    // single-copy batch truth with the same emission cut
+    val ev = Tables.load(spark, dir, "events")
+    val maxMs = ev.agg(max(unix_millis($"ts"))).head().getLong(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_millis($"hour") + 3600000L <= maxMs - 7200000L)
+    val joined = out.as("s").join(batch.as("b"),
+      $"s.hour" === $"b.hour" && $"s.event_type" === $"b.event_type")
+    assert(out.count() > 0)
+    // every emitted (window,type) count matches the SINGLE-copy batch:
+    // the dedup stage fully cancelled the doubled transport
+    assert(joined.filter($"s.n" =!= $"b.n").count() == 0)
+    assert(joined.count() == out.count())
+    assert(out.count() == batch.count(),
+      "emission cut must match the stated arithmetic exactly")
+  }
 }
