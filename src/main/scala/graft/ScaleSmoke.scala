@@ -116,7 +116,15 @@ object ScaleSmoke {
       // verification harness, quadratic by design) — the smoke times
       // the sketch-only production arm as q231_hyperball_sketch below.
       "q232_textrank", "q233_holt_forecast", "q234_wav_features",
-      "q235_random_walks", "q236_negative_sampling")
+      "q235_random_walks", "q236_negative_sampling",
+      // round-9 batch 9: q237's pair stream is basket-bounded (baskets
+      // replicate, never items²); q239 shuffles BIN tables (fixed
+      // width) + per-feature bounded windows; q240 reduces to 9 moments
+      // per nation; q241's windows are per-doc and its aggregates
+      // vocabulary-sized; q242's gram tables are doc-length-bounded and
+      // every join is keyed on doc id (replica-disjoint pairs).
+      "q237_item_cf", "q239_decision_stump", "q240_quad_trend",
+      "q241_rake_keyphrases", "q242_rouge_pairs")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
@@ -168,9 +176,29 @@ object ScaleSmoke {
       ($"o_orderkey" + i * mo).as("o_orderkey"),
       ($"o_custkey" + i * mc).as("o_custkey"),
       $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
+    // full lineitem schema: q237 pairs on l_partkey (offset with part),
+    // q239 bins quantity/price/discount against the returnflag target —
+    // value columns pass through so per-replica distributions and the
+    // stump's split geometry stay scale-comparable
+    val mp = maxOf("part", "p_partkey")
     replicate("lineitem", (df, i) => df.select(
       ($"l_orderkey" + i * mo).as("l_orderkey"),
-      ($"l_suppkey" + i * ms).as("l_suppkey")))
+      ($"l_partkey" + i * mp).as("l_partkey"),
+      ($"l_suppkey" + i * ms).as("l_suppkey"),
+      $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount",
+      $"l_tax", $"l_returnflag", $"l_linestatus", $"l_shipdate"))
+    replicate("part", (df, i) => df.select(
+      ($"p_partkey" + i * mp).as("p_partkey"),
+      $"p_name", $"p_brand", $"p_type", $"p_size", $"p_retailprice"))
+    replicate("supplier", (df, i) => df.select(
+      ($"s_suppkey" + i * ms).as("s_suppkey"),
+      $"s_name", $"s_nationkey", $"s_acctbal"))
+    // fixed dims shared by every replica (a k×-bigger world has the
+    // same 25 nations): straight copies
+    Seq("nation", "region").foreach { d =>
+      Tables.load(spark, src, d)
+        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+    }
     // c_mktsegment passes through: q233's per-segment series grow k× in
     // per-month mass with unchanged month count — the forecaster's
     // honest growth mode (more revenue, same calendar)

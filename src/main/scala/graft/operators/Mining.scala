@@ -512,7 +512,414 @@ object Mining {
        |WHERE rank <= $CfTopK
        |ORDER BY item, rank""".stripMargin
 
+  /** q239: DECISION-STUMP TRAINING — one full distributed inducer step
+    * of a classification tree (CART split selection) against q141's
+    * returned-line target. Per feature the value line is pre-binned
+    * scan-local (the production trick every distributed tree library
+    * uses — XGBoost/LightGBM histograms: candidate thresholds are bin
+    * edges, sufficient statistics are per-bin (n, n_bad)), so the
+    * shuffle moves BIN tables, never rows. Split scoring walks each
+    * feature's bin table with a cumulative window — partitioned BY
+    * FEATURE, and the per-feature partition is the bounded bin count,
+    * so no single-partition-sort-of-the-data anywhere. Weighted Gini
+    * with exact integer counts; doubles only in the final impurity
+    * arithmetic, round(6)-pinned. Output: the best threshold per
+    * feature plus the overall winner flag — i.e. exactly the message a
+    * tree trainer's driver broadcasts for the next level.
+    */
+  def q239DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = t(s, dir, "lineitem")
+      .select(($"l_returnflag" === "R").as("bad"),
+        explode(array(
+          struct(lit("quantity").as("f"),
+            floor($"l_quantity").cast("long").as("bin"), lit(1.0).as("step")),
+          struct(lit("extendedprice").as("f"),
+            floor($"l_extendedprice" / 1000).cast("long").as("bin"),
+            lit(1000.0).as("step")),
+          struct(lit("discount").as("f"),
+            floor($"l_discount" * 100).cast("long").as("bin"),
+            lit(0.01).as("step")))).as("x"))
+      .groupBy($"x.f".as("feature"), $"x.bin".as("bin"),
+        $"x.step".as("step"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"bad", 1L).otherwise(0L)).as("n_bad"))
+    val wCum = Window.partitionBy($"feature").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.groupBy($"feature")
+      .agg(sum($"n").as("tn"), sum($"n_bad").as("tb"))
+    val edges = binned
+      .withColumn("cn", sum($"n").over(wCum))
+      .withColumn("cb", sum($"n_bad").over(wCum))
+      .join(tot, Seq("feature"))
+      .filter($"cn" < $"tn") // last edge has an empty right side
+    val nl = $"cn".cast("double"); val bl = $"cb".cast("double")
+    val nr = ($"tn" - $"cn").cast("double")
+    val br = ($"tb" - $"cb").cast("double")
+    // explicit x*x (not pow): Java Math.pow is 1-ulp, C pow may differ —
+    // a squaring written as multiplication is IEEE-identical everywhere
+    val giniL = lit(1.0) - (bl / nl) * (bl / nl) -
+      ((nl - bl) / nl) * ((nl - bl) / nl)
+    val giniR = lit(1.0) - (br / nr) * (br / nr) -
+      ((nr - br) / nr) * ((nr - br) / nr)
+    val scored = edges.select($"feature",
+      (($"bin" + 1) * $"step").as("threshold"),
+      $"cn".as("n_left"), ($"tn" - $"cn").as("n_right"),
+      $"cb".as("bad_left"), ($"tb" - $"cb").as("bad_right"),
+      round((nl / ($"tn")) * giniL + (nr / ($"tn")) * giniR, 6)
+        .as("wgini"))
+    val wBest = Window.partitionBy($"feature")
+      .orderBy($"wgini".asc, $"threshold".asc)
+    val best = scored.withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1).drop("rn")
+    val wAll = Window.orderBy($"wgini".asc, $"feature".asc)
+    best.withColumn("is_best", row_number().over(wAll) === 1)
+      .orderBy($"feature")
+  }
+
+  private val q239Sql =
+    """WITH binned AS (
+      |  SELECT f AS feature, bin, step,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      |  FROM (
+      |    SELECT (l_returnflag = 'R') AS bad, u.f, u.bin, u.step FROM lineitem,
+      |      unnest([
+      |        {'f': 'quantity', 'bin': CAST(floor(l_quantity) AS BIGINT),
+      |         'step': 1.0},
+      |        {'f': 'extendedprice',
+      |         'bin': CAST(floor(l_extendedprice / 1000) AS BIGINT),
+      |         'step': 1000.0},
+      |        {'f': 'discount',
+      |         'bin': CAST(floor(l_discount * 100) AS BIGINT),
+      |         'step': 0.01}]) AS t(u))
+      |  GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT feature, bin, step, n, n_bad,
+      |    sum(n) OVER w AS cn, sum(n_bad) OVER w AS cb,
+      |    sum(n) OVER (PARTITION BY feature) AS tn,
+      |    sum(n_bad) OVER (PARTITION BY feature) AS tb
+      |  FROM binned
+      |  WINDOW w AS (PARTITION BY feature ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT feature, (bin + 1) * step AS threshold,
+      |    CAST(cn AS BIGINT) AS n_left, CAST(tn - cn AS BIGINT) AS n_right,
+      |    CAST(cb AS BIGINT) AS bad_left, CAST(tb - cb AS BIGINT) AS bad_right,
+      |    round(
+      |      (cn / CAST(tn AS DOUBLE)) *
+      |        (1 - (cb / CAST(cn AS DOUBLE)) * (cb / CAST(cn AS DOUBLE)) -
+      |         ((cn - cb) / CAST(cn AS DOUBLE)) *
+      |         ((cn - cb) / CAST(cn AS DOUBLE))) +
+      |      ((tn - cn) / CAST(tn AS DOUBLE)) *
+      |        (1 - ((tb - cb) / CAST(tn - cn AS DOUBLE)) *
+      |         ((tb - cb) / CAST(tn - cn AS DOUBLE)) -
+      |         ((tn - cn - tb + cb) / CAST(tn - cn AS DOUBLE)) *
+      |         ((tn - cn - tb + cb) / CAST(tn - cn AS DOUBLE))), 6)
+      |      AS wgini
+      |  FROM cum WHERE cn < tn),
+      |best AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY feature
+      |      ORDER BY wgini ASC, threshold ASC) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT feature, threshold, n_left, n_right, bad_left, bad_right, wgini,
+      |  row_number() OVER (ORDER BY wgini ASC, feature ASC) = 1 AS is_best
+      |FROM best
+      |ORDER BY feature""".stripMargin
+
+  /** q240: PER-GROUP QUADRATIC TREND FIT — the q108 idea (closed-form
+    * OLS from distributed sufficient statistics) extended to a 3-unknown
+    * normal-equation system: revenue_m = b0 + b1·t + b2·t², solved per
+    * nation by Cramer's rule over the exact moment matrix. ONE
+    * aggregation computes the nine sufficient sums (Σtᵏ integer-exact,
+    * Σtᵏy DECIMAL-exact — months index from a calendar join, revenue as
+    * decimal cents); the 3×3 solve is driver-free closed-form arithmetic
+    * in the projection. This is the distributed-ML pattern where the
+    * reducer state is O(features²) per group regardless of row count —
+    * the same shape a distributed linear regression or covariance matrix
+    * uses at 100 TB. round(6)-pinned doubles only AFTER the exact sums.
+    */
+  def q240QuadTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(t(s, dir, "nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"),
+        date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .agg(sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))).as("rev"))
+    val wT = Window.partitionBy($"nation").orderBy($"m")
+    val series = monthly
+      .withColumn("tt", (row_number().over(wT) - 1).cast("long"))
+      .select($"nation", $"tt", $"rev")
+    val stats = series.groupBy($"nation").agg(
+      count(lit(1)).as("s0"), sum($"tt").as("s1"),
+      sum($"tt" * $"tt").as("s2"),
+      sum($"tt" * $"tt" * $"tt").as("s3"),
+      sum($"tt" * $"tt" * $"tt" * $"tt").as("s4"),
+      sum($"rev").cast("double").as("sy"),
+      sum($"rev" * $"tt").cast("double").as("sty"),
+      sum($"rev" * $"tt" * $"tt").cast("double").as("st2y"))
+    val (s0, s1, s2, s3, s4) = ($"s0".cast("double"), $"s1".cast("double"),
+      $"s2".cast("double"), $"s3".cast("double"), $"s4".cast("double"))
+    def det3(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column, f: org.apache.spark.sql.Column,
+        g: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+        i: org.apache.spark.sql.Column) =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val den = det3(s0, s1, s2, s1, s2, s3, s2, s3, s4)
+    val b0 = det3($"sy", s1, s2, $"sty", s2, s3, $"st2y", s3, s4) / den
+    val b1 = det3(s0, $"sy", s2, s1, $"sty", s3, s2, $"st2y", s4) / den
+    val b2 = det3(s0, s1, $"sy", s1, s2, $"sty", s2, s3, $"st2y") / den
+    stats.select($"nation", $"s0".as("n_months"),
+      round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"))
+      .orderBy($"nation")
+  }
+
+  private val q240Sql =
+    """WITH monthly AS (
+      |  SELECT n_name AS nation, strftime(o_orderdate, '%Y-%m') AS m,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |series AS (
+      |  SELECT nation,
+      |    CAST(row_number() OVER (PARTITION BY nation ORDER BY m) - 1
+      |      AS BIGINT) AS tt,
+      |    rev
+      |  FROM monthly),
+      |stats AS (
+      |  SELECT nation, CAST(count(*) AS BIGINT) AS s0,
+      |    CAST(sum(tt) AS BIGINT) AS s1, CAST(sum(tt*tt) AS BIGINT) AS s2,
+      |    CAST(sum(tt*tt*tt) AS BIGINT) AS s3,
+      |    CAST(sum(tt*tt*tt*tt) AS BIGINT) AS s4,
+      |    CAST(sum(rev) AS DOUBLE) AS sy,
+      |    CAST(sum(rev * tt) AS DOUBLE) AS sty,
+      |    CAST(sum(rev * tt * tt) AS DOUBLE) AS st2y
+      |  FROM series GROUP BY nation)
+      |SELECT nation, s0 AS n_months,
+      |  round((sy*(s2*s4-s3*s3) - s1*(sty*s4-s3*st2y) + s2*(sty*s3-s2*st2y))
+      |    / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)), 6)
+      |    AS b0,
+      |  round((s0*(sty*s4-s3*st2y) - sy*(s1*s4-s3*s2) + s2*(s1*st2y-sty*s2))
+      |    / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)), 6)
+      |    AS b1,
+      |  round((s0*(s2*st2y-sty*s3) - s1*(s1*st2y-sty*s2) + sy*(s1*s3-s2*s2))
+      |    / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)), 6)
+      |    AS b2
+      |FROM stats
+      |ORDER BY nation""".stripMargin
+
+  private val RakeTopK = 15
+
+  /** q241: RAKE KEYPHRASE EXTRACTION (Rose et al. '10) — the
+    * unsupervised keyphrase staple: candidate phrases are maximal runs
+    * of non-stopword tokens (q25's stopword list), word scores are
+    * degree/frequency over the co-occurrence within phrases, phrase
+    * scores sum member-word scores. Plan discipline: the
+    * gaps-and-islands phrase split runs in PER-DOCUMENT windows
+    * (bounded partitions — never a global sort); word statistics
+    * aggregate to the VOCABULARY (the q232/q61 bound); the phrase-score
+    * join-back broadcasts the vocabulary-sized score table; and the
+    * final top-K is orderBy().limit() = a TakeOrdered heap. TextRank
+    * (q232) ranks WORDS by graph centrality; RAKE ranks PHRASES by
+    * degree economics — the two production baselines side by side.
+    */
+  def q241RakeKeyphrases(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = TextAnalysis.Stopwords
+    val toks = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+    val content = toks.filter(!$"tok".isInCollection(stop))
+    val wIsland = Window.partitionBy($"doc_id").orderBy($"pos")
+    val phrases = content
+      .withColumn("island", $"pos" - row_number().over(wIsland))
+      .groupBy($"doc_id", $"island")
+      .agg(sort_array(collect_list(struct($"pos", $"tok"))).as("ps"))
+      .select($"doc_id",
+        array_join(transform($"ps", p => p.getField("tok")), " ")
+          .as("phrase"),
+        transform($"ps", p => p.getField("tok")).as("words"),
+        size($"ps").as("plen"))
+    // word stats over phrase occurrences: freq = occurrences, deg = sum
+    // of hosting-phrase lengths (RAKE's co-occurrence degree)
+    val wordStats = phrases
+      .select(explode($"words").as("w"), $"plen")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .select($"w", ($"deg".cast("double") / $"freq").as("wscore"))
+    // score once per DISTINCT phrase text (identical text => identical
+    // word multiset => identical score; re-splitting the text is the
+    // canonical form, so no per-instance float drift can split a group)
+    val distinctPhrases = phrases.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    distinctPhrases
+      .select($"phrase", $"n_occurrences",
+        explode(split($"phrase", " ")).as("w"))
+      .join(broadcast(wordStats), Seq("w"))
+      .groupBy($"phrase", $"n_occurrences")
+      .agg(round(sum($"wscore"), 6).as("score"))
+      .orderBy($"score".desc, $"phrase".asc)
+      .limit(RakeTopK)
+      .select($"phrase", $"score", $"n_occurrences")
+  }
+
+  private val q241Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, ts[i] AS tok FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |    unnest(range(1, len(ts) + 1)) AS r(i)
+       |  WHERE ts[i] <> ''),
+       |content AS (
+       |  SELECT doc_id, pos, tok,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS island
+       |  FROM toks
+       |  WHERE tok NOT IN ('the', 'a', 'of', 'and', 'in', 'to')),
+       |phrases AS (
+       |  SELECT doc_id, island,
+       |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS INTEGER) AS plen
+       |  FROM content GROUP BY doc_id, island),
+       |wordstats AS (
+       |  SELECT tok AS w,
+       |    CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+       |  FROM (
+       |    SELECT p.plen, unnest(string_split(p.phrase, ' ')) AS tok
+       |    FROM phrases p)
+       |  GROUP BY tok),
+       |dp AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+       |  FROM phrases GROUP BY phrase),
+       |ps AS (
+       |  SELECT dp.phrase, dp.n_occurrences,
+       |    round(sum(ws.wscore), 6) AS score
+       |  FROM dp, unnest(string_split(dp.phrase, ' ')) AS u(w)
+       |  JOIN wordstats ws ON ws.w = u.w
+       |  GROUP BY dp.phrase, dp.n_occurrences)
+       |SELECT phrase, score, n_occurrences FROM ps
+       |ORDER BY score DESC, phrase ASC
+       |LIMIT $RakeTopK""".stripMargin
+
+  /** q242: ROUGE-1/ROUGE-2 PAIR SCORING — the n-gram-overlap evaluation
+    * metric (Lin '04) run as a corpus-scale harness: every document is
+    * scored against a deterministic reference partner (the next doc id
+    * — a pure equi-join pairing; a per-language window pairing would
+    * funnel each language through one sort task, so the pairing rule is
+    * chosen to need NO global order at all). Clipped-count overlap is
+    * the multiset intersection: per-doc gram tables join on
+    * (ref_doc, gram) and sum min(count_cand, count_ref) — gram tables
+    * are the shuffled unit, bounded by document length. Precision /
+    * recall / F1 for both gram orders in one output row per pair;
+    * round(6)-pinned doubles after exact integer counts.
+    */
+  def q242RougePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ts"))
+    def gramCounts(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) docs.select($"doc_id", explode($"ts").as("g"))
+          .filter($"g" =!= "")
+        else docs.select($"doc_id", explode(arrays_zip(
+            slice($"ts", lit(1), greatest(size($"ts") - 1, lit(0))),
+            slice($"ts", lit(2), greatest(size($"ts") - 1, lit(0)))))
+            .as("p"))
+          .filter($"p.0" =!= "" && $"p.1" =!= "")
+          .select($"doc_id", concat($"p.0", lit(" "), $"p.1").as("g"))
+      grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    }
+    val pairs = docs.select($"doc_id".as("cand"))
+      .join(docs.select(($"doc_id" - 1).as("cand"), $"doc_id".as("ref")),
+        Seq("cand"))
+    def overlap(n: Int, tag: String): DataFrame = {
+      val gc = gramCounts(n)
+      val tot = gc.groupBy($"doc_id").agg(sum($"c").as("tot"))
+      val ov = pairs
+        .join(gc.select($"doc_id".as("cand"), $"g", $"c".as("cc")),
+          Seq("cand"))
+        .join(gc.select($"doc_id".as("ref"), $"g", $"c".as("rc")),
+          Seq("ref", "g"))
+        .groupBy($"cand", $"ref")
+        .agg(sum(least($"cc", $"rc")).as("ov"))
+      val out = pairs
+        .join(ov, Seq("cand", "ref"), "left")
+        .join(tot.select($"doc_id".as("cand"), $"tot".as("ct")), Seq("cand"))
+        .join(tot.select($"doc_id".as("ref"), $"tot".as("rt")), Seq("ref"))
+        .select($"cand", $"ref", coalesce($"ov", lit(0L)).as("ov"),
+          $"ct", $"rt")
+      val p = $"ov".cast("double") / $"ct"
+      val r = $"ov".cast("double") / $"rt"
+      val f = when($"ov" === 0, 0.0)
+        .otherwise(lit(2.0) * p * r / (p + r))
+      out.select($"cand", $"ref", round(p, 6).as(s"${tag}_p"),
+        round(r, 6).as(s"${tag}_r"), round(f, 6).as(s"${tag}_f"))
+    }
+    overlap(1, "r1").join(overlap(2, "r2"), Seq("cand", "ref"))
+      .orderBy($"cand")
+  }
+
+  private val q242Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |g1 AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(ts) AS g FROM docs)
+      |  WHERE g <> '' GROUP BY doc_id, g),
+      |g2 AS (
+      |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+      |    FROM docs, unnest(range(1, len(ts))) AS r(i)
+      |    WHERE ts[i] <> '' AND ts[i + 1] <> '')
+      |  GROUP BY doc_id, g),
+      |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM g1 GROUP BY 1),
+      |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot FROM g2 GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS cand, b.doc_id AS ref
+      |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1),
+      |ov1 AS (
+      |  SELECT p.cand, p.ref, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      |  FROM pairs p JOIN g1 a ON a.doc_id = p.cand
+      |    JOIN g1 b ON b.doc_id = p.ref AND b.g = a.g
+      |  GROUP BY p.cand, p.ref),
+      |ov2 AS (
+      |  SELECT p.cand, p.ref, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+      |  FROM pairs p JOIN g2 a ON a.doc_id = p.cand
+      |    JOIN g2 b ON b.doc_id = p.ref AND b.g = a.g
+      |  GROUP BY p.cand, p.ref)
+      |SELECT p.cand, p.ref,
+      |  round(coalesce(o1.ov, 0) / CAST(ta1.tot AS DOUBLE), 6) AS r1_p,
+      |  round(coalesce(o1.ov, 0) / CAST(tb1.tot AS DOUBLE), 6) AS r1_r,
+      |  CASE WHEN coalesce(o1.ov, 0) = 0 THEN 0.0 ELSE
+      |    round(2.0 * (coalesce(o1.ov, 0) / CAST(ta1.tot AS DOUBLE)) *
+      |      (coalesce(o1.ov, 0) / CAST(tb1.tot AS DOUBLE)) /
+      |      ((coalesce(o1.ov, 0) / CAST(ta1.tot AS DOUBLE)) +
+      |       (coalesce(o1.ov, 0) / CAST(tb1.tot AS DOUBLE))), 6) END AS r1_f,
+      |  round(coalesce(o2.ov, 0) / CAST(ta2.tot AS DOUBLE), 6) AS r2_p,
+      |  round(coalesce(o2.ov, 0) / CAST(tb2.tot AS DOUBLE), 6) AS r2_r,
+      |  CASE WHEN coalesce(o2.ov, 0) = 0 THEN 0.0 ELSE
+      |    round(2.0 * (coalesce(o2.ov, 0) / CAST(ta2.tot AS DOUBLE)) *
+      |      (coalesce(o2.ov, 0) / CAST(tb2.tot AS DOUBLE)) /
+      |      ((coalesce(o2.ov, 0) / CAST(ta2.tot AS DOUBLE)) +
+      |       (coalesce(o2.ov, 0) / CAST(tb2.tot AS DOUBLE))), 6) END AS r2_f
+      |FROM pairs p
+      |LEFT JOIN ov1 o1 ON o1.cand = p.cand AND o1.ref = p.ref
+      |LEFT JOIN ov2 o2 ON o2.cand = p.cand AND o2.ref = p.ref
+      |JOIN t1 ta1 ON ta1.doc_id = p.cand JOIN t1 tb1 ON tb1.doc_id = p.ref
+      |JOIN t2 ta2 ON ta2.doc_id = p.cand JOIN t2 tb2 ON tb2.doc_id = p.ref
+      |ORDER BY p.cand""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q241_rake_keyphrases", Seq("EXT-text"),
+      "RAKE keyphrases: per-doc stopword-island phrases, degree/frequency word economics, canonical-text phrase scoring, top-15",
+      q241RakeKeyphrases, Some(q241Sql)),
+    GraftQuery("q242_rouge_pairs", Seq("EXT-text", "EXT-olap", "J1"),
+      "ROUGE-1/2 pair scoring: equi-join doc pairing, clipped-count gram overlap, exact counts under round(6) P/R/F1",
+      q242RougePairs, Some(q242Sql)),
     GraftQuery("q231_hyperball", Seq("EXT-graph", "EXT-approx"),
       "HyperBall neighborhood function: per-node HLL sketches iterated one shuffle per hop, exact-closure harness pins the ±10% flag",
       q231Hyperball, Some(q231Sql)),
@@ -530,5 +937,11 @@ object Mining {
       q236NegativeSampling, Some(q236Sql)),
     GraftQuery("q237_item_cf", Seq("EXT-similarity", "EXT-olap", "J1", "A2"),
       "item-item collaborative filtering: within-basket pair stream, cosine over basket counts, support-filtered top-5 per item",
-      q237ItemCf, Some(q237Sql)))
+      q237ItemCf, Some(q237Sql)),
+    GraftQuery("q239_decision_stump", Seq("EXT-olap", "A2", "EXT-histogram"),
+      "decision-stump training: histogram-binned split candidates, exact per-bin stats, weighted-Gini argmin per feature + overall winner",
+      q239DecisionStump, Some(q239Sql)),
+    GraftQuery("q240_quad_trend", Seq("EXT-olap", "A2", "J1"),
+      "per-nation quadratic trend fit: 3x3 normal equations solved closed-form from exact distributed moments (Cramer)",
+      q240QuadTrend, Some(q240Sql)))
 }
