@@ -270,4 +270,47 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .toDF("a", "b").select(jaroWinkler($"a", $"b").as("j")).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("hilbert_index: bijective on the full order-4 grid, every step an axis neighbor") {
+    import spark.implicits._
+    val bits = 4
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x, y)))
+    val got = grid.toDF("x", "y")
+      .select($"x", $"y", hilbertIndex($"x", $"y", bits).as("d"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // bijection: 256 distinct positions covering exactly [0, 256)
+    val ds: Seq[Long] = got.map(_._3).sorted.toSeq
+    assert(ds == (0L until (n.toLong * n)).toSeq)
+    // locality (the property Morton lacks): consecutive curve positions
+    // are ALWAYS axis-adjacent — |dx| + |dy| == 1 for every step
+    val byD = got.map(t => t._3 -> ((t._1, t._2))).toMap
+    (1L until (n.toLong * n)).foreach { d =>
+      val (x1, y1) = byD(d - 1)
+      val (x2, y2) = byD(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // interpreted path agrees with codegen (eval vs doGenCode)
+    val expr = graft.functions.NativeExpressions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(3),
+      org.apache.spark.sql.catalyst.expressions.Literal(5), bits)
+    assert(expr.eval(null) == byD.find(_._2 == ((3, 5))).get._1)
+  }
+
+  test("q243 vs q138: hilbert scans no more buckets than morton on the same box") {
+    // sf0.01: sf0.001's custkeys all fall below the box's x-range
+    // (x = custkey % 4096 <= 150 < 256), which would make the
+    // comparison vacuous
+    val dir = "/root/testdata/sf0.01"
+    val hil = graft.operators.Layout.q243HilbertSkipping(spark, dir).collect()
+    val mor = graft.operators.Layout.q138ZorderSkipping(spark, dir).collect()
+    val hScan = hil.count(_.getBoolean(6))
+    val mScan = mor.count(_.getBoolean(6))
+    assert(hScan > 0, "the box must hit something")
+    assert(hScan <= mScan,
+      s"hilbert scanned $hScan buckets, morton $mScan — locality claim broken")
+    // both layouts partition the same row population
+    assert(hil.map(_.getLong(1)).sum == mor.map(_.getLong(1)).sum)
+  }
 }
