@@ -124,7 +124,15 @@ object ScaleSmoke {
       // vocabulary-sized; q242's gram tables are doc-length-bounded and
       // every join is keyed on doc id (replica-disjoint pairs).
       "q237_item_cf", "q239_decision_stump", "q240_quad_trend",
-      "q241_rake_keyphrases", "q242_rouge_pairs")
+      "q241_rake_keyphrases", "q242_rouge_pairs",
+      // round-9 batch 10: q243 is a scan-shaped per-row loop + 40-row
+      // agg; q244's dictionary is the distinct-value set through the
+      // P-row rank device; q245's posting arrays are df-bounded per
+      // term (the 31-term synthetic vocab makes arrays grow k× — the
+      // documented block-sharding case, timed honestly); q246 rides
+      // the fixed query sample (O(cap·n) per truncation arm).
+      "q243_hilbert_skipping", "q244_order_dict", "q245_posting_lists",
+      "q246_matryoshka_recall")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -913,7 +913,205 @@ object Mining {
       |JOIN t2 ta2 ON ta2.doc_id = p.cand JOIN t2 tb2 ON tb2.doc_id = p.ref
       |ORDER BY p.cand""".stripMargin
 
+  /** q244: ORDER-PRESERVING GLOBAL DICTIONARY ENCODE — the warehouse
+    * encode that lets range predicates run on integer codes (sort-key
+    * dictionaries, Parquet/ORC dictionary pages with index sorting):
+    * every distinct part name gets a dense code equal to its GLOBAL
+    * lexicographic rank. q107 encodes by FREQUENCY (compression-
+    * optimal); this encodes by ORDER (predicate-optimal) — and the rank
+    * comes from [[GlobalRank.withGlobalRank]] (range partition + P-row
+    * offsets), so no single-partition sort builds the dictionary at any
+    * cardinality. The encoded fact join-back broadcasts the dictionary.
+    * Order preservation is the oracle-checked contract: code comparisons
+    * must answer every value comparison (rank is monotone in value).
+    */
+  def q244OrderDict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val values = t(s, dir, "part").select($"p_name").distinct()
+    val dict = GlobalRank.withGlobalRank(values, "code", $"p_name")
+      .select($"p_name", ($"code" - 1).as("code"))
+    t(s, dir, "part")
+      .join(broadcast(dict), Seq("p_name"))
+      .select($"p_partkey", $"p_name", $"code")
+      .orderBy($"p_partkey")
+  }
+
+  private val q244Sql =
+    """WITH dict AS (
+      |  SELECT p_name,
+      |    CAST(row_number() OVER (ORDER BY p_name) - 1 AS BIGINT) AS code
+      |  FROM (SELECT DISTINCT p_name FROM part))
+      |SELECT p.p_partkey, p.p_name, d.code
+      |FROM part p JOIN dict d USING (p_name)
+      |ORDER BY p.p_partkey""".stripMargin
+
+  /** q245: INVERTED INDEX WITH DELTA-ENCODED POSTINGS — the search-
+    * index build q82's BM25 presumes: per-term sorted posting lists,
+    * gap-encoded (first id + deltas, the universal postings
+    * compression), with the VARINT byte cost computed arithmetically
+    * (1 byte per 7 gap bits) against the raw 8-byte-per-id cost. The
+    * roundtrip is the oracle-carried proof: Spark reconstructs the doc
+    * ids FROM THE GAPS and hashes the reconstruction, the oracle hashes
+    * the directly-built list — one wrong delta anywhere and the md5s
+    * diverge. Plan: one explode + one (term)-keyed groupBy; per-term
+    * arrays are df-bounded (at 100 TB high-df terms shard into
+    * (term, block) posting blocks — q62's slicing — which gap-encoding
+    * accommodates by construction: each block restarts its base).
+    */
+  def q245PostingLists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val postings = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term")
+      .agg(sort_array(collect_set($"doc_id")).as("ids"))
+    val withGaps = postings.select($"term", $"ids",
+      concat(array(element_at($"ids", 1)),
+        zip_with(slice($"ids", lit(2), greatest(size($"ids") - 1, lit(0))),
+          slice($"ids", lit(1), greatest(size($"ids") - 1, lit(0))),
+          (a, b) => a - b)).as("gaps"))
+    // varint size: 1 byte per started 7-bit group (gap >= 1 always)
+    val varint = aggregate($"gaps", lit(0L), (acc, g) =>
+      acc + when(g < 128L, 1L).when(g < 16384L, 2L)
+        .when(g < 2097152L, 3L).when(g < 268435456L, 4L).otherwise(5L))
+    // reconstruct ids from gaps: running prefix via a fold that carries
+    // (last, hash-string); hashing the reconstruction proves the codec
+    val rebuilt = aggregate($"gaps",
+      struct(lit(0L).as("cur"), lit("").as("acc")),
+      (st, g) => struct((st.getField("cur") + g).as("cur"),
+        concat(st.getField("acc"),
+          when(st.getField("acc") === "", "").otherwise(","),
+          (st.getField("cur") + g).cast("string")).as("acc")),
+      st => st.getField("acc"))
+    withGaps.select($"term",
+        size($"ids").as("df"),
+        element_at($"ids", 1).as("first_doc"),
+        element_at($"ids", size($"ids")).as("last_doc"),
+        varint.as("varint_bytes"),
+        (size($"ids").cast("long") * 8).as("raw_bytes"),
+        md5(rebuilt).as("postings_md5"))
+      .orderBy($"term")
+  }
+
+  private val q245Sql =
+    """WITH p AS (
+      |  SELECT term, list_sort(list(DISTINCT doc_id)) AS ids FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY term),
+      |g AS (
+      |  SELECT term, ids,
+      |    list_prepend(ids[1],
+      |      [ids[i] - ids[i - 1] FOR i IN range(2, len(ids) + 1)]) AS gaps
+      |  FROM p)
+      |SELECT term, CAST(len(ids) AS INTEGER) AS df,
+      |  ids[1] AS first_doc, ids[len(ids)] AS last_doc,
+      |  CAST(list_sum(list_transform(gaps, x -> CASE
+      |    WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
+      |    WHEN x < 2097152 THEN 3 WHEN x < 268435456 THEN 4
+      |    ELSE 5 END)) AS BIGINT) AS varint_bytes,
+      |  CAST(len(ids) * 8 AS BIGINT) AS raw_bytes,
+      |  md5(list_aggregate(list_transform(ids, x -> CAST(x AS VARCHAR)),
+      |    'string_agg', ',')) AS postings_md5
+      |FROM g
+      |ORDER BY term""".stripMargin
+
+  private val MatryoshkaDims = Seq(16, 32, 48)
+  private val MatryoshkaQueryCap = 32
+
+  /** q246: MATRYOSHKA TRUNCATION RECALL GAUGE — the MRL question every
+    * embedding pipeline now asks: how much retrieval quality survives
+    * if vectors are truncated to a prefix (16/32/48 of 64 dims) for
+    * cheaper storage/search? Fixed query sample (the `% 100` convention
+    * q22 set), exact top-5 per truncation via the native dot product,
+    * recall@5 judged against the full-width truth. All arms are
+    * O(queries·n) — the q53 rule: gauges ride the bounded query sample,
+    * never corpus×corpus. Integer overlap counts; one rounded division
+    * at the end.
+    */
+  def q246MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dot = graft.functions.NativeExpressions.dotProduct _
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .persist()
+    // FIXED-size md5-ranked sample (q53's rule, literally): `% 100`
+    // alone scales WITH the corpus, which would make every arm
+    // O(n²/100) — the exact blowup the q53 smoke caught in round 9
+    val q = e.filter($"vec_id" % 100 === 0)
+      .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)
+      .limit(MatryoshkaQueryCap)
+      .select($"vec_id".as("qid"), $"v".as("qv"))
+    def topAt(d: Int): DataFrame = {
+      val (qc, vc) =
+        if (d == 64) (col("qv"), col("v"))
+        else (slice(col("qv"), lit(1), lit(d)), slice(col("v"), lit(1), lit(d)))
+      val scored = q.crossJoin(e).filter($"qid" =!= $"vec_id")
+        .select($"qid", $"vec_id",
+          round(dot(qc, vc) / (sqrt(dot(qc, qc)) * sqrt(dot(vc, vc))), 6)
+            .as("cos"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"qid", $"vec_id")
+    }
+    val truth = topAt(64)
+      .select($"qid".as("tqid"), $"vec_id".as("tid")).persist()
+    val nq = truth.select($"tqid").distinct().count()
+    val rows = MatryoshkaDims.map { d =>
+      val hits = topAt(d)
+        .join(truth, $"qid" === $"tqid" && $"vec_id" === $"tid")
+        .count()
+      (d, nq, math.round(hits.toDouble / (5.0 * nq) * 1e6) / 1e6)
+    }
+    truth.unpersist(); e.unpersist()
+    rows.toDF("dim", "n_queries", "recall_at_5").orderBy($"dim")
+  }
+
+  private val q246Sql = {
+    def arm(d: Int, name: String) = {
+      val (qv, v) =
+        if (d == 64) ("qv", "v") else (s"qv[1:$d]", s"v[1:$d]")
+      s"""$name AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT q.qid, e.vec_id,
+         |        round(list_dot_product($qv, $v) /
+         |          (sqrt(list_dot_product($qv, $qv)) *
+         |           sqrt(list_dot_product($v, $v))), 6) AS cos
+         |      FROM q CROSS JOIN e WHERE q.qid <> e.vec_id))
+         |  WHERE rn <= 5)""".stripMargin
+    }
+    val arms = (MatryoshkaDims.map(d => arm(d, s"t$d")) :+ arm(64, "truth"))
+      .mkString(",\n")
+    val unions = MatryoshkaDims.map(d =>
+      s"""SELECT $d AS dim, (SELECT count(DISTINCT qid) FROM q) AS n_queries,
+         |  round((SELECT count(*) FROM t$d a JOIN truth b
+         |    ON a.qid = b.qid AND a.vec_id = b.vec_id) /
+         |    (5.0 * (SELECT count(DISTINCT qid) FROM q)), 6) AS recall_at_5"""
+        .stripMargin).mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |  LIMIT $MatryoshkaQueryCap),
+       |$arms
+       |$unions
+       |ORDER BY dim""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q244_order_dict", Seq("EXT-olap", "W1", "J1"),
+      "order-preserving global dictionary encode: lexicographic dense codes via the range-partitioned global rank, broadcast join-back",
+      q244OrderDict, Some(q244Sql)),
+    GraftQuery("q245_posting_lists", Seq("EXT-text", "EXT-olap", "A2"),
+      "inverted index with delta-encoded postings: varint cost accounting + md5 roundtrip proof of the gap codec",
+      q245PostingLists, Some(q245Sql)),
+    GraftQuery("q246_matryoshka_recall", Seq("EXT-similarity", "EXT-approx"),
+      "matryoshka truncation recall: prefix-dim retrieval at 16/32/48 of 64 dims judged against full-width top-5 on the fixed query sample",
+      q246MatryoshkaRecall, Some(q246Sql)),
     GraftQuery("q241_rake_keyphrases", Seq("EXT-text"),
       "RAKE keyphrases: per-doc stopword-island phrases, degree/frequency word economics, canonical-text phrase scoring, top-15",
       q241RakeKeyphrases, Some(q241Sql)),

@@ -223,6 +223,48 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(4) > 0.0))
   }
 
+  test("q244: dictionary codes are dense and order-preserving over values") {
+    val rows = operators.Mining.q244OrderDict(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // same code <=> same value; distinct codes are dense 0..n-1
+    val pairs = rows.map(r => (r.getString(1), r.getLong(2))).distinct
+    val codes = pairs.map(_._2).sorted.toSeq
+    assert(codes == (0L until codes.length).toSeq, "codes must be dense")
+    // ORDER PRESERVATION: value comparison == code comparison, any pair
+    val sortedByValue = pairs.sortBy(_._1).map(_._2).toSeq
+    assert(sortedByValue == sortedByValue.sorted,
+      "codes must be monotone in value order")
+  }
+
+  test("q245: varint accounting is consistent and compression is real") {
+    val rows = operators.Mining.q245PostingLists(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, first, last, vb, rb) = (r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(df >= 1 && first <= last)
+      assert(vb >= df, "at least one byte per posting")
+      assert(vb <= rb, "varint can never exceed raw")
+      assert(rb == df.toLong * 8)
+      assert(r.getString(6).length == 32, "md5 hex")
+    }
+    // the corpus's dense doc-id space must actually compress
+    val totVar = rows.map(_.getLong(4)).sum
+    val totRaw = rows.map(_.getLong(5)).sum
+    assert(totVar * 3 < totRaw, s"expected >2.6x compression, got $totRaw/$totVar")
+  }
+
+  test("q246: truncation recall is monotone in kept dims and full-width would be 1") {
+    val rows = operators.Mining.q246MatryoshkaRecall(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 32, 48))
+    val rec = rows.map(_.getDouble(2))
+    rec.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // more kept dims can only help on this data (MRL's monotone curve)
+    assert(rec(0) <= rec(1) + 1e-9 && rec(1) <= rec(2) + 1e-9,
+      s"recall not monotone: ${rec.toSeq}")
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "same query sample per arm")
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
