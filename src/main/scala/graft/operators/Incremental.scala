@@ -335,7 +335,73 @@ object Incremental {
       |WHERE f.n - coalesce(o.n, 0) > 0
       |ORDER BY f.c_nationkey""".stripMargin
 
+  /** MERGE with SCHEMA EVOLUTION: the incoming batch may carry columns
+    * the target has never seen (and vice versa); the merge aligns by
+    * NAME, padding either side with typed NULLs — Delta's
+    * `mergeSchema`/autoMerge contract, expressed as
+    * `unionByName(allowMissingColumns)`. Evolution is add-only and
+    * NULL-backfilled: history rows answer NULL for columns born later,
+    * which is the lakehouse semantic (no rewrite of old files).
+    */
+  def upsertEvolve(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.join(incoming, keys, "left_anti")
+      .unionByName(incoming, allowMissingColumns = true)
+
+  /** q248: the q15 MERGE under SCHEMA EVOLUTION — the 1997-98 incoming
+    * batch ships a new `loyalty_tier` column the 1995-96 target never
+    * had. [[upsertEvolve]] aligns by name: surviving pre-evolution rows
+    * carry NULL tier (their files conceptually never rewritten), every
+    * incoming row carries its computed tier. The oracle replays the
+    * same algebra with an explicit NULL projection — so a merge that
+    * dropped the new column, rewrote history, or misaligned the union
+    * order all break the hash. Same single-shuffle anti-join plan as
+    * q15; evolution costs nothing at any scale because it is pure
+    * projection.
+    */
+  def q248UpsertEvolved(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val existing = custSummary(s, dir, "1995-01-01", "1997-01-01")
+    val incoming = custSummary(s, dir, "1997-01-01", "1999-01-01")
+      .withColumn("loyalty_tier",
+        when($"total_spend" >= 1000000, "gold")
+          .when($"total_spend" >= 300000, "silver")
+          .otherwise("bronze"))
+    upsertEvolve(existing, incoming, Seq("o_custkey")).orderBy($"o_custkey")
+  }
+
+  private val q248Sql =
+    """WITH existing AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |    max(o_orderdate) AS last_order
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |incoming AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+      |    max(o_orderdate) AS last_order,
+      |    CASE WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           >= 1000000 THEN 'gold'
+      |         WHEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |           >= 300000 THEN 'silver'
+      |         ELSE 'bronze' END AS loyalty_tier
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT * FROM (
+      |  SELECT o_custkey, n_orders, total_spend, last_order,
+      |    CAST(NULL AS VARCHAR) AS loyalty_tier
+      |  FROM existing WHERE o_custkey NOT IN (SELECT o_custkey FROM incoming)
+      |  UNION ALL
+      |  SELECT * FROM incoming)
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q248_upsert_evolved", Seq("S6", "J4", "EXT-occ", "EXT-cdc"),
+      "MERGE under schema evolution: name-aligned union with typed-NULL backfill for pre-evolution rows, single anti-join shuffle",
+      q248UpsertEvolved, Some(q248Sql)),
     GraftQuery("q129_join_delta", Seq("S6", "J1", "A2", "EXT-incremental"),
       "bilinear join-delta maintenance proven against full recompute minus old",
       q129JoinDelta, Some(q129Sql)),

@@ -1285,7 +1285,98 @@ object StreamingOps {
       |WHERE epoch_ms(hour) + 3600000 <= max_ms - 7200000
       |ORDER BY hour, event_type""".stripMargin
 
+  private val MgTileK = 127
+
+  /** q247: STREAMING MISRA-GRIES TILES — q227's bounded-state tile
+    * pattern with the KMV distinct sketch swapped for the MG heavy-
+    * hitter summary, closing the streaming/approx symmetry (q70 is the
+    * batch MG; this is its continuous form). Each micro-batch of
+    * documents computes per-key counts, merges them into the persisted
+    * ≤(K+1)-row counter state, and re-trims by the MG merge rule
+    * (subtract the (K+1)-th largest counter, drop non-positives) — the
+    * Agarwal et al. mergeable-summaries operation, under which the
+    * merged error stays ≤ n/(K+1), so every >1% key of the FULL stream
+    * is still guaranteed present in kilobytes of state. The final
+    * answer is literally q70's: exact heavy keys semi-joined against
+    * the surviving sketch keys — the streaming pipeline must reproduce
+    * the batch guarantee row-for-row, and the oracle is q70's SQL.
+    */
+  def q247StreamMgTiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-q247-ckpt")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q247-src")
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-q247-out")
+    val stateDir = outRoot.resolve("mg").toString
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val docs = graft.Tables.load(s, dir, "documents")
+      (0 to 2).foreach(b =>
+        stageBatch(srcDir, b, docs.filter(pmod($"doc_id", lit(3)) === b)))
+      val stateSchema = StructType(Seq(
+        StructField("key", StringType),
+        StructField("cnt", LongType)))
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+        .write.mode("overwrite").parquet(stateDir)
+      val docSchema = docs.schema
+      val q = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val sp = batch.sparkSession
+            val part = batch.toDF()
+              .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+              .groupBy(concat_ws("|", col("lang"), col("tok")).as("key"))
+              .agg(count(lit(1)).as("cnt"))
+            val merged = sp.read.parquet(stateDir)
+              .unionByName(part)
+              .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
+            // MG merge-trim: d = (K+1)-th largest counter (0 if fewer),
+            // every counter drops by d, non-positives evicted — state
+            // is ≤K rows of (key, cnt), kilobytes at any stream length
+            val rows = merged.collect()
+              .map(r => (r.getString(0), r.getLong(1)))
+              .sortBy(-_._2)
+            val d = if (rows.length > MgTileK) rows(MgTileK)._2 else 0L
+            val trimmed = rows.map { case (k, c) => (k, c - d) }
+              .filter(_._2 > 0)
+            sp.createDataFrame(trimmed.toSeq).toDF("key", "cnt")
+              .write.mode("overwrite").parquet(stateDir)
+            ()
+        }
+        .option("checkpointLocation", ckptDir.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val mgKeys = s.read.parquet(stateDir).select($"key".as("mk"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy()
+      val stream = docs.select($"lang", explode(split($"text", " ")).as("tok"))
+      val out = stream.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum($"cnt").over(n))
+        .filter($"cnt" * 100 > $"n")
+        .join(mgKeys, concat_ws("|", $"lang", $"tok") === $"mk", "left_semi")
+        .select($"lang", $"tok", $"cnt")
+        .orderBy($"lang", $"tok")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmTree(ckptDir); rmTree(srcDir); rmTree(outRoot)
+    }
+  }
+
+  private val q247Sql =
+    """WITH u AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |c AS (SELECT lang, tok, count(*) AS cnt FROM u GROUP BY lang, tok)
+      |SELECT lang, tok, cnt FROM c
+      |WHERE cnt * 100 > (SELECT CAST(sum(cnt) AS BIGINT) FROM c)
+      |ORDER BY lang, tok""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q247_stream_mg_tiles", Seq("EXT-streaming", "EXT-approx", "A2"),
+      "streaming Misra-Gries tiles: per-batch counts merged into <=K-row state via the mergeable-summaries trim; heavy keys reproduce batch q70",
+      q247StreamMgTiles, Some(q247Sql)),
     GraftQuery("q238_stream_chained", Seq("EXT-streaming", "A3", "A2"),
       "chained stateful operators: watermarked streaming dedup over a doubled source feeding a watermarked window aggregation, single-copy oracle",
       q238StreamChained, Some(q238Sql)),

@@ -265,6 +265,34 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length == 1, "same query sample per arm")
   }
 
+  test("q248: evolution backfills NULL exactly on pre-evolution survivors") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Incremental.q248UpsertEvolved(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val incomingKeys = Tables.load(spark, dir, "orders")
+      .filter("o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    var nulls = 0
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      if (incomingKeys(key)) {
+        // incoming rows carry a computed tier consistent with spend
+        val spend = r.getDouble(2)
+        val tier = r.getString(4)
+        val want = if (spend >= 1000000) "gold"
+          else if (spend >= 300000) "silver" else "bronze"
+        assert(tier == want, s"key $key: tier $tier != $want for spend $spend")
+      } else {
+        assert(r.isNullAt(4), s"pre-evolution survivor $key must have NULL tier")
+        nulls += 1
+      }
+    }
+    assert(nulls > 0, "some pre-evolution rows must survive the merge")
+    // exactly one row per key (MERGE invariant under evolution)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

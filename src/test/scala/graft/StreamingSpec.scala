@@ -357,6 +357,15 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("q247: streaming MG tiles reproduce the batch q70 answer row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.q247StreamMgTiles(spark, dir).collect()
+    val batch = operators.TextAnalysis.q70HeavyHitters(spark, dir).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+      "tile-merged MG must preserve the batch heavy-hitter guarantee")
+  }
+
   test("q238: chained dedup+agg equals the single-copy agg despite the doubled source") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
