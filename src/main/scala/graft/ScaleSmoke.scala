@@ -132,7 +132,12 @@ object ScaleSmoke {
       // documented block-sharding case, timed honestly); q246 rides
       // the fixed query sample (O(cap·n) per truncation arm).
       "q243_hilbert_skipping", "q244_order_dict", "q245_posting_lists",
-      "q246_matryoshka_recall")
+      "q246_matryoshka_recall",
+      // round-9 batch 11: q249 is a scan-local encode over the distinct
+      // vocabulary; q250's candidates are phonetic-block-bounded (the
+      // LSH-banding cost shape). q247/q238 are staged-micro-batch
+      // streaming harnesses, excluded like q218/q227/q228.
+      "q249_soundex", "q250_phonetic_er")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

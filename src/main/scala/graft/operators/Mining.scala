@@ -1102,7 +1102,154 @@ object Mining {
        |ORDER BY dim""".stripMargin
   }
 
+  /** American Soundex as PURE COLUMN ALGEBRA (no UDF, no custom
+    * expression): uppercase, first letter pinned, H/W made transparent
+    * (removed from the tail BEFORE coding, so letters they separate
+    * still collapse — the rule that distinguishes real Soundex from
+    * naive ports), letters coded 1-6 with vowels as 0-separators,
+    * adjacent duplicate codes collapsed by a fixed-point replace chain
+    * (log₂-bounded rounds — regex backreferences are off the table
+    * because DuckDB's RE2 lacks them), zeros dropped, padded to
+    * letter+3. The SAME chain is emitted as SQL text by
+    * [[soundexSqlExpr]], so both engines run literally identical
+    * algebra — verified on the canonical test vectors
+    * (Robert→R163, Ashcraft→A261, Tymczak→T522, Pfister→P236) in
+    * MiningSpec.
+    */
+  private[graft] def soundexCol(word: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val u = upper(word)
+    val first = substring(u, 1, 1)
+    val tail = translate(substring(u, 2, 1000000), "HW", "")
+    val coded = translate(concat(first, tail),
+      "BFPVCGJKQSXZDTLMNRAEIOUY", "111122222222334556000000")
+    val collapsed = (1 to 5).foldLeft(coded) { (c, _) =>
+      "0123456".foldLeft(c)((acc, d) => regexp_replace(acc, s"$d$d", s"$d"))
+    }
+    val digits = regexp_replace(
+      substring(collapsed, 2, 1000000), "0", "")
+    concat(first, rpad(substring(digits, 1, 3), 3, "0"))
+  }
+
+  /** The identical chain as DuckDB SQL over column expression `col`. */
+  private def soundexSqlExpr(col: String): String = {
+    val coded = s"translate(substr(upper($col), 1, 1) || " +
+      s"translate(substr(upper($col), 2), 'HW', ''), " +
+      "'BFPVCGJKQSXZDTLMNRAEIOUY', '111122222222334556000000')"
+    val collapsed = (1 to 5).foldLeft(coded) { (c, _) =>
+      "0123456".foldLeft(c)((acc, d) => s"replace($acc, '$d$d', '$d')")
+    }
+    s"substr(upper($col), 1, 1) || " +
+      s"rpad(substr(replace(substr($collapsed, 2), '0', ''), 1, 3), 3, '0')"
+  }
+
+  /** q249: PHONETIC ENCODING over the part-name vocabulary — Soundex
+    * codes plus the block-size profile record-linkage systems read
+    * before choosing a blocking key (a code whose block is huge blocks
+    * nothing). Scan-local encode; one vocabulary-sized aggregation.
+    */
+  def q249Soundex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "part")
+      .select(explode(split($"p_name", " ")).as("word"))
+      .filter(length($"word") >= 2).distinct()
+    val coded = words.select($"word", soundexCol($"word").as("code"))
+    val blocks = coded.groupBy($"code").agg(count(lit(1)).as("block_size"))
+    coded.join(blocks, Seq("code"))
+      .select($"word", $"code", $"block_size")
+      .orderBy($"word")
+  }
+
+  private val q249Sql = {
+    s"""WITH words AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+       |  WHERE length(w) >= 2),
+       |coded AS (SELECT word, ${soundexSqlExpr("word")} AS code FROM words),
+       |blocks AS (
+       |  SELECT code, CAST(count(*) AS BIGINT) AS block_size
+       |  FROM coded GROUP BY code)
+       |SELECT c.word, c.code, b.block_size
+       |FROM coded c JOIN blocks b USING (code)
+       |ORDER BY c.word""".stripMargin
+  }
+
+  /** q250: PHONETIC-BLOCKED ENTITY RESOLUTION — the production ER plan
+    * end to end: corrupt every vocabulary word deterministically (drop
+    * its 2nd character — the q92 typo class), BLOCK candidates by
+    * Soundex equality (an equi-join on the phonetic code: candidate
+    * volume ∝ block collisions, never vocab² — the same
+    * generate-cheap/verify-expensive split as LSH banding), then
+    * VERIFY with the native Jaro-Winkler expression and keep the
+    * per-variant argmax. Recovery is measurable because ground truth is
+    * constructed: `recovered` says whether the top match is the
+    * original word. Blocking recall has a stated floor in MiningSpec;
+    * the oracle replays the chain with DuckDB's independent
+    * jaro_winkler_similarity — two stacked independent
+    * implementations (phonetics AND string metric) must agree row-wise.
+    */
+  def q250PhoneticEr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "part")
+      .select(explode(split($"p_name", " ")).as("word"))
+      .filter(length($"word") >= 4).distinct()
+      .persist()
+    val vocab = words.select($"word", soundexCol($"word").as("code"))
+    val variants = words.select($"word".as("true_word"),
+        concat(substring($"word", 1, 1), substring($"word", 3, 1000000))
+          .as("variant"))
+      .withColumn("vcode", soundexCol($"variant"))
+    val cand = variants.join(vocab, $"vcode" === $"code")
+      .select($"variant", $"true_word", $"word".as("candidate"),
+        round(graft.functions.NativeExpressions
+          .jaroWinkler($"variant", $"word"), 6).as("jw"))
+      .filter($"jw" >= 0.85)
+    val w = Window.partitionBy($"variant", $"true_word")
+      .orderBy($"jw".desc, $"candidate".asc)
+    val out = cand.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"variant", $"true_word", $"candidate", $"jw",
+        ($"candidate" === $"true_word").as("recovered"))
+      .orderBy($"variant", $"true_word")
+      .localCheckpoint()
+    words.unpersist()
+    out
+  }
+
+  private val q250Sql = {
+    s"""WITH words AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+       |  WHERE length(w) >= 4),
+       |vocab AS (SELECT word, ${soundexSqlExpr("word")} AS code FROM words),
+       |variants AS (
+       |  SELECT word AS true_word,
+       |    substr(word, 1, 1) || substr(word, 3) AS variant
+       |  FROM words),
+       |vc AS (SELECT true_word, variant,
+       |  ${soundexSqlExpr("variant")} AS vcode FROM variants),
+       |cand AS (
+       |  SELECT vc.variant, vc.true_word, v.word AS candidate,
+       |    round(jaro_winkler_similarity(vc.variant, v.word), 6) AS jw
+       |  FROM vc JOIN vocab v ON vc.vcode = v.code
+       |  WHERE round(jaro_winkler_similarity(vc.variant, v.word), 6) >= 0.85)
+       |SELECT variant, true_word, candidate, jw,
+       |  candidate = true_word AS recovered
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY variant, true_word
+       |    ORDER BY jw DESC, candidate ASC) AS rn
+       |  FROM cand)
+       |WHERE rn = 1
+       |ORDER BY variant, true_word""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q249_soundex", Seq("EXT-fuzzy", "EXT-text"),
+      "Soundex phonetic encoding as pure column algebra (H/W-transparent, fixed-point collapse) + blocking-key size profile",
+      q249Soundex, Some(q249Sql)),
+    GraftQuery("q250_phonetic_er", Seq("EXT-fuzzy", "J1", "EXT-dedup"),
+      "phonetic-blocked entity resolution: soundex equi-join candidates, Jaro-Winkler verify, per-variant argmax with measured recovery",
+      q250PhoneticEr, Some(q250Sql)),
     GraftQuery("q244_order_dict", Seq("EXT-olap", "W1", "J1"),
       "order-preserving global dictionary encode: lexicographic dense codes via the range-partitioned global rank, broadcast join-back",
       q244OrderDict, Some(q244Sql)),

@@ -293,6 +293,45 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("q249: soundex chain reproduces the canonical test vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the published American-Soundex reference pairs, including the
+    // H/W-transparency cases naive implementations miss
+    val vectors = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163", "Ashcraft" -> "A261",
+      "Ashcroft" -> "A261", "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "Jackson" -> "J250", "White" -> "W300",
+      "Washington" -> "W252", "Lee" -> "L000", "Gutierrez" -> "G362",
+      "Euler" -> "E460", "Gauss" -> "G200", "Hilbert" -> "H416",
+      "Knuth" -> "K530", "Lloyd" -> "L300", "Lukasiewicz" -> "L222")
+    val got = vectors.map(_._1).toDF("w")
+      .select(col("w"), operators.Mining.soundexCol(col("w")).as("code"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vectors.foreach { case (w, want) =>
+      assert(got(w) == want, s"soundex($w) = ${got(w)}, want $want")
+    }
+  }
+
+  test("q250: blocking+verify recovers most dropped-letter typos") {
+    val rows = operators.Mining.q250PhoneticEr(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per-variant argmax rows are unique
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.85, "verify threshold must hold")
+      assert(r.getBoolean(4) == (r.getString(2) == r.getString(1)))
+    }
+    // the pipeline's point: the typo class is mostly recoverable
+    val vocabSize = Tables.load(spark, dir, "part")
+      .selectExpr("explode(split(p_name, ' ')) AS w")
+      .where("length(w) >= 4").distinct().count()
+    val recovered = rows.count(_.getBoolean(4))
+    assert(recovered * 2 > vocabSize,
+      s"recovered $recovered of $vocabSize variants — blocking too lossy")
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
