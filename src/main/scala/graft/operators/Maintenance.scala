@@ -304,7 +304,56 @@ object Maintenance {
       |  TRUE AS files_reduced
       |FROM documents""".stripMargin
 
+  /** q251: CRYPTO-SHREDDING — the third right-to-be-forgotten
+    * mechanism, completing q183 (deletion vectors) and q49
+    * (pseudonymization): PII is stored ONLY encrypted, each subject
+    * under their own key in a small key table; "delete" is dropping the
+    * key row — O(1), no fact rewrite, no retained-version sweep,
+    * time-travel-proof by construction (every historical copy of the
+    * ciphertext is dead the instant the key is). Spark-side the crypto
+    * is REAL (builtin `aes_encrypt`/`try_aes_decrypt`, 128-bit per-user
+    * keys derived deterministically, ECB so the round trip is
+    * reproducible); the read path is a broadcast key join +
+    * decrypt-or-NULL. The oracle checks the SEMANTICS (shredded
+    * subjects unreadable, everyone else byte-identical, row set
+    * unchanged) — which is exactly what a compliance audit checks.
+    */
+  def q251CryptoShred(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, dir, "customer")
+    // per-subject 128-bit key (16 bytes = 32 md5 hex chars)
+    val keys = cust.select($"c_custkey",
+      substring(md5(concat(lit("key:"), $"c_custkey")), 1, 32).as("k"))
+    val vault = cust
+      .join(keys, Seq("c_custkey"))
+      .select($"c_custkey",
+        base64(aes_encrypt($"c_name".cast("binary"),
+          unhex($"k"), lit("ECB"))).as("enc_name"),
+        $"c_nationkey")
+    // the shred: the key table loses every 13th subject — nothing else
+    val kept = keys.filter($"c_custkey" % 13 =!= 0)
+    vault.join(broadcast(kept), Seq("c_custkey"), "left")
+      .select($"c_custkey",
+        try_aes_decrypt(unbase64($"enc_name"), unhex($"k"), lit("ECB"))
+          .cast("string").as("recovered_name"),
+        $"k".isNull.as("shredded"),
+        $"c_nationkey")
+      .orderBy($"c_custkey")
+  }
+
+  private val q251Sql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END
+      |    AS recovered_name,
+      |  c_custkey % 13 = 0 AS shredded,
+      |  c_nationkey
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q251_crypto_shred", Seq("EXT-anonymize", "EXT-occ", "J1"),
+      "crypto-shredding: per-subject AES keys, delete = drop the key row; decrypt-or-NULL read proves shredded subjects unreadable with zero fact rewrites",
+      q251CryptoShred, Some(q251Sql)),
     GraftQuery("q168_concurrent_merge", Seq("S6", "J4", "EXT-occ"),
       "three racing writers MERGE disjoint key slices through the optimistic CAS commit protocol",
       q168ConcurrentMerge, Some(q168Sql)),

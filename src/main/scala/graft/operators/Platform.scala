@@ -989,7 +989,89 @@ object Platform {
       |FROM asg
       |ORDER BY shard""".stripMargin
 
+  /** Bottom-up column provenance over an ANALYZED logical plan: every
+    * attribute's exprId maps to the set of (table, column) leaves it
+    * derives from. Leaves are parquet LogicalRelations (table = path
+    * basename); Alias-introducing nodes (Project / Aggregate / Window)
+    * union the provenance of their child expressions' references;
+    * Filter/Join/Sort/SubqueryAlias preserve attribute identity so
+    * they need no rule at all. This is the engine-introspection half
+    * of the governance surface (q196 masks columns; this AUDITS where
+    * they flow) — the analyzed plan, not the optimized one, so the
+    * lineage is stable under optimizer evolution.
+    */
+  private[graft] def columnLineage(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[Long, Set[(String, String)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Window => WinNode}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val m = scala.collection.mutable.Map.empty[Long, Set[(String, String)]]
+    def refsOf(e: Expression): Set[(String, String)] =
+      e.references.toSeq.flatMap(a => m.getOrElse(a.exprId.id, Set.empty)).toSet
+    plan.foreachUp {
+      case lr: LogicalRelation =>
+        val table = lr.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.headOption
+            .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+          case _ => "?"
+        }
+        lr.output.foreach(a => m(a.exprId.id) = Set((table, a.name)))
+      case p: Project =>
+        p.projectList.foreach {
+          case al: Alias => m(al.exprId.id) = refsOf(al.child)
+          case _ => ()
+        }
+      case ag: Aggregate =>
+        ag.aggregateExpressions.foreach {
+          case al: Alias => m(al.exprId.id) = refsOf(al.child)
+          case _ => ()
+        }
+      case w: WinNode =>
+        w.windowExpressions.foreach {
+          case al: Alias => m(al.exprId.id) = refsOf(al.child)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    m.toMap
+  }
+
+  /** q252: COLUMN-LEVEL LINEAGE of q02's star join — extracted FROM THE
+    * ENGINE (the analyzed plan), verified against the hand-derived
+    * truth in the oracle. Constant-only outputs (count(*)) report the
+    * `(constant)` sentinel. This is the data-catalog feed every
+    * governed platform builds; doing it by plan walk means it can
+    * never drift from what the query actually computes — unlike
+    * documentation.
+    */
+  def q252ColumnLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Relational.q02RevenueByNation(s, dir)
+    val plan = df.queryExecution.analyzed
+    val prov = columnLineage(plan)
+    val rows = plan.output.flatMap { a =>
+      val srcs = prov.getOrElse(a.exprId.id, Set.empty[(String, String)])
+      if (srcs.isEmpty) Seq((a.name, "(constant)", "(constant)"))
+      else srcs.toSeq.sorted.map { case (tb, c) => (a.name, tb, c) }
+    }
+    rows.toDF("output_column", "source_table", "source_column")
+      .orderBy($"output_column", $"source_table", $"source_column")
+  }
+
+  private val q252Sql =
+    """SELECT * FROM (VALUES
+      |  ('n_customers', 'orders', 'o_custkey'),
+      |  ('n_name', 'nation', 'n_name'),
+      |  ('n_orders', '(constant)', '(constant)'),
+      |  ('revenue', 'orders', 'o_totalprice'))
+      |  AS t(output_column, source_table, source_column)
+      |ORDER BY output_column, source_table, source_column""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q252_column_lineage", Seq("EXT-olap", "S9"),
+      "column-level lineage extracted from the analyzed plan (bottom-up exprId provenance), verified against hand-derived truth",
+      q252ColumnLineage, Some(q252Sql)),
     GraftQuery("q230_rendezvous_sharding", Seq("EXT-olap", "A2", "EXT-split"),
       "rendezvous-hash shard assignment: argmax struct-max over 17 candidate hashes, measured 1/17 rebalance churn vs ~94% mod-hash churn",
       q230RendezvousSharding, Some(q230Sql)),

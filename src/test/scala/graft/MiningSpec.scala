@@ -332,6 +332,47 @@ class MiningSpec extends AnyFunSuite {
       s"recovered $recovered of $vocabSize variants — blocking too lossy")
   }
 
+  test("q251: ciphertext is opaque, decryption is exact, shredding is total") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Maintenance.q251CryptoShred(spark, dir).collect()
+    val names = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == names.size)
+    var shredded = 0
+    out.foreach { r =>
+      val key = r.getLong(0)
+      if (r.getBoolean(2)) {
+        assert(key % 13 == 0)
+        assert(r.isNullAt(1), s"shredded subject $key still readable")
+        shredded += 1
+      } else {
+        assert(r.getString(1) == names(key),
+          s"AES roundtrip corrupted subject $key")
+      }
+    }
+    assert(shredded > 0 && shredded < out.length)
+  }
+
+  test("q252: the plan walker generalizes beyond the oracle-pinned query") {
+    // lineage of the window query q04: every output column must trace
+    // to the orders relation only, and the key column to o_custkey
+    val df = operators.Relational.q04LatestOrderPerCustomer(spark, dir)
+    val prov = operators.Platform.columnLineage(df.queryExecution.analyzed)
+    val out = df.queryExecution.analyzed.output
+    assert(out.nonEmpty)
+    out.foreach { a =>
+      val srcs = prov.getOrElse(a.exprId.id, Set.empty[(String, String)])
+      assert(srcs.nonEmpty, s"${a.name}: no provenance found")
+      assert(srcs.forall(_._1 == "orders"),
+        s"${a.name}: unexpected source tables ${srcs.map(_._1)}")
+    }
+    val keyAttr = out.find(_.name == "o_custkey")
+    keyAttr.foreach { a =>
+      assert(prov(a.exprId.id) == Set(("orders", "o_custkey")))
+    }
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
