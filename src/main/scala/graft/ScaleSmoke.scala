@@ -137,7 +137,11 @@ object ScaleSmoke {
       // vocabulary; q250's candidates are phonetic-block-bounded (the
       // LSH-banding cost shape). q247/q238 are staged-micro-batch
       // streaming harnesses, excluded like q218/q227/q228.
-      "q249_soundex", "q250_phonetic_er")
+      "q249_soundex", "q250_phonetic_er",
+      // round-9 batch 12: q253's hops are seed-capped inequality joins
+      // (O(seeds · contacts-per-entity)); q254/q255 are one-shuffle
+      // fact aggregations over bounded dimensions.
+      "q253_temporal_reach", "q254_cluster_sample", "q255_topn_other")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

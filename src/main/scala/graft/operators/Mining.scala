@@ -1243,13 +1243,208 @@ object Mining {
        |ORDER BY variant, true_word""".stripMargin
   }
 
+  private val TemporalSeedCap = 16
+
+  /** q253: TEMPORAL REACHABILITY (earliest-arrival paths) — graph
+    * analysis where edges exist AT TIMES and a path is valid only if
+    * timestamps increase along it (contact tracing, supply-chain
+    * contamination, information-flow audits). Static reachability
+    * (q145's BFS) overcounts badly here: a supplier contacted AFTER
+    * the seed's exposure cannot forward it. Each hop is one
+    * inequality-guarded equi-join (join on the shared entity, keep
+    * `t2 > t1`, min-aggregate arrival) — the q36 band-join cost shape,
+    * and the frontier is SEED-CAPPED (md5-ranked 16, the q53 rule) so
+    * hop cost is O(seeds · contacts-per-entity), never all-pairs.
+    * Arrival times are exact DATE minima; `witnesses` counts the
+    * distinct intermediaries that could have carried the contact.
+    */
+  def q253TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val contacts = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sp"),
+        to_date($"o_orderdate").as("d"))
+      .distinct()
+      .persist()
+    val seeds = contacts.select($"c").distinct()
+      .orderBy(md5($"c".cast("string")).asc, $"c".asc)
+      .limit(TemporalSeedCap)
+    val hop1 = contacts.join(seeds.withColumnRenamed("c", "seed"),
+        $"c" === $"seed")
+      .groupBy($"seed", $"sp").agg(min($"d").as("t1"))
+    val hop2 = hop1
+      .join(contacts.select($"sp", $"c".as("reached"), $"d".as("t2")),
+        Seq("sp"))
+      .filter($"t2" > $"t1" && $"reached" =!= $"seed")
+      .groupBy($"seed", $"reached")
+      .agg(date_format(min($"t2"), "yyyy-MM-dd").as("earliest_arrival"),
+        countDistinct($"sp").as("witnesses"))
+    val out = hop2.orderBy($"seed", $"reached").localCheckpoint()
+    contacts.unpersist()
+    out
+  }
+
+  private val q253Sql =
+    s"""WITH contacts AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp,
+       |    CAST(o_orderdate AS DATE) AS d
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |seeds AS (
+       |  SELECT c AS seed FROM (SELECT DISTINCT c FROM contacts)
+       |  ORDER BY md5(CAST(c AS VARCHAR)) ASC, c ASC
+       |  LIMIT $TemporalSeedCap),
+       |hop1 AS (
+       |  SELECT s.seed, ct.sp, min(ct.d) AS t1
+       |  FROM seeds s JOIN contacts ct ON ct.c = s.seed
+       |  GROUP BY s.seed, ct.sp)
+       |SELECT h.seed, ct.c AS reached,
+       |  strftime(min(ct.d), '%Y-%m-%d') AS earliest_arrival,
+       |  CAST(count(DISTINCT h.sp) AS BIGINT) AS witnesses
+       |FROM hop1 h JOIN contacts ct ON ct.sp = h.sp
+       |WHERE ct.d > h.t1 AND ct.c <> h.seed
+       |GROUP BY h.seed, ct.c
+       |ORDER BY seed, reached""".stripMargin
+
+  /** q254: CLUSTER SAMPLING with a HORVITZ-THOMPSON estimator — the
+    * survey-sampling design warehouses actually need when rows arrive
+    * in correlated groups: sample whole ORDERS (clusters), keep every
+    * lineitem of a kept order (integrity — a row sample would shear
+    * baskets apart and bias any per-order statistic), and inverse-
+    * probability-weight the kept mass back to a population estimate.
+    * Deterministic md5 inclusion at rate 1/5 (the q50/q59 coin);
+    * DECIMAL-exact sums; the estimate is kept-sum × 5, exact integer
+    * algebra until one final rounded division for the error ratio.
+    * Completes the sampling family: q90 weights ROWS, q101 stratifies,
+    * q225 allocates, this one respects CLUSTER structure.
+    */
+  def q254ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val keep = substring(md5(concat(lit("cl:"), $"o_orderkey")), 1, 8) <
+      lit("33333334") // 0x33333334/2^32 ≈ 1/5 of the hash line
+    val orders = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", keep.as("kept"))
+    val li = t(s, dir, "lineitem")
+      .join(orders.select($"o_orderkey", $"kept"),
+        $"l_orderkey" === $"o_orderkey")
+    val stats = orders.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+      sum($"o_totalprice".cast(dec)).as("exact_rev"),
+      sum(when($"kept", $"o_totalprice".cast(dec))
+        .otherwise(lit(0).cast(dec))).as("kept_rev"))
+    val liStats = li.agg(
+      count(lit(1)).as("n_lineitems"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_li_kept"))
+    stats.crossJoin(liStats)
+      .select($"n_orders", $"n_kept", $"n_lineitems", $"n_li_kept",
+        $"exact_rev".cast("double").as("exact_revenue"),
+        ($"kept_rev" * 5).cast("double").as("ht_estimate"),
+        (abs(($"kept_rev" * 5) - $"exact_rev") <= $"exact_rev" * 0.05)
+          .as("within_5pct"))
+  }
+
+  private val q254Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    substr(md5('cl:' || o_orderkey), 1, 8) < '33333334' AS kept
+      |  FROM orders),
+      |li AS (
+      |  SELECT l.l_orderkey, o.kept
+      |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+      |s1 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS exact_rev,
+      |    sum(CASE WHEN kept THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS kept_rev
+      |  FROM o),
+      |s2 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+      |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_li_kept
+      |  FROM li)
+      |SELECT n_orders, n_kept, n_lineitems, n_li_kept,
+      |  CAST(exact_rev AS DOUBLE) AS exact_revenue,
+      |  CAST(kept_rev * 5 AS DOUBLE) AS ht_estimate,
+      |  abs(kept_rev * 5 - exact_rev) <= exact_rev * 0.05 AS within_5pct
+      |FROM s1 CROSS JOIN s2""".stripMargin
+
+  private val TopNOtherK = 5
+
+  /** q255: TOP-N + OTHER ROLLUP — the reporting contract behind every
+    * "top 5 plus everything else" chart, done scale-correctly: revenue
+    * aggregates to the bounded brand dimension first (one shuffle over
+    * the fact table with map-side partials), the top-K cut is a
+    * TakeOrdered heap, and the OTHER bucket is total-minus-top (exact
+    * DECIMAL subtraction — no second scan of the fact table). Shares
+    * must sum to exactly 1 by construction; ties broken (revenue desc,
+    * brand asc) identically in both engines.
+    */
+  def q255TopNOther(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val byBrand = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum($"l_extendedprice".cast(dec)).as("rev"),
+        count(lit(1)).as("n_items"))
+      .persist()
+    val tot = byBrand.agg(sum($"rev").as("t_rev"), sum($"n_items").as("t_n"))
+    val top = byBrand.orderBy($"rev".desc, $"p_brand".asc).limit(TopNOtherK)
+    val other = top.agg(sum($"rev").as("top_rev"), sum($"n_items").as("top_n"))
+      .crossJoin(tot)
+      .select(lit("OTHER").as("p_brand"),
+        ($"t_rev" - $"top_rev").as("rev"), ($"t_n" - $"top_n").as("n_items"),
+        $"t_rev")
+    val out = top.crossJoin(tot.select($"t_rev"))
+      .select($"p_brand", $"rev", $"n_items", $"t_rev")
+      .unionByName(other)
+      .select($"p_brand", $"rev".cast("double").as("revenue"), $"n_items",
+        round($"rev".cast("double") / $"t_rev".cast("double"), 6).as("share"))
+      .orderBy($"revenue".desc, $"p_brand".asc)
+      .localCheckpoint()
+    byBrand.unpersist()
+    out
+  }
+
+  private val q255Sql =
+    s"""WITH byb AS (
+       |  SELECT p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+       |    CAST(count(*) AS BIGINT) AS n_items
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand),
+       |tot AS (SELECT sum(rev) AS t_rev, CAST(sum(n_items) AS BIGINT) AS t_n
+       |        FROM byb),
+       |top AS (
+       |  SELECT p_brand, rev, n_items FROM byb
+       |  ORDER BY rev DESC, p_brand ASC LIMIT $TopNOtherK),
+       |other AS (
+       |  SELECT 'OTHER' AS p_brand,
+       |    (SELECT t_rev FROM tot) - sum(rev) AS rev,
+       |    CAST((SELECT t_n FROM tot) - sum(n_items) AS BIGINT) AS n_items
+       |  FROM top)
+       |SELECT p_brand, CAST(rev AS DOUBLE) AS revenue, n_items,
+       |  round(CAST(rev AS DOUBLE) / CAST((SELECT t_rev FROM tot) AS DOUBLE),
+       |    6) AS share
+       |FROM (SELECT * FROM top UNION ALL SELECT * FROM other)
+       |ORDER BY revenue DESC, p_brand ASC""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q254_cluster_sample", Seq("EXT-sample", "EXT-approx", "A2"),
+      "cluster sampling + Horvitz-Thompson: whole-order md5 inclusion at 1/5, basket integrity preserved, decimal-exact inverse-weighted estimate",
+      q254ClusterSample, Some(q254Sql)),
+    GraftQuery("q255_topn_other", Seq("EXT-olap", "A2", "J1"),
+      "top-N + OTHER rollup: bounded-dimension agg, TakeOrdered cut, exact-decimal total-minus-top remainder, shares sum to 1",
+      q255TopNOther, Some(q255Sql)),
     GraftQuery("q249_soundex", Seq("EXT-fuzzy", "EXT-text"),
       "Soundex phonetic encoding as pure column algebra (H/W-transparent, fixed-point collapse) + blocking-key size profile",
       q249Soundex, Some(q249Sql)),
     GraftQuery("q250_phonetic_er", Seq("EXT-fuzzy", "J1", "EXT-dedup"),
       "phonetic-blocked entity resolution: soundex equi-join candidates, Jaro-Winkler verify, per-variant argmax with measured recovery",
       q250PhoneticEr, Some(q250Sql)),
+    GraftQuery("q253_temporal_reach", Seq("EXT-graph", "EXT-range", "J1"),
+      "temporal earliest-arrival reachability: time-increasing 2-hop paths via inequality-guarded equi-joins, seed-capped frontier",
+      q253TemporalReach, Some(q253Sql)),
     GraftQuery("q244_order_dict", Seq("EXT-olap", "W1", "J1"),
       "order-preserving global dictionary encode: lexicographic dense codes via the range-partitioned global rank, broadcast join-back",
       q244OrderDict, Some(q244Sql)),

@@ -373,6 +373,80 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q253: arrivals respect time-increasing paths and never exceed static reach") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Mining.q253TemporalReach(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length <= 16, "seed cap")
+    // local replay of the contact table for ground-truth checks
+    val contacts = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        expr("o_orderkey = l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"),
+        to_date(col("o_orderdate")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+    val bySupp = contacts.groupBy(_._2)
+    val firstContact = contacts.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).min).toMap
+    rows.foreach { r =>
+      val (seed, reached, arr, wit) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      assert(seed != reached)
+      assert(wit >= 1)
+      // there must exist a supplier sp with t1(seed,sp) < arr and a
+      // contact (reached, sp, arr) — i.e. the reported path is REAL
+      val valid = bySupp.exists { case (sp, cs) =>
+        firstContact.get((seed, sp)).exists(t1 =>
+          t1 < arr && cs.exists(t => t._1 == reached && t._3 == arr))
+      }
+      assert(valid, s"no time-increasing path justifies $seed->$reached@$arr")
+    }
+  }
+
+  test("q254: cluster integrity holds and the HT estimator is unbiased-shaped") {
+    val r = operators.Mining.q254ClusterSample(spark, dir).collect().head
+    val (nOrders, nKept, nLi, nLiKept) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nKept > 0 && nKept < nOrders)
+    // ~1/5 of orders kept (md5 uniformity; generous band at sf0.001)
+    assert(math.abs(nKept.toDouble / nOrders - 0.2) < 0.06,
+      s"inclusion rate ${nKept.toDouble / nOrders} far from 1/5")
+    // cluster integrity: kept lineitems are exactly those of kept orders
+    import org.apache.spark.sql.functions._
+    val expectLi = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        expr("l_orderkey = o_orderkey"))
+      .where(substring(md5(concat(lit("cl:"), col("o_orderkey"))), 1, 8)
+        < "33333334").count()
+    assert(nLiKept == expectLi, "basket sheared: lineitems != kept orders' lines")
+    assert(nLi > nLiKept)
+    assert(r.getBoolean(6), "HT estimate outside 5% at this rate is a red flag")
+  }
+
+  test("q255: shares sum to one and OTHER closes the total exactly") {
+    val rows = operators.Mining.q255TopNOther(spark, dir).collect()
+    assert(rows.length == 6, "top-5 + OTHER")
+    assert(rows.count(_.getString(0) == "OTHER") == 1)
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    // OTHER is the exact remainder of revenue and counts
+    import org.apache.spark.sql.functions._
+    val exactTotal = Tables.load(spark, dir, "lineitem")
+      .agg(sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(rows.map(_.getDouble(1)).sum - exactTotal) < 1e-6)
+    // named brands are the true top-5: every named revenue >= OTHER's
+    // per-brand max is not checkable cheaply, but named rows must be
+    // sorted desc and all positive
+    val named = rows.filter(_.getString(0) != "OTHER").map(_.getDouble(1))
+    named.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    assert(named.forall(_ > 0))
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
