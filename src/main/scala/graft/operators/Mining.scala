@@ -1429,7 +1429,151 @@ object Mining {
        |FROM (SELECT * FROM top UNION ALL SELECT * FROM other)
        |ORDER BY revenue DESC, p_brand ASC""".stripMargin
 
+  /** q256: BITEMPORAL MODELING — two time axes: VALID time (when the
+    * fact was true in the world) and TRANSACTION time (when the
+    * warehouse learned it). SCD2 (q16/q52) tracks only the second; the
+    * cases that need both are RETROACTIVE CORRECTIONS — "we learned on
+    * tx-day T that the priority had been wrong since day V". The store
+    * is built relationally: every 50th order receives a correction
+    * recorded 30 days after the fact, superseding (tx_to-closing) the
+    * original version WITHOUT touching valid time. The query then
+    * reconstructs knowledge at two transaction instants — 15 days
+    * after the order (before the correction landed) and now — for the
+    * corrected population: an as-of-tx read is just
+    * `tx_from <= T < coalesce(tx_to, ∞)`, one filter, no joins beyond
+    * the build. Scale: the bitemporal table is the fact table + one
+    * correction batch; reconstruction is a filter — the modeling is in
+    * the columns, not in compute.
+    */
+  def q256Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "orders").select($"o_orderkey",
+      $"o_orderpriority".as("prio"),
+      to_date($"o_orderdate").as("valid_from"),
+      to_date($"o_orderdate").as("tx_from"))
+    val corrected = base.filter($"o_orderkey" % 50 === 0)
+    val corrections = corrected.select($"o_orderkey",
+      concat(lit("CORRECTED-"), $"prio").as("prio"),
+      $"valid_from",
+      date_add($"tx_from", 30).as("tx_from"))
+    // bitemporal store: superseded originals carry tx_to = correction tx
+    val store = base.join(
+        corrections.select($"o_orderkey", $"tx_from".as("sup_tx")),
+        Seq("o_orderkey"), "left")
+      .select($"o_orderkey", $"prio", $"valid_from", $"tx_from",
+        $"sup_tx".as("tx_to"))
+      .unionByName(corrections.select($"o_orderkey", $"prio",
+        $"valid_from", $"tx_from", lit(null).cast("date").as("tx_to")))
+    def asOfTx(txCol: org.apache.spark.sql.Column) =
+      store.filter($"tx_from" <= txCol &&
+        ($"tx_to".isNull || txCol < $"tx_to"))
+    val then_ = asOfTx(date_add($"valid_from", 15))
+      .select($"o_orderkey", $"prio".as("known_at_plus15"))
+    val now_ = asOfTx(lit("2002-01-01").cast("date"))
+      .select($"o_orderkey", $"prio".as("known_now"))
+    corrected.select($"o_orderkey")
+      .join(then_, Seq("o_orderkey"))
+      .join(now_, Seq("o_orderkey"))
+      .select($"o_orderkey", $"known_at_plus15", $"known_now",
+        ($"known_at_plus15" =!= $"known_now").as("rewritten"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q256Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    CAST(o_orderdate AS DATE) AS valid_from,
+      |    CAST(o_orderdate AS DATE) AS tx_from
+      |  FROM orders),
+      |corrections AS (
+      |  SELECT o_orderkey, 'CORRECTED-' || prio AS prio, valid_from,
+      |    tx_from + 30 AS tx_from
+      |  FROM base WHERE o_orderkey % 50 = 0),
+      |store AS (
+      |  SELECT b.o_orderkey, b.prio, b.valid_from, b.tx_from,
+      |    c.tx_from AS tx_to
+      |  FROM base b LEFT JOIN corrections c USING (o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, prio, valid_from, tx_from,
+      |    CAST(NULL AS DATE) AS tx_to
+      |  FROM corrections),
+      |thenv AS (
+      |  SELECT o_orderkey, prio AS known_at_plus15 FROM store
+      |  WHERE tx_from <= valid_from + 15
+      |    AND (tx_to IS NULL OR valid_from + 15 < tx_to)),
+      |nowv AS (
+      |  SELECT o_orderkey, prio AS known_now FROM store
+      |  WHERE tx_from <= DATE '2002-01-01'
+      |    AND (tx_to IS NULL OR DATE '2002-01-01' < tx_to))
+      |SELECT c.o_orderkey, t.known_at_plus15, n.known_now,
+      |  t.known_at_plus15 <> n.known_now AS rewritten
+      |FROM (SELECT o_orderkey FROM base WHERE o_orderkey % 50 = 0) c
+      |JOIN thenv t USING (o_orderkey)
+      |JOIN nowv n USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val AprioriSupport = 50L
+
+  /** q257: FREQUENT ITEMSET MINING, Apriori level 3 — frequent brand
+    * triples in order baskets, with the level-2 PRUNE the algorithm is
+    * named for: candidate triples are generated within-basket (bounded
+    * by basket-brand count cubed — single-digit here, bounded
+    * everywhere real) and each candidate's three sub-pairs are
+    * semi-joined against the frequent-pair table BEFORE the expensive
+    * global count. The Apriori theorem (support is anti-monotone, so
+    * every sub-itemset of a frequent itemset is frequent) makes the
+    * prune lossless — the oracle states the theorem by OMITTING it and
+    * counting directly: identical output is the proof. q105 scores
+    * pairs by lift; this climbs a lattice level with the pruning that
+    * makes level-k mining feasible at scale.
+    */
+  def q257AprioriTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ob = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("o"), $"p_brand".as("b")).distinct()
+      .persist()
+    val freqPairs = ob.join(ob.withColumnRenamed("b", "b2"), Seq("o"))
+      .filter($"b" < $"b2")
+      .groupBy($"b", $"b2").agg(count(lit(1)).as("s"))
+      .filter($"s" >= AprioriSupport)
+      .select($"b".as("fp1"), $"b2".as("fp2"))
+      .persist()
+    val triples = ob
+      .join(ob.select($"o", $"b".as("bb")), Seq("o")).filter($"b" < $"bb")
+      .join(ob.select($"o", $"b".as("bc")), Seq("o")).filter($"bb" < $"bc")
+    val pruned = triples
+      .join(freqPairs, $"b" === $"fp1" && $"bb" === $"fp2", "left_semi")
+      .join(freqPairs, $"b" === $"fp1" && $"bc" === $"fp2", "left_semi")
+      .join(freqPairs, $"bb" === $"fp1" && $"bc" === $"fp2", "left_semi")
+    val out = pruned.groupBy($"b".as("b1"), $"bb".as("b2"), $"bc".as("b3"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= AprioriSupport)
+      .orderBy($"support".desc, $"b1", $"b2", $"b3")
+      .localCheckpoint()
+    ob.unpersist(); freqPairs.unpersist()
+    out
+  }
+
+  private val q257Sql =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+       |SELECT a.b AS b1, x.b AS b2, y.b AS b3,
+       |  CAST(count(*) AS BIGINT) AS support
+       |FROM ob a JOIN ob x ON a.o = x.o AND a.b < x.b
+       |  JOIN ob y ON a.o = y.o AND x.b < y.b
+       |GROUP BY a.b, x.b, y.b
+       |HAVING count(*) >= $AprioriSupport
+       |ORDER BY support DESC, b1, b2, b3""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q256_bitemporal", Seq("EXT-timetravel", "S8", "P4"),
+      "bitemporal valid/transaction time: retroactive corrections supersede by tx_to; as-of-tx reconstruction is one filter",
+      q256Bitemporal, Some(q256Sql)),
+    GraftQuery("q257_apriori_triples", Seq("EXT-olap", "A2", "J1"),
+      "Apriori level-3 itemset mining: within-basket triple candidates, lossless level-2 semi-join prune, direct-count oracle proves the theorem",
+      q257AprioriTriples, Some(q257Sql)),
     GraftQuery("q254_cluster_sample", Seq("EXT-sample", "EXT-approx", "A2"),
       "cluster sampling + Horvitz-Thompson: whole-order md5 inclusion at 1/5, basket integrity preserved, decimal-exact inverse-weighted estimate",
       q254ClusterSample, Some(q254Sql)),

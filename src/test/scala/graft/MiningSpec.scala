@@ -447,6 +447,47 @@ class MiningSpec extends AnyFunSuite {
     assert(named.forall(_ > 0))
   }
 
+  test("q256: pre-correction knowledge is original, post-correction is rewritten") {
+    val rows = operators.Mining.q256Bitemporal(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 == 0, "only the corrected population")
+      val (then_, now_) = (r.getString(1), r.getString(2))
+      assert(!then_.startsWith("CORRECTED-"),
+        "15 days after the order the correction had not landed yet")
+      assert(now_ == s"CORRECTED-$then_",
+        "current knowledge must be the retroactive correction")
+      assert(r.getBoolean(3))
+    }
+  }
+
+  test("q257: every frequent triple's sub-pairs are frequent (Apriori theorem)") {
+    // sf0.01: sf0.001's baskets are too sparse for support-50 triples
+    val d = "/root/testdata/sf0.01"
+    val rows = operators.Mining.q257AprioriTriples(spark, d).collect()
+    assert(rows.nonEmpty, "support threshold must bite but not empty the lattice")
+    import org.apache.spark.sql.functions._
+    val pairSupport = {
+      val ob = Tables.load(spark, d, "lineitem")
+        .join(Tables.load(spark, d, "part"), expr("l_partkey = p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+      ob.as("a").join(ob.as("x"), expr("a.o = x.o AND a.b < x.b"))
+        .groupBy(col("a.b"), col("x.b")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    }
+    rows.foreach { r =>
+      val (b1, b2, b3, sup) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+      assert(sup >= 50)
+      assert(b1 < b2 && b2 < b3, "canonical ordering")
+      Seq((b1, b2), (b1, b3), (b2, b3)).foreach { p =>
+        assert(pairSupport.getOrElse(p, 0L) >= sup,
+          s"sub-pair $p support < triple support $sup — anti-monotonicity broken")
+      }
+    }
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
