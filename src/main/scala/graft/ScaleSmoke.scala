@@ -141,7 +141,14 @@ object ScaleSmoke {
       // round-9 batch 12: q253's hops are seed-capped inequality joins
       // (O(seeds · contacts-per-entity)); q254/q255 are one-shuffle
       // fact aggregations over bounded dimensions.
-      "q253_temporal_reach", "q254_cluster_sample", "q255_topn_other")
+      "q253_temporal_reach", "q254_cluster_sample", "q255_topn_other",
+      // round-9 batch 13: q256 is a build filter + as-of-tx filters;
+      // q257's candidates are basket-bounded (brands³ per order) and
+      // the prune semi-joins hit the bounded frequent-pair table.
+      "q256_bitemporal", "q257_apriori_triples",
+      // round-9 batch 14: q258 is five windowed sums in per-user
+      // frames; q259 is one blocked census groupBy.
+      "q258_rolling_ols", "q259_continuity_audit")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

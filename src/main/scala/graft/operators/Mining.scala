@@ -1567,7 +1567,137 @@ object Mining {
        |HAVING count(*) >= $AprioriSupport
        |ORDER BY support DESC, b1, b2, b3""".stripMargin
 
+  /** q258: ROLLING REGRESSION FEATURES — per-user trailing-7-day OLS
+    * slope of event value over time, the trend feature real-time risk
+    * and engagement models consume. The device: closed-form OLS needs
+    * only five sufficient sums (n, Σt, Σy, Σty, Σt²), and every one is
+    * a plain windowed SUM over the same time-interval RANGE frame
+    * (q71's frame), so the rolling fit costs five window aggregates —
+    * no per-row refit, no UDAF state. t is DAYS SINCE A FIXED ANCHOR
+    * (1995-01-01), not raw epoch seconds: Σt² at epoch magnitude is
+    * ~6e17·n, far past 2^53, so the n·Σty − Σt·Σy cancellation leaves
+    * engine-dependent noise (measured: 1e-3 relative divergence vs
+    * DuckDB before anchoring) — at day magnitude the same algebra is
+    * exact to ~1e-10 and round(4) pins it. The RANGE frame still
+    * orders by integer epoch seconds (frame bounds must be exact).
+    * Degenerate windows (single event, zero spread) yield NULL.
+    */
+  def q258RollingOls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus")
+      .rangeBetween(-604800000000L, 0L)
+    // microseconds, not seconds: unix_seconds TRUNCATES while DuckDB's
+    // epoch() keeps the fractional part — sub-second skew moved q258's
+    // slopes by 1e-5 relative before this; epoch_us matches exactly
+    val ev = t(s, dir, "events")
+      .filter($"event_id" % 17 === 0) // a sparse slice keeps output review-size
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("tus"), $"value")
+      .withColumn("td",
+        ($"tus" - lit(788918400000000L)).cast("double") / 86400.0e6)
+    val base = ev
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("st", sum($"td").over(w))
+      .withColumn("sy", sum($"value").over(w))
+      .withColumn("sty", sum($"td" * $"value").over(w))
+      .withColumn("st2", sum($"td" * $"td").over(w))
+    val den = $"n" * $"st2" - $"st" * $"st"
+    val slope = when(den > 0,
+      round(($"n" * $"sty" - $"st" * $"sy") / den, 4))
+    base.select($"event_id", $"user_id", $"n".as("n_window"),
+        slope.as("slope_per_day"))
+      .orderBy($"event_id")
+  }
+
+  private val q258Sql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) - 788918400000000 AS DOUBLE)
+      |      / 86400.0e6 AS td,
+      |    value
+      |  FROM events WHERE event_id % 17 = 0),
+      |base AS (
+      |  SELECT event_id, user_id,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    sum(td) OVER w AS st,
+      |    sum(value) OVER w AS sy,
+      |    sum(td * value) OVER w AS sty,
+      |    sum(td * td) OVER w AS st2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, n AS n_window,
+      |  CASE WHEN n * st2 - st * st > 0 THEN
+      |    round((n * sty - st * sy) / (n * st2 - st * st), 4)
+      |  END AS slope_per_day
+      |FROM base
+      |ORDER BY event_id""".stripMargin
+
+  /** q259: SEQUENCE CONTINUITY AUDIT — the data-quality check for
+    * surrogate-keyed feeds: which id ranges are missing, and how much?
+    * A naive gaps-and-islands needs a GLOBAL order (the single-
+    * partition window the repo lints against); the scale-correct form
+    * blocks the id line into fixed-width ranges and audits each block
+    * independently — one groupBy, no order at all, and the per-block
+    * (expected − actual) census localizes loss to a range the operator
+    * can replay. Blocks are only emitted when incomplete (the healthy
+    * corpus reports nothing); min/max inside the block bracket the
+    * damage.
+    */
+  def q259ContinuityAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 100L
+    // a deterministic synthetic loss: drop ids ending in 7 inside one
+    // stripe, so the audit has real gaps to find at every SF
+    val ev = t(s, dir, "events")
+      .select($"event_id")
+      // Column./ is DOUBLE division — `div` is the integer one; a
+      // fractional block id here silently empties the audit
+      .filter(!($"event_id" % 10 === 7 &&
+        expr(s"event_id div $B") % 5 === lit(2)))
+    val mx = ev.agg(max($"event_id")).as[Long].head()
+    ev.groupBy(expr(s"event_id div $B").as("block"))
+      .agg(count(lit(1)).as("n_present"),
+        min($"event_id").as("first_id"), max($"event_id").as("max_id"))
+      .withColumn("expected",
+        when($"block" === mx / B, mx % B + 1).otherwise(B))
+      .filter($"n_present" < $"expected")
+      .select($"block", $"n_present", $"expected",
+        ($"expected" - $"n_present").as("n_missing"),
+        $"first_id", $"max_id")
+      .orderBy($"block")
+  }
+
+  private val q259Sql =
+    """WITH ev AS (
+      |  SELECT event_id FROM events
+      |  WHERE NOT (event_id % 10 = 7 AND (event_id // 100) % 5 = 2)),
+      |mx AS (SELECT max(event_id) AS m FROM ev),
+      |blocks AS (
+      |  SELECT event_id // 100 AS block,
+      |    CAST(count(*) AS BIGINT) AS n_present,
+      |    min(event_id) AS first_id, max(event_id) AS max_id
+      |  FROM ev GROUP BY 1)
+      |SELECT block, n_present,
+      |  CASE WHEN block = (SELECT m FROM mx) // 100
+      |    THEN (SELECT m FROM mx) % 100 + 1 ELSE 100 END AS expected,
+      |  CASE WHEN block = (SELECT m FROM mx) // 100
+      |    THEN (SELECT m FROM mx) % 100 + 1 ELSE 100 END - n_present
+      |    AS n_missing,
+      |  first_id, max_id
+      |FROM blocks
+      |WHERE n_present < CASE WHEN block = (SELECT m FROM mx) // 100
+      |  THEN (SELECT m FROM mx) % 100 + 1 ELSE 100 END
+      |ORDER BY block""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q258_rolling_ols", Seq("EXT-window", "EXT-olap", "A3"),
+      "rolling 7-day OLS slope per user: five windowed sums over one RANGE frame, closed-form fit, degenerate windows NULL",
+      q258RollingOls, Some(q258Sql)),
+    GraftQuery("q259_continuity_audit", Seq("EXT-olap", "P6", "A2"),
+      "surrogate-sequence continuity audit: fixed-width id blocks censused independently, incomplete blocks localized — no global sort",
+      q259ContinuityAudit, Some(q259Sql)),
     GraftQuery("q256_bitemporal", Seq("EXT-timetravel", "S8", "P4"),
       "bitemporal valid/transaction time: retroactive corrections supersede by tx_to; as-of-tx reconstruction is one filter",
       q256Bitemporal, Some(q256Sql)),

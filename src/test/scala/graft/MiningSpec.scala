@@ -488,6 +488,47 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q258: single-event windows are NULL and a hand-checked 2-point slope is exact") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Mining.q258RollingOls(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getLong(2) == 1) assert(r.isNullAt(3), "n=1 has no slope")
+    }
+    // recompute one n>=2 slope from raw events
+    rows.find(r => r.getLong(2) == 2 && !r.isNullAt(3)).foreach { r =>
+      val eid = r.getLong(0)
+      val uid = r.getLong(1)
+      val ev = Tables.load(spark, dir, "events")
+        .filter(col("user_id") === uid && col("event_id") % 17 === 0)
+        .select(unix_micros(col("ts")), col("value"), col("event_id"))
+        .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+      val anchor = ev.find(_._3 == eid).get
+      val win = ev.filter(e => e._1 <= anchor._1 &&
+        e._1 >= anchor._1 - 604800000000L)
+      assert(win.length == 2)
+      val Array(a, b) = win.sortBy(_._1)
+      val slope = (b._2 - a._2) / ((b._1 - a._1).toDouble / 86400.0e6)
+      assert(math.abs(slope - r.getDouble(3)) < 1e-3,
+        s"2-point slope ${r.getDouble(3)} != replay $slope")
+    }
+  }
+
+  test("q259: the audit finds exactly the synthetic stripe losses") {
+    val rows = operators.Mining.q259ContinuityAudit(spark, dir).collect()
+    assert(rows.nonEmpty, "the synthetic stripe must produce gaps")
+    rows.foreach { r =>
+      val (block, present, expected, missing) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(present + missing == expected)
+      assert(missing > 0)
+      // every reported incomplete block must be in stripe 2 (the
+      // synthetic loss) OR the tail block
+      assert(block % 5 == 2 || expected < 100L,
+        s"block $block reported lossy outside the synthetic stripe")
+    }
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
