@@ -148,7 +148,13 @@ object ScaleSmoke {
       "q256_bitemporal", "q257_apriori_triples",
       // round-9 batch 14: q258 is five windowed sums in per-user
       // frames; q259 is one blocked census groupBy.
-      "q258_rolling_ols", "q259_continuity_audit")
+      "q258_rolling_ols", "q259_continuity_audit",
+      // round-9 batch 15: q260 decorrelates to a per-nation ranked
+      // join; q261's matrix is docs × query-terms (scan-shaped);
+      // q262 is five integer sums over the edge list; q263's grid is
+      // calendar × fixed bins.
+      "q260_lateral_topk", "q261_qlm_dirichlet", "q262_assortativity",
+      "q263_hist_quantile_tiles")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

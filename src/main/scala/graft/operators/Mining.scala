@@ -572,8 +572,15 @@ object Mining {
       .orderBy($"wgini".asc, $"threshold".asc)
     val best = scored.withColumn("rn", row_number().over(wBest))
       .filter($"rn" === 1).drop("rn")
-    val wAll = Window.orderBy($"wgini".asc, $"feature".asc)
-    best.withColumn("is_best", row_number().over(wAll) === 1)
+    // overall winner WITHOUT a global window: min over the
+    // (wgini, feature) struct is the same lexicographic order a
+    // row_number-over-everything would use, but it's a 1-row aggregate
+    // broadcast back — no Exchange SinglePartition anywhere.
+    val winner = best.agg(min(struct($"wgini", $"feature")).as("w"))
+      .select($"w.feature".as("feature"), lit(true).as("hit"))
+    best.join(broadcast(winner), Seq("feature"), "left")
+      .withColumn("is_best", coalesce($"hit", lit(false)))
+      .drop("hit")
       .orderBy($"feature")
   }
 
@@ -1691,7 +1698,167 @@ object Mining {
       |  THEN (SELECT m FROM mx) % 100 + 1 ELSE 100 END
       |ORDER BY block""".stripMargin
 
+  /** q262: DEGREE ASSORTATIVITY (Newman '02) — do high-degree nodes
+    * connect to high-degree nodes? THE one-number structural summary
+    * that separates social graphs (assortative, r>0) from
+    * infrastructure/bipartite graphs (disassortative, r<0), and the
+    * first thing to check before trusting degree-targeted sampling or
+    * super-node mitigations. Computed as Pearson correlation of
+    * (deg(src), deg(u)) over the DIRECTED edge list (both directions
+    * present, so the symmetric definition falls out): one degree
+    * aggregation, one edge join-back, five exact integer sums, one
+    * closed-form double at the end — the q110/q240 sufficient-
+    * statistics shape on graph data. This bipartite customer–supplier
+    * graph must come out negative (hubs bind to leaves); the spec pins
+    * that sign.
+    */
+  def q262Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = csEdges(s, dir)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(deg.withColumnRenamed("src", "u").withColumnRenamed("d", "dx"),
+        $"src" === $"u")
+      .join(deg.withColumnRenamed("src", "v").withColumnRenamed("d", "dy"),
+        $"dst" === $"v")
+      .select($"dx", $"dy")
+    val stats = xy.agg(count(lit(1)).as("n"),
+      sum($"dx").as("sx"), sum($"dy").as("sy"),
+      sum($"dx" * $"dy").as("sxy"),
+      sum($"dx" * $"dx").as("sx2"), sum($"dy" * $"dy").as("sy2"))
+    val (n, sx, sy, sxy, sx2, sy2) = ($"n".cast("double"),
+      $"sx".cast("double"), $"sy".cast("double"), $"sxy".cast("double"),
+      $"sx2".cast("double"), $"sy2".cast("double"))
+    stats.select($"n".as("n_directed_edges"),
+      round((n * sxy - sx * sy) /
+        sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6)
+        .as("assortativity"))
+  }
+
+  private val q262Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      |xy AS (
+      |  SELECT dx.d AS x, dy.d AS y
+      |  FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sx2,
+      |    CAST(sum(y * y) AS BIGINT) AS sy2
+      |  FROM xy)
+      |SELECT n AS n_directed_edges,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |    sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx) *
+      |         (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)), 6)
+      |    AS assortativity
+      |FROM s""".stripMargin
+
+  private val HistBin = 25.0
+
+  /** q263: MERGEABLE HISTOGRAM QUANTILE TILES — the t-digest idea at
+    * its simplest trustworthy form: per-day fixed-width histograms of
+    * event value (kilobyte tiles), merged over trailing 3-day windows
+    * by SUMMING BIN COUNTS (histogram merge is exact, unlike quantile
+    * merge — the whole point of tiling), then the P50/P90 read off the
+    * merged bins by cumulative walk. Every number is integer-exact
+    * (bin ids, counts, nearest-rank positions), so the oracle matches
+    * bit-for-bit with no float ceremony; the quantile's error is
+    * bounded by the bin width BY CONSTRUCTION and the output reports
+    * the bin's value range, not a fake point estimate. Windows:
+    * per-bin trailing sums run in (bin)-keyed frames over days —
+    * bounded partitions, no global sort; the per-day cumulative walk
+    * runs in (day)-keyed frames over the bounded bin count.
+    */
+  def q263HistQuantileTiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiles = t(s, dir, "events")
+      .select(to_date($"ts").as("day"),
+        floor($"value" / HistBin).cast("long").as("bin"))
+      .groupBy($"day", $"bin").agg(count(lit(1)).as("c"))
+      .persist()
+    // DENSIFY first: a bin absent on day d would otherwise contribute
+    // nothing to d's trailing frame even with mass on d-1/d-2 (the
+    // missing-tile bug this spec caught: 83 != 85). days × bins is
+    // calendar × fixed-bin-count — bounded at any corpus size.
+    val grid = tiles.select($"day").distinct()
+      .crossJoin(tiles.select($"bin").distinct())
+    val dense = grid.join(tiles, Seq("day", "bin"), "left")
+      .select($"day", $"bin", coalesce($"c", lit(0L)).as("c"))
+    // trailing 3-day merge per bin: RANGE over day ordinal
+    val wBin = Window.partitionBy($"bin")
+      .orderBy(datediff($"day", lit("1995-01-01").cast("date")))
+      .rangeBetween(-2, 0)
+    val merged = dense.withColumn("mc", sum($"c").over(wBin))
+      .filter($"mc" > 0)
+    val wDay = Window.partitionBy($"day").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = merged
+      .withColumn("cum", sum($"mc").over(wDay))
+      .withColumn("tot", sum($"mc").over(Window.partitionBy($"day")))
+    def pick(qnum: Int, qden: Int, name: String) =
+      min(when($"cum" * qden >= $"tot" * qnum, $"bin")).as(name)
+    val out = walked.groupBy($"day")
+      .agg(max($"tot").as("n_window"),
+        pick(1, 2, "p50_bin"), pick(9, 10, "p90_bin"))
+      .select($"day".cast("string").as("day"), $"n_window",
+        ($"p50_bin" * HistBin).as("p50_lo"),
+        (($"p50_bin" + 1) * HistBin).as("p50_hi"),
+        ($"p90_bin" * HistBin).as("p90_lo"),
+        (($"p90_bin" + 1) * HistBin).as("p90_hi"))
+      .orderBy($"day")
+      .localCheckpoint()
+    tiles.unpersist()
+    out
+  }
+
+  private val q263Sql =
+    """WITH tiles AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(value / 25.0) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT d.day, b.bin, coalesce(t.c, 0) AS c
+      |  FROM (SELECT DISTINCT day FROM tiles) d
+      |  CROSS JOIN (SELECT DISTINCT bin FROM tiles) b
+      |  LEFT JOIN tiles t ON t.day = d.day AND t.bin = b.bin),
+      |merged AS (
+      |  SELECT day, bin, mc FROM (
+      |    SELECT day, bin,
+      |      CAST(sum(c) OVER (PARTITION BY bin
+      |        ORDER BY date_diff('day', DATE '1995-01-01', day)
+      |        RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mc
+      |    FROM dense)
+      |  WHERE mc > 0),
+      |walked AS (
+      |  SELECT day, bin, mc,
+      |    CAST(sum(mc) OVER (PARTITION BY day ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(mc) OVER (PARTITION BY day) AS BIGINT) AS tot
+      |  FROM merged)
+      |SELECT CAST(day AS VARCHAR) AS day, max(tot) AS n_window,
+      |  min(CASE WHEN cum * 2 >= tot THEN bin END) * 25.0 AS p50_lo,
+      |  (min(CASE WHEN cum * 2 >= tot THEN bin END) + 1) * 25.0 AS p50_hi,
+      |  min(CASE WHEN cum * 10 >= tot * 9 THEN bin END) * 25.0 AS p90_lo,
+      |  (min(CASE WHEN cum * 10 >= tot * 9 THEN bin END) + 1) * 25.0
+      |    AS p90_hi
+      |FROM walked
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q262_assortativity", Seq("EXT-graph", "A2", "J1"),
+      "degree assortativity: Pearson over the directed edge list from exact integer sufficient statistics; bipartite sign pinned",
+      q262Assortativity, Some(q262Sql)),
+    GraftQuery("q263_hist_quantile_tiles", Seq("EXT-approx", "EXT-percentile", "EXT-histogram", "EXT-window"),
+      "mergeable histogram quantile tiles: per-day bins summed over trailing windows, integer-exact nearest-rank walk, bin-width error bound",
+      q263HistQuantileTiles, Some(q263Sql)),
     GraftQuery("q258_rolling_ols", Seq("EXT-window", "EXT-olap", "A3"),
       "rolling 7-day OLS slope per user: five windowed sums over one RANGE frame, closed-form fit, degenerate windows NULL",
       q258RollingOls, Some(q258Sql)),

@@ -275,7 +275,87 @@ object Retrieval {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  private val QlmMu = 2000.0
+
+  /** q261: QUERY-LIKELIHOOD retrieval with DIRICHLET SMOOTHING (Zhai &
+    * Lafferty '01) — the language-modeling ranker that sits beside
+    * BM25 (q82) in every IR bake-off: score(q,d) = Σ_t ln((tf_t,d +
+    * μ·p(t|C)) / (|d| + μ)), μ=2000. Unlike BM25 a document scores on
+    * EVERY query term including the ones it lacks (tf=0 still
+    * contributes the collection-model mass), so the join shape differs:
+    * query terms cross the doc-length table (broadcast terms — the
+    * per-(query,doc) matrix is docs × query-terms, scan-shaped), then a
+    * LEFT join picks up the nonzero tfs. Same decimal-pinned summation
+    * discipline as q82 (per-term round(12) into DECIMAL, rounded
+    * double at the end), same top-10 heap per query.
+    */
+  def q261QlmDirichlet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
+    val cTotal = tf.agg(sum($"tf")).as[Long].head().toDouble
+    val q = QueryTerms.toDF("qid", "term")
+    val pairs = q.join(broadcast(cf), Seq("term")) // p(t|C) per query term
+    val contrib = dl
+      .crossJoin(broadcast(pairs))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .select($"qid", $"doc_id",
+        round(log((coalesce($"tf", lit(0L)) +
+            lit(QlmMu) * ($"cf" / cTotal)) / ($"dl" + QlmMu)), 12)
+          .cast("decimal(18,12)").as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val out = contrib.groupBy($"qid", $"doc_id")
+      .agg(round(sum($"c").cast("double"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"doc_id", $"score")
+      .orderBy($"qid", $"rank")
+      .localCheckpoint()
+    tf.unpersist()
+    out
+  }
+
+  private val q261Sql = {
+    val qvals = QueryTerms.map { case (q, t) => s"('$q', '$t')" }
+      .mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term <> '' GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |ct AS (SELECT CAST(sum(tf) AS DOUBLE) AS c_total FROM tf),
+       |q(qid, term) AS (VALUES $qvals),
+       |pairs AS (SELECT q.qid, q.term, cf.cf FROM q JOIN cf USING (term)),
+       |contrib AS (
+       |  SELECT p.qid, dl.doc_id,
+       |    CAST(round(ln((coalesce(tf.tf, 0) +
+       |      $QlmMu * (p.cf / (SELECT c_total FROM ct))) / (dl.dl + $QlmMu)),
+       |      12) AS DECIMAL(18,12)) AS c
+       |  FROM dl CROSS JOIN pairs p
+       |  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = p.term)
+       |SELECT qid, rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id ASC) AS rank
+       |  FROM (
+       |    SELECT qid, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+       |    FROM contrib GROUP BY qid, doc_id))
+       |WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q261_qlm_dirichlet", Seq("EXT-text", "J1", "A2"),
+      "query-likelihood retrieval with Dirichlet smoothing: docs score on every query term incl. absent ones, decimal-pinned log sums, top-10 heap",
+      q261QlmDirichlet, Some(q261Sql)),
     GraftQuery("q142_phrase_search", Seq("EXT-text", "J1"),
       "positional phrase search: per-term posting lists joined on (doc, pos+1)",
       q142PhraseSearch, Some(q142Sql)),

@@ -241,7 +241,30 @@ object SqlSurface {
       |FROM spine LEFT JOIN cnt USING (o_orderpriority, o_orderstatus)
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  private val q260Text =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  /** q260: LATERAL correlated subquery with ORDER BY + LIMIT — the
+    * SQL-standard form of "top-K per group" (every BI tool's generated
+    * shape), one query text accepted verbatim by BOTH engines (the
+    * q122/q123 contract). Catalyst decorrelates the lateral into a
+    * ranked window/join plan — the same physical idea as q04's window
+    * dedup, reached from standard SQL instead of the DataFrame API.
+    */
+  def q260LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q260Text)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q260_lateral_topk", Seq("EXT-olap", "W2", "J1"),
+      "LATERAL correlated top-3-per-nation with ORDER BY/LIMIT, same SQL text in both engines, Catalyst-decorrelated",
+      q260LateralTopk, Some(q260Text)),
     GraftQuery("q193_recursive_hierarchy", Seq("EXT-olap", "A2", "F9"),
       "WITH RECURSIVE org-tree traversal + per-level rollup, same text both engines",
       q193RecursiveHierarchy, Some(q193Text)),

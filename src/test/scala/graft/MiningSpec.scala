@@ -529,6 +529,63 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q260: the lateral top-3 equals the window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = operators.SqlSurface.q260LateralTopk(spark, dir).collect()
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name").asc)
+    val want = Tables.load(spark, dir, "customer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .join(Tables.load(spark, dir, "nation"),
+        expr("c_nationkey = n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+      .collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq)
+  }
+
+  test("q261: log-probability scores are negative, dense-ranked, non-increasing") {
+    val rows = operators.Retrieval.q261QlmDirichlet(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to rs.length))
+      sorted.map(_.getDouble(3)).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ =>
+      }
+    }
+    // log-probabilities of multi-term queries are strictly negative
+    assert(rows.forall(_.getDouble(3) < 0.0))
+  }
+
+  test("q262: the bipartite graph is disassortative and r is a correlation") {
+    val r = operators.Mining.q262Assortativity(spark, dir).collect().head
+    assert(r.getLong(0) > 0)
+    val a = r.getDouble(1)
+    assert(a >= -1.0 && a <= 1.0)
+    assert(a < 0.0, s"customer-supplier graph must be disassortative, got $a")
+  }
+
+  test("q263: quantile bins are ordered and window mass matches a direct count") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Mining.q263HistQuantileTiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(3), "p50 bin is a real interval")
+      assert(r.getDouble(2) <= r.getDouble(4), "p50 <= p90")
+    }
+    // pick one day and recount its trailing-3-day mass directly
+    val day = rows(rows.length / 2).getString(0)
+    val n = rows(rows.length / 2).getLong(1)
+    val direct = Tables.load(spark, dir, "events")
+      .filter(to_date(col("ts")) <= lit(day).cast("date") &&
+        to_date(col("ts")) >= date_sub(lit(day).cast("date"), 2))
+      .count()
+    assert(n == direct, s"window mass $n != direct $direct on $day")
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

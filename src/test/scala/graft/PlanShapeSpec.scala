@@ -146,6 +146,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q222: the q91 shape: broadcast-k centroid scoring pass (k=5)
     //  - q225: crossJoin(broadcast(<1-row weight/doc totals>)) onto the
     //    20-row per-source stratum table (scalar attach)
+    //  - q254: crossJoin of TWO 1-row scalar aggregates (order-level and
+    //    lineitem-level sufficient statistics) — a 1×1 product
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -158,7 +160,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
       "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
       "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette",
-      "q225_neyman_allocation")),
+      "q225_neyman_allocation", "q254_cluster_sample")),
       s"unexpected cross products in: $offenders")
   }
 
