@@ -232,9 +232,12 @@ object ScaleSmoke {
     // c_mktsegment passes through: q233's per-segment series grow k× in
     // per-month mass with unchanged month count — the forecaster's
     // honest growth mode (more revenue, same calendar)
+    // c_name/c_acctbal pass through (q260's lateral top-3 reads them);
+    // cross-replica (acctbal, name) ties are possible but the smoke
+    // only times, and the per-nation heap size is unchanged
     replicate("customer", (df, i) => df.select(
       ($"c_custkey" + i * mc).as("c_custkey"), $"c_nationkey",
-      $"c_mktsegment"))
+      $"c_mktsegment", $"c_name", $"c_acctbal"))
     def rot(alpha: String, r: Int): String =
       alpha.drop(r % alpha.length) ++ alpha.take(r % alpha.length)
     replicate("documents", (df, i) => df.select(
