@@ -154,7 +154,12 @@ object ScaleSmoke {
       // q262 is five integer sums over the edge list; q263's grid is
       // calendar × fixed bins.
       "q260_lateral_topk", "q261_qlm_dirichlet", "q262_assortativity",
-      "q263_hist_quantile_tiles")
+      "q263_hist_quantile_tiles",
+      // round-9 batch 16: q264's replicate table is R=32 at any scale;
+      // q265 ranks within nations; q266's PAVA runs on the bounded bin
+      // table; q267 is one scan + one user-keyed groupBy.
+      "q264_poisson_bootstrap", "q265_gini_concentration",
+      "q266_isotonic_calibration", "q267_als_half_step")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1852,7 +1852,86 @@ object Mining {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  private val AlsLambda = 0.1
+
+  /** q267: ALS HALF-STEP — one exact user-side update of alternating
+    * least squares with weighted-λ regularization (Zhou et al. '08,
+    * the Netflix-prize ALS-WR that `spark.ml`'s recommender descends
+    * from). With item factors held fixed (here: deterministic 2-d
+    * md5-unit vectors — one ALS iteration always starts from SOME
+    * fixed opposite side), each user's new factor solves the 2×2 ridge
+    * system (XᵀX + λ·n_u·I)w = Xᵀr in CLOSED FORM from five sufficient
+    * statistics (Σx₁², Σx₁x₂, Σx₂², Σx₁r, Σx₂r) — so the whole update
+    * is one fact-table scan and ONE user-keyed groupBy; nothing
+    * iterative, nothing driver-side, and the item side is never
+    * materialized as a matrix. Per-term products are round(12)-pinned
+    * into DECIMAL before summation (the q82 discipline) so the
+    * normal-equation entries are bit-exact across engines; the 2×2
+    * solve is a fixed IEEE expression tree, round(8) at the end.
+    */
+  def q267AlsHalfStep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def unit(tag: String): Column =
+      (conv(substring(md5(concat(lit(tag),
+          $"l_partkey".cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val r = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("user_id"),
+        $"l_quantity".cast("double").as("r"),
+        unit("f1:").as("x1"), unit("f2:").as("x2"))
+    val stats = r.groupBy($"user_id").agg(
+      count(lit(1)).as("n_ratings"),
+      sum(round($"x1" * $"x1", 12).cast(dec)).as("a"),
+      sum(round($"x1" * $"x2", 12).cast(dec)).as("b"),
+      sum(round($"x2" * $"x2", 12).cast(dec)).as("d"),
+      sum(round($"x1" * $"r", 12).cast(dec)).as("c1"),
+      sum(round($"x2" * $"r", 12).cast(dec)).as("c2"))
+    val lam = lit(AlsLambda) * $"n_ratings".cast("double")
+    val (a, b, d, c1, c2) = ($"a".cast("double"), $"b".cast("double"),
+      $"d".cast("double"), $"c1".cast("double"), $"c2".cast("double"))
+    val det = (a + lam) * (d + lam) - b * b
+    stats.select($"user_id", $"n_ratings",
+      round(((d + lam) * c1 - b * c2) / det, 8).as("w1"),
+      round(((a + lam) * c2 - b * c1) / det, 8).as("w2"))
+      .orderBy($"user_id")
+  }
+
+  private val q267Sql =
+    s"""WITH r AS (
+       |  SELECT o.o_custkey AS u, CAST(l.l_quantity AS DOUBLE) AS r,
+       |    ((('0x' || substr(md5('f1:' || l.l_partkey), 1, 8))::BIGINT
+       |      + 0.5e0) / 4294967296e0) AS x1,
+       |    ((('0x' || substr(md5('f2:' || l.l_partkey), 1, 8))::BIGINT
+       |      + 0.5e0) / 4294967296e0) AS x2
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |stats AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS n_ratings,
+       |    sum(CAST(round(x1 * x1, 12) AS DECIMAL(28,12))) AS a,
+       |    sum(CAST(round(x1 * x2, 12) AS DECIMAL(28,12))) AS b,
+       |    sum(CAST(round(x2 * x2, 12) AS DECIMAL(28,12))) AS d,
+       |    sum(CAST(round(x1 * r, 12) AS DECIMAL(28,12))) AS c1,
+       |    sum(CAST(round(x2 * r, 12) AS DECIMAL(28,12))) AS c2
+       |  FROM r GROUP BY u)
+       |SELECT u AS user_id, n_ratings,
+       |  round(((CAST(d AS DOUBLE) + $AlsLambda * n_ratings) *
+       |      CAST(c1 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c2 AS DOUBLE)) /
+       |    ((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
+       |      (CAST(d AS DOUBLE) + $AlsLambda * n_ratings) -
+       |     CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 8) AS w1,
+       |  round(((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
+       |      CAST(c2 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c1 AS DOUBLE)) /
+       |    ((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
+       |      (CAST(d AS DOUBLE) + $AlsLambda * n_ratings) -
+       |     CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 8) AS w2
+       |FROM stats
+       |ORDER BY u""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q267_als_half_step", Seq("EXT-olap", "A2", "J1"),
+      "ALS-WR user half-step: closed-form 2x2 ridge solve from decimal-pinned sufficient statistics, one scan + one user groupBy",
+      q267AlsHalfStep, Some(q267Sql)),
     GraftQuery("q262_assortativity", Seq("EXT-graph", "A2", "J1"),
       "degree assortativity: Pearson over the directed edge list from exact integer sufficient statistics; bipartite sign pinned",
       q262Assortativity, Some(q262Sql)),

@@ -1068,7 +1068,269 @@ object Platform {
       |  AS t(output_column, source_table, source_column)
       |ORDER BY output_column, source_table, source_column""".stripMargin
 
+  private val BootReps = 32
+
+  /** q264: POISSON BOOTSTRAP confidence interval — THE distributed
+    * resampling device (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams"): classical bootstrap resamples n rows with
+    * replacement R times (un-shardable — every replicate needs global
+    * coordination), the Poisson approximation gives each row an
+    * independent Poisson(1) multiplicity PER REPLICATE, which is one
+    * scan-local projection: explode 32 replicate ids, hash-derive the
+    * weight by inverting the Poisson(1) CDF on the md5 unit line (the
+    * q254 hex-threshold coin — no RNG, reruns reproduce the sample),
+    * and aggregate 32 weighted means in ONE map-side-combining groupBy.
+    * CI = nearest-rank p05/p95 over the 32-row replicate table (rank 2
+    * and 31); SE from decimal-exact Σm/Σm². The replicate means stay
+    * hash-exact across engines because each is a single division of a
+    * DECIMAL-exact weighted sum by an integer weight total.
+    */
+  def q264PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // Poisson(1) CDF as md5-hex thresholds: P(k<=0)=0.36788 -> 0x5e2d58d8,
+    // cumulative through k=6; the else-arm pools the 1e-5 tail at 7
+    val w = {
+      val h = $"h"
+      when(h < "5e2d58d8", 0L).when(h < "bc5ab1b1", 1L)
+        .when(h < "eb715e1d", 2L).when(h < "fb239797", 3L)
+        .when(h < "ff1025f5", 4L).when(h < "ffd90f3b", 5L)
+        .when(h < "fffa8b71", 6L).otherwise(7L)
+    }
+    val reps = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice".cast(dec).as("x"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+      .withColumn("h", substring(md5(concat(lit("bs:"),
+        $"rep".cast("string"), lit(":"), $"o_orderkey".cast("string"))), 1, 8))
+      .withColumn("w", w)
+      .groupBy($"rep")
+      .agg(sum($"w").as("n"), sum($"x" * $"w").as("sx"))
+      .select($"rep",
+        // double division of two exact values — decimal/bigint division
+        // scale rules differ between engines, double division does not
+        round($"sx".cast("double") / $"n".cast("double"), 8).as("m"))
+    val wRank = Window.orderBy($"m".asc, $"rep".asc)
+    val ranked = reps.withColumn("rk", row_number().over(wRank))
+    val ci = ranked.agg(
+      min(when($"rk" === 2, $"m")).as("boot_p05"),
+      max(when($"rk" === BootReps - 1, $"m")).as("boot_p95"),
+      sum($"m".cast(org.apache.spark.sql.types.DecimalType(20, 8))).as("sm"),
+      sum(($"m" * $"m").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+        .as("sm2"))
+    val point = t(s, dir, "orders").agg(
+      count(lit(1)).as("n_orders"),
+      sum($"o_totalprice".cast(dec)).as("tot"))
+    val pm = round($"tot".cast("double") / $"n_orders".cast("double"), 8)
+    point.crossJoin(ci).select(
+      $"n_orders",
+      pm.as("point_mean"),
+      $"boot_p05", $"boot_p95",
+      round(sqrt(($"sm2".cast("double") -
+          $"sm".cast("double") * $"sm".cast("double") / BootReps) /
+        (BootReps - 1)), 6).as("boot_se"),
+      ($"boot_p05" <= pm && pm <= $"boot_p95").as("ci_covers_point"))
+  }
+
+  private val q264Sql =
+    s"""WITH reps AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+       |    g.rep,
+       |    substr(md5('bs:' || g.rep || ':' || o_orderkey), 1, 8) AS h
+       |  FROM orders CROSS JOIN (
+       |    SELECT unnest(range(0, $BootReps)) AS rep) g),
+       |ms AS (
+       |  SELECT rep,
+       |    round(CAST(sum(CAST(x AS DECIMAL(18,2)) * w) AS DOUBLE) /
+       |      CAST(sum(w) AS DOUBLE), 8) AS m
+       |  FROM (
+       |    SELECT rep, x,
+       |      CASE WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
+       |        WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
+       |        WHEN h < 'ff1025f5' THEN 4 WHEN h < 'ffd90f3b' THEN 5
+       |        WHEN h < 'fffa8b71' THEN 6 ELSE 7 END AS w
+       |    FROM reps)
+       |  GROUP BY rep),
+       |ranked AS (
+       |  SELECT m, row_number() OVER (ORDER BY m ASC, rep ASC) AS rk
+       |  FROM ms),
+       |ci AS (
+       |  SELECT min(CASE WHEN rk = 2 THEN m END) AS boot_p05,
+       |    max(CASE WHEN rk = ${BootReps - 1} THEN m END) AS boot_p95,
+       |    sum(CAST(m AS DECIMAL(20,8))) AS sm,
+       |    sum(CAST(m * m AS DECIMAL(30,10))) AS sm2
+       |  FROM ranked),
+       |pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot
+       |  FROM orders)
+       |SELECT n_orders,
+       |  round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE), 8)
+       |    AS point_mean,
+       |  boot_p05, boot_p95,
+       |  round(sqrt((CAST(sm2 AS DOUBLE) -
+       |      CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / $BootReps) /
+       |    ${BootReps - 1}), 6) AS boot_se,
+       |  boot_p05 <= round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE), 8)
+       |    AND round(CAST(tot AS DOUBLE) / CAST(n_orders AS DOUBLE), 8)
+       |      <= boot_p95
+       |    AS ci_covers_point
+       |FROM pt CROSS JOIN ci""".stripMargin
+
+  /** q265: GINI + HHI REVENUE-CONCENTRATION per nation — the
+    * inequality/market-power audit (who owns the revenue mass, and is
+    * a segment one-customer fragile?). Per-customer revenue aggregates
+    * first (one fact shuffle), ranks and sums run PARTITIONED BY
+    * NATION (never a global sort), and both coefficients come from
+    * exact-DECIMAL sufficient statistics: Gini by the rank formula
+    * G = (2·Σi·x_i − (n+1)·Σx)/(n·Σx) with a total order (rev asc,
+    * custkey asc) so tie handling is engine-identical, HHI = Σx²/(Σx)²
+    * — one double division each at the very end, round(6)-pinned.
+    * Customers with no orders count at revenue 0 (they ARE part of the
+    * inequality picture).
+    */
+  def q265GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rev = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(dec)).as("rev"))
+    val cust = t(s, dir, "customer")
+      .join(rev, $"c_custkey" === $"o_custkey", "left")
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey",
+        coalesce($"rev", lit(0).cast(dec)).as("rev"))
+    val wN = Window.partitionBy($"n_name")
+      .orderBy($"rev".asc, $"c_custkey".asc)
+    val stats = cust.withColumn("i", row_number().over(wN).cast("long"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"rev").as("tot"),
+        sum($"rev" * $"i").as("sir"),
+        sum(($"rev" * $"rev")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4))).as("s2"))
+    stats.select($"n_name", $"n_customers",
+      round($"tot".cast("double"), 2).as("total_revenue"),
+      round((lit(2.0) * $"sir".cast("double") -
+          ($"n_customers" + 1).cast("double") * $"tot".cast("double")) /
+        ($"n_customers".cast("double") * $"tot".cast("double")), 6)
+        .as("gini"),
+      round($"s2".cast("double") /
+        ($"tot".cast("double") * $"tot".cast("double")), 6).as("hhi"))
+      .orderBy($"n_name")
+  }
+
+  private val q265Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |cust AS (
+      |  SELECT n.n_name, c.c_custkey,
+      |    coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      |  FROM customer c
+      |  LEFT JOIN rev r ON c.c_custkey = r.o_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |ranked AS (
+      |  SELECT n_name, rev,
+      |    CAST(row_number() OVER (PARTITION BY n_name
+      |      ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i
+      |  FROM cust),
+      |stats AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+      |    sum(rev) AS tot, sum(rev * i) AS sir,
+      |    sum(CAST(rev * rev AS DECIMAL(38,4))) AS s2
+      |  FROM ranked GROUP BY 1)
+      |SELECT n_name, n_customers,
+      |  round(CAST(tot AS DOUBLE), 2) AS total_revenue,
+      |  round((2e0 * CAST(sir AS DOUBLE) -
+      |      CAST(n_customers + 1 AS DOUBLE) * CAST(tot AS DOUBLE)) /
+      |    (CAST(n_customers AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini,
+      |  round(CAST(s2 AS DOUBLE) /
+      |    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+      |FROM stats
+      |ORDER BY n_name""".stripMargin
+
+  /** q266: ISOTONIC CALIBRATION FIT (PAVA by minimax) — q153 AUDITS a
+    * score's reliability table; this query FITS the monotone
+    * calibration map production scorers actually deploy (isotonic
+    * regression is the standard post-hoc calibrator next to Platt).
+    * The scalable form: pool sufficient statistics per score bin first
+    * (the XGBoost-histogram move — the fact table is touched once, the
+    * fit runs on the ~11-row bin table), then the exact PAVA solution
+    * via its minimax characterization f(i) = max_{j<=i} min_{k>=i}
+    * avg(y over bins j..k): interval averages from a bounded non-equi
+    * self-product of the bin table (|B|³ ≈ 1.3k rows at any corpus
+    * size), no iteration, no driver loop. Rates are one
+    * exact-int division each, round(8)-pinned before the minimax so
+    * min/max compare identical doubles in both engines.
+    */
+  def q266IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = t(s, dir, "lineitem")
+      .select(floor($"l_discount" * 100).cast("long").as("bin"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("bad"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"bad").as("b"))
+      .persist()
+    val ids = bins.select($"bin")
+    val jk = ids.select($"bin".as("j"))
+      .crossJoin(ids.select($"bin".as("k")))
+      .filter($"j" <= $"k")
+    val ivals = jk.join(bins, $"bin" >= $"j" && $"bin" <= $"k")
+      .groupBy($"j", $"k")
+      .agg(round(sum($"b").cast("double") / sum($"n").cast("double"), 8)
+        .as("rate"))
+    val iso = ids.select($"bin".as("i"))
+      .join(ivals, $"j" <= $"i" && $"i" <= $"k")
+      .groupBy($"i", $"j").agg(min($"rate").as("mn"))
+      .groupBy($"i").agg(max($"mn").as("iso_rate"))
+    val out = bins.join(iso, $"bin" === $"i")
+      .select($"bin", $"n", $"b".as("bad"),
+        round($"b".cast("double") / $"n".cast("double"), 8).as("raw_rate"),
+        $"iso_rate")
+      .orderBy($"bin")
+      .localCheckpoint()
+    bins.unpersist()
+    out
+  }
+
+  private val q266Sql =
+    """WITH bins AS (
+      |  SELECT CAST(floor(l_discount * 100) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM lineitem GROUP BY 1),
+      |ivals AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    round(CAST(sum(m.b) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE), 8)
+      |      AS rate
+      |  FROM bins j CROSS JOIN bins k JOIN bins m
+      |    ON m.bin >= j.bin AND m.bin <= k.bin
+      |  WHERE j.bin <= k.bin
+      |  GROUP BY 1, 2),
+      |iso AS (
+      |  SELECT i, max(mn) AS iso_rate FROM (
+      |    SELECT b.bin AS i, v.j, min(v.rate) AS mn
+      |    FROM bins b JOIN ivals v ON v.j <= b.bin AND b.bin <= v.k
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.bin, b.n, b.b AS bad,
+      |  round(CAST(b.b AS DOUBLE) / CAST(b.n AS DOUBLE), 8) AS raw_rate,
+      |  iso.iso_rate
+      |FROM bins b JOIN iso ON b.bin = iso.i
+      |ORDER BY b.bin""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q264_poisson_bootstrap", Seq("EXT-sample", "EXT-approx", "A2"),
+      "Poisson bootstrap CI: 32 hash-deterministic Poisson(1) replicate weights in one scan, nearest-rank p05/p95, decimal-exact SE",
+      q264PoissonBootstrap, Some(q264Sql)),
+    GraftQuery("q265_gini_concentration", Seq("EXT-olap", "A2", "W1"),
+      "per-nation Gini + HHI revenue concentration: nation-partitioned rank formula over decimal-exact sufficient statistics",
+      q265GiniConcentration, Some(q265Sql)),
+    GraftQuery("q266_isotonic_calibration", Seq("EXT-olap", "EXT-histogram", "A2"),
+      "isotonic calibration fit: exact PAVA via minimax over the bounded bin table, fact table touched once",
+      q266IsotonicCalibration, Some(q266Sql)),
     GraftQuery("q252_column_lineage", Seq("EXT-olap", "S9"),
       "column-level lineage extracted from the analyzed plan (bottom-up exprId provenance), verified against hand-derived truth",
       q252ColumnLineage, Some(q252Sql)),

@@ -586,6 +586,48 @@ class MiningSpec extends AnyFunSuite {
     assert(n == direct, s"window mass $n != direct $direct on $day")
   }
 
+  test("q267: the ALS half-step solves the per-user normal equations") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Mining.q267AlsHalfStep(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // re-derive one user's closed-form solve from the raw ratings and
+    // check the registered query agrees (independent recomputation)
+    val u = rows(rows.length / 2)
+    val uid = u.getLong(0)
+    val raw = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        expr("l_orderkey = o_orderkey"))
+      .filter(col("o_custkey") === uid)
+      .select(col("l_partkey"), col("l_quantity").cast("double"))
+      .collect()
+    def unit(tag: String, p: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$p".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    def r12(x: Double) = BigDecimal(x).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP)
+    var (a, b, d, c1, c2) = (BigDecimal(0), BigDecimal(0), BigDecimal(0),
+      BigDecimal(0), BigDecimal(0))
+    raw.foreach { row =>
+      val p = row.getLong(0); val r = row.getDouble(1)
+      val x1 = unit("f1:", p); val x2 = unit("f2:", p)
+      a += r12(x1 * x1); b += r12(x1 * x2); d += r12(x2 * x2)
+      c1 += r12(x1 * r); c2 += r12(x2 * r)
+    }
+    val lam = 0.1 * raw.length
+    val det = (a.toDouble + lam) * (d.toDouble + lam) -
+      b.toDouble * b.toDouble
+    val w1 = ((d.toDouble + lam) * c1.toDouble -
+      b.toDouble * c2.toDouble) / det
+    val w2 = ((a.toDouble + lam) * c2.toDouble -
+      b.toDouble * c1.toDouble) / det
+    assert(u.getLong(1) == raw.length)
+    assert(math.abs(u.getDouble(2) - w1) < 1e-7, s"w1 ${u.getDouble(2)} != $w1")
+    assert(math.abs(u.getDouble(3) - w2) < 1e-7, s"w2 ${u.getDouble(3)} != $w2")
+  }
+
   test("q232: textrank is a probability-mass-preserving ranking over the vocabulary") {
     val rows = operators.Mining.q232Textrank(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

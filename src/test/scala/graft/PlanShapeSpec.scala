@@ -148,6 +148,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //    20-row per-source stratum table (scalar attach)
     //  - q254: crossJoin of TWO 1-row scalar aggregates (order-level and
     //    lineitem-level sufficient statistics) — a 1×1 product
+    //  - q264: crossJoin of the 1-row point-estimate aggregate with the
+    //    1-row bootstrap-CI aggregate — a 1×1 product
+    //  - q266: PAVA's minimax runs on bounded non-equi products of the
+    //    ~11-row discount-bin table (|B|³ rows at any corpus size); the
+    //    fact table is touched once, in the bin groupBy
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -160,7 +165,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q205_skyline", "q206_stream_outer_join", "q207_pmi_collocations",
       "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
       "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette",
-      "q225_neyman_allocation", "q254_cluster_sample")),
+      "q225_neyman_allocation", "q254_cluster_sample",
+      "q264_poisson_bootstrap", "q266_isotonic_calibration")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -205,7 +211,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // the same documented single-sort exact baseline (its docstring
       // states the scale path: q68's GK sketch yields the same cuts);
       // everything downstream of the 9 edge scalars is scan-local
-      "q210_psi_drift")
+      "q210_psi_drift",
+      // q264: nearest-rank walk over the 32-row bootstrap-replicate
+      // table — the input is the REPLICATE-count grain (R=32 at any
+      // corpus size), never the fact stream
+      "q264_poisson_bootstrap")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {

@@ -170,4 +170,46 @@ class PlatformSpec extends AnyFunSuite {
     assert(out.filter($"containment" < 0 || $"containment" > 1).count() == 0)
     out.unpersist(false)
   }
+
+  test("q264: bootstrap CI brackets the point estimate and SE is sane") {
+    val r = operators.Platform.q264PoissonBootstrap(spark, dir)
+      .collect().head
+    val (n, mean, lo, hi, se) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n > 0 && lo <= hi)
+    assert(se > 0, "bootstrap SE must be positive")
+    // Poisson-bootstrap replicate means concentrate ~ SE-tight around
+    // the truth; the 90% CI missing the point estimate at this width
+    // would mean the hash coin is biased
+    assert(r.getBoolean(5), s"CI [$lo,$hi] does not cover point $mean")
+    assert(hi - lo < mean, "CI wider than the mean itself — degenerate")
+  }
+
+  test("q265: gini and hhi are in-range and consistent with concentration") {
+    import spark.implicits._
+    val rows = operators.Platform.q265GiniConcentration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, g, h) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0, s"hhi $h out of [1/n, 1]")
+    }
+  }
+
+  test("q266: isotonic fit is monotone and preserves weighted mass") {
+    val rows = operators.Platform.q266IsotonicCalibration(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length >= 3)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(4) + 1e-12,
+          s"iso not monotone at bins ${a.getLong(0)}->${b.getLong(0)}")
+      case _ =>
+    }
+    // PAVA preserves the weighted mean: sum n_i * iso_i == sum bad_i
+    val fitted = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val bad = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(fitted - bad) < 1e-4 * rows.map(_.getLong(1)).sum,
+      s"mass not preserved: fitted $fitted vs bad $bad")
+  }
 }
