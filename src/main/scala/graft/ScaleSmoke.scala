@@ -159,7 +159,12 @@ object ScaleSmoke {
       // q265 ranks within nations; q266's PAVA runs on the bounded bin
       // table; q267 is one scan + one user-keyed groupBy.
       "q264_poisson_bootstrap", "q265_gini_concentration",
-      "q266_isotonic_calibration", "q267_als_half_step")
+      "q266_isotonic_calibration", "q267_als_half_step",
+      // round-9 batch 17: q268/q269 are one fact scan into bounded cell
+      // tables; q270 runs on the monthly grain; q271 is scan-local
+      // array lambdas + a per-source rollup.
+      "q268_cuped", "q269_diff_in_diff", "q270_seasonal_decomp",
+      "q271_forcast_readability")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

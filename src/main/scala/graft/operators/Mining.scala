@@ -1928,7 +1928,111 @@ object Mining {
        |FROM stats
        |ORDER BY u""".stripMargin
 
+  /** q270: CLASSICAL SEASONAL DECOMPOSITION (the moving-average
+    * additive model STL descends from): monthly revenue = trend +
+    * seasonal + residual. Trend is the centered 12-month moving
+    * average (RANGE frame over the month index, emitted only where the
+    * full 12-month window exists); the seasonal profile is the
+    * month-of-year mean of the detrended series, re-centered to sum to
+    * zero so trend and seasonal don't double-count level. q233's Holt
+    * smoother FORECASTS the series; this query EXPLAINS it — the
+    * pre-model diagnostic every time-series pipeline runs first. All
+    * windows and rollups run on the MONTHLY grain (~80 rows at any
+    * corpus size — the fact table is touched once, in the month
+    * groupBy); per-month means divide exact DECIMAL sums, detrended
+    * values are round(8)-pinned before the month-of-year averaging so
+    * both engines sum identical decimals.
+    */
+  def q270SeasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec8 = org.apache.spark.sql.types.DecimalType(28, 8)
+    // round-to-8dp as an EXPLICIT IEEE formula, identical in both
+    // engines: Spark round() goes through the double shortest-string
+    // repr (BigDecimal.valueOf) while DuckDB rounds the scaled binary
+    // value — near repr boundaries they disagree by 1e-8 (this query's
+    // first draft lost exactly one residual row that way). floor, *,
+    // and + on doubles are bit-identical everywhere.
+    def r8(c: Column): Column = floor(c * 1e8 + 0.5) / 1e8
+    val monthly = t(s, dir, "orders")
+      .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+        .cast("long").as("mi"))
+      .agg(sum($"o_totalprice".cast(dec)).as("rev"))
+    val wT = Window.orderBy($"mi").rangeBetween(-6, 5)
+    val trended = monthly
+      .withColumn("wn", count(lit(1)).over(wT))
+      .withColumn("wsum", sum($"rev").over(wT))
+      .withColumn("trend",
+        when($"wn" === 12, r8($"wsum".cast("double") / 12.0)))
+      .withColumn("detr",
+        when($"trend".isNotNull, r8($"rev".cast("double") - $"trend")))
+    val prof = trended.filter($"detr".isNotNull)
+      .groupBy(pmod($"mi", lit(12L)).as("moy"))
+      .agg(r8(sum($"detr".cast(dec8)).cast("double") /
+        count(lit(1)).cast("double")).as("smean"))
+    val gmean = prof.agg(
+      r8(sum($"smean".cast(dec8)).cast("double") / 12.0).as("g"))
+    val seas = prof.crossJoin(broadcast(gmean))
+      .select($"moy", r8($"smean" - $"g").as("seasonal"))
+    trended.join(seas, pmod($"mi", lit(12L)) === $"moy", "left")
+      .select(
+        concat(format_string("%04d", (($"mi" - 1) / 12).cast("int")),
+          lit("-"),
+          format_string("%02d", pmod($"mi" - 1, lit(12L)) + 1))
+          .as("month"),
+        round($"rev".cast("double"), 2).as("revenue"),
+        $"trend", $"seasonal",
+        when($"trend".isNotNull && $"seasonal".isNotNull,
+          r8($"detr" - $"seasonal")).as("residual"))
+      .orderBy($"month")
+  }
+
+  private val q270Sql =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+      |    AS mi,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |trended AS (
+      |  SELECT mi, rev,
+      |    CASE WHEN count(*) OVER w = 12 THEN
+      |      floor(CAST(sum(rev) OVER w AS DOUBLE) / 12.0 * 1e8 + 0.5) / 1e8
+      |    END AS trend
+      |  FROM monthly
+      |  WINDOW w AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+      |detr AS (
+      |  SELECT mi, rev, trend,
+      |    CASE WHEN trend IS NOT NULL
+      |      THEN floor((CAST(rev AS DOUBLE) - trend) * 1e8 + 0.5) / 1e8
+      |    END AS detr
+      |  FROM trended),
+      |prof AS (
+      |  SELECT mi % 12 AS moy,
+      |    floor(CAST(sum(CAST(detr AS DECIMAL(28,8))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) * 1e8 + 0.5) / 1e8 AS smean
+      |  FROM detr WHERE detr IS NOT NULL GROUP BY 1),
+      |g AS (
+      |  SELECT floor(CAST(sum(CAST(smean AS DECIMAL(28,8))) AS DOUBLE) /
+      |    12.0 * 1e8 + 0.5) / 1e8 AS g
+      |  FROM prof),
+      |seas AS (
+      |  SELECT moy, floor((smean - (SELECT g FROM g)) * 1e8 + 0.5) / 1e8
+      |    AS seasonal
+      |  FROM prof)
+      |SELECT
+      |  lpad(CAST((mi - 1) // 12 AS VARCHAR), 4, '0') || '-' ||
+      |    lpad(CAST((mi - 1) % 12 + 1 AS VARCHAR), 2, '0') AS month,
+      |  round(CAST(rev AS DOUBLE), 2) AS revenue,
+      |  trend, seasonal,
+      |  CASE WHEN trend IS NOT NULL AND seasonal IS NOT NULL
+      |    THEN floor((detr - seasonal) * 1e8 + 0.5) / 1e8 END AS residual
+      |FROM detr LEFT JOIN seas ON detr.mi % 12 = seas.moy
+      |ORDER BY month""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q270_seasonal_decomp", Seq("EXT-olap", "EXT-window", "A2"),
+      "additive seasonal decomposition: centered 12-month MA trend, zero-centered month-of-year profile, residuals — all on the monthly grain",
+      q270SeasonalDecomp, Some(q270Sql)),
     GraftQuery("q267_als_half_step", Seq("EXT-olap", "A2", "J1"),
       "ALS-WR user half-step: closed-form 2x2 ridge solve from decimal-pinned sufficient statistics, one scan + one user groupBy",
       q267AlsHalfStep, Some(q267Sql)),

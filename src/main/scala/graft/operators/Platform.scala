@@ -1321,7 +1321,212 @@ object Platform {
       |FROM bins b JOIN iso ON b.bin = iso.i
       |ORDER BY b.bin""".stripMargin
 
+  /** q268: CUPED variance reduction (Deng et al. 2013) — the A/B-test
+    * sensitivity booster every experimentation platform ships: adjust
+    * each unit's metric by its PRE-EXPERIMENT covariate, Y' = Y −
+    * θ(X − X̄) with θ = cov(X,Y)/var(X), shrinking metric variance by
+    * the factor (1 − ρ²) without biasing any group contrast. Units are
+    * customers, X = 1995–96 revenue, Y = 1997 revenue (zero-filled —
+    * silent dropouts are exactly what CUPED must keep). One scan
+    * builds per-customer (x, y); θ and ρ² come from DECIMAL-exact
+    * global sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²); the
+    * per-segment adjusted mean needs NO second pass — it collapses to
+    * ȳ_s − θ(x̄_s − x̄), all from per-segment exact sums. Doubles
+    * appear only in the final fixed-shape arithmetic, round(6)-pinned.
+    */
+  def q268Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec2 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val xy = t(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when($"o_orderdate" < lit("1997-01-01").cast("timestamp_ntz"),
+          $"o_totalprice".cast(dec)).otherwise(lit(0).cast(dec))).as("x"),
+        sum(when($"o_orderdate" >= lit("1997-01-01").cast("timestamp_ntz"),
+          $"o_totalprice".cast(dec)).otherwise(lit(0).cast(dec))).as("y"))
+    val cust = t(s, dir, "customer")
+      .join(xy, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment",
+        coalesce($"x", lit(0).cast(dec)).as("x"),
+        coalesce($"y", lit(0).cast(dec)).as("y"))
+      .persist()
+    val g = cust.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum(($"x" * $"y").cast(dec2)).as("sxy"),
+      sum(($"x" * $"x").cast(dec2)).as("sx2"),
+      sum(($"y" * $"y").cast(dec2)).as("sy2"))
+    val seg = cust.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("ns"),
+        sum($"x").as("ssx"), sum($"y").as("ssy"))
+    val n = $"n".cast("double")
+    val (sx, sy, sxy, sx2, sy2) = ($"sx".cast("double"), $"sy".cast("double"),
+      $"sxy".cast("double"), $"sx2".cast("double"), $"sy2".cast("double"))
+    val covxy = sxy - sx * sy / n
+    val varx = sx2 - sx * sx / n
+    val vary = sy2 - sy * sy / n
+    val theta = covxy / varx
+    val xbar = sx / n
+    val out = seg.crossJoin(broadcast(g)).select(
+      $"c_mktsegment",
+      $"ns".as("n_customers"),
+      round($"ssy".cast("double") / $"ns".cast("double"), 6).as("raw_mean"),
+      round($"ssy".cast("double") / $"ns".cast("double") -
+        theta * ($"ssx".cast("double") / $"ns".cast("double") - xbar), 6)
+        .as("cuped_mean"),
+      round(theta, 6).as("theta"),
+      round(lit(1.0) - (covxy * covxy) / (varx * vary), 6)
+        .as("var_ratio"))
+      .orderBy($"c_mktsegment")
+      .localCheckpoint()
+    cust.unpersist()
+    out
+  }
+
+  private val q268Sql =
+    """WITH xy AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+      |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1),
+      |cust AS (
+      |  SELECT c.c_mktsegment,
+      |    coalesce(xy.x, CAST(0 AS DECIMAL(18,2))) AS x,
+      |    coalesce(xy.y, CAST(0 AS DECIMAL(18,2))) AS y
+      |  FROM customer c LEFT JOIN xy ON c.c_custkey = xy.o_custkey),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+      |    sum(CAST(x * x AS DECIMAL(38,4))) AS sx2,
+      |    sum(CAST(y * y AS DECIMAL(38,4))) AS sy2
+      |  FROM cust),
+      |seg AS (
+      |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS ns,
+      |    sum(x) AS ssx, sum(y) AS ssy
+      |  FROM cust GROUP BY 1)
+      |SELECT c_mktsegment, ns AS n_customers,
+      |  round(CAST(ssy AS DOUBLE) / CAST(ns AS DOUBLE), 6) AS raw_mean,
+      |  round(CAST(ssy AS DOUBLE) / CAST(ns AS DOUBLE) -
+      |    ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+      |        CAST(n AS DOUBLE)) /
+      |     (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+      |        CAST(n AS DOUBLE))) *
+      |    (CAST(ssx AS DOUBLE) / CAST(ns AS DOUBLE) -
+      |     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cuped_mean,
+      |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+      |      CAST(n AS DOUBLE)) /
+      |    (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+      |      CAST(n AS DOUBLE)), 6) AS theta,
+      |  round(1e0 -
+      |    ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+      |        CAST(n AS DOUBLE)) *
+      |     (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) /
+      |        CAST(n AS DOUBLE))) /
+      |    ((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+      |        CAST(n AS DOUBLE)) *
+      |     (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) /
+      |        CAST(n AS DOUBLE))), 6) AS var_ratio
+      |FROM seg CROSS JOIN g
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q269: DIFFERENCE-IN-DIFFERENCES — the 2×2 panel estimator
+    * (Card & Krueger shape): effect = (treated post − treated pre) −
+    * (control post − control pre), which cancels both the group fixed
+    * effect and the common time trend. Treated = BUILDING-segment
+    * customers, cut at 1998-01-01. The whole estimator reduces to four
+    * cell means plus a pooled SE — one order-level scan into a 4-row
+    * (treat, post) cell table of DECIMAL-exact (n, Σy, Σy²), then a
+    * single-row assembly via conditional extraction (no windows, no
+    * cross joins — min(CASE) over 4 rows). SE is the unpooled Welch
+    * form √(Σ s²_cell/n_cell); doubles enter only in the final fixed
+    * expression, round(6)-pinned.
+    */
+  def q269DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec2 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val cells = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select(($"c_mktsegment" === "BUILDING").as("treat"),
+        ($"o_orderdate" >= lit("1998-01-01").cast("timestamp_ntz"))
+          .as("post"),
+        $"o_totalprice".cast(dec).as("y"))
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"y").as("sy"),
+        sum(($"y" * $"y").cast(dec2)).as("sy2"))
+      .select($"treat", $"post", $"n",
+        round($"sy".cast("double") / $"n".cast("double"), 8).as("m"),
+        // unbiased per-cell variance of the MEAN: s^2/n
+        round(($"sy2".cast("double") -
+            $"sy".cast("double") * $"sy".cast("double") /
+              $"n".cast("double")) /
+          (($"n" - 1).cast("double") * $"n".cast("double")), 8).as("vm"))
+    def cell(tr: Boolean, po: Boolean, c: String) =
+      min(when($"treat" === tr && $"post" === po, col(c)))
+    cells.agg(
+      cell(true, false, "m").as("treated_pre"),
+      cell(true, true, "m").as("treated_post"),
+      cell(false, false, "m").as("control_pre"),
+      cell(false, true, "m").as("control_post"),
+      sum($"vm".cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+        .as("var_sum"))
+      .select($"treated_pre", $"treated_post",
+        $"control_pre", $"control_post",
+        round(($"treated_post" - $"treated_pre") -
+          ($"control_post" - $"control_pre"), 6).as("did_estimate"),
+        round(sqrt($"var_sum".cast("double")), 6).as("se"),
+        round((($"treated_post" - $"treated_pre") -
+            ($"control_post" - $"control_pre")) /
+          sqrt($"var_sum".cast("double")), 6)
+          .as("t_stat"))
+  }
+
+  private val q269Sql =
+    """WITH cells AS (
+      |  SELECT treat, post, n,
+      |    round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 8) AS m,
+      |    round((CAST(sy2 AS DOUBLE) -
+      |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      (CAST(n - 1 AS DOUBLE) * CAST(n AS DOUBLE)), 8) AS vm
+      |  FROM (
+      |    SELECT (c.c_mktsegment = 'BUILDING') AS treat,
+      |      (o.o_orderdate >= TIMESTAMP '1998-01-01') AS post,
+      |      CAST(count(*) AS BIGINT) AS n,
+      |      sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS sy,
+      |      sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) *
+      |        CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+      |        AS sy2
+      |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |    GROUP BY 1, 2)),
+      |wide AS (
+      |  SELECT
+      |    min(CASE WHEN treat AND NOT post THEN m END) AS treated_pre,
+      |    min(CASE WHEN treat AND post THEN m END) AS treated_post,
+      |    min(CASE WHEN NOT treat AND NOT post THEN m END) AS control_pre,
+      |    min(CASE WHEN NOT treat AND post THEN m END) AS control_post,
+      |    sum(CAST(vm AS DECIMAL(28,8))) AS var_sum
+      |  FROM cells)
+      |SELECT treated_pre, treated_post, control_pre, control_post,
+      |  round((treated_post - treated_pre) - (control_post - control_pre),
+      |    6) AS did_estimate,
+      |  round(sqrt(CAST(var_sum AS DOUBLE)), 6) AS se,
+      |  round(((treated_post - treated_pre) - (control_post - control_pre))
+      |    / sqrt(CAST(var_sum AS DOUBLE)), 6) AS t_stat
+      |FROM wide""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q268_cuped", Seq("EXT-olap", "A2", "J1"),
+      "CUPED variance reduction: decimal-exact covariance statistics, per-segment adjusted means without a second pass, 1-rho^2 ratio",
+      q268Cuped, Some(q268Sql)),
+    GraftQuery("q269_diff_in_diff", Seq("EXT-olap", "A2", "J1"),
+      "2x2 difference-in-differences: four decimal-exact cell means assembled by conditional extraction, Welch SE and t-stat",
+      q269DiffInDiff, Some(q269Sql)),
     GraftQuery("q264_poisson_bootstrap", Seq("EXT-sample", "EXT-approx", "A2"),
       "Poisson bootstrap CI: 32 hash-deterministic Poisson(1) replicate weights in one scan, nearest-rank p05/p95, decimal-exact SE",
       q264PoissonBootstrap, Some(q264Sql)),

@@ -1159,7 +1159,84 @@ object TextAnalysis {
       |WHERE m.doc_id % 37 = 0
       |ORDER BY m.doc_id""".stripMargin
 
+  /** q271: FORCAST READABILITY — the readability formula built for
+    * NON-PROSE text (technical manuals, forms — and token-salad
+    * training corpora like this one): grade = 20 − M/10 where M is the
+    * monosyllabic-word count per 150 words, i.e. 20 − 15·(mono/words).
+    * Flesch/FOG need sentence boundaries this corpus doesn't have;
+    * FORCAST is the standard sentence-free alternative, which is
+    * exactly the situation web-scraped training text is in after
+    * boilerplate stripping. Syllables are the vowel-group proxy
+    * (runs of [aeiouy] per word) — integer-exact, computed INSIDE the
+    * scan projection with array lambdas (split → transform →
+    * filter): no explode, no shuffle until the bounded per-source
+    * rollup. Per-source output: mean grade (decimal-pinned per-doc
+    * grades), corpus syllables/word and complex-word ratio from
+    * integer-exact sums.
+    */
+  def q271ForcastReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val words = filter(split($"text", " "), w => w =!= "")
+    val syl = transform($"words", w => size(regexp_extract_all(w,
+      lit("[aeiouy]+"), lit(0))))
+    val perDoc = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"source", words.as("words"))
+      .select($"doc_id", $"source",
+        size($"words").cast("long").as("nw"),
+        syl.as("syl"))
+      .select($"doc_id", $"source", $"nw",
+        aggregate($"syl", lit(0L), (acc, x) => acc + x).as("nsyl"),
+        size(filter($"syl", c => c === 1)).cast("long").as("mono"),
+        size(filter($"syl", c => c >= 3)).cast("long").as("complex"))
+      .withColumn("grade",
+        round(lit(20.0) - lit(15.0) *
+          ($"mono".cast("double") / $"nw".cast("double")), 6))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"grade".cast(dec6)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_grade"),
+        round(sum($"nsyl").cast("double") / sum($"nw").cast("double"), 6)
+          .as("syllables_per_word"),
+        round(sum($"complex").cast("double") / sum($"nw").cast("double"), 6)
+          .as("complex_ratio"))
+      .orderBy($"source")
+  }
+
+  private val q271Sql =
+    """WITH per_doc AS (
+      |  SELECT doc_id, source, nw,
+      |    list_sum(syl) AS nsyl,
+      |    len(list_filter(syl, c -> c = 1)) AS mono,
+      |    len(list_filter(syl, c -> c >= 3)) AS cx,
+      |    round(20e0 - 15e0 *
+      |      (CAST(len(list_filter(syl, c -> c = 1)) AS DOUBLE) /
+      |       CAST(nw AS DOUBLE)), 6) AS grade
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(words) AS BIGINT) AS nw,
+      |      list_transform(words,
+      |        w -> len(regexp_extract_all(w, '[aeiouy]+'))) AS syl
+      |    FROM (
+      |      SELECT doc_id, source,
+      |        list_filter(string_split(text, ' '), w -> w <> '') AS words
+      |      FROM documents)))
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(grade AS DECIMAL(18,6))) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE), 6) AS mean_grade,
+      |  round(CAST(sum(nsyl) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+      |    AS syllables_per_word,
+      |  round(CAST(sum(cx) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+      |    AS complex_ratio
+      |FROM per_doc
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q271_forcast_readability",
+      Seq("EXT-text", "EXT-curation", "A2"),
+      "FORCAST readability (sentence-free): vowel-group syllables via scan-local array lambdas, per-source grade/complexity rollup",
+      q271ForcastReadability, Some(q271Sql)),
     GraftQuery("q226_quantile_normalize", Seq("EXT-curation", "EXT-text", "W1"),
       "quantile normalization across sources: integer-exact nearest-rank mapping onto the pooled distribution, GlobalRank pooled ranking",
       q226QuantileNormalize, Some(q226Sql)),

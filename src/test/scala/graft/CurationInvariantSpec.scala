@@ -263,4 +263,32 @@ class CurationInvariantSpec extends AnyFunSuite {
     assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)),
       "unrelated doc must produce no pair")
   }
+
+  test("q271: FORCAST grades a monosyllabic corpus at exactly grade 5") {
+    import spark.implicits._
+    // all-monosyllabic text: mono/words = 1 -> grade = 20 - 15 = 5;
+    // a polysyllabic doc must grade HIGHER (harder)
+    val tmp = java.nio.file.Files.createTempDirectory("forcast").toString
+    Seq((1L, "the cat sat on the mat", "a"),
+      (2L, "imagination necessitates extraordinary vocabulary", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextAnalysis
+      .q271ForcastReadability(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getDouble(2) == 5.0,
+      s"monosyllabic corpus must grade 5.0, got ${rows("a").getDouble(2)}")
+    assert(rows("b").getDouble(2) == 20.0,
+      "zero monosyllables must grade 20.0")
+    assert(rows("b").getDouble(3) > rows("a").getDouble(3),
+      "polysyllabic source must have more syllables per word")
+    assert(rows("a").getDouble(4) == 0.0 && rows("b").getDouble(4) == 1.0,
+      "complex-word ratio must separate the two sources")
+    // and the registered query runs on the real corpus
+    val real = operators.TextAnalysis
+      .q271ForcastReadability(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(2) >= 5.0 && r.getDouble(2) <= 20.0,
+      s"FORCAST grade out of [5,20]: ${r.getDouble(2)}"))
+  }
 }

@@ -586,6 +586,26 @@ class MiningSpec extends AnyFunSuite {
     assert(n == direct, s"window mass $n != direct $direct on $day")
   }
 
+  test("q270: decomposition reassembles the series and seasonal sums to ~0") {
+    val rows = operators.Mining.q270SeasonalDecomp(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val full = rows.filter(!_.isNullAt(2))
+    assert(full.nonEmpty, "no month has a full 12-month trend window")
+    // trend + seasonal + residual == revenue on every full-window month
+    full.foreach { r =>
+      val re = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(re - r.getDouble(1)) < 1e-4,
+        s"${r.getString(0)}: reassembly $re != revenue ${r.getDouble(1)}")
+    }
+    // the month-of-year profile is centered: 12 distinct seasonal values
+    // summing to ~0
+    val seas = full.map(_.getDouble(3)).distinct
+    assert(seas.length <= 12)
+    assert(math.abs(seas.sum) < 1e-4 * seas.map(math.abs).max)
+    // edges without a full window have null trend and residual
+    rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(4)))
+  }
+
   test("q267: the ALS half-step solves the per-user normal equations") {
     import org.apache.spark.sql.functions._
     val rows = operators.Mining.q267AlsHalfStep(spark, dir).collect()

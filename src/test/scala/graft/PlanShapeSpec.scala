@@ -153,6 +153,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q266: PAVA's minimax runs on bounded non-equi products of the
     //    ~11-row discount-bin table (|B|³ rows at any corpus size); the
     //    fact table is touched once, in the bin groupBy
+    //  - q268: crossJoin(broadcast(<1-row global covariance stats>))
+    //    onto the 5-row per-segment table (scalar attach)
+    //  - q270: crossJoin(broadcast(<1-row seasonal grand mean>)) onto
+    //    the 12-row month-of-year profile (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -166,7 +170,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q211_chi2_independence", "q212_ks_test", "q214_cusum_changepoint",
       "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette",
       "q225_neyman_allocation", "q254_cluster_sample",
-      "q264_poisson_bootstrap", "q266_isotonic_calibration")),
+      "q264_poisson_bootstrap", "q266_isotonic_calibration",
+      "q268_cuped", "q270_seasonal_decomp")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -215,7 +220,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // q264: nearest-rank walk over the 32-row bootstrap-replicate
       // table — the input is the REPLICATE-count grain (R=32 at any
       // corpus size), never the fact stream
-      "q264_poisson_bootstrap")
+      "q264_poisson_bootstrap",
+      // q270: centered-MA trend window over the MONTHLY grain (~80
+      // rows at any corpus size — the q95/q156 calendar-bounded
+      // argument); the fact table is touched once, in the month groupBy
+      "q270_seasonal_decomp")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {

@@ -196,6 +196,31 @@ class PlatformSpec extends AnyFunSuite {
     }
   }
 
+  test("q268: CUPED preserves the grand mean and never inflates variance") {
+    import spark.implicits._
+    val rows = operators.Platform.q268Cuped(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val vr = rows.head.getDouble(5)
+    assert(vr > 0.0 && vr <= 1.0, s"variance ratio $vr out of (0,1]")
+    // theta identical on every row (it is the global adjustment)
+    assert(rows.map(_.getDouble(4)).distinct.length == 1)
+    // CUPED is mean-preserving over ALL units: sum_s n_s*(adj - raw)
+    // = -theta * sum_s n_s*(xbar_s - xbar) = 0
+    val shift = rows.map(r => r.getLong(1) * (r.getDouble(3) - r.getDouble(2))).sum
+    val total = rows.map(r => r.getLong(1) * math.abs(r.getDouble(2))).sum
+    assert(math.abs(shift) < 1e-6 * math.max(total, 1.0),
+      s"adjustment not mean-preserving: $shift")
+  }
+
+  test("q269: DiD equals the hand-computed cell contrast") {
+    val r = operators.Platform.q269DiffInDiff(spark, dir).collect().head
+    val did = (r.getDouble(1) - r.getDouble(0)) -
+      (r.getDouble(3) - r.getDouble(2))
+    assert(math.abs(r.getDouble(4) - did) < 1e-6)
+    assert(r.getDouble(5) > 0, "SE must be positive")
+    assert(math.abs(r.getDouble(6) - r.getDouble(4) / r.getDouble(5)) < 1e-4)
+  }
+
   test("q266: isotonic fit is monotone and preserves weighted mass") {
     val rows = operators.Platform.q266IsotonicCalibration(spark, dir)
       .collect().sortBy(_.getLong(0))
