@@ -164,7 +164,13 @@ object ScaleSmoke {
       // tables; q270 runs on the monthly grain; q271 is scan-local
       // array lambdas + a per-source rollup.
       "q268_cuped", "q269_diff_in_diff", "q270_seasonal_decomp",
-      "q271_forcast_readability")
+      "q271_forcast_readability",
+      // round-9 batch 18: q272's quantile runs on segment×bin tiles;
+      // q273 rides the P-row global-prefix device over the distinct-
+      // value grain; q274 is monthly-grain; q275 is one entity-keyed
+      // aggregation over a 4-per-entity record universe.
+      "q272_conformal_interval", "q273_mann_whitney",
+      "q274_xmr_control_chart", "q275_golden_record")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

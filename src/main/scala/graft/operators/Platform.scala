@@ -1520,7 +1520,327 @@ object Platform {
       |    / sqrt(CAST(var_sum AS DOUBLE)), 6) AS t_stat
       |FROM wide""".stripMargin
 
+  private val ConformalBin = 5000.0
+
+  /** q272: SPLIT CONFORMAL PREDICTION INTERVALS — the distribution-free
+    * uncertainty wrapper (Vovk; Lei et al.) modern ML serving bolts
+    * onto ANY point predictor: calibrate the (1−α) quantile of
+    * held-out nonconformity scores, and the interval ±q̂ covers ≥90%
+    * of exchangeable test points BY THEOREM, no matter how bad the
+    * model. Units are customers, hash-split 50/25/25 train/cal/test
+    * (the q50 deterministic coin); the predictor is the train-side
+    * segment mean; scores are |y − ŷ|. The calibration quantile runs
+    * at scale through FIXED-WIDTH SCORE TILES (the q263 histogram
+    * device): per-segment bin counts, a bounded cumulative walk, and
+    * the integer-exact nearest-rank test 10·cum ≥ 9·(n_cal+1); q̂
+    * rounds UP to the bin edge, which only widens the interval — the
+    * conformal guarantee survives the binning conservatively. Test
+    * coverage is reported next to the ≥0.9 target.
+    */
+  def q272ConformalInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rev = t(s, dir, "orders")
+      .groupBy($"o_custkey").agg(sum($"o_totalprice".cast(dec)).as("rev"))
+    val cust = t(s, dir, "customer")
+      .join(rev, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"rev", lit(0).cast(dec)).cast("double").as("y"),
+        substring(md5(concat(lit("cp:"), $"c_custkey".cast("string"))),
+          1, 8).as("h"))
+      .withColumn("split",
+        when($"h" < "80000000", "train")
+          .when($"h" < "c0000000", "cal").otherwise("test"))
+      .persist()
+    val pred = cust.filter($"split" === "train")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_train"),
+        (sum($"y".cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("yhat"))
+    val scored = cust.filter($"split" =!= "train")
+      .join(broadcast(pred), Seq("c_mktsegment"))
+      .withColumn("score", abs($"y" - $"yhat"))
+    val calBins = scored.filter($"split" === "cal")
+      .groupBy($"c_mktsegment",
+        floor($"score" / ConformalBin).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wSeg = Window.partitionBy($"c_mktsegment").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // nearest-rank test 10*cum >= 9*(n_cal+1); when NO bin qualifies
+    // (n_cal < 9 makes ceil(0.9*(n+1)) > n) the conformal convention
+    // is q-hat = +inf — carried as NULL, the interval is unbounded
+    val qhat = calBins
+      .withColumn("cum", sum($"c").over(wSeg))
+      .withColumn("ncal", sum($"c").over(Window.partitionBy($"c_mktsegment")))
+      .groupBy($"c_mktsegment")
+      .agg(max($"ncal").as("n_cal"),
+        ((min(when($"cum" * 10 >= ($"ncal" + 1) * 9, $"bin")) + 1)
+          .cast("double") * ConformalBin).as("qh"))
+    val test = scored.filter($"split" === "test")
+      .join(broadcast(qhat), Seq("c_mktsegment"))
+      .groupBy($"c_mktsegment")
+      .agg(max($"n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max($"qh").as("qhat"),
+        round(sum(when($"qh".isNull || $"score" <= $"qh", 1L)
+            .otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("coverage"))
+    pred.join(test, Seq("c_mktsegment"))
+      .select($"c_mktsegment", $"n_train", $"n_cal", $"n_test",
+        round($"yhat", 6).as("yhat"), $"qhat", $"coverage")
+      .orderBy($"c_mktsegment")
+      .localCheckpoint()
+  }
+
+  private val q272Sql =
+    """WITH rev AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |cust AS (
+      |  SELECT c.c_custkey, c.c_mktsegment,
+      |    CAST(coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y,
+      |    CASE WHEN substr(md5('cp:' || c.c_custkey), 1, 8) < '80000000'
+      |      THEN 'train'
+      |      WHEN substr(md5('cp:' || c.c_custkey), 1, 8) < 'c0000000'
+      |      THEN 'cal' ELSE 'test' END AS split
+      |  FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey),
+      |pred AS (
+      |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_train,
+      |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE) AS yhat
+      |  FROM cust WHERE split = 'train' GROUP BY 1),
+      |scored AS (
+      |  SELECT cu.c_mktsegment, cu.split, abs(cu.y - p.yhat) AS score
+      |  FROM cust cu JOIN pred p USING (c_mktsegment)
+      |  WHERE cu.split <> 'train'),
+      |cal_bins AS (
+      |  SELECT c_mktsegment, CAST(floor(score / 5000.0) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM scored WHERE split = 'cal' GROUP BY 1, 2),
+      |walk AS (
+      |  SELECT c_mktsegment, bin,
+      |    CAST(sum(c) OVER (PARTITION BY c_mktsegment ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ncal
+      |  FROM cal_bins),
+      |qh AS (
+      |  SELECT c_mktsegment, max(ncal) AS n_cal,
+      |    CAST(min(CASE WHEN cum * 10 >= (ncal + 1) * 9 THEN bin END) + 1
+      |      AS DOUBLE) * 5000.0 AS qh
+      |  FROM walk
+      |  GROUP BY 1),
+      |tst AS (
+      |  SELECT s.c_mktsegment, max(q.n_cal) AS n_cal,
+      |    CAST(count(*) AS BIGINT) AS n_test, max(q.qh) AS qhat,
+      |    round(CAST(sum(CASE WHEN q.qh IS NULL OR s.score <= q.qh
+      |        THEN 1 ELSE 0 END)
+      |        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS coverage
+      |  FROM scored s JOIN qh q USING (c_mktsegment)
+      |  WHERE s.split = 'test' GROUP BY 1)
+      |SELECT p.c_mktsegment, p.n_train, t.n_cal, t.n_test,
+      |  round(p.yhat, 6) AS yhat, t.qhat, t.coverage
+      |FROM pred p JOIN tst t USING (c_mktsegment)
+      |ORDER BY p.c_mktsegment""".stripMargin
+
+  /** q273: MANN–WHITNEY U — the nonparametric two-sample test the
+    * drift family was missing: chi-square (q211) needs categories, KS
+    * (q212) gauges the CDF sup-gap, MW-U tests STOCHASTIC DOMINANCE
+    * (does one group's metric tend larger?) with no distributional
+    * assumption — the robust default when revenue-like metrics are
+    * heavy-tailed. Scale shape: collapse to the DISTINCT-VALUE grain
+    * (cents), take tie-averaged ranks from ONE global prefix sum over
+    * values ([[GlobalRank.withGlobalPrefixSums]] — the q212/q214
+    * device, P-row driver state at any size), and reduce to exact
+    * sufficient statistics: rank sums as DECIMAL(38,0) (2-scaled so
+    * tie-averaged ranks stay integral), the tie-correction Σ(t³−t),
+    * and the normal approximation with tie-corrected variance as one
+    * final double expression. No corpus-sized sort, no window over the
+    * raw stream.
+    */
+  def q273MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byVal = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select(($"o_totalprice".cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        when($"c_mktsegment" === "BUILDING", 1L).otherwise(0L).as("t1"),
+        lit(1L).as("one"))
+      .groupBy($"cents")
+      .agg(sum($"one").as("n"), sum($"t1").as("n1"))
+    val cum = GlobalRank.withGlobalPrefixSums(
+      byVal, Seq("n" -> "cumn"), $"cents".asc)
+    // tie-averaged rank of every row at value v, 2-scaled to stay
+    // integral: 2*avg_rank = 2*(cum_before) + n + 1
+    val stats = cum.select($"n", $"n1",
+      (($"cumn" - $"n") * 2 + $"n" + 1).as("rank2"))
+      .agg(sum($"n").cast(dec0).as("ntot"),
+        sum($"n1").cast(dec0).as("n1tot"),
+        // cast BEFORE multiplying: n1·rank2 at 1e12 rows overflows long
+        sum($"n1".cast(dec0) * $"rank2").as("r1x2"),
+        sum(($"n" * $"n" * $"n" - $"n").cast(dec0)).as("ties"))
+    val (n, n1, r12, ties) = ($"ntot".cast("double"), $"n1tot".cast("double"),
+      $"r1x2".cast("double"), $"ties".cast("double"))
+    val n2 = n - n1
+    val u1 = (r12 - n1 * (n1 + 1)) / 2.0
+    val varU = n1 * n2 / 12.0 *
+      ((n + 1) - ties / (n * (n - 1)))
+    stats.select(
+      $"n1tot".cast("long").as("n_treat"),
+      ($"ntot" - $"n1tot").cast("long").as("n_control"),
+      round(u1, 1).as("u1"),
+      round((u1 - n1 * n2 / 2.0) / sqrt(varU), 6).as("z"),
+      round(lit(1.0) - lit(2.0) * u1 / (n1 * n2), 6).as("rank_biserial"))
+  }
+
+  private val q273Sql =
+    """WITH byval AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n1
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT n, n1,
+      |    (CAST(sum(n) OVER (ORDER BY cents) AS BIGINT) - n) * 2 + n + 1
+      |      AS rank2
+      |  FROM byval),
+      |st AS (
+      |  SELECT sum(CAST(n AS DECIMAL(38,0))) AS ntot,
+      |    sum(CAST(n1 AS DECIMAL(38,0))) AS n1tot,
+      |    sum(CAST(n1 * rank2 AS DECIMAL(38,0))) AS r1x2,
+      |    sum(CAST(n * n * n - n AS DECIMAL(38,0))) AS ties
+      |  FROM cum)
+      |SELECT CAST(n1tot AS BIGINT) AS n_treat,
+      |  CAST(ntot - n1tot AS BIGINT) AS n_control,
+      |  round((CAST(r1x2 AS DOUBLE) - CAST(n1tot AS DOUBLE) *
+      |    (CAST(n1tot AS DOUBLE) + 1)) / 2.0, 1) AS u1,
+      |  round(((CAST(r1x2 AS DOUBLE) - CAST(n1tot AS DOUBLE) *
+      |      (CAST(n1tot AS DOUBLE) + 1)) / 2.0 -
+      |      CAST(n1tot AS DOUBLE) *
+      |      (CAST(ntot AS DOUBLE) - CAST(n1tot AS DOUBLE)) / 2.0) /
+      |    sqrt(CAST(n1tot AS DOUBLE) *
+      |      (CAST(ntot AS DOUBLE) - CAST(n1tot AS DOUBLE)) / 12.0 *
+      |      ((CAST(ntot AS DOUBLE) + 1) - CAST(ties AS DOUBLE) /
+      |        (CAST(ntot AS DOUBLE) * (CAST(ntot AS DOUBLE) - 1)))), 6)
+      |    AS z,
+      |  round(1e0 - 2e0 * ((CAST(r1x2 AS DOUBLE) - CAST(n1tot AS DOUBLE) *
+      |      (CAST(n1tot AS DOUBLE) + 1)) / 2.0) /
+      |    (CAST(n1tot AS DOUBLE) *
+      |      (CAST(ntot AS DOUBLE) - CAST(n1tot AS DOUBLE))), 6)
+      |    AS rank_biserial
+      |FROM st""".stripMargin
+
+  /** q274: XmR (SHEWHART INDIVIDUALS) CONTROL CHART — the SPC
+    * complement to CUSUM (q214): CUSUM finds WHERE the level shifted,
+    * the XmR chart decides whether each month is OUT OF CONTROL
+    * against natural process variation, with limits estimated from the
+    * MOVING RANGE (mean |Δ| · 2.66 — Donald Wheeler's constant, robust
+    * to the trend contaminating a plain σ estimate). Integer-exact
+    * core: monthly cents, t-index and lag via
+    * [[GlobalRank.withGlobalPrefixSums]] + a t=t−1 self-join (no
+    * global window over the series), moving ranges as exact longs,
+    * and ONE double expression for the limits, round(6)-pinned.
+    */
+  def q274XmrControlChart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+      .agg((sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+      .withColumn("one", lit(1L))
+    val idx = GlobalRank.withGlobalPrefixSums(
+      monthly, Seq("one" -> "t"), $"m".asc).persist()
+    val mr = idx.select(($"t" + 1).as("tn"), $"cents".as("prev"))
+    val withMr = idx.join(mr, $"t" === $"tn", "left")
+      .select($"m", $"t", $"cents",
+        when($"prev".isNotNull, abs($"cents" - $"prev")).as("mr"))
+    val limits = withMr.agg(
+      count(lit(1)).as("mm"), sum($"cents").as("tc"),
+      sum($"mr").as("tmr"), count($"mr").as("nmr"))
+    val out = withMr.crossJoin(broadcast(limits))
+      .select($"m".cast("date").cast("string").as("month"),
+        ($"cents" / lit(100.0)).as("revenue"),
+        round($"mr" / lit(100.0), 2).as("moving_range"),
+        round(($"tc".cast("double") / $"mm".cast("double")) / 100.0, 6)
+          .as("center"),
+        round(($"tc".cast("double") / $"mm".cast("double") +
+          lit(2.66) * $"tmr".cast("double") / $"nmr".cast("double")) /
+          100.0, 6).as("ucl"),
+        round(($"tc".cast("double") / $"mm".cast("double") -
+          lit(2.66) * $"tmr".cast("double") / $"nmr".cast("double")) /
+          100.0, 6).as("lcl"),
+        ($"cents".cast("double") >
+          $"tc".cast("double") / $"mm".cast("double") +
+            lit(2.66) * $"tmr".cast("double") / $"nmr".cast("double") ||
+          $"cents".cast("double") <
+          $"tc".cast("double") / $"mm".cast("double") -
+            lit(2.66) * $"tmr".cast("double") / $"nmr".cast("double"))
+          .as("out_of_control"))
+      .orderBy($"month")
+      .localCheckpoint()
+    idx.unpersist()
+    out
+  }
+
+  private val q274Sql =
+    """WITH mo AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT m, cents,
+      |    CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+      |  FROM mo),
+      |wmr AS (
+      |  SELECT a.m, a.t, a.cents,
+      |    CASE WHEN b.cents IS NOT NULL THEN abs(a.cents - b.cents) END
+      |      AS mr
+      |  FROM idx a LEFT JOIN idx b ON a.t = b.t + 1),
+      |lim AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS mm,
+      |    CAST(sum(cents) AS BIGINT) AS tc,
+      |    CAST(sum(mr) AS BIGINT) AS tmr,
+      |    CAST(count(mr) AS BIGINT) AS nmr
+      |  FROM wmr)
+      |SELECT CAST(CAST(m AS DATE) AS VARCHAR) AS month,
+      |  cents / 100.0 AS revenue,
+      |  round(mr / 100.0, 2) AS moving_range,
+      |  round((CAST(tc AS DOUBLE) / CAST(mm AS DOUBLE)) / 100.0, 6)
+      |    AS center,
+      |  round((CAST(tc AS DOUBLE) / CAST(mm AS DOUBLE) +
+      |    2.66 * CAST(tmr AS DOUBLE) / CAST(nmr AS DOUBLE)) / 100.0, 6)
+      |    AS ucl,
+      |  round((CAST(tc AS DOUBLE) / CAST(mm AS DOUBLE) -
+      |    2.66 * CAST(tmr AS DOUBLE) / CAST(nmr AS DOUBLE)) / 100.0, 6)
+      |    AS lcl,
+      |  (CAST(cents AS DOUBLE) >
+      |     CAST(tc AS DOUBLE) / CAST(mm AS DOUBLE) +
+      |       2.66 * CAST(tmr AS DOUBLE) / CAST(nmr AS DOUBLE) OR
+      |   CAST(cents AS DOUBLE) <
+      |     CAST(tc AS DOUBLE) / CAST(mm AS DOUBLE) -
+      |       2.66 * CAST(tmr AS DOUBLE) / CAST(nmr AS DOUBLE))
+      |    AS out_of_control
+      |FROM wmr CROSS JOIN lim
+      |ORDER BY month""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q272_conformal_interval",
+      Seq("EXT-approx", "EXT-histogram", "EXT-split", "A2"),
+      "split conformal prediction: hash-split calibration, histogram-tile quantile with integer nearest-rank test, test coverage vs the 0.9 target",
+      q272ConformalInterval, Some(q272Sql)),
+    GraftQuery("q273_mann_whitney", Seq("EXT-olap", "A2", "J1"),
+      "Mann-Whitney U on the distinct-value grain: tie-averaged ranks from one global prefix sum, tie-corrected normal z, rank-biserial effect",
+      q273MannWhitney, Some(q273Sql)),
+    GraftQuery("q274_xmr_control_chart", Seq("EXT-olap", "EXT-window", "A2"),
+      "Shewhart XmR chart: integer-exact moving ranges via prefix-index self-join, Wheeler 2.66 limits, per-month out-of-control flags",
+      q274XmrControlChart, Some(q274Sql)),
     GraftQuery("q268_cuped", Seq("EXT-olap", "A2", "J1"),
       "CUPED variance reduction: decimal-exact covariance statistics, per-segment adjusted means without a second pass, 1-rho^2 ratio",
       q268Cuped, Some(q268Sql)),

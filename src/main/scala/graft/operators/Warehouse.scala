@@ -1668,7 +1668,117 @@ object Warehouse {
       |  (1000 * n_docs) // ntot AS prop_n
       |FROM wt CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q275: GOLDEN-RECORD SURVIVORSHIP — the master-data-management
+    * operator a FIRMOGRAPHIC pipeline (the reference's exact domain)
+    * ends in: several conflicting source records per real-world entity,
+    * one surviving "golden" record assembled attribute-by-attribute
+    * under explicit rules. The record universe is constructed
+    * deterministically from part (the q56/q92 corruption device): per
+    * entity, four source records with per-source attribute gaps and
+    * hash-derived recency. Rules exercised — the industry trio:
+    * LONGEST-STRING wins for the name (tie → lexicographic max),
+    * MOST-RECENT-NON-NULL wins for brand/type (the struct-max argmax:
+    * null rows demoted with day −1), and MAX wins for the numeric
+    * size. Everything is per-entity aggregation over ≤4 rows/entity —
+    * one shuffle on the entity key, no windows, completeness audited
+    * per golden row.
+    */
+  def q275GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type", $"p_size")
+    // day is UNIQUE per (entity, source) by construction (4k + src):
+    // DuckDB's max_by breaks ties arbitrarily, so every argmax key in
+    // this query must be collision-free or value-determined
+    def day(src: Int): Column =
+      ((conv(substring(md5(concat(lit(s"gr$src:"),
+        $"p_partkey".cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 250) * 4 + src).as("day")
+    // four source records per entity: the original plus three
+    // conflicting variants with per-source attribute gaps
+    val recs = p.select($"p_partkey".as("eid"), lit(0).as("src"),
+        $"p_name".as("name"), $"p_brand".as("brand"),
+        $"p_type".as("typ"), $"p_size".cast("long").as("size"), day(0))
+      .unionByName(p.select($"p_partkey".as("eid"), lit(1).as("src"),
+        concat(lit("The "), $"p_name", lit(" Inc.")).as("name"),
+        lit(null).cast("string").as("brand"),
+        $"p_type".as("typ"), $"p_size".cast("long").as("size"), day(1)))
+      .unionByName(p.select($"p_partkey".as("eid"), lit(2).as("src"),
+        expr("substring(p_name, 2)").as("name"),
+        $"p_brand".as("brand"), lit(null).cast("string").as("typ"),
+        lit(null).cast("long").as("size"), day(2)))
+      .unionByName(p.select($"p_partkey".as("eid"), lit(3).as("src"),
+        concat_ws(" ", reverse(split($"p_name", " "))).as("name"),
+        $"p_brand".as("brand"), $"p_type".as("typ"),
+        lit(null).cast("long").as("size"), day(3)))
+    // survivorship: one aggregation, argmax encoded as struct max with
+    // null demotion (non-null wins at any recency; recency breaks the
+    // rest; the value rides along as the struct tail)
+    def recentNonNull(c: Column): Column =
+      max(struct(when(c.isNotNull, $"day").otherwise(lit(-1L)).as("d"),
+        c.as("v"))).getField("v")
+    recs.groupBy($"eid")
+      .agg(count(lit(1)).as("n_sources"),
+        max(struct(length($"name").as("l"), $"name".as("v")))
+          .getField("v").as("golden_name"),
+        recentNonNull($"brand").as("golden_brand"),
+        recentNonNull($"typ").as("golden_type"),
+        max($"size").as("golden_size"),
+        sum(when($"brand".isNotNull, 1L).otherwise(0L) +
+          when($"typ".isNotNull, 1L).otherwise(0L) +
+          when($"size".isNotNull, 1L).otherwise(0L)).as("attrs_seen"))
+      .select($"eid", $"n_sources", $"golden_name", $"golden_brand",
+        $"golden_type", $"golden_size",
+        round($"attrs_seen".cast("double") / 12.0, 6).as("completeness"))
+      .orderBy($"eid")
+  }
+
+  private val q275Sql =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part),
+      |recs AS (
+      |  SELECT p_partkey AS eid, 0 AS src, p_name AS name,
+      |    p_brand AS brand, p_type AS typ, CAST(p_size AS BIGINT) AS size,
+      |    (('0x' || substr(md5('gr0:' || p_partkey), 1, 4))::BIGINT % 250) * 4 + 0
+      |      AS day
+      |  FROM p
+      |  UNION ALL
+      |  SELECT p_partkey, 1, 'The ' || p_name || ' Inc.', NULL, p_type,
+      |    CAST(p_size AS BIGINT),
+      |    (('0x' || substr(md5('gr1:' || p_partkey), 1, 4))::BIGINT % 250) * 4 + 1
+      |  FROM p
+      |  UNION ALL
+      |  SELECT p_partkey, 2, substring(p_name, 2), p_brand, NULL, NULL,
+      |    (('0x' || substr(md5('gr2:' || p_partkey), 1, 4))::BIGINT % 250) * 4 + 2
+      |  FROM p
+      |  UNION ALL
+      |  SELECT p_partkey, 3,
+      |    array_to_string(list_reverse(string_split(p_name, ' ')), ' '),
+      |    p_brand, p_type, NULL,
+      |    (('0x' || substr(md5('gr3:' || p_partkey), 1, 4))::BIGINT % 250) * 4 + 3
+      |  FROM p)
+      |SELECT eid, CAST(count(*) AS BIGINT) AS n_sources,
+      |  max(struct_pack(l := length(name), v := name)).v AS golden_name,
+      |  max(struct_pack(
+      |    d := CASE WHEN brand IS NOT NULL THEN day ELSE -1 END,
+      |    v := brand)).v AS golden_brand,
+      |  max(struct_pack(
+      |    d := CASE WHEN typ IS NOT NULL THEN day ELSE -1 END,
+      |    v := typ)).v AS golden_type,
+      |  max(size) AS golden_size,
+      |  round(CAST(sum(CASE WHEN brand IS NOT NULL THEN 1 ELSE 0 END +
+      |      CASE WHEN typ IS NOT NULL THEN 1 ELSE 0 END +
+      |      CASE WHEN size IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    12.0, 6) AS completeness
+      |FROM recs
+      |GROUP BY eid
+      |ORDER BY eid""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q275_golden_record",
+      Seq("EXT-olap", "A2", "EXT-fuzzy"),
+      "MDM golden-record survivorship: longest-string / most-recent-non-null / max rules as struct-max argmaxes, one entity-keyed aggregation",
+      q275GoldenRecord, Some(q275Sql)),
     GraftQuery("q225_neyman_allocation", Seq("EXT-curation", "A2", "EXT-approx"),
       "Neyman variance-optimal sampling allocation per source: integer-exact moments, sqrt(var_num) weights, vs proportional",
       q225NeymanAllocation, Some(q225Sql)),

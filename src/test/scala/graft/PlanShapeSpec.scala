@@ -157,6 +157,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    onto the 5-row per-segment table (scalar attach)
     //  - q270: crossJoin(broadcast(<1-row seasonal grand mean>)) onto
     //    the 12-row month-of-year profile (scalar attach)
+    //  - q274: crossJoin(broadcast(<1-row center/limit stats>)) onto
+    //    the monthly series (the q214 scalar-attach shape)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -171,7 +173,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q219_jl_projection", "q221_sketch_rollup", "q222_silhouette",
       "q225_neyman_allocation", "q254_cluster_sample",
       "q264_poisson_bootstrap", "q266_isotonic_calibration",
-      "q268_cuped", "q270_seasonal_decomp")),
+      "q268_cuped", "q270_seasonal_decomp",
+      "q274_xmr_control_chart")),
       s"unexpected cross products in: $offenders")
   }
 

@@ -221,6 +221,50 @@ class PlatformSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - r.getDouble(4) / r.getDouble(5)) < 1e-4)
   }
 
+  test("q272: conformal coverage meets the 0.9 target on every segment") {
+    val rows = operators.Platform.q272ConformalInterval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(3) > 0,
+        s"${r.getString(0)}: empty split")
+      // n_cal < 9 makes ceil(0.9*(n+1)) > n: q-hat is NULL (unbounded
+      // interval, coverage 1.0 by convention) — the sf0.001 segments
+      // are small enough to exercise both arms
+      if (r.isNullAt(5)) assert(r.getDouble(6) == 1.0,
+        "unbounded interval must cover everything")
+      else assert(r.getDouble(5) > 0, "qhat must be positive")
+      // the conformal theorem guarantees >= 0.9 in expectation; the
+      // bin rounding only widens, so demanding >= 0.8 per segment at
+      // this sample size is safe and still catches a broken quantile
+      assert(r.getDouble(6) >= 0.8,
+        s"${r.getString(0)}: coverage ${r.getDouble(6)} too low")
+    }
+  }
+
+  test("q273: U statistic is consistent with its own z and effect size") {
+    val r = operators.Platform.q273MannWhitney(spark, dir).collect().head
+    val (n1, n2, u1) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n1 > 0 && n2 > 0)
+    assert(u1 >= 0 && u1 <= n1.toDouble * n2, "U out of [0, n1*n2]")
+    val rb = 1.0 - 2.0 * u1 / (n1.toDouble * n2)
+    assert(math.abs(r.getDouble(4) - rb) < 1e-4)
+    assert(math.abs(r.getDouble(4)) <= 1.0)
+  }
+
+  test("q274: XmR limits bracket the center and flags agree with limits") {
+    val rows = operators.Platform.q274XmrControlChart(spark, dir).collect()
+    assert(rows.length >= 3)
+    // first month has no moving range
+    assert(rows.head.isNullAt(2))
+    rows.foreach { r =>
+      val (rev, c, u, l) = (r.getDouble(1), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(l < c && c < u, "limits must bracket the center")
+      assert(r.getBoolean(6) == (rev > u || rev < l),
+        s"${r.getString(0)}: flag disagrees with limits")
+    }
+  }
+
   test("q266: isotonic fit is monotone and preserves weighted mass") {
     val rows = operators.Platform.q266IsotonicCalibration(spark, dir)
       .collect().sortBy(_.getLong(0))

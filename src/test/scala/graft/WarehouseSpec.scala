@@ -315,4 +315,23 @@ class WarehouseSpec extends AnyFunSuite {
     assert(rows(1).getInt(0) == 9 && rows(1).getDouble(4) == 0.0,
       "survival must be exactly 0 when everyone at risk is an event")
   }
+
+  test("q275: survivorship rules pick the decorated name and fill every attribute") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Warehouse.q275GoldenRecord(spark, dir).persist()
+    val n = Tables.load(spark, dir, "part").count()
+    assert(rows.count() == n, "one golden record per entity")
+    // longest-string rule: the decorated variant ("The ... Inc.") is
+    // always the longest, so every golden name carries the decoration
+    assert(rows.filter(!col("golden_name").startsWith("The ")).count() == 0)
+    // most-recent-non-null: brand and type exist in >=2 sources each,
+    // so no golden attribute may be null
+    assert(rows.filter(col("golden_brand").isNull ||
+      col("golden_type").isNull || col("golden_size").isNull).count() == 0)
+    // completeness: every entity sees exactly 8 of 12 attribute slots
+    // (brand null in src1, type null in src2, size null in src2+src3)
+    assert(rows.filter(col("completeness") =!= 0.666667).count() == 0,
+      "every entity sees 8/12 slots")
+    rows.unpersist(false)
+  }
 }
