@@ -170,7 +170,12 @@ object ScaleSmoke {
       // value grain; q274 is monthly-grain; q275 is one entity-keyed
       // aggregation over a 4-per-entity record universe.
       "q272_conformal_interval", "q273_mann_whitney",
-      "q274_xmr_control_chart", "q275_golden_record")
+      "q274_xmr_control_chart", "q275_golden_record",
+      // round-9 batch 19: q276 is three range-partitioned rank passes;
+      // q277/q278 run on the monthly grain; q279 is one fact scan into
+      // a (brand, year) pivot.
+      "q276_rfm_segmentation", "q277_acf", "q278_runs_test",
+      "q279_price_volume_bridge")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -2029,7 +2029,191 @@ object Mining {
       |FROM detr LEFT JOIN seas ON detr.mi % 12 = seas.moy
       |ORDER BY month""".stripMargin
 
+  private val AcfMaxLag = 12
+
+  /** q277: AUTOCORRELATION FUNCTION (ACF, lags 1–12) of monthly
+    * revenue — the Box–Jenkins diagnostic that complements q270
+    * (decomposition) and q233 (forecast): seasonality shows as a
+    * spike at lag 12, trend as slow decay. Computed from exact
+    * sufficient statistics on the MONTHLY grain: the lag pairs come
+    * from a 12×-expanded index join (months × 12 rows — bounded by the
+    * calendar at any corpus size, the t-index from
+    * [[GlobalRank.withGlobalPrefixSums]], no global window), cross
+    * products as DECIMAL(38,0) (cents² overflows BIGINT), and the
+    * standard one-ȳ estimator r_k = (Σy_t·y_{t−k} − ȳ(S₁+S₂) +
+    * (n−k)ȳ²)/Σ(y−ȳ)² assembled in one fixed double expression.
+    * The ±1.96/√n white-noise band flags significant lags.
+    */
+  def q277Acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+      .agg((sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .withColumn("one", lit(1L))
+    val idx = GlobalRank.withGlobalPrefixSums(
+      monthly, Seq("one" -> "t"), $"m".asc).localCheckpoint()
+    val glob = idx.agg(count(lit(1)).as("n"),
+      sum($"y".cast(dec0)).as("sy"),
+      sum(($"y".cast(dec0) * $"y")).as("sy2"))
+    val lagged = idx.select($"t", $"y",
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+      .withColumn("tprev", $"t" - $"lag")
+    val pairs = lagged.join(idx.select($"t".as("tp"), $"y".as("yp")),
+        $"tprev" === $"tp")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("npairs"),
+        sum($"y".cast(dec0) * $"yp").as("sxy"),
+        sum($"y".cast(dec0)).as("s1"),
+        sum($"yp".cast(dec0)).as("s2"))
+    val (n, sy, sy2) = ($"n".cast("double"), $"sy".cast("double"),
+      $"sy2".cast("double"))
+    val ybar = sy / n
+    val denom = sy2 - sy * sy / n
+    val num = $"sxy".cast("double") -
+      ybar * ($"s1".cast("double") + $"s2".cast("double")) +
+      $"npairs".cast("double") * ybar * ybar
+    pairs.crossJoin(broadcast(glob))
+      .select($"lag".cast("long").as("lag"),
+        round(num / denom, 6).as("acf"),
+        round(lit(1.96) / sqrt(n), 6).as("band"),
+        (abs(num / denom) > lit(1.96) / sqrt(n)).as("significant"))
+      .orderBy($"lag")
+  }
+
+  private val q277Sql =
+    s"""WITH mo AS (
+       |  SELECT date_trunc('month', o_orderdate) AS m,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS y
+       |  FROM orders GROUP BY 1),
+       |idx AS (
+       |  SELECT y, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+       |  FROM mo),
+       |gstats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS sy2
+       |  FROM idx),
+       |pairs AS (
+       |  SELECT l.lag, CAST(count(*) AS BIGINT) AS npairs,
+       |    sum(CAST(a.y AS DECIMAL(38,0)) * b.y) AS sxy,
+       |    sum(CAST(a.y AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(b.y AS DECIMAL(38,0))) AS s2
+       |  FROM idx a
+       |  CROSS JOIN (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag) l
+       |  JOIN idx b ON b.t = a.t - l.lag
+       |  GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag,
+       |  round((CAST(sxy AS DOUBLE) -
+       |    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) +
+       |    CAST(npairs AS DOUBLE) *
+       |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+       |    (CAST(sy2 AS DOUBLE) -
+       |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)),
+       |    6) AS acf,
+       |  round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS band,
+       |  abs((CAST(sxy AS DOUBLE) -
+       |    (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE)) +
+       |    CAST(npairs AS DOUBLE) *
+       |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+       |    (CAST(sy2 AS DOUBLE) -
+       |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+       |    > 1.96 / sqrt(CAST(n AS DOUBLE)) AS significant
+       |FROM pairs CROSS JOIN gstats
+       |ORDER BY lag""".stripMargin
+
+  /** q278: WALD–WOLFOWITZ RUNS TEST on the monthly revenue series —
+    * is the sequence of above/below-mean months RANDOM, or does it
+    * cluster (trend/regime) or alternate (overcorrection)? The
+    * nonparametric randomness gate that validates q274's
+    * independence assumption. Signs are INTEGER-EXACT (y·n > Σy
+    * compares longs scaled by the count — the mean never becomes a
+    * float), runs count from a t/t−1 self-join on the prefix index
+    * (no global window), and the closed-form E[R]/Var[R] normal
+    * approximation is one final double expression.
+    */
+  def q278RunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+      .agg((sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("y"))
+      .withColumn("one", lit(1L))
+    val idx = GlobalRank.withGlobalPrefixSums(
+      monthly, Seq("one" -> "t"), $"m".asc).localCheckpoint()
+    val tot = idx.agg(count(lit(1)).as("n"), sum($"y".cast(dec0)).as("sy"))
+    // sign: y*n > sy  (exact decimal comparison — no float mean)
+    val signed = idx.crossJoin(broadcast(tot))
+      .select($"t", ($"y".cast(dec0) * $"n" > $"sy").as("pos"))
+      .localCheckpoint()
+    val flips = signed.join(
+        signed.select(($"t" + 1).as("tn"), $"pos".as("pprev")),
+        $"t" === $"tn")
+      .agg(sum(when($"pos" =!= $"pprev", 1L).otherwise(0L)).as("changes"))
+    val counts = signed.agg(count(lit(1)).as("n"),
+      sum(when($"pos", 1L).otherwise(0L)).as("n1"))
+    val (n, n1) = ($"n".cast("double"), $"n1".cast("double"))
+    val n2 = n - n1
+    val er = lit(2.0) * n1 * n2 / n + 1.0
+    val vr = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)) /
+      (n * n * (n - 1.0))
+    counts.crossJoin(flips)
+      .select($"n1".as("n_above"), ($"n" - $"n1").as("n_below"),
+        ($"changes" + 1).as("runs"),
+        round(er, 6).as("expected_runs"),
+        round((($"changes" + 1).cast("double") - er) / sqrt(vr), 6)
+          .as("z"))
+  }
+
+  private val q278Sql =
+    """WITH mo AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |idx AS (
+      |  SELECT y, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+      |  FROM mo),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(y AS DECIMAL(38,0))) AS sy
+      |  FROM idx),
+      |signed AS (
+      |  SELECT t, CAST(y AS DECIMAL(38,0)) * (SELECT n FROM tot) >
+      |    (SELECT sy FROM tot) AS pos
+      |  FROM idx),
+      |flips AS (
+      |  SELECT CAST(sum(CASE WHEN a.pos <> b.pos THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS changes
+      |  FROM signed a JOIN signed b ON a.t = b.t + 1),
+      |counts AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM signed)
+      |SELECT n1 AS n_above, n - n1 AS n_below, changes + 1 AS runs,
+      |  round(2e0 * n1 * (n - n1) / n + 1.0, 6) AS expected_runs,
+      |  round((CAST(changes + 1 AS DOUBLE) -
+      |      (2e0 * n1 * (n - n1) / n + 1.0)) /
+      |    sqrt((2e0 * n1 * (n - n1) * (2e0 * n1 * (n - n1) - n)) /
+      |      (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z
+      |FROM counts CROSS JOIN flips""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q277_acf", Seq("EXT-olap", "EXT-window", "A2"),
+      "ACF lags 1-12 of monthly revenue: calendar-bounded lag joins on the prefix index, decimal-exact cross products, white-noise band",
+      q277Acf, Some(q277Sql)),
+    GraftQuery("q278_runs_test", Seq("EXT-olap", "A2"),
+      "Wald-Wolfowitz runs test: integer-exact above/below-mean signs, prefix-index flip count, closed-form normal z",
+      q278RunsTest, Some(q278Sql)),
     GraftQuery("q270_seasonal_decomp", Seq("EXT-olap", "EXT-window", "A2"),
       "additive seasonal decomposition: centered 12-month MA trend, zero-centered month-of-year profile, residuals — all on the monthly grain",
       q270SeasonalDecomp, Some(q270Sql)),

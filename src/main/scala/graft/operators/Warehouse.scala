@@ -1774,7 +1774,181 @@ object Warehouse {
       |GROUP BY eid
       |ORDER BY eid""".stripMargin
 
+  /** q276: RFM SEGMENTATION — the marketing-analytics workhorse:
+    * score every customer 1–5 on Recency, Frequency, Monetary by
+    * QUINTILE RANK, then bucket into named lifecycle segments
+    * (champions / loyal / at-risk / hibernating). Exact quintiles need
+    * exact global ranks — delivered three times by
+    * [[GlobalRank.withGlobalRankCounted]] (range partitioning + P-row
+    * offsets, never a single-partition sort), each checkpointed before
+    * the next ranking so the offset bookkeeping of one pass can't be
+    * re-planned under the next (the GlobalRank cache contract).
+    * Quintile = ceil(5·rank/n) in pure integer arithmetic; custkey
+    * tiebreaks make every rank unique (the device's requirement).
+    * Output is the segment-level census (counts + mean scores from
+    * integer-exact sums).
+    */
+  def q276RfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(18, 2)
+    val base = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(datediff(lit("2002-01-01").cast("date"),
+          max($"o_orderdate").cast("date")).cast("long").as("days"),
+        count(lit(1)).as("freq"),
+        sum($"o_totalprice".cast(dec)).as("money"))
+    def quintile(rank: Column, n: Long): Column =
+      ((rank * 5 - 1) / lit(n)).cast("long") + 1
+    // R: most recent (smallest days) scores 5 -> rank DESC by days
+    val (rRank, n) = GlobalRank.withGlobalRankCounted(
+      base, "rr", $"days".desc, $"o_custkey".asc)
+    val r1 = rRank.withColumn("r", quintile($"rr", n)).drop("rr")
+      .localCheckpoint()
+    val (fRank, _) = GlobalRank.withGlobalRankCounted(
+      r1, "fr", $"freq".asc, $"o_custkey".asc)
+    val r2 = fRank.withColumn("f", quintile($"fr", n)).drop("fr")
+      .localCheckpoint()
+    val (mRank, _) = GlobalRank.withGlobalRankCounted(
+      r2, "mr", $"money".asc, $"o_custkey".asc)
+    val scored = mRank.withColumn("m", quintile($"mr", n)).drop("mr")
+      .withColumn("segment",
+        when($"r" >= 4 && $"f" >= 4 && $"m" >= 4, "champions")
+          .when($"r" >= 4 && $"f" >= 3, "loyal")
+          .when($"r" <= 2 && $"f" >= 3, "at_risk")
+          .when($"r" <= 2 && $"f" <= 2, "hibernating")
+          .otherwise("regular"))
+      .localCheckpoint()
+    scored.groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum($"r").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_r"),
+        round(sum($"f").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_f"),
+        round(sum($"m").cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_m"))
+      .orderBy($"segment")
+  }
+
+  private val q276Sql =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      DATE '2002-01-01') AS BIGINT) AS days,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS money
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT o_custkey,
+      |    CAST(row_number() OVER (ORDER BY days DESC, o_custkey ASC)
+      |      AS BIGINT) AS rr,
+      |    CAST(row_number() OVER (ORDER BY freq ASC, o_custkey ASC)
+      |      AS BIGINT) AS fr,
+      |    CAST(row_number() OVER (ORDER BY money ASC, o_custkey ASC)
+      |      AS BIGINT) AS mr,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM base),
+      |scored AS (
+      |  SELECT (rr * 5 - 1) // n + 1 AS r, (fr * 5 - 1) // n + 1 AS f,
+      |    (mr * 5 - 1) // n + 1 AS m
+      |  FROM ranked),
+      |seg AS (
+      |  SELECT r, f, m,
+      |    CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+      |      WHEN r >= 4 AND f >= 3 THEN 'loyal'
+      |      WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+      |      WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+      |      ELSE 'regular' END AS segment
+      |  FROM scored)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  round(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS avg_r,
+      |  round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS avg_f,
+      |  round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS avg_m
+      |FROM seg
+      |GROUP BY segment
+      |ORDER BY segment""".stripMargin
+
+  /** q279: PRICE–VOLUME BRIDGE (the FP&A waterfall): decompose each
+    * brand's year-over-year revenue change into a VOLUME effect
+    * ((q₁−q₀)·p₀) and a PRICE effect ((p₁−p₀)·q₁) — the two-factor
+    * Laspeyres/Paasche split that reconciles EXACTLY (vol + price =
+    * ΔR by algebra, no unexplained residual), which is why it's the
+    * variance-analysis default. One fact scan collapses to the
+    * (brand, year) grain with DECIMAL-exact quantity/revenue sums;
+    * the bridge is a conditional-aggregation pivot of that bounded
+    * table; unit prices are one double division each. A brand missing
+    * a side contributes pure volume at the other side's price — the
+    * standard new/discontinued-item convention, handled by zero-fill.
+    */
+  def q279PriceVolumeBridge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = DecimalType(18, 2)
+    val by = t(s, dir, "lineitem")
+      .filter(year($"l_shipdate") === 1997 || year($"l_shipdate") === 1998)
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", year($"l_shipdate").as("yr"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum($"l_extendedprice".cast(dec)).as("r"))
+    def side(yr: Int, c: String) =
+      sum(when($"yr" === yr, col(c)).otherwise(lit(0))).as(s"${c}$yr")
+    val wide = by.groupBy($"p_brand")
+      .agg(side(1997, "q"), side(1998, "q"), side(1997, "r"),
+        side(1998, "r"))
+      // both-sides-present only: a price needs a quantity to divide by
+      .filter($"q1997" > 0 && $"q1998" > 0)
+    val p0 = $"r1997".cast("double") / $"q1997".cast("double")
+    val p1 = $"r1998".cast("double") / $"q1998".cast("double")
+    wide.select($"p_brand",
+      $"q1997".cast("long").as("qty_base"),
+      $"q1998".cast("long").as("qty_curr"),
+      round(($"r1998" - $"r1997").cast("double"), 2).as("delta_revenue"),
+      round(($"q1998" - $"q1997").cast("double") * p0, 4)
+        .as("volume_effect"),
+      round((p1 - p0) * $"q1998".cast("double"), 4).as("price_effect"))
+      .orderBy($"p_brand")
+  }
+
+  private val q279Sql =
+    """WITH by_y AS (
+      |  SELECT p.p_brand, year(l.l_shipdate) AS yr,
+      |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE year(l.l_shipdate) IN (1997, 1998)
+      |  GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT p_brand,
+      |    CAST(sum(CASE WHEN yr = 1997 THEN q ELSE 0 END) AS BIGINT)
+      |      AS q1997,
+      |    CAST(sum(CASE WHEN yr = 1998 THEN q ELSE 0 END) AS BIGINT)
+      |      AS q1998,
+      |    sum(CASE WHEN yr = 1997 THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+      |      AS r1997,
+      |    sum(CASE WHEN yr = 1998 THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+      |      AS r1998
+      |  FROM by_y GROUP BY 1)
+      |SELECT p_brand, q1997 AS qty_base, q1998 AS qty_curr,
+      |  round(CAST(r1998 - r1997 AS DOUBLE), 2) AS delta_revenue,
+      |  round(CAST(q1998 - q1997 AS DOUBLE) *
+      |    (CAST(r1997 AS DOUBLE) / CAST(q1997 AS DOUBLE)), 4)
+      |    AS volume_effect,
+      |  round((CAST(r1998 AS DOUBLE) / CAST(q1998 AS DOUBLE) -
+      |    CAST(r1997 AS DOUBLE) / CAST(q1997 AS DOUBLE)) *
+      |    CAST(q1998 AS DOUBLE), 4) AS price_effect
+      |FROM wide
+      |WHERE q1997 > 0 AND q1998 > 0
+      |ORDER BY p_brand""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q276_rfm_segmentation",
+      Seq("EXT-olap", "A2", "EXT-percentile"),
+      "RFM quintile segmentation: three exact global ranks via the range-partitioned device, integer quintiles, lifecycle segment census",
+      q276RfmSegmentation, Some(q276Sql)),
+    GraftQuery("q279_price_volume_bridge", Seq("EXT-olap", "A2", "J1"),
+      "YoY price-volume bridge per brand: exactly-reconciling two-factor decomposition from decimal-exact (brand, year) sums",
+      q279PriceVolumeBridge, Some(q279Sql)),
     GraftQuery("q275_golden_record",
       Seq("EXT-olap", "A2", "EXT-fuzzy"),
       "MDM golden-record survivorship: longest-string / most-recent-non-null / max rules as struct-max argmaxes, one entity-keyed aggregation",

@@ -586,6 +586,28 @@ class MiningSpec extends AnyFunSuite {
     assert(n == direct, s"window mass $n != direct $direct on $day")
   }
 
+  test("q277: ACF values are bounded and lag-12 sees the seasonal structure") {
+    val rows = operators.Mining.q277Acf(spark, dir).collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9,
+        s"lag ${r.getLong(0)}: acf out of [-1,1]")
+      assert(r.getBoolean(3) ==
+        (math.abs(r.getDouble(1)) > r.getDouble(2)))
+    }
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 12L))
+  }
+
+  test("q278: runs count is consistent and bounded by the sign census") {
+    val r = operators.Mining.q278RunsTest(spark, dir).collect().head
+    val (n1, n2, runs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n1 > 0 && n2 > 0)
+    // runs in [2, 2*min+1] for a two-class sequence with both present
+    assert(runs >= 2 && runs <= 2 * math.min(n1, n2) + 1,
+      s"runs $runs out of range for ($n1, $n2)")
+    assert(r.getDouble(3) > 1.0, "expected runs must exceed 1")
+  }
+
   test("q270: decomposition reassembles the series and seasonal sums to ~0") {
     val rows = operators.Mining.q270SeasonalDecomp(spark, dir).collect()
     assert(rows.nonEmpty)

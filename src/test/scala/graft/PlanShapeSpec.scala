@@ -159,6 +159,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //    the 12-row month-of-year profile (scalar attach)
     //  - q274: crossJoin(broadcast(<1-row center/limit stats>)) onto
     //    the monthly series (the q214 scalar-attach shape)
+    //  - q277: crossJoin(broadcast(<1-row series moments>)) onto the
+    //    12-row lag table (scalar attach)
+    //  - q278: the 1-row mean attach onto the monthly series + the
+    //    1×1 counts×flips assembly
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -174,7 +178,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q225_neyman_allocation", "q254_cluster_sample",
       "q264_poisson_bootstrap", "q266_isotonic_calibration",
       "q268_cuped", "q270_seasonal_decomp",
-      "q274_xmr_control_chart")),
+      "q274_xmr_control_chart", "q277_acf", "q278_runs_test")),
       s"unexpected cross products in: $offenders")
   }
 

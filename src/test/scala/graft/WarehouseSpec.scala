@@ -316,6 +316,35 @@ class WarehouseSpec extends AnyFunSuite {
       "survival must be exactly 0 when everyone at risk is an event")
   }
 
+  test("q276: quintile census covers all customers with balanced scores") {
+    val rows = operators.Warehouse.q276RfmSegmentation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables.load(spark, dir, "orders")
+      .select(org.apache.spark.sql.functions.col("o_custkey"))
+      .distinct().count()
+    assert(total == nCust, s"census $total != ordering customers $nCust")
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        assert(r.getDouble(i) >= 1.0 && r.getDouble(i) <= 5.0,
+          s"${r.getString(0)}: mean score out of [1,5]")
+      }
+    }
+    val segs = rows.map(_.getString(0)).toSet
+    assert(segs.subsetOf(Set("champions", "loyal", "at_risk",
+      "hibernating", "regular")))
+  }
+
+  test("q279: volume + price effects reconcile exactly to the revenue delta") {
+    val rows = operators.Warehouse.q279PriceVolumeBridge(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recon = r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recon - r.getDouble(3)) < 0.01,
+        s"${r.getString(0)}: bridge ${recon} != delta ${r.getDouble(3)}")
+    }
+  }
+
   test("q275: survivorship rules pick the decorated name and fill every attribute") {
     import org.apache.spark.sql.functions._
     val rows = operators.Warehouse.q275GoldenRecord(spark, dir).persist()
