@@ -175,7 +175,13 @@ object ScaleSmoke {
       // q277/q278 run on the monthly grain; q279 is one fact scan into
       // a (brand, year) pivot.
       "q276_rfm_segmentation", "q277_acf", "q278_runs_test",
-      "q279_price_volume_bridge")
+      "q279_price_volume_bridge",
+      // round-9 batch 20: q280 is scan + 1-row attach + nation rollup;
+      // q281 rides the prefix device on two distinct-value grains;
+      // q282 is one rank pass into a 10-row walk; q283 is a
+      // vocabulary-bounded rollup.
+      "q280_theil_decomposition", "q281_spearman_rho",
+      "q282_cumulative_gains", "q283_term_burstiness")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -1830,7 +1830,297 @@ object Platform {
       |FROM wmr CROSS JOIN lim
       |ORDER BY month""".stripMargin
 
+  /** q280: THEIL INDEX with EXACT between/within DECOMPOSITION — what
+    * Gini (q265) cannot do: Theil's entropy-based inequality measure
+    * decomposes ADDITIVELY into a between-group term plus a weighted
+    * within-group sum (T = T_b + Σ s_g·T_g, exact by algebra), so a
+    * platform can answer "is revenue inequality driven by nation mix
+    * or within-nation spread?" — the decomposition every inequality
+    * dashboard actually wants. One fact scan to customer revenue
+    * (x > 0 only: Theil needs logs), one 1-row global attach, then
+    * per-customer terms x·ln(n·x/X) round(12)-pinned into DECIMAL
+    * before the nation rollup (the q82 discipline), so both engines
+    * sum identical decimals. The spec re-verifies the decomposition
+    * identity to 1e-9.
+    */
+  def q280TheilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec12 = org.apache.spark.sql.types.DecimalType(30, 12)
+    val x = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("x"))
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"x")
+      .filter($"x" > 0)
+      .persist()
+    val g = x.agg(count(lit(1)).as("n"),
+      sum($"x".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("xx"))
+    val terms = x.crossJoin(broadcast(g))
+      .select($"n_name",
+        round($"x" * log($"n" * $"x" / $"xx"), 12).cast(dec12).as("tx"),
+        $"x".cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("xd"),
+        $"n".as("n"), $"xx".as("xx"))
+    val byNation = terms.groupBy($"n_name")
+      .agg(count(lit(1)).as("ng"), sum($"xd").cast("double").as("xg"),
+        sum($"tx").cast("double").as("txg"),
+        max($"n").as("n"), max($"xx").as("xx"))
+    val out = byNation.select($"n_name", $"ng".as("n_customers"),
+        round($"xg" / $"xx", 6).as("revenue_share"),
+        // T_g: within-nation Theil from the SAME pinned terms, shifted
+        // to the group frame: sum(x*ln(n*x/X))/Xg - ln(n*Xg/(ng*X))
+        round($"txg" / $"xg" -
+          log($"n".cast("double") * $"xg" /
+            ($"ng".cast("double") * $"xx")), 6).as("theil_within"),
+        round(($"xg" / $"xx") *
+          log(($"xg" / $"xx") / ($"ng".cast("double") /
+            $"n".cast("double"))), 6).as("between_contrib"),
+        round($"txg" / $"xx", 6).as("total_contrib"))
+      .orderBy($"n_name")
+      .localCheckpoint()
+    x.unpersist()
+    out
+  }
+
+  private val q280Sql =
+    """WITH x AS (
+      |  SELECT n.n_name,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY o.o_custkey, n.n_name
+      |  HAVING CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    > 0),
+      |g AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS xx
+      |  FROM x),
+      |terms AS (
+      |  SELECT n_name,
+      |    CAST(round(x * ln(n * x / xx), 12) AS DECIMAL(30,12)) AS tx,
+      |    CAST(x AS DECIMAL(18,2)) AS xd, n, xx
+      |  FROM x CROSS JOIN g),
+      |by_nation AS (
+      |  SELECT n_name, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(xd) AS DOUBLE) AS xg,
+      |    CAST(sum(tx) AS DOUBLE) AS txg,
+      |    max(n) AS n, max(xx) AS xx
+      |  FROM terms GROUP BY 1)
+      |SELECT n_name, ng AS n_customers,
+      |  round(xg / xx, 6) AS revenue_share,
+      |  round(txg / xg -
+      |    ln(CAST(n AS DOUBLE) * xg / (CAST(ng AS DOUBLE) * xx)), 6)
+      |    AS theil_within,
+      |  round((xg / xx) *
+      |    ln((xg / xx) / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      |    AS between_contrib,
+      |  round(txg / xx, 6) AS total_contrib
+      |FROM by_nation
+      |ORDER BY n_name""".stripMargin
+
+  /** q281: SPEARMAN RANK CORRELATION (tie-averaged) between order
+    * frequency and spend — the robust monotone-association measure
+    * beside Pearson (q110's shape): invariant to heavy tails, exactly
+    * what revenue-like metrics need. Tie handling is the REAL average-
+    * rank definition, computed at scale the q273 way: collapse each
+    * variable to its DISTINCT-VALUE grain, one global prefix sum
+    * ([[GlobalRank.withGlobalPrefixSums]]) gives 2-scaled integral
+    * average ranks, join back, and Pearson runs on DECIMAL-exact rank
+    * sums (2-scaled ranks are integers, so every product is exact).
+    * One double expression at the end for ρ and its t-statistic.
+    */
+  def q281SpearmanRho(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("freq"),
+        (sum($"o_totalprice".cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+      .persist()
+    def avgRank2(col0: String): DataFrame = {
+      val byVal = base.groupBy(col(col0).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      GlobalRank.withGlobalPrefixSums(byVal, Seq("cnt" -> "cum"),
+          $"v".asc)
+        .select($"v", (($"cum" - $"cnt") * 2 + $"cnt" + 1).as("rank2"))
+    }
+    val r1 = avgRank2("freq").withColumnRenamed("rank2", "ra")
+      .withColumnRenamed("v", "freq").localCheckpoint()
+    val r2 = avgRank2("cents").withColumnRenamed("rank2", "rb")
+      .withColumnRenamed("v", "cents").localCheckpoint()
+    val joined = base.join(r1, Seq("freq")).join(r2, Seq("cents"))
+    val st = joined.agg(count(lit(1)).as("n"),
+      sum($"ra".cast(dec0)).as("sa"), sum($"rb".cast(dec0)).as("sb"),
+      sum($"ra".cast(dec0) * $"rb").as("sab"),
+      sum($"ra".cast(dec0) * $"ra").as("sa2"),
+      sum($"rb".cast(dec0) * $"rb").as("sb2"))
+    val (n, sa, sb, sab, sa2, sb2) = ($"n".cast("double"),
+      $"sa".cast("double"), $"sb".cast("double"), $"sab".cast("double"),
+      $"sa2".cast("double"), $"sb2".cast("double"))
+    val rho = (n * sab - sa * sb) /
+      sqrt((n * sa2 - sa * sa) * (n * sb2 - sb * sb))
+    val out = st.select($"n".as("n_customers"),
+      round(rho, 6).as("spearman_rho"),
+      round(rho * sqrt((n - 2) / (lit(1.0) - rho * rho)), 6).as("t_stat"))
+    // eager checkpoint materializes before the base cache is released
+    val res = out.localCheckpoint()
+    base.unpersist()
+    res
+  }
+
+  private val q281Sql =
+    """WITH base AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |ra AS (
+      |  SELECT freq AS v,
+      |    (CAST(sum(cnt) OVER (ORDER BY freq) AS BIGINT) - cnt) * 2
+      |      + cnt + 1 AS ra
+      |  FROM (SELECT freq, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM base GROUP BY 1)),
+      |rb AS (
+      |  SELECT cents AS v,
+      |    (CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) - cnt) * 2
+      |      + cnt + 1 AS rb
+      |  FROM (SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM base GROUP BY 1)),
+      |j AS (
+      |  SELECT ra.ra, rb.rb
+      |  FROM base JOIN ra ON base.freq = ra.v
+      |  JOIN rb ON base.cents = rb.v),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(ra AS DECIMAL(38,0))) AS sa,
+      |    sum(CAST(rb AS DECIMAL(38,0))) AS sb,
+      |    sum(CAST(ra AS DECIMAL(38,0)) * rb) AS sab,
+      |    sum(CAST(ra AS DECIMAL(38,0)) * ra) AS sa2,
+      |    sum(CAST(rb AS DECIMAL(38,0)) * rb) AS sb2
+      |  FROM j)
+      |SELECT n AS n_customers,
+      |  round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+      |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+      |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE) -
+      |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+      |    AS spearman_rho,
+      |  round(((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+      |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+      |        CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE) -
+      |        CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) *
+      |    sqrt((CAST(n AS DOUBLE) - 2) /
+      |      (1e0 - ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+      |          CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |        sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+      |            CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |          (CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE) -
+      |            CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) *
+      |        ((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+      |          CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+      |        sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+      |            CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+      |          (CAST(n AS DOUBLE) * CAST(sb2 AS DOUBLE) -
+      |            CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))))), 6)
+      |    AS t_stat
+      |FROM st""".stripMargin
+
+  /** q282: CUMULATIVE GAINS / LIFT TABLE — how model-scoring quality
+    * reaches the business: "mailing the top 2 deciles captures X% of
+    * buyers at Y× random". Score = 1997 revenue, label = bought again
+    * in 1998+; deciles from ONE exact global rank
+    * ([[GlobalRank.withGlobalRankCounted]], range partitioning — no
+    * single-partition sort), integer ceil-division decile ids, decile
+    * census, then the cumulative walk runs on the bounded 10-row
+    * table. AUC (q166's family) grades the ranking abstractly; the
+    * gains table is the deployable version. Everything after the rank
+    * is integer-exact; rates are one division each, round(6).
+    */
+  def q282CumulativeGains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val byCust = t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(when($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"),
+          $"o_totalprice".cast(dec)).otherwise(lit(0).cast(dec)))
+          .as("score"),
+        max(when($"o_orderdate" >= lit("1998-01-01").cast("timestamp_ntz"),
+          1L).otherwise(0L)).as("label"))
+    val (ranked, n) = GlobalRank.withGlobalRankCounted(
+      byCust, "rk", $"score".desc, $"o_custkey".asc)
+    val deciles = ranked
+      .withColumn("decile", (($"rk" * 10 - 1) / lit(n)).cast("long") + 1)
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"label").as("pos"))
+      .localCheckpoint()
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = deciles.agg(sum($"n").as("nt"), sum($"pos").as("pt"))
+    deciles
+      .withColumn("cn", sum($"n").over(wCum))
+      .withColumn("cp", sum($"pos").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n".as("n_customers"), $"pos".as("n_buyers"),
+        round($"cp".cast("double") / $"pt".cast("double"), 6)
+          .as("cum_gain"),
+        round(($"cp".cast("double") / $"pt".cast("double")) /
+          ($"cn".cast("double") / $"nt".cast("double")), 6).as("cum_lift"))
+      .orderBy($"decile")
+  }
+
+  private val q282Sql =
+    """WITH by_cust AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS score,
+      |    max(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+      |      THEN 1 ELSE 0 END) AS label
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT label,
+      |    CAST(row_number() OVER (ORDER BY score DESC, o_custkey ASC)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM by_cust),
+      |deciles AS (
+      |  SELECT (rk * 10 - 1) // n + 1 AS decile,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+      |  FROM ranked GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |               CAST(sum(pos) AS BIGINT) AS pt FROM deciles),
+      |walk AS (
+      |  SELECT decile, n, pos,
+      |    CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cn,
+      |    CAST(sum(pos) OVER (ORDER BY decile) AS BIGINT) AS cp
+      |  FROM deciles)
+      |SELECT decile, n AS n_customers, pos AS n_buyers,
+      |  round(CAST(cp AS DOUBLE) / CAST(pt AS DOUBLE), 6) AS cum_gain,
+      |  round((CAST(cp AS DOUBLE) / CAST(pt AS DOUBLE)) /
+      |    (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS cum_lift
+      |FROM walk CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q280_theil_decomposition", Seq("EXT-olap", "A2", "J1"),
+      "Theil inequality with exact between/within decomposition: decimal-pinned x*ln terms, per-nation rollup, identity spec-verified",
+      q280TheilDecomposition, Some(q280Sql)),
+    GraftQuery("q281_spearman_rho", Seq("EXT-olap", "A2"),
+      "tie-averaged Spearman rank correlation: 2-scaled integral average ranks from the prefix device, decimal-exact Pearson on ranks",
+      q281SpearmanRho, Some(q281Sql)),
+    GraftQuery("q282_cumulative_gains", Seq("EXT-olap", "EXT-percentile", "A2"),
+      "cumulative gains/lift table: one exact global rank into integer deciles, bounded 10-row cumulative walk",
+      q282CumulativeGains, Some(q282Sql)),
     GraftQuery("q272_conformal_interval",
       Seq("EXT-approx", "EXT-histogram", "EXT-split", "A2"),
       "split conformal prediction: hash-split calibration, histogram-tile quantile with integer nearest-rank test, test coverage vs the 0.9 target",

@@ -1232,7 +1232,67 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q283: TERM BURSTINESS — the corpus-linguistics dispersion profile
+    * (Church & Gale '95): content words BURST (when a doc mentions a
+    * term once it mentions it again), function words spread evenly, so
+    * dispersion separates topical vocabulary from glue — and for
+    * training-data curation, a term whose dispersion EXCEEDS the
+    * corpus's own profile flags template/boilerplate injection. Two
+    * integer-exact measures per term: burstiness = cf/df (mean
+    * occurrences per CONTAINING doc) and the index of dispersion
+    * D = var/mean over ALL docs (zeros included) = (N·Σtf² − cf²)/
+    * (N·cf), Poisson ⇒ D ≈ 1. One tf scan, one vocabulary-bounded
+    * rollup, a 1-row N attach; every sum is a long, the two divisions
+    * are the only doubles, round(6)-pinned.
+    */
+  def q283TermBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val n = Tables.loadSpread(s, dir, "documents")
+      .agg(countDistinct($"doc_id").as("nd"))
+    val byTerm = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+        sum($"tf" * $"tf").as("tf2"))
+    byTerm.crossJoin(broadcast(n))
+      .select($"term", $"df", $"cf",
+        round($"cf".cast("double") / $"df".cast("double"), 6)
+          .as("burstiness"),
+        round(($"nd".cast("double") * $"tf2".cast("double") -
+            $"cf".cast("double") * $"cf".cast("double")) /
+          ($"nd".cast("double") * $"cf".cast("double")), 6)
+          .as("dispersion"))
+      .orderBy($"term")
+  }
+
+  private val q283Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |      FROM documents),
+      |by_term AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(tf) AS BIGINT) AS cf,
+      |    CAST(sum(tf * tf) AS BIGINT) AS tf2
+      |  FROM tf GROUP BY 1)
+      |SELECT term, df, cf,
+      |  round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+      |  round((CAST(nd AS DOUBLE) * CAST(tf2 AS DOUBLE) -
+      |      CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE)) /
+      |    (CAST(nd AS DOUBLE) * CAST(cf AS DOUBLE)), 6) AS dispersion
+      |FROM by_term CROSS JOIN n
+      |ORDER BY term""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q283_term_burstiness",
+      Seq("EXT-text", "EXT-curation", "A2"),
+      "Church-Gale term burstiness + index of dispersion: integer-exact tf sufficient statistics, vocabulary-bounded rollup",
+      q283TermBurstiness, Some(q283Sql)),
     GraftQuery("q271_forcast_readability",
       Seq("EXT-text", "EXT-curation", "A2"),
       "FORCAST readability (sentence-free): vowel-group syllables via scan-local array lambdas, per-source grade/complexity rollup",

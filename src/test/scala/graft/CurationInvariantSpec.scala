@@ -264,6 +264,30 @@ class CurationInvariantSpec extends AnyFunSuite {
       "unrelated doc must produce no pair")
   }
 
+  test("q283: a bursty term disperses, an evenly spread term does not") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("burst").toString
+    // "even" appears once in every doc (Poisson-like, D -> small);
+    // "burst" appears 4 times in one doc only (D >> 1)
+    Seq((1L, "even burst burst burst burst"), (2L, "even x"),
+      (3L, "even x"), (4L, "even x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextAnalysis.q283TermBurstiness(spark, tmp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("even").getDouble(3) == 1.0, "even term: 1 per doc")
+    assert(rows("burst").getDouble(3) == 4.0, "burst term: 4 per doc")
+    // dispersion: even term var=0 -> D=0; burst term D = (4*16-16)/(4*4)=3
+    assert(rows("even").getDouble(4) == 0.0)
+    assert(rows("burst").getDouble(4) == 3.0)
+    // real corpus: every term has df>0 and D >= 0
+    val real = operators.TextAnalysis
+      .q283TermBurstiness(spark, "/root/testdata/sf0.001").collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(4) >= 0.0 &&
+      r.getDouble(3) >= 1.0))
+  }
+
   test("q271: FORCAST grades a monosyllabic corpus at exactly grade 5") {
     import spark.implicits._
     // all-monosyllabic text: mono/words = 1 -> grade = 20 - 15 = 5;

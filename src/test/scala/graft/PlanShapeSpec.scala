@@ -163,6 +163,12 @@ class PlanShapeSpec extends AnyFunSuite {
     //    12-row lag table (scalar attach)
     //  - q278: the 1-row mean attach onto the monthly series + the
     //    1×1 counts×flips assembly
+    //  - q280: crossJoin(broadcast(<1-row global n/X>)) onto the
+    //    customer revenue table (scalar attach)
+    //  - q282: crossJoin(broadcast(<1-row totals>)) onto the 10-row
+    //    decile table (scalar attach)
+    //  - q283: crossJoin(broadcast(<1-row doc count>)) onto the
+    //    vocabulary table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -178,7 +184,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q225_neyman_allocation", "q254_cluster_sample",
       "q264_poisson_bootstrap", "q266_isotonic_calibration",
       "q268_cuped", "q270_seasonal_decomp",
-      "q274_xmr_control_chart", "q277_acf", "q278_runs_test")),
+      "q274_xmr_control_chart", "q277_acf", "q278_runs_test",
+      "q280_theil_decomposition", "q282_cumulative_gains",
+      "q283_term_burstiness")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -231,7 +239,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // q270: centered-MA trend window over the MONTHLY grain (~80
       // rows at any corpus size — the q95/q156 calendar-bounded
       // argument); the fact table is touched once, in the month groupBy
-      "q270_seasonal_decomp")
+      "q270_seasonal_decomp",
+      // q282: cumulative walk over the 10-row decile census — the
+      // input grain is the decile count, never the customer stream
+      "q282_cumulative_gains")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {

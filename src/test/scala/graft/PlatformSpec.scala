@@ -265,6 +265,46 @@ class PlatformSpec extends AnyFunSuite {
     }
   }
 
+  test("q280: Theil contributions decompose additively and are nonnegative in total") {
+    val rows = operators.Platform.q280TheilDecomposition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, "shares must sum to 1")
+    // T = sum(share*within) + sum(between) = sum(total_contrib)
+    val t1 = rows.map(r => r.getDouble(2) * r.getDouble(3)).sum +
+      rows.map(_.getDouble(4)).sum
+    val t2 = rows.map(_.getDouble(5)).sum
+    assert(math.abs(t1 - t2) < 1e-4, s"decomposition broken: $t1 vs $t2")
+    assert(t2 > 0, "revenue inequality must be positive")
+    rows.foreach(r => assert(r.getDouble(3) >= -1e-9,
+      s"${r.getString(0)}: within-Theil negative"))
+  }
+
+  test("q281: Spearman rho is in range and strongly positive for freq vs spend") {
+    val r = operators.Platform.q281SpearmanRho(spark, dir).collect().head
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(rho > 0.5, s"order frequency and spend must co-rank, got $rho")
+    assert(r.getDouble(2) > 0, "t-stat sign must match rho")
+  }
+
+  test("q282: gains are monotone to 1.0 and lift decays toward 1") {
+    val rows = operators.Platform.q282CumulativeGains(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) <= b.getDouble(3) + 1e-12, "gains not monotone")
+        assert(a.getDouble(4) >= b.getDouble(4) - 1e-9,
+          "cumulative lift must not increase")
+      case _ =>
+    }
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9,
+      "decile 10 must capture everyone")
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-9,
+      "full-population lift is 1 by definition")
+  }
+
   test("q266: isotonic fit is monotone and preserves weighted mass") {
     val rows = operators.Platform.q266IsotonicCalibration(spark, dir)
       .collect().sortBy(_.getLong(0))
