@@ -181,7 +181,12 @@ object ScaleSmoke {
       // q282 is one rank pass into a 10-row walk; q283 is a
       // vocabulary-bounded rollup.
       "q280_theil_decomposition", "q281_spearman_rho",
-      "q282_cumulative_gains", "q283_term_burstiness")
+      "q282_cumulative_gains", "q283_term_burstiness",
+      // round-9 batch 21: q284/q285/q286 are single-pass conditional
+      // aggregates / rule-bounded checks / brand-bounded intervals;
+      // q287 is one prefix-device pass over the part grain.
+      "q284_filter_clause", "q285_expectation_suite",
+      "q286_wilson_interval", "q287_abc_classification")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -2111,7 +2111,184 @@ object Platform {
       |FROM walk CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  /** q285: DECLARATIVE EXPECTATION SUITE — the Great-Expectations /
+    * dbt-test runner shape, generalized: a fixed rule list (not-null,
+    * uniqueness, accepted values, numeric range, referential
+    * integrity, freshness) evaluated PROGRAMMATICALLY into one
+    * uniform (rule, violations, passed) report. Each rule is one
+    * aggregate or anti-join over its table — the report union is
+    * rule-count-bounded, every check is scan-shaped, and adding a rule
+    * is data, not code. Complements `pipeline.Checks` (the reference's
+    * dbt tests, fixed by the DAG) with the open-ended suite a data
+    * platform runs on EVERY table.
+    */
+  def q285ExpectationSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def rule(id: Int, name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(id).as("rule_id"), lit(name).as("rule"),
+        $"v".cast("long").as("violations"), ($"v" === 0).as("passed"))
+    val orders = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+    val checks = Seq(
+      rule(1, "customer.c_name not_null",
+        t(s, dir, "customer").agg(
+          sum(when($"c_name".isNull, 1L).otherwise(0L)).as("v"))),
+      rule(2, "orders.o_orderkey unique",
+        orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+          .agg(sum(when($"c" > 1, $"c" - 1).otherwise(0L)).as("v"))),
+      rule(3, "orders.o_orderstatus accepted_values [O,F,P]",
+        orders.agg(sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v"))),
+      rule(4, "lineitem.l_discount in [0, 0.1]",
+        li.agg(sum(when($"l_discount" < 0 || $"l_discount" > 0.1, 1L)
+          .otherwise(0L)).as("v"))),
+      rule(5, "lineitem.l_orderkey references orders",
+        li.select($"l_orderkey").distinct()
+          .join(orders.select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("v"))),
+      rule(6, "orders fresh through 2001",
+        orders.agg(when(max($"o_orderdate") >=
+          lit("2001-01-01").cast("timestamp_ntz"), 0L).otherwise(1L)
+          .as("v"))))
+    checks.reduce(_ unionByName _).orderBy($"rule_id")
+  }
+
+  private val q285Sql =
+    """SELECT * FROM (
+      |  SELECT 1 AS rule_id, 'customer.c_name not_null' AS rule,
+      |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS violations,
+      |    sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 2, 'orders.o_orderkey unique',
+      |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+      |      AS BIGINT),
+      |    coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) = 0
+      |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 3, 'orders.o_orderstatus accepted_values [O,F,P]',
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |      THEN 1 ELSE 0 END) = 0
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 4, 'lineitem.l_discount in [0, 0.1]',
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT),
+      |    sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) = 0
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 5, 'lineitem.l_orderkey references orders',
+      |    CAST(count(*) AS BIGINT), count(*) = 0
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 6, 'orders fresh through 2001',
+      |    CAST(CASE WHEN max(o_orderdate) >= TIMESTAMP '2001-01-01'
+      |      THEN 0 ELSE 1 END AS BIGINT),
+      |    max(o_orderdate) >= TIMESTAMP '2001-01-01'
+      |  FROM orders)
+      |ORDER BY rule_id""".stripMargin
+
+  /** q286: WILSON SCORE INTERVALS for per-brand return rates — the
+    * correct small-n rate CI (the Wald interval collapses at p near
+    * 0/1 and small n; Wilson is what ranking and A/B systems actually
+    * use). Exact integer (n, bad) per brand from one scan; the
+    * interval is one fixed closed-form expression (z=1.96), and each
+    * brand is flagged when its CI EXCLUDES the global rate — the
+    * multiple-comparison-honest way to call out over/under-returning
+    * brands (a point estimate alone flags noise). Global rate is a
+    * 1-row broadcast attach; round(6) pins every float.
+    */
+  def q286WilsonInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Z = 1.96
+    val byBrand = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("bad"))
+    val g = byBrand.agg(sum($"n").as("gn"), sum($"bad").as("gbad"))
+    val n = $"n".cast("double"); val p = $"bad".cast("double") / n
+    // z² as the PARSED literal 3.8416, not Z*Z: the Scala double
+    // product of 1.96² and the SQL-parsed "3.8416" can differ by 1 ulp
+    val z2 = lit(3.8416)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = (lit(Z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / denom
+    byBrand.crossJoin(broadcast(g))
+      .select($"p_brand", $"n".as("n_lines"), $"bad".as("n_returned"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"),
+        (center + half < $"gbad".cast("double") / $"gn".cast("double") ||
+          center - half > $"gbad".cast("double") / $"gn".cast("double"))
+          .as("differs_from_global"))
+      .orderBy($"p_brand")
+  }
+
+  private val q286Sql =
+    """WITH by_brand AS (
+      |  SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS bad
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+      |             CAST(sum(bad) AS BIGINT) AS gbad FROM by_brand)
+      |SELECT p_brand, n AS n_lines, bad AS n_returned,
+      |  round(CAST(bad AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+      |  round(((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      3.8416 / (2.0 * CAST(n AS DOUBLE))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)) -
+      |    (1.96 * sqrt((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (1e0 - CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        CAST(n AS DOUBLE) +
+      |      3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+      |  round(((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      3.8416 / (2.0 * CAST(n AS DOUBLE))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)) +
+      |    (1.96 * sqrt((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (1e0 - CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        CAST(n AS DOUBLE) +
+      |      3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi,
+      |  (((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      3.8416 / (2.0 * CAST(n AS DOUBLE))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)) +
+      |    (1.96 * sqrt((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (1e0 - CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        CAST(n AS DOUBLE) +
+      |      3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE))
+      |    < CAST(gbad AS DOUBLE) / CAST(gn AS DOUBLE)
+      |   OR
+      |   ((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      3.8416 / (2.0 * CAST(n AS DOUBLE))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE)) -
+      |    (1.96 * sqrt((CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (1e0 - CAST(bad AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        CAST(n AS DOUBLE) +
+      |      3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+      |      (1e0 + 3.8416 / CAST(n AS DOUBLE))
+      |    > CAST(gbad AS DOUBLE) / CAST(gn AS DOUBLE))
+      |    AS differs_from_global
+      |FROM by_brand CROSS JOIN g
+      |ORDER BY p_brand""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q285_expectation_suite", Seq("EXT-olap", "P6", "A2"),
+      "declarative expectation-suite runner: not-null/unique/values/range/referential/freshness rules into one uniform pass-fail report",
+      q285ExpectationSuite, Some(q285Sql)),
+    GraftQuery("q286_wilson_interval", Seq("EXT-olap", "A2", "J1"),
+      "Wilson score CIs for per-brand return rates with CI-vs-global flags: exact integer counts, one closed-form expression",
+      q286WilsonInterval, Some(q286Sql)),
     GraftQuery("q280_theil_decomposition", Seq("EXT-olap", "A2", "J1"),
       "Theil inequality with exact between/within decomposition: decimal-pinned x*ln terms, per-nation rollup, identity spec-verified",
       q280TheilDecomposition, Some(q280Sql)),

@@ -261,7 +261,36 @@ object SqlSurface {
     s.sql(q260Text)
   }
 
+  private val q284Text =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+      |    AS n_finished,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2)
+      |    AS finished_revenue,
+      |  round(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE), 6) AS finished_share
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q284: the SQL-standard aggregate FILTER clause — the conditional-
+    * aggregation surface BI tools emit instead of CASE-WHEN pivots,
+    * one query text accepted verbatim by BOTH engines (the q122/q123/
+    * q193/q260 contract). Catalyst compiles each FILTER into the same
+    * conditional-aggregate physical form as the CASE encoding, so the
+    * scan stays single-pass with map-side partials.
+    */
+  def q284FilterClause(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(q284Text)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q284_filter_clause", Seq("EXT-olap", "A2", "F11"),
+      "SQL-standard aggregate FILTER clause, same text both engines, compiled to single-pass conditional aggregates",
+      q284FilterClause, Some(q284Text)),
     GraftQuery("q260_lateral_topk", Seq("EXT-olap", "W2", "J1"),
       "LATERAL correlated top-3-per-nation with ORDER BY/LIMIT, same SQL text in both engines, Catalyst-decorrelated",
       q260LateralTopk, Some(q260Text)),

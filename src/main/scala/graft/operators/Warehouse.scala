@@ -1941,7 +1941,73 @@ object Warehouse {
       |WHERE q1997 > 0 AND q1998 > 0
       |ORDER BY p_brand""".stripMargin
 
+  /** q287: ABC (PARETO) INVENTORY CLASSIFICATION — the 80/15/5 cut
+    * every supply-chain and catalog team runs: class A = the top
+    * parts carrying 80% of revenue, B = the next 15%, C = the tail.
+    * Needs an exact DESCENDING cumulative revenue share — delivered by
+    * [[GlobalRank.withGlobalPrefixSums]] over (revenue desc, partkey)
+    * (range partitioning, P-row offsets, no single-partition sort),
+    * with the class cuts as INTEGER-EXACT comparisons on cents
+    * (5·cum ≤ 4·total and 20·cum ≤ 19·total — no float thresholds).
+    * Output is the class census: the A-class count being a tiny share
+    * of parts IS the Pareto observation, and the census is what the
+    * planner consumes.
+    */
+  def q287AbcClassification(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byPart = t(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg((sum($"l_extendedprice".cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val cum = GlobalRank.withGlobalPrefixSums(byPart,
+      Seq("cents" -> "ccum"), $"cents".desc, $"l_partkey".asc)
+    val tot = byPart.agg(sum($"cents").as("tc"),
+      count(lit(1)).as("np"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        when($"ccum" * 5 <= $"tc" * 4, "A")
+          .when($"ccum" * 20 <= $"tc" * 19, "B")
+          .otherwise("C").as("abc_class"),
+        $"cents", $"np")
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum($"cents".cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 100.0, 2).as("revenue"),
+        round(count(lit(1)).cast("double") /
+          max($"np").cast("double"), 6).as("part_share"))
+      .orderBy($"abc_class")
+  }
+
+  private val q287Sql =
+    """WITH by_part AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC)
+      |      AS BIGINT) AS ccum
+      |  FROM by_part),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc,
+      |               CAST(count(*) AS BIGINT) AS np FROM by_part)
+      |SELECT CASE WHEN ccum * 5 <= tc * 4 THEN 'A'
+      |    WHEN ccum * 20 <= tc * 19 THEN 'B' ELSE 'C' END AS abc_class,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  round(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / 100.0,
+      |    2) AS revenue,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(max(np) AS DOUBLE), 6)
+      |    AS part_share
+      |FROM cum CROSS JOIN tot
+      |GROUP BY 1
+      |ORDER BY abc_class""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q287_abc_classification",
+      Seq("EXT-olap", "EXT-percentile", "A2"),
+      "ABC Pareto classes from an exact descending cumulative share (prefix device), integer-exact 80/95 cuts, class census",
+      q287AbcClassification, Some(q287Sql)),
     GraftQuery("q276_rfm_segmentation",
       Seq("EXT-olap", "A2", "EXT-percentile"),
       "RFM quintile segmentation: three exact global ranks via the range-partitioned device, integer quintiles, lifecycle segment census",

@@ -169,6 +169,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //    decile table (scalar attach)
     //  - q283: crossJoin(broadcast(<1-row doc count>)) onto the
     //    vocabulary table (scalar attach)
+    //  - q286: crossJoin(broadcast(<1-row global rate>)) onto the
+    //    brand table (scalar attach)
+    //  - q287: crossJoin(broadcast(<1-row revenue total>)) onto the
+    //    cumulative-share table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -186,7 +190,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q268_cuped", "q270_seasonal_decomp",
       "q274_xmr_control_chart", "q277_acf", "q278_runs_test",
       "q280_theil_decomposition", "q282_cumulative_gains",
-      "q283_term_burstiness")),
+      "q283_term_burstiness", "q286_wilson_interval",
+      "q287_abc_classification")),
       s"unexpected cross products in: $offenders")
   }
 

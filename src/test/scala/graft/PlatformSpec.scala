@@ -305,6 +305,36 @@ class PlatformSpec extends AnyFunSuite {
       "full-population lift is 1 by definition")
   }
 
+  test("q285: the shipped expectation suite passes on the generated data") {
+    val rows = operators.Platform.q285ExpectationSuite(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) == 0L),
+        s"rule ${r.getInt(0)}: passed flag disagrees with count")
+      assert(r.getBoolean(3), s"rule '${r.getString(1)}' failed with " +
+        s"${r.getLong(2)} violations — generator contract changed")
+    }
+  }
+
+  test("q286: Wilson intervals contain the rate and tighten with n") {
+    val rows = operators.Platform.q286WilsonInterval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= rate && rate <= hi,
+        s"${r.getString(0)}: Wilson CI [$lo,$hi] must contain $rate")
+      assert(lo >= 0.0 && hi <= 1.0, "CI must stay in [0,1]")
+    }
+    // flag consistency against the recomputed global rate
+    val grate = rows.map(_.getLong(2)).sum.toDouble /
+      rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val excl = r.getDouble(5) < grate || r.getDouble(4) > grate
+      assert(r.getBoolean(6) == excl,
+        s"${r.getString(0)}: differs_from_global flag inconsistent")
+    }
+  }
+
   test("q266: isotonic fit is monotone and preserves weighted mass") {
     val rows = operators.Platform.q266IsotonicCalibration(spark, dir)
       .collect().sortBy(_.getLong(0))

@@ -345,6 +345,39 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q284: the FILTER clause agrees with the CASE-WHEN encoding") {
+    import org.apache.spark.sql.functions._
+    val got = operators.SqlSurface.q284FilterClause(spark, dir).collect()
+    val want = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_finished"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1) && g.getLong(2) == w.getLong(2))
+    }
+  }
+
+  test("q287: classes partition the catalog and A carries ~80% with few parts") {
+    val rows = operators.Warehouse.q287AbcClassification(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    val nTotal = rows.values.map(_.getLong(1)).sum
+    val nParts = Tables.load(spark, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_partkey"))
+      .distinct().count()
+    assert(nTotal == nParts, "classes must partition the sold catalog")
+    val revTotal = rows.values.map(_.getDouble(2)).sum
+    val aShare = rows("A").getDouble(2) / revTotal
+    assert(aShare <= 0.8 + 1e-6, "A is capped at 80% by construction")
+    assert(aShare > 0.5, s"A must carry the bulk, got $aShare")
+    assert(rows("A").getDouble(3) < rows("A").getDouble(2) / revTotal,
+      "Pareto: A's part share must undercut its revenue share")
+  }
+
   test("q275: survivorship rules pick the decorated name and fill every attribute") {
     import org.apache.spark.sql.functions._
     val rows = operators.Warehouse.q275GoldenRecord(spark, dir).persist()
