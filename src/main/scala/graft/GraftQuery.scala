@@ -43,6 +43,7 @@ object Registry {
       graft.operators.Curation.queries ++
       graft.operators.Proximity.queries ++
       graft.operators.Platform.queries ++
+      graft.operators.Formats.queries ++
       graft.operators.Mining.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries

@@ -186,7 +186,10 @@ object ScaleSmoke {
       // aggregates / rule-bounded checks / brand-bounded intervals;
       // q287 is one prefix-device pass over the part grain.
       "q284_filter_clause", "q285_expectation_suite",
-      "q286_wilson_interval", "q287_abc_classification")
+      "q286_wilson_interval", "q287_abc_classification",
+      // round-9 batch 22: format round-trips — write + schema-declared
+      // read-back + checksum, all scan-shaped.
+      "q288_csv_roundtrip", "q289_jsonl_roundtrip")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
