@@ -54,12 +54,15 @@ object Mining {
     * which recomputes the exact closure by unrolled CTE and pins the
     * flag TRUE — a >10% sketch error on any hop breaks the hash.
     */
+  private val HyperBallSeedCap = 64
+
   private def hyperballRun(s: SparkSession, dir: String,
       withExact: Boolean): Seq[(Int, Long, Long)] = {
     import s.implicits._
     val edges = csEdges(s, dir).persist()
+    val nodes = edges.select($"src".as("node")).distinct()
     // approx arm: one HLL register file per node
-    var sk = edges.select($"src".as("node")).distinct()
+    var sk = nodes
       // lgK=9: 512 registers ≈ 0.6 KB serialized — the sketch rides
       // every edge through the per-hop shuffle, so sketch BYTES are the
       // cost driver (lgK=12 measured 8× slower for no flag headroom:
@@ -67,13 +70,27 @@ object Mining {
       // correlates the per-node errors rather than compounding them)
       .groupBy($"node").agg(hll_sketch_agg($"node", lit(9)).as("sk"))
       .localCheckpoint()
-    // exact arm (verification harness; quadratic by design — see doc)
-    var pairs = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("member"))
+    // exact-gauge seeds: md5-ranked FIXED sample (the q53/q253 rule).
+    // The first draft closed over EVERY node — O(n·ball) pairs — and
+    // OOM'd the sf0.1 bench in the closure's distinct(); balls from a
+    // bounded seed set keep the verification O(seeds·ball) at any
+    // corpus size, and on this symmetric graph out-ball(seed) equals
+    // in-ball(seed), so the seed-filtered sketch sum measures the SAME
+    // quantity the seed-restricted closure counts.
+    val seeds = nodes
+      .orderBy(md5(concat(lit("hb:"), $"node")).asc, $"node".asc)
+      .limit(HyperBallSeedCap)
+      .select($"node".as("seed")).localCheckpoint()
+    var pairs = seeds.select($"seed", $"seed".as("node"))
       .localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     def record(h: Int): Unit = {
-      val approx = sk.agg(sum(hll_sketch_estimate($"sk"))).as[Long].head()
+      val est = sum(hll_sketch_estimate($"sk"))
+      val approx =
+        if (withExact)
+          sk.join(broadcast(seeds), $"node" === $"seed")
+            .agg(est).as[Long].head()
+        else sk.agg(est).as[Long].head()
       val exact = if (withExact) pairs.count() else -1L
       rows += ((h, exact, approx))
     }
@@ -85,8 +102,9 @@ object Mining {
         .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
         .localCheckpoint()
       if (withExact)
-        pairs = edges.join(pairs.withColumnRenamed("node", "src"), Seq("src"))
-          .select($"dst".as("node"), $"member")
+        pairs = edges.join(pairs.withColumnRenamed("node", "src"),
+            Seq("src"))
+          .select($"seed", $"dst".as("node"))
           .unionByName(pairs)
           .distinct()
           .localCheckpoint()
@@ -122,9 +140,9 @@ object Mining {
   private val q231Sql = {
     def iter(prev: String, out: String) =
       s"""$out AS (
-         |  SELECT DISTINCT node, member FROM (
-         |    SELECT e.dst AS node, p.member FROM e JOIN $prev p ON e.src = p.node
-         |    UNION ALL SELECT node, member FROM $prev))""".stripMargin
+         |  SELECT DISTINCT seed, node FROM (
+         |    SELECT p.seed, e.dst AS node FROM e JOIN $prev p ON e.src = p.node
+         |    UNION ALL SELECT seed, node FROM $prev))""".stripMargin
     val chain = (1 to HyperBallHops)
       .map(i => iter(s"p${i - 1}", s"p$i")).mkString(",\n")
     val counts = (0 to HyperBallHops)
@@ -134,7 +152,11 @@ object Mining {
        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |p0 AS (SELECT DISTINCT src AS node, src AS member FROM e),
+       |seeds AS (
+       |  SELECT node AS seed FROM (SELECT DISTINCT src AS node FROM e)
+       |  ORDER BY md5('hb:' || node) ASC, node ASC
+       |  LIMIT $HyperBallSeedCap),
+       |p0 AS (SELECT seed, seed AS node FROM seeds),
        |$chain
        |SELECT hop, exact_pairs, TRUE AS within_tol FROM ($counts)
        |ORDER BY hop""".stripMargin

@@ -21,7 +21,10 @@ class MiningSpec extends AnyFunSuite {
       .selectExpr("o_custkey", "l_suppkey").distinct()
     val nodes = edges.selectExpr("o_custkey").distinct().count() +
       edges.selectExpr("l_suppkey").distinct().count()
-    assert(byHop(0) == nodes, s"hop-0 pairs ${byHop(0)} != node count $nodes")
+    // the exact gauge runs from a fixed 64-seed sample (the q53 rule):
+    // hop 0 is one self-pair per seed
+    assert(byHop(0) == math.min(64L, nodes),
+      s"hop-0 pairs ${byHop(0)} != seed count ${math.min(64L, nodes)}")
     // neighborhood function is monotone non-decreasing in h
     (1 to 3).foreach(h => assert(byHop(h) >= byHop(h - 1),
       s"N($h)=${byHop(h)} < N(${h - 1})=${byHop(h - 1)}"))
