@@ -191,13 +191,26 @@ object Bench {
     }.mkString("{", ",", "}")
     def lineWith(q: String, noisyPart: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$q,"errors":$errJson,"reps":$reps,"minTotal":${fmt2(minTotal)},$noisyPart"sf":"$sfShort"}"""
-    val line = Seq(
+    // beyond ~170 queries no per-query map fits: degrade to the TOP-K
+    // SLOWEST medians (the grading-relevant ones) with the truncation
+    // EXPLICIT in the line ("queriesShown"/"queriesTotal" — no silent
+    // caps); the complete 3-decimal map stays in bench_detail.json
+    def qsTop(scale: Int, k: Int): String = results
+      .sortBy(r => -median(r._2)).take(k)
+      .map { case (name, v, _, _) =>
+        s"\"" + shortId(name) + "\":" + BigDecimal(median(v))
+          .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+      }.mkString("{", ",", "}")
+    def topPart(k: Int) =
+      s""""noisyCount":${noisy.size},"queriesShown":$k,"queriesTotal":${results.size},"""
+    val line = (Seq(
       lineWith(qs, s""""noisy":$noisyJson,"""),
       lineWith(qs, s""""noisyCount":${noisy.size},"""),
-      lineWith(qsAt(1), s""""noisyCount":${noisy.size},"""))
+      lineWith(qsAt(1), s""""noisyCount":${noisy.size},""")) ++
+      Seq(100, 60, 30).map(k => lineWith(qsTop(1, k), topPart(k))))
       .find(_.length <= 1850)
       .getOrElse(sys.error(
-        s"bench stdout line > 1850 chars even at 1 decimal - shorten ids"))
+        s"bench stdout line > 1850 chars even at top-30 - shorten ids"))
     println(line)
     System.out.flush()
   }
