@@ -891,6 +891,18 @@ object Dedup {
 
   // ---------------------------------------------------------------- q220
 
+  /** Fixed doc-slice budget for the q220 band-geometry gauge: both
+    * verify arms run entirely inside the [[LshGaugeDocCap]] smallest-
+    * md5(doc_id) documents (the q53/q231/q253 fixed-sample rule), so
+    * the gauge costs O(cap · shingles-per-doc) at ANY corpus size. A
+    * band-geometry ESTIMATE never needed its pair set to scale with
+    * the corpus — the pre-round-10 form re-joined full shingle sets
+    * per candidate pair over the whole corpus and measured 8.8× at
+    * 10× data. At the correctness-gate SFs (≤ cap docs) the slice IS
+    * the corpus, so outputs there are unchanged.
+    */
+  val LshGaugeDocCap = 1000
+
   /** q220: LSH banding quality gauge — the dedup family's missing
     * MEASUREMENT (q53/q75/q171/q175 gauge every ANN tier; nothing
     * gauged the MinHash bands): how many true near-dup pairs do the
@@ -903,14 +915,46 @@ object Dedup {
     * compare like for like. One row out: the counts, the recall the
     * 4-band/4-row signature delivers, and the precision cost of
     * banding. At 100 TB the audit costs one q18 pass + one q19 pass
-    * over a sampled slice — the number that decides band geometry
-    * BEFORE a corpus-wide dedup run, measured instead of assumed.
+    * over the [[LshGaugeDocCap]] md5-ranked doc slice — the number
+    * that decides band geometry BEFORE a corpus-wide dedup run,
+    * measured instead of assumed, at O(slice) cost at any corpus.
     */
-  def q220LshQuality(s: SparkSession, dir: String): DataFrame = {
+  def q220LshQuality(s: SparkSession, dir: String): DataFrame =
+    lshQualityGauge(s, dir, LshGaugeDocCap)
+
+  /** The gauge with an explicit slice budget (spec hook: the cap is a
+    * parameter so the sampled-slice floor can be locked at a cap that
+    * BINDS on the test corpus, not only at the production default).
+    */
+  def lshQualityGauge(
+      s: SparkSession, dir: String, docCap: Int): DataFrame = {
     import s.implicits._
-    val docs = corpusDocs(s, dir).filter(size($"shs") > 0)
-    val (interCapped, _) = cappedShinglePairs(s, dir)
-    val truth = interCapped.select($"doc_a", $"doc_b")
+    import graft.functions.NativeExpressions.minhashSignature
+    // orderBy().limit() → TakeOrdered (cap-sized heap per task), then
+    // the slice broadcasts into the text scan: only sampled docs are
+    // ever shingled or signed.
+    val sample = tSpread(s, dir, "documents")
+      .select($"doc_id")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+      .limit(docCap)
+    val docs = tSpread(s, dir, "documents")
+      .join(broadcast(sample), "doc_id")
+      .select($"doc_id", array_distinct(shingles($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+      .select($"doc_id", $"shs", minhashSignature($"shs", NumHashes).as("sig"))
+      .persist()
+    // truth arm: the q18 machinery (df-capped inverted index, full-set
+    // Jaccard verify) restricted to the slice. The df cap counts within
+    // the slice — at gate SFs the slice is the corpus, so identical.
+    val sh = docs.select($"doc_id", explode($"shs").as("sh"))
+    val keep = sh.groupBy($"sh").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" <= ShingleDfCap).select($"sh")
+    val shf = sh.join(broadcast(keep), "sh")
+    val candT = shf.select($"doc_id".as("doc_a"), $"sh").as("a")
+      .join(shf.select($"doc_id".as("doc_b"), $"sh").as("b"),
+        col("a.sh") === col("b.sh") && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val truth = candT
       .join(docs.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(docs.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
       .select($"doc_a", $"doc_b",
@@ -918,7 +962,29 @@ object Dedup {
           (size($"sa") + size($"sb") -
             size(array_intersect($"sa", $"sb")))).as("jac"))
       .filter($"jac" >= 0.6).select($"doc_a", $"doc_b").persist()
-    val banded = minhashPairs(s, dir).persist()
+    // banded arm: the q19 machinery (band-bucket collision candidates,
+    // full-set Jaccard verify) over the SAME slice.
+    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => element_at($"sig", bnd * BandSize + r + 1)): _*))
+    }: _*)
+    val bands = docs.select($"doc_id", posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val candB = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val banded = candB
+      .join(docs.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa", $"sb")).cast("long").as("n_common"),
+        size($"sa").as("na"), size($"sb").as("nb"))
+      .filter($"n_common" > 0)
+      .select($"doc_a", $"doc_b",
+        ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+      .persist()
     val bandedDup = banded.filter($"jaccard" >= 0.6)
       .select($"doc_a", $"doc_b").persist()
     val nTruth = truth.count()
@@ -927,6 +993,7 @@ object Dedup {
     val nMissed = truth.join(bandedDup, Seq("doc_a", "doc_b"), "left_anti")
       .count()
     truth.unpersist(false); banded.unpersist(false); bandedDup.unpersist(false)
+    docs.unpersist(false)
     Seq((nTruth, nBanded, nDup, nMissed))
       .toDF("n_truth", "n_banded", "n_banded_dup", "n_missed")
       .select($"n_truth", $"n_banded", $"n_banded_dup", $"n_missed",
@@ -946,7 +1013,18 @@ object Dedup {
         .map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""WITH samp AS (
+      |  SELECT doc_id FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      |  LIMIT $LshGaugeDocCap),
+      |sdocs AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN samp USING (doc_id)),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
       |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $ShingleDfCap),
       |shf AS (SELECT sh.doc_id, sh.sh FROM sh JOIN keep USING (sh)),
       |candt AS (

@@ -61,54 +61,94 @@ object Mining {
     import s.implicits._
     val edges = csEdges(s, dir).persist()
     val nodes = edges.select($"src".as("node")).distinct()
-    // approx arm: one HLL register file per node
-    var sk = nodes
-      // lgK=9: 512 registers ≈ 0.6 KB serialized — the sketch rides
-      // every edge through the per-hop shuffle, so sketch BYTES are the
-      // cost driver (lgK=12 measured 8× slower for no flag headroom:
-      // per-node sd ~4.6% vs the 10% gate, and hop-3 saturation
-      // correlates the per-node errors rather than compounding them)
+    // one HLL register file per node — the singleton sketches both arms
+    // start from.
+    // lgK=9: 512 registers ≈ 0.6 KB serialized — in the production arm
+    // the sketch rides every edge through the per-hop shuffle, so
+    // sketch BYTES are the cost driver (lgK=12 measured 8× slower for
+    // no flag headroom: per-node sd ~4.6% vs the 10% gate, and hop-3
+    // saturation correlates the per-node errors rather than compounding
+    // them)
+    val sk0 = nodes
       .groupBy($"node").agg(hll_sketch_agg($"node", lit(9)).as("sk"))
       .localCheckpoint()
-    // exact-gauge seeds: md5-ranked FIXED sample (the q53/q253 rule).
-    // The first draft closed over EVERY node — O(n·ball) pairs — and
-    // OOM'd the sf0.1 bench in the closure's distinct(); balls from a
-    // bounded seed set keep the verification O(seeds·ball) at any
-    // corpus size, and on this symmetric graph out-ball(seed) equals
-    // in-ball(seed), so the seed-filtered sketch sum measures the SAME
-    // quantity the seed-restricted closure counts.
-    val seeds = nodes
-      .orderBy(md5(concat(lit("hb:"), $"node")).asc, $"node".asc)
-      .limit(HyperBallSeedCap)
-      .select($"node".as("seed")).localCheckpoint()
-    var pairs = seeds.select($"seed", $"seed".as("node"))
-      .localCheckpoint()
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    def record(h: Int): Unit = {
-      val est = sum(hll_sketch_estimate($"sk"))
-      val approx =
-        if (withExact)
-          sk.join(broadcast(seeds), $"node" === $"seed")
-            .agg(est).as[Long].head()
-        else sk.agg(est).as[Long].head()
-      val exact = if (withExact) pairs.count() else -1L
-      rows += ((h, exact, approx))
-    }
-    record(0)
-    for (h <- 1 to HyperBallHops) {
-      sk = edges.join(sk.withColumnRenamed("node", "src"), Seq("src"))
-        .select($"dst".as("node"), $"sk")
-        .unionByName(sk)
-        .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
-        .localCheckpoint()
-      if (withExact)
-        pairs = edges.join(pairs.withColumnRenamed("node", "src"),
-            Seq("src"))
-          .select($"seed", $"dst".as("node"))
-          .unionByName(pairs)
-          .distinct()
+    if (!withExact) {
+      // PRODUCTION arm: the HyperBall iteration proper — S_0(u) = {u},
+      // S_h(u) = S_{h-1}(u) ∪ ⋃_{(u,w)∈E} S_{h-1}(w); one shuffle per
+      // hop, O(nodes · sketch) state, N(h) = Σ_u estimate(S_h(u)).
+      var sk = sk0
+      def record(h: Int): Unit =
+        rows += ((h, -1L,
+          sk.agg(sum(hll_sketch_estimate($"sk"))).as[Long].head()))
+      record(0)
+      for (h <- 1 to HyperBallHops) {
+        sk = edges.join(sk.withColumnRenamed("node", "src"), Seq("src"))
+          .select($"dst".as("node"), $"sk")
+          .unionByName(sk)
+          .groupBy($"node").agg(hll_union_agg($"sk").as("sk"))
           .localCheckpoint()
-      record(h)
+        record(h)
+      }
+    } else {
+      // VERIFICATION arm (test-scale harness, the q53/q253 fixed-sample
+      // rule): md5-ranked FIXED seed set, exact balls as one 64-bit
+      // SEED MASK per node — mask_h(u) = mask_{h-1}(u) | OR over
+      // neighbors, exact pairs = Σ_u popcount(mask_h(u)). Same
+      // one-shuffle-per-hop shape as the production arm but an 8-byte
+      // payload instead of ~600 and O(nodes) state (the pre-round-10
+      // (seed, node) pair closure re-distinct()'d the saturating ball
+      // every hop — ~6 s of the query's 16 s alone).
+      //
+      // The sketch side to verify comes FROM the masks, not from a
+      // second iteration: HLL union is associative and idempotent with
+      // merge-order-free register maxima, so the iterated S_h(seed) is
+      // register-identical to one hll_union_agg over the ball members'
+      // singleton sketches — which the mask already enumerates. That
+      // turns the verified estimate into one broadcast join
+      // (ball pairs ⋈ sk0) + partial-aggregated union per hop, and
+      // q231 never pays the all-nodes sketch shuffle at all (measured
+      // 16.3 s → ~6 s). sk0 broadcasts at test scale only — this arm
+      // is seed-capped verification, never the 100 TB path.
+      val seeds = nodes
+        .orderBy(md5(concat(lit("hb:"), $"node")).asc, $"node".asc)
+        .limit(HyperBallSeedCap)
+        .select($"node".as("seed")).localCheckpoint()
+      val seedsIdx = seeds.select($"seed",
+        (row_number().over(Window.orderBy(
+          md5(concat(lit("hb:"), $"seed")).asc, $"seed".asc)) - 1).as("bit"))
+      var mask = seedsIdx
+        .select($"seed".as("node"),
+          expr("shiftleft(CAST(1 AS BIGINT), bit)").as("m"))
+        .localCheckpoint()
+      def record(h: Int): Unit = {
+        val exact = mask.agg(sum(bit_count($"m"))).as[Long].head()
+        val approx =
+          if (h == 0)
+            // hop 0: S_0(seed) is the direct-built singleton sketch,
+            // same estimator path as the production arm's hop 0
+            sk0.join(broadcast(seeds), $"node" === $"seed")
+              .agg(sum(hll_sketch_estimate($"sk"))).as[Long].head()
+          else
+            // hops ≥ 1: union-built per-seed sketches (the estimator
+            // the iterated production arm uses after its first
+            // hll_union_agg), assembled from the mask-enumerated ball
+            mask.join(broadcast(seedsIdx),
+                expr("(shiftright(m, bit) & 1) = 1"))
+              .join(broadcast(sk0), Seq("node"))
+              .groupBy($"seed").agg(hll_union_agg($"sk").as("sk"))
+              .agg(sum(hll_sketch_estimate($"sk"))).as[Long].head()
+        rows += ((h, exact, approx))
+      }
+      record(0)
+      for (h <- 1 to HyperBallHops) {
+        mask = edges.join(mask.withColumnRenamed("node", "src"), Seq("src"))
+          .select($"dst".as("node"), $"m")
+          .unionByName(mask)
+          .groupBy($"node").agg(expr("bit_or(m)").as("m"))
+          .localCheckpoint()
+        record(h)
+      }
     }
     edges.unpersist()
     rows.toSeq
