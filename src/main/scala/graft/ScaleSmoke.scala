@@ -189,7 +189,11 @@ object ScaleSmoke {
       "q286_wilson_interval", "q287_abc_classification",
       // round-9 batch 22: format round-trips — write + schema-declared
       // read-back + checksum, all scan-shaped.
-      "q288_csv_roundtrip", "q289_jsonl_roundtrip")
+      "q288_csv_roundtrip", "q289_jsonl_roundtrip",
+      // round-10: q290's anchor grams are df-capped (the q18 rule) and
+      // the letter rotation keeps anchors replica-local, so matches —
+      // and the pair-local diagonal windows — grow ~k, not k².
+      "q290_exact_substring")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

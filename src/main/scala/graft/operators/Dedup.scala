@@ -889,6 +889,117 @@ object Dedup {
       |HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, n_occ DESC, span ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q290
+
+  /** Minimum duplicated-span length (tokens) for q290 — also the anchor
+    * k-gram width, so every qualifying span contains at least one
+    * aligned anchor match and the candidate generator is complete.
+    */
+  val ExactSubstrMinLen = 8
+
+  /** Anchor-gram document-frequency cap for q290: an anchor seen in
+    * more than this many documents is boilerplate the pair join must
+    * not fan out on (the q18/q186 df-cap discipline). Spans consisting
+    * ONLY of over-cap anchors are dropped — the documented trade every
+    * bucketed ExactSubstr makes (Lee et al. shard by suffix bucket for
+    * the same reason).
+    */
+  val ExactSubstrDfCap = 20
+
+  /** q290: EXACT-SUBSTRING MAXIMAL-SPAN DEDUP (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, re-expressed bucketed instead of suffix-array): for
+    * every document pair, the MAXIMAL exactly-shared token spans of
+    * length ≥ [[ExactSubstrMinLen]], with both start offsets — the
+    * canonical LLM dedup pass that TRIMS duplicated regions rather
+    * than dropping whole near-dup documents (q103 reports fixed
+    * 8-gram spans; this finds the maximal extent). Never all-pairs:
+    * anchor k-grams ([[ExactSubstrMinLen]]-token, md5-keyed) are
+    * df-capped, the join is on the anchor key, and maximality falls
+    * out of DIAGONAL RUN-GROUPING instead of bidirectional probing —
+    * aligned matches (pos_a − pos_b constant) with consecutive pos_a
+    * are one shared span: overlapping equal k-grams imply the union
+    * span is equal, and a run's end is exactly where extension fails
+    * (an extendable span would extend the anchor run too). Each run
+    * costs one window over (doc_a, doc_b, diagonal) — pair-local,
+    * shuffle-partitioned by pair, O(matches log matches) at any
+    * corpus size.
+    */
+  def q290ExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = ExactSubstrMinLen
+    val toks = tSpread(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= L)
+      .persist()
+    val grams = toks
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), size($"t") - (L - 1))).as("pos"))
+      .select($"doc_id", $"pos",
+        md5(array_join(slice($"t", $"pos", lit(L)), " ")).as("g"))
+    val keep = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= ExactSubstrDfCap)
+      .select($"g")
+    val gf = grams.join(broadcast(keep), "g")
+    val m = gf.select($"doc_id".as("doc_a"), $"pos".as("pa"), $"g").as("a")
+      .join(gf.select($"doc_id".as("doc_b"), $"pos".as("pb"), $"g").as("b"),
+        col("a.g") === col("b.g") && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    val spans = m
+      .withColumn("rid", $"pa" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"rid")
+      .agg(min($"pa").as("a_start"),
+        (max($"pa") - min($"pa") + L).cast("long").as("span_len"))
+      .select($"doc_a", $"doc_b", $"a_start".cast("long").as("a_start"),
+        ($"a_start" - $"diag").cast("long").as("b_start"), $"span_len")
+    spans
+      .join(toks.select($"doc_id".as("doc_a"), $"t"), "doc_a")
+      .select($"doc_a", $"doc_b", $"a_start", $"b_start", $"span_len",
+        array_join(slice($"t", $"a_start".cast("int"),
+          $"span_len".cast("int")), " ").as("span"))
+      .orderBy($"doc_a", $"doc_b", $"a_start", $"b_start")
+  }
+
+  private val q290Sql = {
+    val L = ExactSubstrMinLen
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= $L),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    md5(array_to_string(list_slice(t, i, i + ${L - 1}), ' ')) AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, len(t) - ${L - 1})) AS i
+      |        FROM toks)),
+      |keep AS (
+      |  SELECT g FROM grams GROUP BY g
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $ExactSubstrDfCap),
+      |m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+      |    a.pos - b.pos AS diag
+      |  FROM (SELECT grams.* FROM grams JOIN keep USING (g)) a
+      |  JOIN (SELECT grams.* FROM grams JOIN keep USING (g)) b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa, pb, diag,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+      |                            ORDER BY pa) AS rid
+      |  FROM m),
+      |spans AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(min(pa) AS BIGINT) AS a_start,
+      |    CAST(min(pa) - diag AS BIGINT) AS b_start,
+      |    CAST(max(pa) - min(pa) + $L AS BIGINT) AS span_len
+      |  FROM runs GROUP BY doc_a, doc_b, diag, rid)
+      |SELECT s.doc_a, s.doc_b, s.a_start, s.b_start, s.span_len,
+      |  array_to_string(list_slice(t.t, CAST(s.a_start AS INT),
+      |    CAST(s.a_start + s.span_len - 1 AS INT)), ' ') AS span
+      |FROM spans s JOIN toks t ON t.doc_id = s.doc_a
+      |ORDER BY s.doc_a, s.doc_b, s.a_start, s.b_start""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q220
 
   /** Fixed doc-slice budget for the q220 band-geometry gauge: both
@@ -1161,6 +1272,9 @@ object Dedup {
     GraftQuery("q103_shared_spans", Seq("EXT-dedup", "A2"),
       "cross-document repeated 8-gram span audit (boilerplate report)",
       q103SharedSpans, Some(q103Sql)),
+    GraftQuery("q290_exact_substring", Seq("EXT-dedup", "W1", "J1"),
+      "ExactSubstr maximal-span dedup (Lee et al.): anchor-gram index + diagonal run-grouping, df-capped, never all-pairs",
+      q290ExactSubstring, Some(q290Sql)),
     GraftQuery("q76_incremental_dedup", Seq("EXT-dedup", "S6"),
       "incremental re-crawl dedup: delta bands probe the base index only",
       q76IncrementalDedup, Some(q76Sql)),
