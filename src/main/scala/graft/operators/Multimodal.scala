@@ -339,6 +339,161 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q291
+
+  /** Hamming tolerance for q291 near-dup pairs. With the 64-bit hash
+    * split into [[DHashBands]] bands, pigeonhole makes the banded
+    * candidate set COMPLETE for distance ≤ DHashBands − 1: ≤ 3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * collides exactly — recall vs exact Hamming truth is 1.0 by
+    * construction (locked in ImageDhashSpec), not probabilistic like
+    * MinHash banding.
+    */
+  val DHashHammingTol = 3
+  val DHashBands = 4
+
+  /** Per-bucket doc cap for the band join — flat/duplicate-heavy image
+    * corpora concentrate in few buckets; the cap bounds the self-join
+    * fan-out exactly like q18's shingle df-cap (over-cap buckets are
+    * boilerplate-grade mass a pair join must not fan out on).
+    */
+  val DHashBandDfCap = 50
+
+  /** q291 row: 64-bit perceptual difference hash per document. */
+  final case class DHashRow(doc_id: Long, dh: Long)
+
+  /** The dHash kernel: locate the pixel body with the SAME structural
+    * header walk q216 uses ([[bodyOffset]]), nearest-neighbor-sample it
+    * to a 9×8 luma grid (the byte stream stands in for the pixel
+    * buffer, as throughout this family), and set bit r·8+c iff
+    * grid[r][c] < grid[r][c+1] — the horizontal-gradient signature
+    * that survives re-encoding and resizing because it compares
+    * RELATIVE brightness. Bit 63 wraps into the sign bit (two's
+    * complement; the oracle reproduces the wrap explicitly).
+    */
+  def dhash64(payload: Array[Byte]): Long = {
+    val m = graft.functions.NativeExpressions.ImageHeader.parse(payload)
+    val fmt = if (m == null) "unknown" else m.format
+    val off = bodyOffset(payload, fmt)
+    val bodyLen = payload.length - off
+    if (bodyLen <= 0) return 0L
+    val s = new Array[Int](72)
+    var j = 0
+    while (j < 72) {
+      s(j) = payload(off + ((j.toLong * bodyLen) / 72).toInt) & 0xff
+      j += 1
+    }
+    var hsh = 0L
+    var b = 0
+    while (b < 64) {
+      val r = b / 8; val c = b % 8
+      if (s(r * 9 + c) < s(r * 9 + c + 1)) hsh |= (1L << b)
+      b += 1
+    }
+    hsh
+  }
+
+  /** q291: PERCEPTUAL IMAGE NEAR-DUP (dHash) — the image counterpart
+    * of MinHash for the multimodal lane: every payload hashed to a
+    * 64-bit horizontal-gradient signature by [[dhash64]], then paired
+    * by an EXACT-COLLISION band join (4 × 16-bit bands of the hash —
+    * q175's Hamming machinery, `bit_count(xor)` as the verify) and
+    * verified at Hamming ≤ [[DHashHammingTol]]. Pigeonhole makes the
+    * banding complete at this tolerance (see [[DHashHammingTol]]), so
+    * unlike MinHash there is no recall price — only the
+    * [[DHashBandDfCap]] bucket cap is a documented trade. The corpus
+    * is the q17 re-crawl shape (every 10th doc re-ingested under a new
+    * id — byte-identical body under a DIFFERENT header format, so a
+    * matching pair proves the hash reads pixels, not headers). At
+    * 100 TB: one kernel scan + a band-bucket join that scales with the
+    * collision rate — never all-pairs.
+    */
+  /** The q291 hash stage alone (corpus assembly + kernel scan) — also
+    * the spec's hook for brute-forcing exact Hamming truth.
+    */
+  def dhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000L))
+    corpus
+      .select($"doc_id",
+        concat(unhex(mediaHeaderHex), $"text".cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => DHashRow(id, dhash64(bytes)) })
+      .toDF()
+  }
+
+  def q291ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = dhashes(s, dir).persist()
+    val bandCols = array((0 until DHashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"dh", b * 16).bitwiseAND(lit(65535L)).as("bv"))
+    }: _*)
+    val bands = hashes.select($"doc_id", explode(bandCols).as("x"))
+      .select($"doc_id", $"x.band".as("band"), $"x.bv".as("bv"))
+    val keep = bands.groupBy($"band", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= DHashBandDfCap).select($"band", $"bv")
+    val bf = bands.join(broadcast(keep), Seq("band", "bv"))
+    val cand = bf.select($"doc_id".as("doc_a"), $"band", $"bv").as("x")
+      .join(bf.select($"doc_id".as("doc_b"), $"band", $"bv").as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(hashes.select($"doc_id".as("doc_a"), $"dh".as("dha")), "doc_a")
+      .join(hashes.select($"doc_id".as("doc_b"), $"dh".as("dhb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"dha".bitwiseXOR($"dhb")).cast("long").as("hamming"))
+      .filter($"hamming" <= DHashHammingTol)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q291Sql = {
+    // grid index for bit b: row b//8, col b%8 → 0-based sample r*9+c,
+    // 1-based list index +1; bit 63 reproduced via explicit two's-
+    // complement wrap (DuckDB raises on 1::BIGINT << 63)
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+      |g AS (
+      |  SELECT doc_id, list_transform(range(0, 72),
+      |    j -> ascii(substr(text,
+      |           CAST((j * length(text)) // 72 AS INTEGER) + 1, 1))) AS s
+      |  FROM corpus WHERE length(text) > 0),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 63),
+      |      b -> CASE WHEN s[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
+      |                   < s[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
+      |           THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0::BIGINT END))
+      |      AS BIGINT)
+      |    + CASE WHEN s[71] < s[72] THEN -9223372036854775808 ELSE 0 END
+      |      AS dh
+      |  FROM g),
+      |bands AS (
+      |  SELECT doc_id, b.band, (dh >> CAST(b.band * 16 AS INTEGER)) & 65535 AS bv
+      |  FROM h, (SELECT unnest(range(0, $DHashBands)) AS band) b),
+      |keep AS (
+      |  SELECT band, bv FROM bands GROUP BY band, bv
+      |  HAVING count(*) <= $DHashBandDfCap),
+      |bf AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bf x JOIN bf y
+      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN h a ON a.doc_id = c.doc_a
+      |JOIN h b ON b.doc_id = c.doc_b
+      |WHERE bit_count(xor(a.dh, b.dh)) <= $DHashHammingTol
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
   /** Decoded-audio metadata row (what a PCM feature extractor emits). */
   final case class WavMeta(
       doc_id: Long,
@@ -467,5 +622,8 @@ object Multimodal {
       "frame-sampling explode plan", q28FrameSample, Some(q28Sql)),
     GraftQuery("q135_image_header", Seq("EXT-multimodal"),
       "native image_dims expression: PNG/JPEG/GIF header fields parsed from real bytes",
-      q135ImageHeader, Some(q135Sql)))
+      q135ImageHeader, Some(q135Sql)),
+    GraftQuery("q291_image_dhash", Seq("EXT-multimodal", "EXT-dedup"),
+      "perceptual image near-dup: 64-bit dHash over the pixel body, 4x16-bit exact-collision bands, bit_count(xor) verify",
+      q291ImageDhash, Some(q291Sql)))
 }
