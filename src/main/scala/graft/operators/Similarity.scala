@@ -1433,6 +1433,124 @@ object Similarity {
       |SELECT vec_id, cell, cent_sim, removed FROM out163
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q292
+
+  /** q292: INCREMENTAL SemDeDup — the O(delta) selection arm the
+    * round-9 one-shot q163 lacked, wired to the frozen-codebook append
+    * contract (q161 / [[AnnIndex]] appendInPlace): the codebook trains
+    * on the BASE corpus only (vec_id % 10 ≠ 7, salt "c" — q161's
+    * artifact); the delta batch routes against that frozen broadcast,
+    * and the removal set is assembled ADDITIVELY —
+    *
+    *   removals(base ∪ delta)  =  removals(base × base)      [frozen:
+    *       what the pre-delta pass already materialized]
+    *                           ∪  removals(union × delta)     [anyone
+    *       newly voted out by a keep-ranked delta neighbor]
+    *                           ∪  removals(delta × base)      [delta
+    *       members voted out by existing base neighbors]
+    *
+    * — an exact partition of the union's directed pair votes by
+    * which side the members came from, so delta-selection ≡ full
+    * recompute on the union. THE ORACLE RUNS THE FULL RECOMPUTE
+    * (q163's shape against the base-frozen codebook); hash equality IS
+    * the equivalence proof, the q161 contract shape. At production
+    * cadence only the two delta-touching terms run — O(|delta| ·
+    * cell-occupancy) pair work + one O(|delta|·k) routing pass, never
+    * a corpus re-scan (the base×base term reads the materialized
+    * verdicts; [[graft.DeltaSelectSmoke]] measures exactly that split:
+    * bytes read by the delta arm vs the full recompute).
+    */
+  def q292IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val base = all.filter($"vec_id" % 10 =!= 7)
+    val delta = all.filter($"vec_id" % 10 === 7)
+    val cb = ivfCodebookOf(s, base.select($"vec_id", $"v"), "c")
+    val baseA = semdedupAssign(s, base, cb).persist()
+    val deltaA = semdedupAssign(s, delta, cb).persist()
+    val unionA = baseA.unionByName(deltaA)
+    val removed = semdedupRemovals(baseA, baseA)
+      .unionByName(semdedupRemovals(unionA, deltaA))
+      .unionByName(semdedupRemovals(deltaA, baseA))
+      .distinct()
+    unionA.join(removed, unionA("vec_id") === removed("xid"), "left")
+      .select(unionA("vec_id"),
+        when(unionA("vec_id") % 10 === 7, lit("delta"))
+          .otherwise(lit("base")).as("src"),
+        unionA("cell"), $"cent_sim", removed("xid").isNotNull.as("removed"))
+      .orderBy($"vec_id")
+  }
+
+  /** Probe-1 routing + centroid similarity against a frozen codebook —
+    * the shared assign stage of the incremental selection arm (q292 and
+    * [[graft.DeltaSelectSmoke]]).
+    */
+  def semdedupAssign(s: SparkSession, ev: DataFrame, cb: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    ev.crossJoin(broadcast(cb))
+      .select($"vec_id", $"v", $"nrm", $"centroid_id",
+        round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"centroid_id".as("cell"), $"v", $"nrm",
+        $"csim".as("cent_sim"))
+  }
+
+  /** The directed SemDeDup pair vote (q163's removal rule) with the two
+    * sides EXPLICIT: x is removed iff some y on the other side shares
+    * its cell, matches at ≥ [[SemDedupEps]], and precedes it in
+    * keep-rank (cent_sim ASC, vec_id ASC). Splitting by side is what
+    * makes the incremental decomposition in [[q292IncrementalSemdedup]]
+    * an exact partition.
+    */
+  def semdedupRemovals(xs: DataFrame, ys: DataFrame): DataFrame = {
+    val x = xs.select(col("vec_id").as("xid"), col("cell"), col("v").as("xv"),
+      col("nrm").as("xn"), col("cent_sim").as("xc"))
+    val y = ys.select(col("vec_id").as("yid"), col("cell"), col("v").as("yv"),
+      col("nrm").as("yn"), col("cent_sim").as("yc"))
+    x.join(y, Seq("cell"))
+      .filter(col("xid") =!= col("yid"))
+      .filter(round(dot(col("xv"), col("yv")) / (col("xn") * col("yn")), 6) >= SemDedupEps)
+      .filter(col("yc") < col("xc") ||
+        (col("yc") === col("xc") && col("yid") < col("xid")))
+      .select(col("xid")).distinct()
+  }
+
+  private def q292Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 10 <> 7),
+      |$ivfDimsSql,
+      |${ivfCbSql("c", "c")},
+      |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sc292 AS (
+      |  SELECT a.vec_id, c.cid,
+      |    round(list_dot_product(a.v, c.cv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6)
+      |      AS csim
+      |  FROM allv a CROSS JOIN cb_c c),
+      |wc AS (
+      |  SELECT vec_id, cid AS cell, csim AS cent_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM sc292) WHERE rn = 1),
+      |wv AS (SELECT wc.vec_id, wc.cell, wc.cent_sim, a.v
+      |       FROM wc JOIN allv a USING (vec_id)),
+      |rem AS (
+      |  SELECT DISTINCT x.vec_id FROM wv x JOIN wv y
+      |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      |  WHERE round(list_dot_product(x.v, y.v) /
+      |      (sqrt(list_dot_product(x.v, x.v)) *
+      |       sqrt(list_dot_product(y.v, y.v))), 6) >= $SemDedupEps
+      |    AND (y.cent_sim < x.cent_sim OR
+      |         (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id)))
+      |SELECT w.vec_id,
+      |  CASE WHEN w.vec_id % 10 = 7 THEN 'delta' ELSE 'base' END AS src,
+      |  w.cell, w.cent_sim, (r.vec_id IS NOT NULL) AS removed
+      |FROM wv w LEFT JOIN rem r ON w.vec_id = r.vec_id
+      |ORDER BY w.vec_id""".stripMargin
+
   /** Hard negatives emitted per anchor in q164 — the contrastive-batch
     * fan-out (a real miner ships 1–8 per anchor; 3 keeps the gate
     * output readable).
@@ -2202,6 +2320,9 @@ object Similarity {
     GraftQuery("q163_semdedup", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
       "SemDeDup: index-cell clustering + within-cluster cosine prune, keep the least-prototypical member",
       q163SemDedup, Some(q163Sql)),
+    GraftQuery("q292_incremental_semdedup", Seq("EXT-similarity", "EXT-dedup", "EXT-curation"),
+      "O(delta) SemDeDup: frozen base codebook, additive removal partition; oracle runs the full union recompute — hash equality proves delta-selection == full",
+      q292IncrementalSemdedup, Some(q292Sql)),
     GraftQuery("q161_index_append", Seq("EXT-similarity", "EXT-streaming"),
       "frozen-codebook incremental index append: base-trained IVF routing of a later delta batch",
       q161IndexAppend, Some(q161Sql)),

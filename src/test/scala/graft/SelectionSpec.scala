@@ -101,4 +101,34 @@ class SelectionSpec extends AnyFunSuite {
       "strongest-match dedup failed")
     out.unpersist(false)
   }
+
+  test("q292: additive removal partition equals the direct union-wide pair vote") {
+    import spark.implicits._
+    val S = operators.Similarity
+    val all = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(zip_with($"v", $"v", _ * _),
+        lit(0.0), _ + _)))
+    val base = all.filter($"vec_id" % 10 =!= 7)
+    val delta = all.filter($"vec_id" % 10 === 7)
+    val cb = S.ivfCodebookOf(spark, base.select($"vec_id", $"v"), "c")
+    val baseA = S.semdedupAssign(spark, base, cb).persist()
+    val deltaA = S.semdedupAssign(spark, delta, cb).persist()
+    val unionA = baseA.unionByName(deltaA)
+    val direct = S.semdedupRemovals(unionA, unionA)
+      .as[Long].collect().toSet
+    val additive = S.semdedupRemovals(baseA, baseA)
+      .unionByName(S.semdedupRemovals(unionA, deltaA))
+      .unionByName(S.semdedupRemovals(deltaA, baseA))
+      .as[Long].collect().toSet
+    assert(direct == additive,
+      s"partition not exact: onlyDirect=${(direct -- additive).take(5)} " +
+        s"onlyAdditive=${(additive -- direct).take(5)}")
+    assert(direct.nonEmpty, "vacuous: no removals on the test corpus")
+    // and some removal genuinely involves the delta side (the terms the
+    // production cadence runs are not vacuous either)
+    val baseOnly = S.semdedupRemovals(baseA, baseA).as[Long].collect().toSet
+    assert(direct != baseOnly, "delta batch changed no verdict — vacuous test corpus")
+    baseA.unpersist(false); deltaA.unpersist(false)
+  }
 }
