@@ -211,6 +211,15 @@ object Bench {
       .find(_.length <= 1850)
       .getOrElse(sys.error(
         s"bench stdout line > 1850 chars even at top-30 - shorten ids"))
+    // LAST-LINE CONTRACT (round-9 verdict ask #7): the JSON line must be
+    // the forked JVM's final stdout. spark.stop() already ran above, but
+    // executor/BlockManager shutdown chatter drains ASYNCHRONOUSLY into
+    // stderr, which sbt relays interleaved with stdout — BENCH_r09's tail
+    // caught such a fragment ABOVE the line (harmless) and could in
+    // principle catch one below it (fatal to the driver's tail parse).
+    // Quiesce: give the late log relays a moment to drain, then print
+    // and flush as the very last acts.
+    Thread.sleep(1500)
     println(line)
     System.out.flush()
   }
