@@ -131,4 +131,36 @@ class SelectionSpec extends AnyFunSuite {
     assert(direct != baseOnly, "delta batch changed no verdict — vacuous test corpus")
     baseA.unpersist(false); deltaA.unpersist(false)
   }
+
+  test("q293: split featurize-and-score equals the one-pass union score; budget re-cut is global") {
+    import spark.implicits._
+    val T = operators.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"text")
+    val dbBase = T.dsirDocBuckets(docs.filter($"doc_id" % 10 =!= 7)).persist()
+    val lr = T.dsirModel(dbBase)
+    // incremental assembly: base and delta scored in separate passes
+    val split = T.dsirScore(dbBase, lr)
+      .unionByName(T.dsirScore(
+        T.dsirDocBuckets(docs.filter($"doc_id" % 10 === 7)), lr))
+      .select($"doc_id", $"lw".cast("string"))
+      .as[(Long, String)].collect().toMap
+    // one-pass: the whole corpus featurized together, same frozen model
+    val onePass = T.dsirScore(T.dsirDocBuckets(docs), lr)
+      .select($"doc_id", $"lw".cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(split == onePass, "per-doc scores are not featurization-order independent")
+    // the budget is GLOBAL: the union cut must differ from a base-only
+    // cut on at least one base doc (delta arrivals displace base picks —
+    // the part a naive per-batch top-k gets wrong)
+    val unionKeep = T.dsirKeepCut(spark,
+        T.dsirScore(T.dsirDocBuckets(docs), lr))
+      .filter($"doc_id" % 10 =!= 7)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val baseKeep = T.dsirKeepCut(spark, T.dsirScore(dbBase, lr))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(unionKeep != baseKeep,
+      "vacuous corpus: the delta batch displaced no base pick")
+    dbBase.unpersist(false)
+  }
 }
