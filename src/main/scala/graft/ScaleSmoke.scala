@@ -193,7 +193,13 @@ object ScaleSmoke {
       // round-10: q290's anchor grams are df-capped (the q18 rule) and
       // the letter rotation keeps anchors replica-local, so matches —
       // and the pair-local diagonal windows — grow ~k, not k².
-      "q290_exact_substring")
+      // q291's band buckets are 16-bit exact keys under the bucket cap
+      // (collision-rate-bounded, the q19 shape); q292's pair work is
+      // cell-local against the IvfK-bounded frozen codebook; q293 is
+      // two scan-shaped gram passes + a 256-row broadcast + the
+      // bounded-heap budget cut.
+      "q290_exact_substring", "q291_image_dhash",
+      "q292_incremental_semdedup", "q293_incremental_dsir")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
