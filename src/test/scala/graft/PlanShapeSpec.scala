@@ -173,6 +173,11 @@ class PlanShapeSpec extends AnyFunSuite {
     //    brand table (scalar attach)
     //  - q287: crossJoin(broadcast(<1-row revenue total>)) onto the
     //    cumulative-share table (scalar attach)
+    //  - q292: the q161/q163 frozen-codebook shape — broadcast
+    //    k-centroid scoring of base and delta (two q45-shaped passes)
+    //    plus the Lloyd trainer's bounded sample×k products
+    //  - q293: q162's two scalar attaches against the base-frozen
+    //    model (gram totals; the TakeOrdered budget boundary)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -191,7 +196,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q274_xmr_control_chart", "q277_acf", "q278_runs_test",
       "q280_theil_decomposition", "q282_cumulative_gains",
       "q283_term_burstiness", "q286_wilson_interval",
-      "q287_abc_classification")),
+      "q287_abc_classification",
+      "q292_incremental_semdedup", "q293_incremental_dsir")),
       s"unexpected cross products in: $offenders")
   }
 
