@@ -199,7 +199,10 @@ object ScaleSmoke {
       // two scan-shaped gram passes + a 256-row broadcast + the
       // bounded-heap budget cut.
       "q290_exact_substring", "q291_image_dhash",
-      "q292_incremental_semdedup", "q293_incremental_dsir")
+      "q292_incremental_semdedup", "q293_incremental_dsir",
+      // q294 = q291's shape on the audio lane (kernel scan + capped
+      // 16-bit band buckets)
+      "q294_audio_fingerprint")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

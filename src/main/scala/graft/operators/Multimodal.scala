@@ -608,6 +608,197 @@ object Multimodal {
       |GROUP BY d.doc_id, d.sample_rate, d.n
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q294
+
+  /** Frame width (samples) and frame count for the q294 audio
+    * fingerprint: 65 frame energies → 64 sign-of-delta bits, the same
+    * 64-bit near-dup currency as q291's dHash.
+    */
+  val AfpFrame = 8
+  val AfpFrames = 65
+
+  /** The audio-fingerprint kernel: walk the RIFF chunk list to `data`
+    * (same byte-real discipline as [[decodeWav]]), decode signed 16-bit
+    * LE PCM, fold [[AfpFrame]]-sample frame energies as exact longs,
+    * and set bit f iff E_{f+1} > E_f — the sign-of-energy-delta
+    * signature (the Haitsma–Kalker/Chromaprint family's core trick,
+    * 1-band variant): AMPLITUDE-INVARIANT in the limit, because
+    * uniform gain scales every frame energy by the same factor and
+    * leaves the deltas' signs alone (integer truncation can flip a
+    * near-zero delta — the re-encode twins land at small, not always
+    * zero, Hamming distance, which is exactly what the banded join is
+    * for).
+    */
+  def audioFingerprint(b: Array[Byte]): Long = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16s(i: Int): Int = {
+      val v = u8(i) | (u8(i + 1) << 8)
+      if (v >= 0x8000) v - 0x10000 else v
+    }
+    def le32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE payload")
+    var p = 12
+    var dataOff = -1; var dataLen = 0L
+    while (dataOff < 0 && p + 8 <= b.length) {
+      val len = le32(p + 4)
+      if (tag(p) == "data") { dataOff = p + 8; dataLen = len }
+      else p += 8 + len.toInt + (len.toInt & 1)
+    }
+    require(dataOff > 0, "no data chunk")
+    val e = new Array[Long](AfpFrames)
+    var f = 0
+    while (f < AfpFrames) {
+      var j = 0; var acc = 0L
+      while (j < AfpFrame) {
+        val v = le16s(dataOff + 2 * (f * AfpFrame + j))
+        acc += v.toLong * v
+        j += 1
+      }
+      e(f) = acc
+      f += 1
+    }
+    var hsh = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (e(bit + 1) > e(bit)) hsh |= (1L << bit)
+      bit += 1
+    }
+    hsh
+  }
+
+  /** The q294 corpus: one 520-sample (65 frames × 8) mono 16-bit WAV
+    * per doc with md5-seeded pseudo-random PCM, plus a HALF-AMPLITUDE
+    * re-encode of every 10th doc under a new id (floor(v/2) — the
+    * loudness-normalized re-encode a crawl actually sees). Assembled
+    * relationally like q234 so the oracle can regenerate the samples.
+    */
+  def afpPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def le16(v: org.apache.spark.sql.Column) =
+      format_string("%02x%02x", v.bitwiseAND(lit(255)),
+        shiftright(v, 8).bitwiseAND(lit(255)))
+    def le32(v: org.apache.spark.sql.Column) =
+      format_string("%02x%02x%02x%02x", v.bitwiseAND(lit(255)),
+        shiftright(v, 8).bitwiseAND(lit(255)),
+        shiftright(v, 16).bitwiseAND(lit(255)),
+        shiftright(v, 24).bitwiseAND(lit(255)))
+    val n = AfpFrames * AfpFrame
+    val dataLen = lit(n * 2)
+    val hdr = concat(
+      lit("52494646"), le32(dataLen + 36), lit("57415645"),
+      lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+      le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+      lit("64617461"), le32(dataLen))
+    val base = t(s, dir, "documents").select($"doc_id")
+    val corpus = base.select($"doc_id", $"doc_id".as("seed"), lit(1).as("div"))
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"doc_id".as("seed"),
+          lit(2).as("div")))
+    // u = 16-bit md5 uniform per (seed, i); v = signed; the re-encode
+    // halves with FLOOR division (matches the oracle's // semantics)
+    val samplesHex = array_join(transform(sequence(lit(0), lit(n - 1)), i => {
+      val u = conv(substring(md5(concat($"seed".cast("string"), lit(":"),
+        i.cast("string"))), 1, 4), 16, 10).cast("int")
+      val v = when(u >= 32768, u - 65536).otherwise(u)
+      val vd = floor(v.cast("double") / $"div").cast("int")
+      val u2 = ((vd % 65536) + 65536) % 65536
+      format_string("%02x%02x", u2 % 256, shiftright(u2, 8))
+    }), "")
+    corpus.select($"doc_id", unhex(concat(hdr, samplesHex)).as("payload"))
+  }
+
+  /** q294: PERCEPTUAL AUDIO NEAR-DUP — the audio lane's q291: every
+    * WAV payload fingerprinted by [[audioFingerprint]] (byte-real RIFF
+    * walk + frame-energy sign deltas), then paired by the SAME
+    * pigeonhole-complete 4×16-bit exact-collision band join and
+    * verified with `bit_count(xor)` ≤ [[DHashHammingTol]]. The corpus
+    * plants half-amplitude re-encodes (different bytes, same loudness
+    * CONTOUR), so a matching pair proves the fingerprint reads signal
+    * shape, not sample values. The oracle regenerates the PCM
+    * relationally and recomputes fingerprints, bands, and distances
+    * from scratch. Scale shape = q291's: one kernel scan + a
+    * collision-rate-bounded band join, never all-pairs.
+    */
+  def q294AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = afpPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        DHashRow(id, audioFingerprint(bytes)) })
+      .toDF().persist()
+    val bandCols = array((0 until DHashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"dh", b * 16).bitwiseAND(lit(65535L)).as("bv"))
+    }: _*)
+    val bands = hashes.select($"doc_id", explode(bandCols).as("x"))
+      .select($"doc_id", $"x.band".as("band"), $"x.bv".as("bv"))
+    val keep = bands.groupBy($"band", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= DHashBandDfCap).select($"band", $"bv")
+    val bf = bands.join(broadcast(keep), Seq("band", "bv"))
+    val cand = bf.select($"doc_id".as("doc_a"), $"band", $"bv").as("x")
+      .join(bf.select($"doc_id".as("doc_b"), $"band", $"bv").as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(hashes.select($"doc_id".as("doc_a"), $"dh".as("dha")), "doc_a")
+      .join(hashes.select($"doc_id".as("doc_b"), $"dh".as("dhb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"dha".bitwiseXOR($"dhb")).cast("long").as("hamming"))
+      .filter($"hamming" <= DHashHammingTol)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q294Sql = {
+    val n = AfpFrames * AfpFrame
+    s"""WITH corpus AS (
+      |  SELECT doc_id, doc_id AS seed, 1 AS div FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id % 10 = 0),
+      |sm AS (
+      |  SELECT doc_id, i // $AfpFrame AS f,
+      |    CAST(floor(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+      |               / CAST(div AS DOUBLE)) AS BIGINT) AS v
+      |  FROM (
+      |    SELECT doc_id, seed, div, i,
+      |      ('0x' || substr(md5(seed || ':' || i), 1, 4))::INTEGER AS u
+      |    FROM corpus, unnest(range(0, $n)) AS r(i))),
+      |fe AS (
+      |  SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM sm GROUP BY doc_id, f),
+      |eh AS (
+      |  SELECT doc_id, list(e ORDER BY f) AS es FROM fe GROUP BY doc_id),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 63),
+      |      b -> CASE WHEN es[CAST(b AS INTEGER) + 2] > es[CAST(b AS INTEGER) + 1]
+      |           THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0::BIGINT END))
+      |      AS BIGINT)
+      |    + CASE WHEN es[65] > es[64] THEN -9223372036854775808 ELSE 0 END
+      |      AS dh
+      |  FROM eh),
+      |bands AS (
+      |  SELECT doc_id, b.band, (dh >> CAST(b.band * 16 AS INTEGER)) & 65535 AS bv
+      |  FROM h, (SELECT unnest(range(0, $DHashBands)) AS band) b),
+      |keep AS (
+      |  SELECT band, bv FROM bands GROUP BY band, bv
+      |  HAVING count(*) <= $DHashBandDfCap),
+      |bf AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bf x JOIN bf y
+      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN h a ON a.doc_id = c.doc_a
+      |JOIN h b ON b.doc_id = c.doc_b
+      |WHERE bit_count(xor(a.dh, b.dh)) <= $DHashHammingTol
+      |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q234_wav_features", Seq("EXT-multimodal"),
       "audio lane: real RIFF/WAVE chunk walk over relationally-built PCM payloads, integer-exact loudness statistics",
@@ -625,5 +816,8 @@ object Multimodal {
       q135ImageHeader, Some(q135Sql)),
     GraftQuery("q291_image_dhash", Seq("EXT-multimodal", "EXT-dedup"),
       "perceptual image near-dup: 64-bit dHash over the pixel body, 4x16-bit exact-collision bands, bit_count(xor) verify",
-      q291ImageDhash, Some(q291Sql)))
+      q291ImageDhash, Some(q291Sql)),
+    GraftQuery("q294_audio_fingerprint", Seq("EXT-multimodal", "EXT-dedup"),
+      "perceptual audio near-dup: RIFF walk + frame-energy sign-delta fingerprint, amplitude-invariant, q291's pigeonhole-complete band join",
+      q294AudioFingerprint, Some(q294Sql)))
 }

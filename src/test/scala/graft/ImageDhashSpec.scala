@@ -44,4 +44,31 @@ class ImageDhashSpec extends AnyFunSuite {
     val crossFormat = truth.exists { case (a, b) => a % 3 != b % 3 }
     assert(crossFormat, "expected a distance-0 pair with differing header formats")
   }
+
+  test("q294 banded pairs equal brute-force Hamming truth; fingerprint is amplitude-invariant") {
+    import spark.implicits._
+    val banded = operators.Multimodal.q294AudioFingerprint(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val hs = operators.Multimodal.afpPayloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, operators.Multimodal.audioFingerprint(b)) }
+      .collect().sortBy(_._1)
+    val truth = (for {
+      i <- hs.indices.iterator
+      j <- (i + 1) until hs.length
+      if java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) <=
+        operators.Multimodal.DHashHammingTol
+    } yield (hs(i)._1, hs(j)._1)).toSet
+    assert(banded == truth,
+      s"banding must be exact at tol<=3: missed=${(truth -- banded).take(5)} " +
+        s"extra=${(banded -- truth).take(5)}")
+    // every planted half-amplitude re-encode must be found — the
+    // fingerprint reads the loudness CONTOUR, not the sample values
+    // (bytes differ on every sample; truncation may cost a bit or two,
+    // never the pair)
+    val planted = hs.map(_._1).filter(id => id < 100000 && id % 10 == 0)
+      .map(id => (id, id + 100000L)).toSet
+    assert(planted.nonEmpty && planted.subsetOf(banded),
+      s"missed re-encode twins: ${(planted -- banded).take(5)}")
+  }
 }
