@@ -799,6 +799,108 @@ object Multimodal {
       |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q295
+
+  /** q295 output row: parsed MP4 movie-header metadata. */
+  final case class Mp4Meta(
+      doc_id: Long,
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      body_len: Long)
+
+  /** The MP4 kernel: a REAL ISO-BMFF box walk — read each top-level
+    * box's BE32 size + fourcc, DESCEND into `moov`'s children to find
+    * `mvhd`, and read timescale/duration from the version-0 layout
+    * (fixed offsets within the box only — every box POSITION comes
+    * from the size chain, never a layout constant: the synthesized
+    * payloads plant a doc-id-sized `free` box before `moov` precisely
+    * so a hardcoded offset reads garbage).
+    */
+  def mp4Header(docId: Long, b: Array[Byte]): Mp4Meta = {
+    def be32(i: Int): Long = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    var brand = "unknown"; var timescale = -1L; var duration = -1L
+    var bodyLen = -1L
+    var p = 0
+    while (p + 8 <= b.length) {
+      val size = be32(p).toInt
+      val t = tag(p + 4)
+      t match {
+        case "ftyp" => brand = tag(p + 8)
+        case "mdat" => bodyLen = size - 8L
+        case "moov" =>
+          var q = p + 8
+          while (q + 8 <= p + size) {
+            val cs = be32(q).toInt
+            if (tag(q + 4) == "mvhd") {
+              // v0 mvhd: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+              timescale = be32(q + 8 + 12)
+              duration = be32(q + 8 + 16)
+            }
+            q += cs
+          }
+        case _ => ()
+      }
+      p += size
+    }
+    Mp4Meta(docId, brand, timescale, duration, bodyLen)
+  }
+
+  /** q295: VIDEO-container lane — the q135/q234 structural-parse
+    * discipline applied to MP4/ISO-BMFF: per-doc payloads assembled
+    * relationally (ftyp + a doc-id-sized `free` spacer + moov/mvhd +
+    * an opaque `mdat` carrying the text bytes as stand-in media), then
+    * a partition-parallel byte-real box walk ([[mp4Header]]) recovers
+    * brand, movie timescale, duration, and media-body length. The
+    * oracle re-derives every field from the synthesis parameters with
+    * independent arithmetic — a mis-walked box on the Scala side (e.g.
+    * ignoring the spacer's size field) breaks the hash. Same seam as
+    * q27: a real demuxer/codec would replace the kernel body; the
+    * schema, binary column, and batch shape are the engine's part and
+    * they are real.
+    */
+  def q295Mp4Header(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def be32(v: org.apache.spark.sql.Column) =
+      format_string("%08x", v.cast("int"))
+    val brand = when($"doc_id" % 3 === 0, lit("69736f6d"))     // isom
+      .when($"doc_id" % 3 === 1, lit("6d703431"))              // mp41
+      .otherwise(lit("6d703432"))                              // mp42
+    val freeLen = ($"doc_id" % 16 + 8).cast("int")             // 8..23 bytes
+    val timescale = (($"doc_id" % 3 + 1) * 1000).cast("int")
+    val duration = ($"doc_id" * 31 % 100000).cast("int")
+    val mdatLen = (length($"text") + 8).cast("int")
+    val ftyp = concat(lit("00000010"), lit("66747970"), brand, lit("00000200"))
+    val free = concat(be32(freeLen), lit("66726565"),
+      repeat(lit("00"), freeLen - 8))
+    val mvhd = concat(lit("0000006c"), lit("6d766864"), lit("00000000"),
+      lit("00000000"), lit("00000000"), be32(timescale), be32(duration),
+      repeat(lit("00"), 108 - 8 - 20))
+    val moov = concat(be32(lit(8 + 108)), lit("6d6f6f76"), mvhd)
+    val mdat = concat(be32(mdatLen), lit("6d646174"))
+    t(s, dir, "documents")
+      .select($"doc_id",
+        concat(unhex(concat(ftyp, free, moov, mdat)),
+          $"text".cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => mp4Header(id, bytes) })
+      .toDF()
+      .select($"doc_id", $"brand", $"timescale", $"duration", $"body_len")
+      .orderBy($"doc_id")
+  }
+
+  private val q295Sql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41'
+      |    ELSE 'mp42' END AS brand,
+      |  CAST((doc_id % 3 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST(doc_id * 31 % 100000 AS BIGINT) AS duration,
+      |  CAST(length(text) AS BIGINT) AS body_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q234_wav_features", Seq("EXT-multimodal"),
       "audio lane: real RIFF/WAVE chunk walk over relationally-built PCM payloads, integer-exact loudness statistics",
@@ -819,5 +921,8 @@ object Multimodal {
       q291ImageDhash, Some(q291Sql)),
     GraftQuery("q294_audio_fingerprint", Seq("EXT-multimodal", "EXT-dedup"),
       "perceptual audio near-dup: RIFF walk + frame-energy sign-delta fingerprint, amplitude-invariant, q291's pigeonhole-complete band join",
-      q294AudioFingerprint, Some(q294Sql)))
+      q294AudioFingerprint, Some(q294Sql)),
+    GraftQuery("q295_mp4_header", Seq("EXT-multimodal"),
+      "video-container lane: byte-real ISO-BMFF box walk (ftyp/free/moov/mvhd/mdat) over relationally-built payloads; spacer box defeats fixed offsets",
+      q295Mp4Header, Some(q295Sql)))
 }
