@@ -201,8 +201,9 @@ object ScaleSmoke {
       "q290_exact_substring", "q291_image_dhash",
       "q292_incremental_semdedup", "q293_incremental_dsir",
       // q294 = q291's shape on the audio lane (kernel scan + capped
-      // 16-bit band buckets)
-      "q294_audio_fingerprint")
+      // 16-bit band buckets); q295 is a pure scan-shaped kernel pass
+      // (the q216 shape)
+      "q294_audio_fingerprint", "q295_mp4_header")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production
