@@ -612,9 +612,12 @@ object Multimodal {
 
   /** Frame width (samples) and frame count for the q294 audio
     * fingerprint: 65 frame energies → 64 sign-of-delta bits, the same
-    * 64-bit near-dup currency as q291's dHash.
+    * 64-bit near-dup currency as q291's dHash. Frame width 4 keeps one
+    * md5 per frame sufficient for the whole frame's samples (4 × 16-bit
+    * big-endian chunks of the digest), and 4-sample energies lose
+    * nothing the sign-of-delta bit needs.
     */
-  val AfpFrame = 8
+  val AfpFrame = 4
   val AfpFrames = 65
 
   /** The audio-fingerprint kernel: walk the RIFF chunk list to `data`
@@ -668,45 +671,76 @@ object Multimodal {
     hsh
   }
 
-  /** The q294 corpus: one 520-sample (65 frames × 8) mono 16-bit WAV
-    * per doc with md5-seeded pseudo-random PCM, plus a HALF-AMPLITUDE
-    * re-encode of every 10th doc under a new id (floor(v/2) — the
-    * loudness-normalized re-encode a crawl actually sees). Assembled
-    * relationally like q234 so the oracle can regenerate the samples.
+  /** Builds one q294 WAV: standard 44-byte RIFF/fmt/data header (mono,
+    * 16-bit, 8 kHz) + [[AfpFrames]]·[[AfpFrame]] samples where frame
+    * f's samples are the leading big-endian 16-bit chunks of
+    * MD5(seed ":" f) — the exact definition the DuckDB oracle
+    * regenerates relationally (`substr(md5(seed||':'||f), 4j+1, 4)`),
+    * so the cross-engine check covers the synthesizer too. `div`
+    * floor-divides each signed sample (the half-amplitude re-encode).
+    */
+  private def buildAfpWav(
+      md: java.security.MessageDigest, seed: Long, div: Int): Array[Byte] = {
+    val n = AfpFrames * AfpFrame
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    var p = 0
+    def wTag(s: String): Unit = { s.getBytes("US-ASCII").foreach { b => out(p) = b; p += 1 } }
+    def w32(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+      out(p + 2) = ((v >> 16) & 0xff).toByte; out(p + 3) = ((v >> 24) & 0xff).toByte
+      p += 4
+    }
+    def w16(v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+    }
+    wTag("RIFF"); w32(dataLen + 36); wTag("WAVE")
+    wTag("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    wTag("data"); w32(dataLen)
+    var f = 0
+    while (f < AfpFrames) {
+      md.reset()
+      val dg = md.digest(s"$seed:$f".getBytes("UTF-8"))
+      var j = 0
+      while (j < AfpFrame) {
+        val u = ((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)
+        val v = if (u >= 32768) u - 65536 else u
+        val vd = math.floor(v.toDouble / div).toInt
+        val u2 = ((vd % 65536) + 65536) % 65536
+        out(p) = (u2 & 0xff).toByte; out(p + 1) = ((u2 >> 8) & 0xff).toByte
+        p += 2
+        j += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** The q294 corpus: one 260-sample mono 16-bit WAV per doc with
+    * md5-seeded pseudo-random PCM, plus a HALF-AMPLITUDE re-encode of
+    * every 10th doc under a new id (floor(v/2) — the loudness-
+    * normalized re-encode a crawl actually sees). The corpus SPINE
+    * (doc ids, seeds, divisors) is relational; the byte synthesis runs
+    * in the kernel ([[buildAfpWav]]) because interpreted HOF lambdas
+    * made the relational hex assembly the query's cost driver
+    * (measured: 11.5 s of 12.5 s at sf0.1; kernel build ~1 s). The
+    * oracle regenerates the SAME samples relationally in DuckDB from
+    * the shared md5 definition, so the independent-engine check the
+    * relational assembly existed for is fully preserved.
     */
   def afpPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def le16(v: org.apache.spark.sql.Column) =
-      format_string("%02x%02x", v.bitwiseAND(lit(255)),
-        shiftright(v, 8).bitwiseAND(lit(255)))
-    def le32(v: org.apache.spark.sql.Column) =
-      format_string("%02x%02x%02x%02x", v.bitwiseAND(lit(255)),
-        shiftright(v, 8).bitwiseAND(lit(255)),
-        shiftright(v, 16).bitwiseAND(lit(255)),
-        shiftright(v, 24).bitwiseAND(lit(255)))
-    val n = AfpFrames * AfpFrame
-    val dataLen = lit(n * 2)
-    val hdr = concat(
-      lit("52494646"), le32(dataLen + 36), lit("57415645"),
-      lit("666d7420"), le32(lit(16)), le16(lit(1)), le16(lit(1)),
-      le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
-      lit("64617461"), le32(dataLen))
     val base = t(s, dir, "documents").select($"doc_id")
     val corpus = base.select($"doc_id", $"doc_id".as("seed"), lit(1).as("div"))
       .unionByName(base.filter($"doc_id" % 10 === 0)
         .select(($"doc_id" + 100000L).as("doc_id"), $"doc_id".as("seed"),
           lit(2).as("div")))
-    // u = 16-bit md5 uniform per (seed, i); v = signed; the re-encode
-    // halves with FLOOR division (matches the oracle's // semantics)
-    val samplesHex = array_join(transform(sequence(lit(0), lit(n - 1)), i => {
-      val u = conv(substring(md5(concat($"seed".cast("string"), lit(":"),
-        i.cast("string"))), 1, 4), 16, 10).cast("int")
-      val v = when(u >= 32768, u - 65536).otherwise(u)
-      val vd = floor(v.cast("double") / $"div").cast("int")
-      val u2 = ((vd % 65536) + 65536) % 65536
-      format_string("%02x%02x", u2 % 256, shiftright(u2, 8))
-    }), "")
-    corpus.select($"doc_id", unhex(concat(hdr, samplesHex)).as("payload"))
+    corpus.as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, seed, div) => (id, buildAfpWav(md, seed, div)) }
+      }
+      .toDF("doc_id", "payload")
   }
 
   /** q294: PERCEPTUAL AUDIO NEAR-DUP — the audio lane's q291: every
@@ -752,19 +786,21 @@ object Multimodal {
   }
 
   private val q294Sql = {
-    val n = AfpFrames * AfpFrame
     s"""WITH corpus AS (
       |  SELECT doc_id, doc_id AS seed, 1 AS div FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id % 10 = 0),
       |sm AS (
-      |  SELECT doc_id, i // $AfpFrame AS f,
+      |  SELECT doc_id, f,
       |    CAST(floor(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
       |               / CAST(div AS DOUBLE)) AS BIGINT) AS v
       |  FROM (
-      |    SELECT doc_id, seed, div, i,
-      |      ('0x' || substr(md5(seed || ':' || i), 1, 4))::INTEGER AS u
-      |    FROM corpus, unnest(range(0, $n)) AS r(i))),
+      |    SELECT doc_id, f,
+      |      ('0x' || substr(md5(seed || ':' || f),
+      |                      CAST(j * 4 + 1 AS INTEGER), 4))::INTEGER AS u,
+      |      div
+      |    FROM corpus, unnest(range(0, $AfpFrames)) AS rf(f),
+      |         unnest(range(0, $AfpFrame)) AS rj(j))),
       |fe AS (
       |  SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
       |  FROM sm GROUP BY doc_id, f),
