@@ -202,8 +202,9 @@ object ScaleSmoke {
       "q292_incremental_semdedup", "q293_incremental_dsir",
       // q294 = q291's shape on the audio lane (kernel scan + capped
       // 16-bit band buckets); q295 is a pure scan-shaped kernel pass
-      // (the q216 shape)
-      "q294_audio_fingerprint", "q295_mp4_header")
+      // (the q216 shape); q296 is the q288/q289 round-trip shape over
+      // the typed ORC sink
+      "q294_audio_fingerprint", "q295_mp4_header", "q296_orc_roundtrip")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -125,7 +125,59 @@ object Formats {
       |    AS content_checksum
       |FROM orders""".stripMargin
 
+  /** q296: ORC ROUND-TRIP — the third Spark-native columnar format,
+    * exercised with NATIVE types end to end (CSV/JSONL canonicalize
+    * through text; ORC must carry long/int/decimal/timestamp as typed
+    * columns and give them back bit-exact). Lineitem goes out with
+    * money pre-cast to DECIMAL(18,2) (the q288 exactness discipline —
+    * the decimal is a typed ORC column here, not a string), comes back
+    * under a declared schema, and the all-column checksum — including
+    * the timestamp re-rendered canonically — must match the oracle's
+    * recomputation from the parquet source. Scan-shaped both ways.
+    */
+  def q296OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "orc-lineitem")
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast(DecimalType(18, 2)).as("l_quantity"),
+        $"l_extendedprice".cast(DecimalType(18, 2)).as("l_extendedprice"),
+        $"l_returnflag", $"l_shipdate")
+      .write.mode("overwrite").orc(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DecimalType(18, 2)),
+      StructField("l_extendedprice", DecimalType(18, 2)),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampNTZType)))
+    val back = s.read.schema(schema).orc(out)
+    val canon = concat_ws("|", $"l_orderkey", $"l_linenumber",
+      $"l_quantity".cast("string"), $"l_extendedprice".cast("string"),
+      $"l_returnflag",
+      date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    back.agg(hashAgg(canon).head, hashAgg(canon).tail: _*)
+      .select(lit("lineitem_orc").as("roundtrip"), $"n_rows",
+        $"content_checksum")
+  }
+
+  private val q296Sql =
+    """SELECT 'lineitem_orc' AS roundtrip,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(('0x' || substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' ||
+      |    CAST(l_linenumber AS VARCHAR) || '|' ||
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+      |    l_returnflag || '|' ||
+      |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')), 1, 8))::BIGINT)
+      |    AS BIGINT) AS content_checksum
+      |FROM lineitem""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q296_orc_roundtrip", Seq("S4", "F9", "A2"),
+      "ORC write/read round-trip with NATIVE typed columns (long/int/decimal/timestamp), all-column checksum oracle",
+      q296OrcRoundtrip, Some(q296Sql)),
     GraftQuery("q288_csv_roundtrip", Seq("S4", "F9", "A2"),
       "CSV write/read round-trip under a declared schema, proven by an all-column content checksum against the parquet source",
       q288CsvRoundtrip, Some(q288Sql)),
