@@ -535,7 +535,106 @@ object Curation {
       |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
       |ORDER BY n_chars DESC, doc_id ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q298
+
+  /** Anonymity threshold for q298: groups smaller than this are
+    * re-identifiable (the standard k = 5 release rule).
+    */
+  val KAnonThreshold = 5L
+
+  /** q298: K-ANONYMITY AUDIT — the privacy lane's complement to q185's
+    * PII redaction: redaction removes direct identifiers, but a
+    * release is still re-identifiable through QUASI-identifier
+    * combinations. The audit groups the release by its quasi-identifier
+    * tuple (nation, market segment, account balance rounded to the
+    * hundred — the generalization a release would publish), counts
+    * each equivalence class, and flags classes below [[KAnonThreshold]]
+    * — the rows a k-anonymous release must suppress or generalize
+    * further. One shuffle on the QI tuple, class table bounded by the
+    * generalized domain at any corpus size.
+    */
+  def q298KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        (floor($"c_acctbal" / 100) * 100).cast("long").as("bal_bin"))
+      .groupBy($"c_nationkey", $"c_mktsegment", $"bal_bin")
+      .agg(count(lit(1)).as("k"))
+      .select($"c_nationkey", $"c_mktsegment", $"bal_bin", $"k",
+        ($"k" >= KAnonThreshold).as("anonymous"))
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_bin")
+  }
+
+  private val q298Sql =
+    s"""SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_bin,
+      |  CAST(count(*) AS BIGINT) AS k,
+      |  count(*) >= $KAnonThreshold AS anonymous
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q299
+
+  /** q299: DIFFERENTIALLY-PRIVATE COUNT RELEASE — per-nation customer
+    * counts released under ε-DP with Laplace(1/ε) noise, the mechanism
+    * a data platform runs before publishing corpus statistics. The
+    * noise is an md5-seeded inverse-CDF draw (the q151/q162 idiom):
+    * u ∈ (0,1) from the first 8 hex digits of md5('dp:' || nation),
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — REPRODUCIBLE, so the
+    * release is hash-checkable cross-engine while the mechanism's
+    * algebra is exactly Laplace inverse-CDF sampling (a production
+    * release swaps the seed source for a CSPRNG; every other line
+    * stays). Emits true count, noise, release, and the ε spent —
+    * the accounting row a DP ledger ingests. Scan + one bounded
+    * groupBy at any scale.
+    */
+  val DpEpsilon = 1.0
+
+  def q299DpRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (conv(substring(md5(concat(lit("dp:"),
+        $"c_nationkey".cast("string"))), 1, 8), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    val centered = u - 0.5
+    val noise = round(
+      lit(-1.0 / DpEpsilon) * signum(centered) * log(lit(1.0) - abs(centered) * 2), 6)
+    t(s, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("true_count"))
+      .select($"c_nationkey", $"true_count",
+        noise.as("noise"),
+        round($"true_count" + noise, 6).as("released"),
+        lit(DpEpsilon).as("epsilon"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q299Sql =
+    s"""WITH c AS (
+      |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS true_count
+      |  FROM customer GROUP BY 1),
+      |n AS (
+      |  SELECT c_nationkey, true_count,
+      |    round(-1.0 / $DpEpsilon *
+      |      sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) AS noise
+      |  FROM (
+      |    SELECT *,
+      |      (('0x' || substr(md5('dp:' || c_nationkey), 1, 8))::BIGINT + 0.5e0)
+      |        / 4294967296e0 AS u
+      |    FROM c))
+      |SELECT c_nationkey, true_count, noise,
+      |  round(true_count + noise, 6) AS released,
+      |  $DpEpsilon AS epsilon
+      |FROM n
+      |ORDER BY c_nationkey""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q298_k_anonymity", Seq("EXT-anonymize", "A2", "EXT-curation"),
+      "k-anonymity audit: quasi-identifier equivalence classes counted, sub-threshold classes flagged for suppression",
+      q298KAnonymity, Some(q298Sql)),
+    GraftQuery("q299_dp_release", Seq("EXT-anonymize", "A2", "EXT-approx"),
+      "epsilon-DP count release: Laplace inverse-CDF noise from reproducible md5 uniforms, accounting columns carried",
+      q299DpRelease, Some(q299Sql)),
     GraftQuery("q205_skyline", Seq("EXT-curation", "J3"),
       "Pareto-frontier (skyline) doc selection: bucket-pruned plan proven equal to the O(n^2) definition",
       q205Skyline, Some(q205Sql)),

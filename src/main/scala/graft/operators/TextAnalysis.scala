@@ -993,6 +993,54 @@ object TextAnalysis {
     out
   }
 
+  /** Training-sequence length (tokens) for the q297 packing audit —
+    * the GPT-style fixed context window documents are concatenated
+    * into.
+    */
+  val PackSeqLen = 2048L
+
+  /** q297: SEQUENCE-PACKING AUDIT — the LAST step of a training-data
+    * pipeline: documents are concatenated in a deterministic order
+    * (doc_id) into one token stream and CHUNKED into fixed
+    * [[PackSeqLen]]-token sequences (boundary straddling allowed —
+    * exactly how GPT-style pretraining packs; no bin-packing
+    * heuristic, no padding except the final tail). The audit emits
+    * each document's token interval mapped to its first/last sequence
+    * and whether it straddles a boundary — the map a dataloader needs
+    * to attribute a training example back to its documents. The
+    * global running token count uses the [[GlobalRank]] range-
+    * partitioned prefix device, NEVER an empty-partitionSpec window —
+    * the plan stays parallel at any corpus size (P-row offset table,
+    * P = shuffle partitions).
+    */
+  def q297SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    GlobalRank.withGlobalPrefixSums(tk, Seq("n_tokens" -> "cum"), $"doc_id")
+      .select($"doc_id", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / PackSeqLen).cast("long").as("seq_first"),
+        floor(($"cum" - 1) / PackSeqLen).cast("long").as("seq_last"))
+      .withColumn("straddles", $"seq_last" > $"seq_first")
+      .orderBy($"doc_id")
+  }
+
+  private val q297Sql =
+    s"""WITH tk AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+      |  FROM tk)
+      |SELECT doc_id, n_tokens,
+      |  CAST((cum - n_tokens) // $PackSeqLen AS BIGINT) AS seq_first,
+      |  CAST((cum - 1) // $PackSeqLen AS BIGINT) AS seq_last,
+      |  (cum - 1) // $PackSeqLen > (cum - n_tokens) // $PackSeqLen AS straddles
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   /** q293: INCREMENTAL DSIR — q292's O(delta) cadence applied to
     * importance resampling (the "SemDeDup/DSIR" pair the round-9
     * verdict asked for): the hashed-n-gram importance model FREEZES on
@@ -1415,6 +1463,9 @@ object TextAnalysis {
     GraftQuery("q162_dsir_resample", Seq("EXT-curation", "EXT-text", "EXT-approx"),
       "DSIR importance resampling: hashed n-gram likelihood ratios, Gumbel top-(n/5) draw",
       q162DsirResample, Some(q162Sql)),
+    GraftQuery("q297_sequence_packing", Seq("EXT-text", "EXT-curation", "W1"),
+      "GPT-style sequence packing audit: global token stream chunked at 2048, per-doc sequence map via the range-partitioned prefix device",
+      q297SequencePacking, Some(q297Sql)),
     GraftQuery("q293_incremental_dsir", Seq("EXT-curation", "EXT-text", "EXT-incremental"),
       "O(delta) DSIR: base-frozen importance model, delta-only featurize+score, global budget re-cut over the score-table union; oracle runs the full recompute",
       q293IncrementalDsir, Some(q293Sql)),
