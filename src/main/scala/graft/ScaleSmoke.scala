@@ -204,7 +204,12 @@ object ScaleSmoke {
       // 16-bit band buckets); q295 is a pure scan-shaped kernel pass
       // (the q216 shape); q296 is the q288/q289 round-trip shape over
       // the typed ORC sink
-      "q294_audio_fingerprint", "q295_mp4_header", "q296_orc_roundtrip")
+      "q294_audio_fingerprint", "q295_mp4_header", "q296_orc_roundtrip",
+      // q297 rides the range-partitioned prefix device (P-row offsets);
+      // q298/q299 are one bounded-domain groupBy each; q300 is one scan
+      // + one content-hash shuffle
+      "q297_sequence_packing", "q298_k_anonymity", "q299_dp_release",
+      "q300_curation_funnel")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

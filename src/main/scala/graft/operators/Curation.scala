@@ -628,7 +628,81 @@ object Curation {
       |FROM n
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q300
+
+  /** q300: CURATION FUNNEL — the report every pretraining run starts
+    * from: the corpus pushed through the standard filter chain with
+    * per-stage survivor counts and token mass, so the cost of each
+    * rule is a number before GPU-hours are spent. Stages, each the
+    * one-shot form of an operator the registry carries in depth:
+    *
+    *   0 raw        — the q17 re-crawl corpus (originals + every 10th
+    *                  doc re-ingested under a new id);
+    *   1 exact_dedup — min-doc_id survivor per md5(text) (q17's rule);
+    *   2 lang       — keep `lang = 'en'` (q23's ID over the declared
+    *                  column — the funnel reports policy cost, not the
+    *                  classifier);
+    *   3 length     — keep 20 ≤ tokens ≤ 1000 (the C4 length rule).
+    *
+    * Each stage is a filter over the previous survivor set — the whole
+    * funnel is one scan + one content-hash shuffle at any corpus size,
+    * and the monotone (docs, tokens) columns make any stage regression
+    * a hash break.
+    */
+  def q300CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+    val raw = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 100000L))
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .persist()
+    val s1 = raw
+      .withColumn("keep_id", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keep_id").drop("keep_id").persist()
+    val s2 = s1.filter($"lang" === "en")
+    val s3 = s2.filter($"n_tokens".between(20, 1000))
+    def stage(id: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          $"docs", $"tokens")
+    stage(0, "raw", raw)
+      .unionByName(stage(1, "exact_dedup", s1))
+      .unionByName(stage(2, "lang_en", s2))
+      .unionByName(stage(3, "length_20_1000", s3))
+      .orderBy($"stage_id")
+  }
+
+  private val q300Sql =
+    """WITH raw AS (
+      |  SELECT doc_id, text, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM (SELECT doc_id, text, lang FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 100000, text, lang FROM documents
+      |        WHERE doc_id % 10 = 0)),
+      |s1 AS (
+      |  SELECT * FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      |    FROM raw) WHERE doc_id = keep_id),
+      |s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+      |s3 AS (SELECT * FROM s2 WHERE n_tokens BETWEEN 20 AND 1000)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_id, 'raw' AS stage,
+      |    CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM raw
+      |  UNION ALL
+      |  SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'lang_en', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'length_20_1000', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3)
+      |ORDER BY stage_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q300_curation_funnel", Seq("EXT-curation", "A2", "EXT-dedup"),
+      "curation funnel report: raw -> exact-dedup -> lang -> length with per-stage doc/token mass, one scan + one hash shuffle",
+      q300CurationFunnel, Some(q300Sql)),
     GraftQuery("q298_k_anonymity", Seq("EXT-anonymize", "A2", "EXT-curation"),
       "k-anonymity audit: quasi-identifier equivalence classes counted, sub-threshold classes flagged for suppression",
       q298KAnonymity, Some(q298Sql)),
