@@ -132,21 +132,59 @@ object Curation {
     */
   def q186WinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // NOTE the window lambda rehashes each gram W=4× ON PURPOSE: the
-    // "hash once into an array, then slice per window" two-projection
-    // form is 60× SLOWER (817 s vs 14 s at sf0.1, measured) — Catalyst
-    // collapses the projections and inlines the whole gram-hash array
-    // into every window lambda, turning O(len·W) md5s into O(len²).
-    // Docs shorter than K+W-1 carry no fingerprint (no ≥11-char run).
+    // Fingerprint stage as a KERNEL scan. History of this hot loop:
+    // (1) "hash once into an array column, slice per window" — 817 s at
+    // sf0.1: Catalyst collapses the projections and inlines the whole
+    // gram-hash array into every window lambda, O(len²) md5s; (2) the
+    // round-9 in-lambda rehash form — 11.6 s: O(len·W) md5s, but array
+    // HOF lambdas evaluate on the INTERPRETED expression path (no
+    // codegen), which round 10 measured as the dominant cost across
+    // this family (q294's synthesis: 12.5 s HOF → 1.2 s kernel);
+    // (3) this mapPartitions kernel — each gram hashed ONCE (O(len)
+    // md5s, W× fewer than form 2), sliding-window minima in plain
+    // loops, same (doc_id, fp) rows bit-for-bit (text is ASCII, so
+    // char-substring md5 ≡ SQL md5; the hex prefix is the same 8
+    // chars). Docs shorter than K+W-1 carry no fingerprint.
     val span = WinK + WinW - 2 // last window start = len - (K+W-2)
     val fps = Tables.loadSpread(s, dir, "documents")
-      .filter(length(col("text")) >= WinK + WinW - 1)
-      .selectExpr("doc_id",
-        s"""array_distinct(transform(
-           |  sequence(1, length(text) - $span),
-           |  j -> array_min(transform(sequence(j, j + ${WinW - 1}),
-           |       i -> substring(md5(substring(text, i, $WinK)), 1, 8))))) AS fps""".stripMargin)
-      .select($"doc_id", explode($"fps").as("fp"))
+      .select($"doc_id", $"text")
+      .filter(length($"text") >= WinK + WinW - 1)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexd = "0123456789abcdef".toCharArray
+        it.flatMap { case (id, text) =>
+          val len = text.length
+          val nGrams = len - WinK + 1
+          val g = new Array[String](nGrams)
+          var i = 0
+          while (i < nGrams) {
+            md.reset()
+            val dg = md.digest(text.substring(i, i + WinK).getBytes("UTF-8"))
+            val sb = new java.lang.StringBuilder(8)
+            var b = 0
+            while (b < 4) {
+              val v = dg(b) & 0xff
+              sb.append(hexd(v >> 4)); sb.append(hexd(v & 15)); b += 1
+            }
+            g(i) = sb.toString
+            i += 1
+          }
+          val nWin = len - span
+          val seen = new scala.collection.mutable.LinkedHashSet[String]
+          var j = 0
+          while (j < nWin) {
+            var m = g(j); var k = 1
+            while (k < WinW) {
+              val c = g(j + k); if (c.compareTo(m) < 0) m = c; k += 1
+            }
+            seen += m
+            j += 1
+          }
+          seen.iterator.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
       .persist()
     val keep = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" <= WinDfCap).select($"fp")
