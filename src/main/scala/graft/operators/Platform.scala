@@ -1100,8 +1100,14 @@ object Platform {
     val reps = t(s, dir, "orders")
       .select($"o_orderkey", $"o_totalprice".cast(dec).as("x"),
         explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+      // one md5 per 4-REPLICATE block: the digest's 32 hex digits carry
+      // four independent 8-hex unit-line coins (lane = rep % 4), so the
+      // scan hashes BootReps/4 times per row, not BootReps (the q294
+      // lesson applied here: md5 volume, 9.2 s -> ~4 s at sf0.1)
       .withColumn("h", substring(md5(concat(lit("bs:"),
-        $"rep".cast("string"), lit(":"), $"o_orderkey".cast("string"))), 1, 8))
+        floor($"rep" / 4).cast("int").cast("string"), lit(":"),
+        $"o_orderkey".cast("string"))),
+        ($"rep" % 4).cast("int") * 8 + 1, lit(8)))
       .withColumn("w", w)
       .groupBy($"rep")
       .agg(sum($"w").as("n"), sum($"x" * $"w").as("sx"))
@@ -1135,7 +1141,8 @@ object Platform {
     s"""WITH reps AS (
        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
        |    g.rep,
-       |    substr(md5('bs:' || g.rep || ':' || o_orderkey), 1, 8) AS h
+       |    substr(md5('bs:' || (g.rep // 4) || ':' || o_orderkey),
+       |      CAST(g.rep % 4 AS INTEGER) * 8 + 1, 8) AS h
        |  FROM orders CROSS JOIN (
        |    SELECT unnest(range(0, $BootReps)) AS rep) g),
        |ms AS (
