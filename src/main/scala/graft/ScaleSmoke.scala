@@ -209,7 +209,10 @@ object ScaleSmoke {
       // q298/q299 are one bounded-domain groupBy each; q300 is one scan
       // + one content-hash shuffle
       "q297_sequence_packing", "q298_k_anonymity", "q299_dp_release",
-      "q300_curation_funnel")
+      "q300_curation_funnel",
+      // q301: band-bounded pairs + CC over the quotient graph (affected
+      // labels + delta docs — replica-disjoint under the rotation)
+      "q301_incremental_cc")
       .filter(_.matches(pat))
     // the ANN queries read the build-once index: time the build as its
     // OWN metric so query times measure search, exactly as production

@@ -889,6 +889,80 @@ object Dedup {
       |HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY n_docs DESC, n_occ DESC, span ASC""".stripMargin
 
+  // ---------------------------------------------------------------- q301
+
+  /** q301: INCREMENTAL CONNECTED COMPONENTS — the continuous-ingestion
+    * form of the q40 label chain, completing the incremental trio
+    * (q292 SemDeDup, q293 DSIR, and now the dedup GRAPH): base labels
+    * are a materialized artifact (CC over base×base pairs only — what
+    * the pre-delta pipeline already holds); an appended batch adds
+    * only the DELTA-TOUCHING pairs, and the union's labels come from a
+    * QUOTIENT construction instead of a corpus re-run:
+    *
+    *   1. map each delta-pair endpoint to its current label (its base
+    *      component's canonical id, or itself);
+    *   2. run CC on the label-level edge list — a graph whose size is
+    *      the AFFECTED components + delta docs, never the corpus;
+    *   3. remap every doc through the quotient labels.
+    *
+    * Contracting each base component to its canonical node preserves
+    * connectivity exactly (a quotient graph), and min-label propagation
+    * over labels-that-are-min-doc_ids yields the union component's min
+    * doc_id — so the result EQUALS the full q40 recompute over all
+    * pairs, which is precisely what the oracle runs (the q40 reach CTE
+    * over the whole union pair set). At production cadence only the
+    * delta band join (q76's measured shape) and the label-level CC run
+    * — O(delta + affected), never O(corpus).
+    */
+  def q301IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isDelta = (c: Column) => c % 10 === 7
+    val pairs = minhashPairs(s, dir).filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b").persist()
+    val basePairs = pairs.filter(!isDelta($"doc_a") && !isDelta($"doc_b"))
+    val deltaPairs = pairs.filter(isDelta($"doc_a") || isDelta($"doc_b"))
+      .persist()
+    val baseLabels = connectedComponents(basePairs).persist()
+    val quotientEdges = deltaPairs
+      .join(baseLabels.select($"doc_id".as("doc_a"), $"canonical_id".as("la0")),
+        Seq("doc_a"), "left")
+      .join(baseLabels.select($"doc_id".as("doc_b"), $"canonical_id".as("lb0")),
+        Seq("doc_b"), "left")
+      .select(coalesce($"la0", $"doc_a").as("doc_a"),
+        coalesce($"lb0", $"doc_b").as("doc_b"))
+      .filter($"doc_a" =!= $"doc_b")
+    val quotientLabels = connectedComponents(quotientEdges)
+      .select($"canonical_id".as("lf"), $"doc_id".as("l0"))
+    val deltaNodes = deltaPairs.select($"doc_a".as("doc_id"))
+      .unionByName(deltaPairs.select($"doc_b".as("doc_id"))).distinct()
+    val universe = baseLabels.select($"doc_id", $"canonical_id".as("l0"))
+      .unionByName(deltaNodes.join(baseLabels, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"doc_id".as("l0")))
+    val out = universe.join(quotientLabels, Seq("l0"), "left")
+      .select($"doc_id",
+        when(isDelta($"doc_id"), lit("delta")).otherwise(lit("base")).as("src"),
+        coalesce($"lf", $"l0").as("canonical_id"))
+      .orderBy($"doc_id")
+    out
+  }
+
+  private val q301Sql =
+    s"""WITH RECURSIVE $minhashCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT a AS src, a AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS doc_id,
+      |  CASE WHEN src % 10 = 7 THEN 'delta' ELSE 'base' END AS src,
+      |  min(dst) AS canonical_id
+      |FROM reach
+      |GROUP BY 1, 2
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q290
 
   /** Minimum duplicated-span length (tokens) for q290 — also the anchor
@@ -1272,6 +1346,9 @@ object Dedup {
     GraftQuery("q103_shared_spans", Seq("EXT-dedup", "A2"),
       "cross-document repeated 8-gram span audit (boilerplate report)",
       q103SharedSpans, Some(q103Sql)),
+    GraftQuery("q301_incremental_cc", Seq("EXT-dedup", "EXT-incremental"),
+      "incremental connected components: materialized base labels + delta-touching pairs + quotient-graph CC == full recompute (oracle runs the full reach)",
+      q301IncrementalCc, Some(q301Sql)),
     GraftQuery("q290_exact_substring", Seq("EXT-dedup", "W1", "J1"),
       "ExactSubstr maximal-span dedup (Lee et al.): anchor-gram index + diagonal run-grouping, df-capped, never all-pairs",
       q290ExactSubstring, Some(q290Sql)),

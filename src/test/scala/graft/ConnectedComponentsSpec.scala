@@ -32,4 +32,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(local.toSeq == expected)
     assert(dist.toSeq == expected)
   }
+
+  test("q301 quotient-graph incremental CC equals the full q40 recompute, and the delta genuinely merges") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val incr = Dedup.q301IncrementalCc(spark, dir)
+      .select($"doc_id", $"canonical_id")
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.q40DedupComponents(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(incr == full, s"incremental labels diverge from full CC: " +
+      s"onlyIncr=${(incr.toSet -- full.toSet).take(3)} " +
+      s"onlyFull=${(full.toSet -- incr.toSet).take(3)}")
+    // non-vacuous: some union component mixes base and delta docs — the
+    // quotient merge terms actually ran
+    val byLabel = incr.toSeq.groupBy(_._2).values
+    assert(byLabel.exists(ms =>
+      ms.exists(_._1 % 10 == 7) && ms.exists(_._1 % 10 != 7)),
+      "vacuous corpus: no component mixes base and delta docs")
+  }
 }
