@@ -113,9 +113,16 @@ object Analytics {
 
   private def pageRank(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import s.implicits._
-    val edges = csEdges(s, dir).persist()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
+    val e0 = csEdges(s, dir).persist()
+    val deg = e0.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
     val n = deg.count()
+    // deg is iteration-INVARIANT: pre-join it onto the edge table once
+    // instead of once per round (round 10 — one join-stage fewer per
+    // iteration; `pr / deg` stays a division of the same two values,
+    // so every rank is bit-identical to the per-round-join form)
+    val edges = e0.join(deg, Seq("src")).persist()
+    edges.count()
+    e0.unpersist(false)
     var pr = deg.select($"src".as("node"), lit(1.0 / n).as("pr"))
     var it = 0
     var converged = false
@@ -123,7 +130,6 @@ object Analytics {
       val prev = pr
       pr = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select($"dst", ($"pr" / $"deg").as("contrib"))
         .groupBy($"dst")
         .agg(sum($"contrib").as("in_pr"))
