@@ -692,7 +692,7 @@ object Curation {
     val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
     val raw = base.unionByName(
       base.filter($"doc_id" % 10 === 0)
-        .withColumn("doc_id", $"doc_id" + 100000L))
+        .withColumn("doc_id", $"doc_id" + Dedup.TwinOffset))
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .persist()
     val s1 = raw
@@ -718,7 +718,7 @@ object Curation {
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM (SELECT doc_id, text, lang FROM documents
       |        UNION ALL
-      |        SELECT doc_id + 100000, text, lang FROM documents
+      |        SELECT doc_id + 1000000000, text, lang FROM documents
       |        WHERE doc_id % 10 = 0)),
       |s1 AS (
       |  SELECT * FROM (

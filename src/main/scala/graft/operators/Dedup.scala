@@ -25,6 +25,16 @@ import graft.{GraftQuery, Tables}
   */
 object Dedup {
 
+  /** Synthetic re-crawl twin ids live at doc_id + TwinOffset (the q17
+    * scheme every dedup-family query reuses). The offset sits far above
+    * any plausible doc_id — at the old +100000 a corpus past 100k rows
+    * would silently collide twin ids with genuine doc_ids (both engines
+    * collide identically, so hashes stay green and nothing fails loudly).
+    * Every Scala arm references this constant; the paired SQL oracles
+    * carry the literal 1000000000 in lockstep.
+    */
+  val TwinOffset = 1000000000L
+
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   /** spread variant for the CPU-bound sketch queries (see Tables.loadSpread) */
@@ -58,7 +68,7 @@ object Dedup {
     import s.implicits._
     val docs = t(s, dir, "documents").select($"doc_id", $"text")
     val recrawl = docs.filter($"doc_id" % 10 === 0)
-      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("doc_id", $"doc_id" + TwinOffset)
     docs.unionByName(recrawl)
       .groupBy(md5($"text").as("content_hash"))
       .agg(min($"doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -70,7 +80,7 @@ object Dedup {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0)
       |SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM corpus
       |GROUP BY md5(text)

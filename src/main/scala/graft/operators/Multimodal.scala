@@ -416,8 +416,13 @@ object Multimodal {
     val base = t(s, dir, "documents").select($"doc_id", $"text")
     val corpus = base.unionByName(
       base.filter($"doc_id" % 10 === 0)
-        .withColumn("doc_id", $"doc_id" + 100000L))
+        .withColumn("doc_id", $"doc_id" + Dedup.TwinOffset))
+    // zero-length bodies carry no gradient signal — drop them HERE, in
+    // lockstep with the oracle's `WHERE length(text) > 0`, so an empty
+    // doc and its re-crawl twin never surface as a hamming-0 pair on
+    // one engine only
     corpus
+      .filter(length($"text") > 0)
       .select($"doc_id",
         concat(unhex(mediaHeaderHex), $"text".cast("binary")).as("payload"))
       .as[(Long, Array[Byte])]
@@ -458,7 +463,7 @@ object Multimodal {
     s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0),
       |g AS (
       |  SELECT doc_id, list_transform(range(0, 72),
       |    j -> ascii(substr(text,
@@ -733,7 +738,7 @@ object Multimodal {
     val base = t(s, dir, "documents").select($"doc_id")
     val corpus = base.select($"doc_id", $"doc_id".as("seed"), lit(1).as("div"))
       .unionByName(base.filter($"doc_id" % 10 === 0)
-        .select(($"doc_id" + 100000L).as("doc_id"), $"doc_id".as("seed"),
+        .select(($"doc_id" + Dedup.TwinOffset).as("doc_id"), $"doc_id".as("seed"),
           lit(2).as("div")))
     corpus.as[(Long, Long, Int)]
       .mapPartitions { it =>
@@ -789,7 +794,7 @@ object Multimodal {
     s"""WITH corpus AS (
       |  SELECT doc_id, doc_id AS seed, 1 AS div FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id % 10 = 0),
+      |  SELECT doc_id + 1000000000, doc_id, 2 FROM documents WHERE doc_id % 10 = 0),
       |sm AS (
       |  SELECT doc_id, f,
       |    CAST(floor(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
@@ -860,26 +865,38 @@ object Multimodal {
     var brand = "unknown"; var timescale = -1L; var duration = -1L
     var bodyLen = -1L
     var p = 0
-    while (p + 8 <= b.length) {
+    // a box size below the 8-byte header minimum would never advance the
+    // cursor — on corrupt/truncated input that is an infinite loop inside
+    // an executor task, so both walks STOP at the first malformed size
+    // (returning whatever fields were already parsed) instead of spinning
+    var ok = true
+    while (ok && p + 8 <= b.length) {
       val size = be32(p).toInt
-      val t = tag(p + 4)
-      t match {
-        case "ftyp" => brand = tag(p + 8)
-        case "mdat" => bodyLen = size - 8L
-        case "moov" =>
-          var q = p + 8
-          while (q + 8 <= p + size) {
-            val cs = be32(q).toInt
-            if (tag(q + 4) == "mvhd") {
-              // v0 mvhd: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
-              timescale = be32(q + 8 + 12)
-              duration = be32(q + 8 + 16)
+      if (size < 8) ok = false
+      else {
+        val t = tag(p + 4)
+        t match {
+          case "ftyp" => brand = tag(p + 8)
+          case "mdat" => bodyLen = size - 8L
+          case "moov" =>
+            var q = p + 8
+            var inner = true
+            while (inner && q + 8 <= p + size) {
+              val cs = be32(q).toInt
+              if (cs < 8) inner = false
+              else {
+                if (tag(q + 4) == "mvhd") {
+                  // v0 mvhd: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+                  timescale = be32(q + 8 + 12)
+                  duration = be32(q + 8 + 16)
+                }
+                q += cs
+              }
             }
-            q += cs
-          }
-        case _ => ()
+          case _ => ()
+        }
+        p += size
       }
-      p += size
     }
     Mp4Meta(docId, brand, timescale, duration, bodyLen)
   }
@@ -907,7 +924,10 @@ object Multimodal {
     val freeLen = ($"doc_id" % 16 + 8).cast("int")             // 8..23 bytes
     val timescale = (($"doc_id" % 3 + 1) * 1000).cast("int")
     val duration = ($"doc_id" * 31 % 100000).cast("int")
-    val mdatLen = (length($"text") + 8).cast("int")
+    // the appended payload is the UTF-8 BYTES of text — size the mdat box
+    // from octet_length, not char length, so a non-ASCII corpus never
+    // leaves trailing bytes for the walker to misparse as garbage boxes
+    val mdatLen = (octet_length($"text") + 8).cast("int")
     val ftyp = concat(lit("00000010"), lit("66747970"), brand, lit("00000200"))
     val free = concat(be32(freeLen), lit("66726565"),
       repeat(lit("00"), freeLen - 8))
@@ -933,7 +953,7 @@ object Multimodal {
       |    ELSE 'mp42' END AS brand,
       |  CAST((doc_id % 3 + 1) * 1000 AS BIGINT) AS timescale,
       |  CAST(doc_id * 31 % 100000 AS BIGINT) AS duration,
-      |  CAST(length(text) AS BIGINT) AS body_len
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

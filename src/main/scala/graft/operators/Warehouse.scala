@@ -1262,7 +1262,7 @@ object Warehouse {
     // base table is exact-dup-free by construction).
     val docs = t(s, dir, "documents")
     val corpus = docs.unionByName(
-      docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + 100000L))
+      docs.filter($"doc_id" % 10 === 0).withColumn("doc_id", $"doc_id" + Dedup.TwinOffset))
     val wDedup = Window.partitionBy(md5($"text")).orderBy($"doc_id".asc)
     val flags = corpus
       .withColumn("k1", row_number().over(wDedup) === 1)
@@ -1285,7 +1285,7 @@ object Warehouse {
     """WITH corpus AS (
       |  SELECT doc_id, lang, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 10 = 0),
+      |  SELECT doc_id + 1000000000, lang, text FROM documents WHERE doc_id % 10 = 0),
       |f AS (
       |  SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS k1,

@@ -66,9 +66,27 @@ class ImageDhashSpec extends AnyFunSuite {
     // fingerprint reads the loudness CONTOUR, not the sample values
     // (bytes differ on every sample; truncation may cost a bit or two,
     // never the pair)
-    val planted = hs.map(_._1).filter(id => id < 100000 && id % 10 == 0)
-      .map(id => (id, id + 100000L)).toSet
+    val tw = operators.Dedup.TwinOffset
+    val planted = hs.map(_._1).filter(id => id < tw && id % 10 == 0)
+      .map(id => (id, id + tw)).toSet
     assert(planted.nonEmpty && planted.subsetOf(banded),
       s"missed re-encode twins: ${(planted -- banded).take(5)}")
+  }
+
+  /** The q291 oracle samples code points via `ascii(substr(text, …))`
+    * with CHAR offsets while [[operators.Multimodal.dhash64]] reads raw
+    * payload BYTES — the two agree only while the corpus is pure ASCII.
+    * That invariant was implicit; pin it here so a future non-ASCII
+    * regeneration of the documents table fails THIS assertion loudly
+    * instead of silently hash-breaking q291/q295.
+    */
+  test("documents corpus is pure ASCII (the dhash64/mp4 oracle equivalence precondition)") {
+    import spark.implicits._
+    val nonAscii = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.not($"text".rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents carry non-ASCII text — the byte-offset kernels " +
+        "and the char-offset oracles no longer sample the same values")
   }
 }
