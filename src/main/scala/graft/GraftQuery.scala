@@ -45,6 +45,7 @@ object Registry {
       graft.operators.Platform.queries ++
       graft.operators.Formats.queries ++
       graft.operators.Mining.queries ++
+      graft.operators.GraphIndex.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

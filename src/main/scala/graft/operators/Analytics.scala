@@ -97,32 +97,26 @@ object Analytics {
     * edge machinery.
     */
   /** The customer–supplier interaction graph, undirected (both edge
-    * directions) — shared by PageRank (q89/q133) and label propagation
-    * (q140).
+    * directions) — shared by PageRank (q89/q133), label propagation
+    * (q140/q157), BFS (q145) and PPR (q224). Since round 11 this READS
+    * the [[GraphIndex]] artifact (build-once/query-many; a pure
+    * function of the source bytes, so every consumer's raw-table
+    * oracle stays exact) instead of re-joining orders ⋈ lineitem per
+    * query.
     */
-  private def csEdges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e0 = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
-      .distinct()
-    e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-  }
+  private def csEdges(s: SparkSession, dir: String): DataFrame =
+    GraphIndex.edges(s, dir)
 
   private def pageRank(s: SparkSession, dir: String, iters: Int): DataFrame = {
     import s.implicits._
-    val e0 = csEdges(s, dir).persist()
-    val deg = e0.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
+    // deg is iteration-INVARIANT: the artifact pre-annotates it onto the
+    // edge table (round 10's hoist, now free — `pr / deg` stays a
+    // division of the same two values, so every rank is bit-identical
+    // to the per-round-join form)
+    val deg = GraphIndex.degrees(s, dir).persist()
     val n = deg.count()
-    // deg is iteration-INVARIANT: pre-join it onto the edge table once
-    // instead of once per round (round 10 — one join-stage fewer per
-    // iteration; `pr / deg` stays a division of the same two values,
-    // so every rank is bit-identical to the per-round-join form)
-    val edges = e0.join(deg, Seq("src")).persist()
+    val edges = GraphIndex.degEdges(s, dir).persist()
     edges.count()
-    e0.unpersist(false)
     var pr = deg.select($"src".as("node"), lit(1.0 / n).as("pr"))
     var it = 0
     var converged = false
@@ -769,8 +763,11 @@ object Analytics {
     */
   def q224PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = csEdges(s, dir).persist()
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).persist()
+    // deg pre-annotated onto the edge table ONCE (the q89/q133 hoist,
+    // proven hash-identical there round 10: `pr / deg` divides the same
+    // two values whether deg arrives by per-round join or by column)
+    val edges = GraphIndex.degEdges(s, dir).persist()
+    val deg = GraphIndex.degrees(s, dir).persist()
     val seeds = deg.filter($"src".startsWith("c") &&
         substring($"src", 2, 20).cast("long") % PprSeedMod === 0)
       .select($"src".as("node"))
@@ -784,7 +781,6 @@ object Analytics {
       val prev = pr
       val contrib = edges
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select($"dst", ($"pr" / $"deg").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("in_pr"))
         .select($"dst".as("node"), $"in_pr")

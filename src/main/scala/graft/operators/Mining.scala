@@ -23,18 +23,13 @@ object Mining {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   /** The customer–supplier bipartite graph both directions (same edge
-    * set as q89/q140 — one graph, many analyses).
+    * set as q89/q140 — one graph, many analyses). Reads the
+    * [[GraphIndex]] build-once artifact since round 11; the artifact is
+    * a pure function of the source bytes, so the raw-table oracles stay
+    * exact.
     */
-  private def csEdges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e0 = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(concat(lit("c"), $"o_custkey").as("src"),
-        concat(lit("s"), $"l_suppkey").as("dst"))
-      .distinct()
-    e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-  }
+  private def csEdges(s: SparkSession, dir: String): DataFrame =
+    GraphIndex.edges(s, dir)
 
   private val HyperBallHops = 3
 
@@ -1777,7 +1772,7 @@ object Mining {
   def q262Assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = csEdges(s, dir)
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val deg = GraphIndex.degrees(s, dir).withColumnRenamed("deg", "d")
     val xy = edges
       .join(deg.withColumnRenamed("src", "u").withColumnRenamed("d", "dx"),
         $"src" === $"u")
