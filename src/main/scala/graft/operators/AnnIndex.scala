@@ -87,7 +87,7 @@ import graft.pipeline.ParquetIO
   * grown incrementally would (correctly, by the frozen-codebook
   * contract) diverge from a from-scratch retrain.
   */
-object AnnIndex {
+object AnnIndex extends ArtifactStore {
 
   /** Deepest probe rank materialized in `cells_<salt>` — queries tune
     * probe depth 1..MaxProbes as a pushed-down filter on `rn`.
@@ -99,43 +99,29 @@ object AnnIndex {
     */
   val Salts = Seq("a", "b")
 
-  /** How long a waiting builder tolerates a holder it cannot prove dead
-    * before erroring out (live same-host holders past this are a
-    * genuine wedge the caller must see). System-property override is
-    * for tests, which cannot wait 10 minutes to observe the error arm.
-    */
-  def lockTimeoutMs: Long =
-    sys.props.get("graft.ann.lockTimeoutMs").map(_.toLong).getOrElse(600000L)
+  protected def storeKind: String = "ann"
 
-  private def allTables: Seq[String] =
+  /** AnnIndex predates [[ArtifactStore]] and keeps its unsuffixed
+    * per-source keys (committed indexes stay addressable).
+    */
+  protected override def keySuffix: String = ""
+
+  protected def allTables: Seq[String] =
     Salts.flatMap(s => Seq(s"codebook_$s", s"cells_$s")) ++
       Seq("pq_codebook", "pq_codes")
 
   /** The per-vector row tables an append grows (codebooks are frozen). */
-  private def appendTables: Seq[String] =
+  protected override def appendTables: Seq[String] =
     Salts.map(s => s"cells_$s") :+ "pq_codes"
 
-  /** Index artifacts live OUTSIDE the read-only source directory, keyed
-    * by its absolute path: distinct corpora (sf dirs, scale-smoke
-    * replicas) never share an index.
+  /** The append arm additionally needs the `_drift` yardstick a full
+    * build persisted (pre-upgrade indexes rebuild).
     */
-  def indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-    Paths.get(sys.props("java.io.tmpdir"), "graft-ann-index").toString)
+  protected override def appendRecordsIntact(root: Path): Boolean =
+    Files.exists(root.resolve("_drift"))
 
-  private def rootFor(dir: String): Path = {
-    val abs = Paths.get(dir).toAbsolutePath.toString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_")
-    Paths.get(indexRoot, key)
-  }
-
-  def tableDir(dir: String, name: String): String =
-    rootFor(dir).resolve(name).toString
-
-  /** The index root a source directory maps to — for harnesses
-    * ([[graft.AppendSmoke]]) that must clear a stale index so a timed
-    * phase measures a real build, not the fast-path listing.
-    */
-  def indexPathFor(dir: String): Path = rootFor(dir)
+  protected def listing(dir: String): Seq[(String, String)] =
+    tableListing(dir, "embeddings")
 
   /** Bump on ANY trainer-algorithm change the numeric knobs below don't
     * capture — Lloyd round count, sampling key formula, rounding
@@ -153,182 +139,11 @@ object AnnIndex {
     * change would silently serve stale codebooks that no longer match
     * the oracle's re-derivation.
     */
-  private def geometry: String = (Seq(
+  protected def geometry: String = (Seq(
     TrainerAlgoVersion,
     Similarity.IvfK, Similarity.IvfSampleN, MaxProbes,
     Similarity.PqSubspaces, Similarity.PqSubDim, Similarity.PqCodewords
   ) ++ Salts).mkString("g:", ",", "")
-
-  /** Source DATA-file listing as (line, absolute path) pairs, one line
-    * per file: `name:size:mtime`. Marker/hidden files (`_SUCCESS`,
-    * `.crc`) are excluded — they carry no rows, and the append path
-    * must never hand one to a parquet read.
-    */
-  private def listing(dir: String): Seq[(String, String)] = {
-    val src = Paths.get(dir, "embeddings.parquet")
-    val files: Seq[Path] =
-      if (Files.isDirectory(src)) {
-        val st = Files.list(src)
-        try st.iterator().asScala.toSeq
-          .filter { p =>
-            val n = p.getFileName.toString
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          .sortBy(_.getFileName.toString)
-        finally st.close()
-      } else if (Files.exists(src)) Seq(src)
-      else Seq.empty
-    files.map { p =>
-      (s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}",
-        p.toAbsolutePath.toString)
-    }
-  }
-
-  /** md5 of a listing snapshot — cheap (no data read), catches both
-    * rewrites and regenerations — plus the trainer [[geometry]].
-    */
-  private def fingerprintOf(snap: Seq[(String, String)]): String =
-    MessageDigest.getInstance("MD5")
-      .digest((geometry +: snap.map(_._1)).mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
-  private def committedFingerprint(root: Path): Option[String] = {
-    val f = root.resolve("_fingerprint")
-    if (Files.exists(f)) Some(Files.readString(f).trim) else None
-  }
-
-  private def writeAtomic(root: Path, name: String, content: String): Unit = {
-    val tmp = root.resolve(s"$name.tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, root.resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def tablesIntact(root: Path): Boolean =
-    allTables.forall(t => ParquetIO.currentVersion(root.resolve(t).toString).isDefined)
-
-  /** Build the index iff absent or stale; returns the index root. The
-    * fast path is a directory listing + pointer reads — safe to call
-    * from every query invocation.
-    */
-  def ensure(s: SparkSession, dir: String): Path = synchronized {
-    val root = rootFor(dir)
-    def freshNow: Boolean =
-      committedFingerprint(root).contains(fingerprintOf(listing(dir))) &&
-        tablesIntact(root)
-    if (freshNow) return root
-
-    Files.createDirectories(root)
-    val lock = root.resolve("_build.lock")
-    val deadline = System.currentTimeMillis() + lockTimeoutMs
-    var token: Option[String] = None
-    while (token.isEmpty) {
-      if (freshNow) return root // winner committed while we waited
-      token = ParquetIO.tryLockFile(lock)
-      if (token.isEmpty) {
-        if (ParquetIO.lockOwnerDead(lock) ||
-            ParquetIO.lockAgeMs(lock) > ParquetIO.LockStaleMs)
-          Files.deleteIfExists(lock) // crashed builder's remnant: steal, re-loop
-        else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"ANN index build on $root: _build.lock held by a live builder " +
-              s"past $lockTimeoutMs ms — refusing to steal a live lock; retry later")
-        else Thread.sleep(200)
-      }
-    }
-    try {
-      var attempt = 0
-      while (true) {
-        // ONE snapshot under the lock: fingerprint, append decision, and
-        // the committed manifest all derive from the same file set
-        val snap = listing(dir)
-        val fp = fingerprintOf(snap)
-        if (committedFingerprint(root).contains(fp) && tablesIntact(root))
-          return root
-        try {
-          // the append decision reads the OLD manifest — before the
-          // marker surgery below
-          val delta = incrementalDelta(root, snap)
-          // stale marker off FIRST: a crash below leaves no committed claim
-          Files.deleteIfExists(root.resolve("_fingerprint"))
-          val appended = delta.exists(newFiles => appendBuild(s, root, newFiles))
-          if (!appended) build(s, root, snap)
-          // manifest before fingerprint: the fingerprint IS the commit
-          // marker (written LAST), so a crash between the two re-runs the
-          // whole decision next time
-          writeAtomic(root, "_manifest", (geometry +: snap.map(_._1)).mkString("\n"))
-          writeAtomic(root, "_fingerprint", fp)
-          return root
-        } catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                e.getMessage.contains("concurrent writer") && attempt < 3 =>
-            // a stolen-from builder is still flushing its table commits:
-            // back off, re-check freshness (loop head), retry the build
-            attempt += 1
-            Thread.sleep(1000L * attempt)
-        }
-      }
-      root // unreachable — the loop exits only by return/throw
-    } finally token.foreach(t => ParquetIO.releaseLockIfMine(lock, t))
-  }
-
-  /** Append-only source growth detection: the committed manifest (same
-    * geometry, every old data file byte-identical by name:size:mtime)
-    * must be a STRICT subset of the current listing snapshot — then the
-    * new files' vectors can join the index against the FROZEN codebooks
-    * (the standard IVF add-after-train contract) instead of a rebuild.
-    * Anything else — a changed old file, a geometry/algorithm change, a
-    * missing table, a missing `_sources`/`_drift` record (pre-upgrade
-    * index or torn append) — falls back to the full build.
-    */
-  private def incrementalDelta(
-      root: Path, snap: Seq[(String, String)]): Option[Seq[(String, String)]] = {
-    val mf = root.resolve("_manifest")
-    if (!Files.exists(mf) || !Files.exists(root.resolve("_drift"))) return None
-    val old = Files.readString(mf).split("\n", -1).toSeq
-    if (old.headOption != Some(geometry)) return None
-    val oldSet = old.drop(1).filter(_.nonEmpty).toSet
-    val curSet = snap.map(_._1).toSet
-    val recordsIntact = tablesIntact(root) &&
-      appendTables.forall(t => appliedSources(root, t).isDefined)
-    if (recordsIntact && oldSet.nonEmpty && oldSet.subsetOf(curSet) &&
-        curSet.size > oldSet.size)
-      Some(snap.filterNot(c => oldSet.contains(c._1)))
-    else None
-  }
-
-  /** The source-file lines (name:size:mtime) whose vectors the table's
-    * CURRENT version contains — read from the `_sources` file inside
-    * the version directory, so the record commits atomically with the
-    * data at the pointer flip. None = no record (pre-upgrade layout or
-    * a version committed without one): the caller must full-rebuild,
-    * never guess.
-    */
-  private def appliedSources(root: Path, table: String): Option[Set[String]] = {
-    val dirS = root.resolve(table).toString
-    ParquetIO.currentVersion(dirS).flatMap { v =>
-      val f = Paths.get(ParquetIO.versionPath(dirS, v), "_sources")
-      if (Files.exists(f))
-        Some(Files.readString(f).split("\n", -1).filter(_.nonEmpty).toSet)
-      else None
-    }
-  }
-
-  /** Record the applied source set INSIDE the current version directory
-    * (underscore-prefixed: invisible to parquet scans). Written after
-    * the commit that created the version; a crash between the two
-    * leaves a sources-less current version, which [[incrementalDelta]]
-    * refuses to append onto — the failure mode is a redundant rebuild,
-    * never duplicated rows.
-    */
-  private def writeSources(root: Path, table: String, lines: Set[String]): Unit = {
-    val dirS = root.resolve(table).toString
-    val v = ParquetIO.currentVersion(dirS).getOrElse(sys.error(
-      s"writeSources: $table has no committed version"))
-    Files.writeString(Paths.get(ParquetIO.versionPath(dirS, v), "_sources"),
-      lines.toSeq.sorted.mkString("\n"))
-  }
 
   /** Base-corpus quantization-error distribution per salt, persisted at
     * build time as `_drift` lines `salt:mean:p95` where the error is
@@ -382,7 +197,7 @@ object AnnIndex {
     * files that table has not yet landed: idempotency without reading
     * the index.
     */
-  private def appendBuild(
+  protected def appendBuild(
       s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
     import s.implicits._
     val baseStats = readDrift(root)
@@ -460,7 +275,7 @@ object AnnIndex {
     * (`_drift`) alongside, the frozen yardstick future appends gauge
     * drift against.
     */
-  private def build(
+  protected def build(
       s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
     import s.implicits._
     require(snap.nonEmpty, s"ANN index build: no embeddings files under $root")

@@ -69,7 +69,7 @@ import graft.pipeline.ParquetIO
   * downstream models read rather than re-deriving — this artifact is
   * that staging discipline applied to the graph family.
   */
-object GraphIndex {
+object GraphIndex extends ArtifactStore {
 
   /** Bump on ANY change to the edge-derivation algebra (key formula,
     * prefixes, distinct semantics, degree definition) — invalidates
@@ -77,182 +77,17 @@ object GraphIndex {
     */
   val AlgoVersion = 1
 
+  protected def storeKind: String = "graph"
+  protected def geometry: String = s"g:$AlgoVersion"
+  protected def allTables: Seq[String] = Seq("edges", "degrees")
+
   private val SourceTables = Seq("orders", "lineitem")
-  private val AllTables = Seq("edges", "degrees")
 
-  /** How long a waiting builder tolerates a live lock holder before
-    * erroring (see [[AnnIndex.lockTimeoutMs]] — same contract).
+  /** One `table/name:size:mtime` line per data file across both source
+    * tables.
     */
-  def lockTimeoutMs: Long =
-    sys.props.get("graft.graph.lockTimeoutMs").map(_.toLong).getOrElse(600000L)
-
-  /** Index artifacts live OUTSIDE the read-only source directory, keyed
-    * by its absolute path; the `__graph` suffix keeps the key disjoint
-    * from [[AnnIndex]]'s when both share SPARK_GRAFT_INDEX_DIR.
-    */
-  def indexRoot: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-    Paths.get(sys.props("java.io.tmpdir"), "graft-graph-index").toString)
-
-  private def rootFor(dir: String): Path = {
-    val abs = Paths.get(dir).toAbsolutePath.toString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "__graph"
-    Paths.get(indexRoot, key)
-  }
-
-  def tableDir(dir: String, name: String): String =
-    rootFor(dir).resolve(name).toString
-
-  /** For harnesses that must clear a stale index so a timed phase
-    * measures a real build (see [[graft.GraphAppendSmoke]]).
-    */
-  def indexPathFor(dir: String): Path = rootFor(dir)
-
-  private def geometry: String = s"g:$AlgoVersion"
-
-  /** Source DATA-file listing: one `table/name:size:mtime` line per
-    * parquet data file across both source tables (marker/hidden files
-    * excluded), paired with the absolute path.
-    */
-  private def listing(dir: String): Seq[(String, String)] =
-    SourceTables.flatMap { table =>
-      val src = Paths.get(dir, s"$table.parquet")
-      val files: Seq[Path] =
-        if (Files.isDirectory(src)) {
-          val st = Files.list(src)
-          try st.iterator().asScala.toSeq
-            .filter { p =>
-              val n = p.getFileName.toString
-              !n.startsWith("_") && !n.startsWith(".")
-            }
-            .sortBy(_.getFileName.toString)
-          finally st.close()
-        } else if (Files.exists(src)) Seq(src)
-        else Seq.empty
-      files.map { p =>
-        (s"$table/${p.getFileName}:${Files.size(p)}:" +
-          s"${Files.getLastModifiedTime(p).toMillis}",
-          p.toAbsolutePath.toString)
-      }
-    }
-
-  private def fingerprintOf(snap: Seq[(String, String)]): String =
-    MessageDigest.getInstance("MD5")
-      .digest((geometry +: snap.map(_._1)).mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
-  private def committedFingerprint(root: Path): Option[String] = {
-    val f = root.resolve("_fingerprint")
-    if (Files.exists(f)) Some(Files.readString(f).trim) else None
-  }
-
-  private def writeAtomic(root: Path, name: String, content: String): Unit = {
-    val tmp = root.resolve(s"$name.tmp")
-    Files.writeString(tmp, content)
-    Files.move(tmp, root.resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  private def tablesIntact(root: Path): Boolean =
-    AllTables.forall(t => ParquetIO.currentVersion(root.resolve(t).toString).isDefined)
-
-  /** Build the index iff absent or stale; returns the index root. Fast
-    * path = a directory listing + pointer reads — safe from every query.
-    */
-  def ensure(s: SparkSession, dir: String): Path = synchronized {
-    val root = rootFor(dir)
-    def freshNow: Boolean =
-      committedFingerprint(root).contains(fingerprintOf(listing(dir))) &&
-        tablesIntact(root)
-    if (freshNow) return root
-
-    Files.createDirectories(root)
-    val lock = root.resolve("_build.lock")
-    val deadline = System.currentTimeMillis() + lockTimeoutMs
-    var token: Option[String] = None
-    while (token.isEmpty) {
-      if (freshNow) return root // winner committed while we waited
-      token = ParquetIO.tryLockFile(lock)
-      if (token.isEmpty) {
-        if (ParquetIO.lockOwnerDead(lock) ||
-            ParquetIO.lockAgeMs(lock) > ParquetIO.LockStaleMs)
-          Files.deleteIfExists(lock) // crashed builder's remnant
-        else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"graph index build on $root: _build.lock held by a live builder " +
-              s"past $lockTimeoutMs ms — refusing to steal a live lock; retry later")
-        else Thread.sleep(200)
-      }
-    }
-    try {
-      var attempt = 0
-      while (true) {
-        // ONE snapshot under the lock drives the fingerprint, the append
-        // decision, AND the committed manifest (the AnnIndex invariant)
-        val snap = listing(dir)
-        val fp = fingerprintOf(snap)
-        if (committedFingerprint(root).contains(fp) && tablesIntact(root))
-          return root
-        try {
-          val delta = incrementalDelta(root, snap)
-          Files.deleteIfExists(root.resolve("_fingerprint"))
-          val appended = delta.exists(newFiles => appendBuild(s, root, newFiles))
-          if (!appended) build(s, root, snap)
-          writeAtomic(root, "_manifest", (geometry +: snap.map(_._1)).mkString("\n"))
-          writeAtomic(root, "_fingerprint", fp)
-          return root
-        } catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                e.getMessage.contains("concurrent writer") && attempt < 3 =>
-            attempt += 1
-            Thread.sleep(1000L * attempt)
-        }
-      }
-      root // unreachable
-    } finally token.foreach(t => ParquetIO.releaseLockIfMine(lock, t))
-  }
-
-  /** Append-only growth detection: committed manifest (same geometry,
-    * old files byte-identical) strictly contained in the snapshot, both
-    * tables intact with `_sources` records — else full rebuild.
-    */
-  private def incrementalDelta(
-      root: Path, snap: Seq[(String, String)]): Option[Seq[(String, String)]] = {
-    val mf = root.resolve("_manifest")
-    if (!Files.exists(mf)) return None
-    val old = Files.readString(mf).split("\n", -1).toSeq
-    if (old.headOption != Some(geometry)) return None
-    val oldSet = old.drop(1).filter(_.nonEmpty).toSet
-    val curSet = snap.map(_._1).toSet
-    val recordsIntact = tablesIntact(root) &&
-      AllTables.forall(t => appliedSources(root, t).isDefined)
-    if (recordsIntact && oldSet.nonEmpty && oldSet.subsetOf(curSet) &&
-        curSet.size > oldSet.size)
-      Some(snap.filterNot(c => oldSet.contains(c._1)))
-    else None
-  }
-
-  /** `_sources` record inside the table's CURRENT version directory —
-    * commits atomically with the data at the pointer flip (see
-    * [[AnnIndex]] for the torn-append reasoning).
-    */
-  private def appliedSources(root: Path, table: String): Option[Set[String]] = {
-    val dirS = root.resolve(table).toString
-    ParquetIO.currentVersion(dirS).flatMap { v =>
-      val f = Paths.get(ParquetIO.versionPath(dirS, v), "_sources")
-      if (Files.exists(f))
-        Some(Files.readString(f).split("\n", -1).filter(_.nonEmpty).toSet)
-      else None
-    }
-  }
-
-  private def writeSources(root: Path, table: String, lines: Set[String]): Unit = {
-    val dirS = root.resolve(table).toString
-    val v = ParquetIO.currentVersion(dirS).getOrElse(sys.error(
-      s"writeSources: $table has no committed version"))
-    Files.writeString(Paths.get(ParquetIO.versionPath(dirS, v), "_sources"),
-      lines.toSeq.sorted.mkString("\n"))
-  }
+  protected def listing(dir: String): Seq[(String, String)] =
+    SourceTables.flatMap(table => tableListing(dir, table, s"$table/"))
 
   /** The undirected distinct edge derivation over EXPLICIT file lists
     * (never the directory — the `_sources` records must be true of the
@@ -281,7 +116,7 @@ object GraphIndex {
   /** The one expensive pass: derive edges + degrees from exactly the
     * snapshot's files and commit both atomically.
     */
-  private def build(s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
+  protected def build(s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
     import s.implicits._
     require(snap.nonEmpty, s"graph index build: no orders/lineitem files for $root")
     val (of, lf) = splitByTable(snap)
@@ -306,7 +141,7 @@ object GraphIndex {
     * attempt (edges committed, degrees not) is healed by recounting
     * degrees from the committed edge artifact.
     */
-  private def appendBuild(
+  protected def appendBuild(
       s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
     import s.implicits._
     val edgesT = root.resolve("edges").toString
