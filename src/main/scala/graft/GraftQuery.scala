@@ -46,6 +46,7 @@ object Registry {
       graft.operators.Formats.queries ++
       graft.operators.Mining.queries ++
       graft.operators.GraphIndex.queries ++
+      graft.operators.LshIndex.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

@@ -322,6 +322,33 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 rows
 
+  /** (doc_id, shs, sig) from a (doc_id, text) frame — shingle array and
+    * minhash signature in ONE scan pass (shingle-less docs dropped; the
+    * native expression computes the signature without exploding).
+    * Shared by the in-query dedup family and the [[LshIndex]] build.
+    */
+  private[operators] def signDocs(df: DataFrame): DataFrame = {
+    import graft.functions.NativeExpressions.minhashSignature
+    df.select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"),
+        minhashSignature(col("shs"), NumHashes).as("sig"))
+  }
+
+  /** (doc_id, band, bkey) LSH band rows of a signed frame — all band
+    * keys in one pass over the signature array (posexplode; a per-band
+    * union would recompute the signatures once per band).
+    */
+  private[operators] def bandRows(signed: DataFrame): DataFrame = {
+    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r =>
+          element_at(col("sig"), bnd * BandSize + r + 1)): _*))
+    }: _*)
+    signed.select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
   /** q19: MinHash + LSH banding. Signature_i = min over shingles of
     * md5(i + ":" + shingle); 4 bands of 2 signature rows; docs sharing a
     * band bucket become candidates, then true Jaccard verifies. The join
@@ -364,15 +391,7 @@ object Dedup {
     val docs = corpusDocs(s, dir)
       .filter(size($"shs") > 0)
       .select($"doc_id", $"shs", $"sig")
-    // All band keys in one pass over the signature array (posexplode) —
-    // a 4-way union would recompute the signatures once per band.
-    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
-      md5(concat_ws("|",
-        (0 until BandSize).map(r => element_at($"sig", bnd * BandSize + r + 1)): _*))
-    }: _*)
-    val bands = docs
-      .select($"doc_id", posexplode(bandKeys))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val bands = bandRows(docs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -394,6 +413,8 @@ object Dedup {
   /** Shared oracle CTE chain: shingles → minhash signatures → LSH bands
     * → candidate pairs → verified jaccard (used by q19 and q40).
     */
+  private[operators] def minhashCtesShared: String = minhashCtes
+
   private lazy val minhashCtes: String = {
     val sigExprs = (0 until NumHashes)
       .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
@@ -745,8 +766,9 @@ object Dedup {
     * signatures/bands are a persisted index (maintained by the q15
     * upsert/MERGE machinery), and each day's delta is signed alone and
     * PROBED against it. Here the split is deterministic (doc_id % 5 == 0
-    * is "today's crawl"); both sides derive from one table because the
-    * driver owns the data, but the join topology is the incremental one:
+    * is "today's crawl"); the base side reads the [[LshIndex]] artifact
+    * (the persisted band tables, filtered to yesterday's docs), and the
+    * join topology is the incremental one:
     * delta bands ⋈ base bands only — no base×base pairs (already
     * deduped when indexed), no delta×delta (that is q19 run on the
     * delta). Candidate volume scales with |delta|·collision-rate, not
@@ -755,27 +777,28 @@ object Dedup {
     */
   def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.NativeExpressions.minhashSignature
-    val docs = tSpread(s, dir, "documents")
-      .select($"doc_id", array_distinct(shingles($"text")).as("shs"))
-      .filter(size($"shs") > 0)
-      .select($"doc_id", $"shs", minhashSignature($"shs", NumHashes).as("sig"))
-      .persist()
-    val bandKeys = array((0 until NumHashes / BandSize).map { bnd =>
-      md5(concat_ws("|",
-        (0 until BandSize).map(r => element_at($"sig", bnd * BandSize + r + 1)): _*))
-    }: _*)
-    val bands = docs
-      .select($"doc_id", posexplode(bandKeys))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cand = bands.filter($"doc_id" % 5 === 0).as("x")
-      .join(bands.filter($"doc_id" % 5 =!= 0).as("y"),
+    // Since round 11 the documented posture IS the implementation: the
+    // base corpus's band index is the persisted [[LshIndex]] artifact
+    // (filtered to "yesterday's" docs — the index as of the last run),
+    // so only the DELTA is shingled and signed; the base side is a
+    // parquet read, and verification fetches the shingles of ONLY the
+    // candidate base docs (a semi-join on the corpus — O(candidates),
+    // never a base re-scan).
+    val deltaDocs = signDocs(
+      tSpread(s, dir, "documents").filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text")).persist()
+    val baseBands = LshIndex.bands(s, dir).filter($"doc_id" % 5 =!= 0)
+    val cand = bandRows(deltaDocs).as("x")
+      .join(baseBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("dup_of"))
       .distinct()
+    val baseShs = t(s, dir, "documents")
+      .join(cand.select($"dup_of".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("dup_of"), array_distinct(shingles($"text")).as("shs_b"))
     cand
-      .join(docs.select($"doc_id".as("new_doc"), $"shs".as("shs_a")), "new_doc")
-      .join(docs.select($"doc_id".as("dup_of"), $"shs".as("shs_b")), "dup_of")
+      .join(deltaDocs.select($"doc_id".as("new_doc"), $"shs".as("shs_a")), "new_doc")
+      .join(baseShs, "dup_of")
       .select($"new_doc", $"dup_of",
         size(array_intersect($"shs_a", $"shs_b")).cast("long").as("n_common"),
         size($"shs_a").as("na"), size($"shs_b").as("nb"))
