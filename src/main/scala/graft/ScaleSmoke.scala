@@ -212,15 +212,27 @@ object ScaleSmoke {
       "q300_curation_funnel",
       // q301: band-bounded pairs + CC over the quotient graph (affected
       // labels + delta docs — replica-disjoint under the rotation)
-      "q301_incremental_cc")
+      "q301_incremental_cc",
+      // round-11: q302 is delta-derive + anti-join + degree merge (all
+      // keyed); q303 signs only the delta and probes the band artifact;
+      // q304's removal set is one row per removed token (df-capped span
+      // mass), every join keyed on (doc_id, pos)
+      "q302_graph_append", "q303_lsh_index_probe", "q304_exactsubstr_trim")
       .filter(_.matches(pat))
-    // the ANN queries read the build-once index: time the build as its
-    // OWN metric so query times measure search, exactly as production
-    // accounting would
-    val tIx = System.nanoTime()
-    operators.AnnIndex.ensure(spark, dir)
-    val ixSec = (System.nanoTime() - tIx) / 1e9
-    System.err.println(f"[scale-smoke] ann_index_build: $ixSec%.2f s (k=$k)")
+    // the ANN/graph/LSH queries read build-once indexes: time each build
+    // as its OWN metric so query times measure search/probe, exactly as
+    // production accounting would
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
+      name -> sec
+    }
+    val builds = Seq(
+      timed("ann_index_build") { operators.AnnIndex.ensure(spark, dir); () },
+      timed("graph_index_build") { operators.GraphIndex.ensure(spark, dir); () },
+      timed("lsh_index_build") { operators.LshIndex.ensure(spark, dir); () })
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("q231_hyperball_sketch" -> operators.Mining.hyperballSketchOnly _)
         .filter(_._1.matches(pat))
@@ -234,7 +246,7 @@ object ScaleSmoke {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale-smoke] $name: $sec%.2f s (k=$k)")
         name -> sec
-    } :+ ("ann_index_build" -> ixSec)
+    } ++ builds
     val json = times.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }
       .mkString("{", ",", "}")
     println(s"""{"k":$k,"src":"$src","queries":$json}""")

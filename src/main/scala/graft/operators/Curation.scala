@@ -680,12 +680,16 @@ object Curation {
     *   2 lang       — keep `lang = 'en'` (q23's ID over the declared
     *                  column — the funnel reports policy cost, not the
     *                  classifier);
-    *   3 length     — keep 20 ≤ tokens ≤ 1000 (the C4 length rule).
+    *   3 length     — keep 20 ≤ tokens ≤ 1000 (the C4 length rule);
+    *   4 trim       — the q304 ExactSubstr TRIM (round 11): span-level
+    *                  dedup after the document-level stages, the
+    *                  Lee-et-al. pipeline order — docs unchanged,
+    *                  tokens shrink by the removed-span mass.
     *
-    * Each stage is a filter over the previous survivor set — the whole
-    * funnel is one scan + one content-hash shuffle at any corpus size,
-    * and the monotone (docs, tokens) columns make any stage regression
-    * a hash break.
+    * Stages 0–3 are filters over the previous survivor set — one scan
+    * + one content-hash shuffle at any corpus size; stage 4 adds the
+    * q290 anchor-gram chain (df-capped, never all-pairs). The monotone
+    * (docs, tokens) columns make any stage regression a hash break.
     */
   def q300CurationFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -701,6 +705,17 @@ object Curation {
       .filter($"doc_id" === $"keep_id").drop("keep_id").persist()
     val s2 = s1.filter($"lang" === "en")
     val s3 = s2.filter($"n_tokens".between(20, 1000))
+    // stage 4 (round 11): the q304 ExactSubstr TRIM — span-level dedup
+    // after the document-level stages, the Lee-et-al. pipeline order.
+    // Doc count is unchanged (trim rewrites, never drops); the token
+    // column shrinks by each survivor's removed-position mass. Removal
+    // sets key on original doc_ids; exact-dedup (stage 1) has already
+    // collapsed every twin onto its original, so the join is total.
+    val rem = Dedup.exactSubstrRemovedPositions(s, dir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("rm"))
+    val s4 = s3.join(rem, Seq("doc_id"), "left")
+      .withColumn("n_tokens", $"n_tokens" - coalesce($"rm", lit(0L)))
+      .drop("rm")
     def stage(id: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
@@ -709,11 +724,21 @@ object Curation {
       .unionByName(stage(1, "exact_dedup", s1))
       .unionByName(stage(2, "lang_en", s2))
       .unionByName(stage(3, "length_20_1000", s3))
+      .unionByName(stage(4, "exactsubstr_trim", s4))
       .orderBy($"stage_id")
   }
 
   private val q300Sql =
-    """WITH raw AS (
+    s"""WITH ${Dedup.exactSubstrCtesShared},
+      |rem0 AS (
+      |  SELECT doc_b AS doc_id, b_start,
+      |    unnest(generate_series(1, CAST(span_len AS INT))) AS o
+      |  FROM spans),
+      |rc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS rm
+      |  FROM (SELECT DISTINCT doc_id, b_start + o - 1 AS pos FROM rem0)
+      |  GROUP BY doc_id),
+      |raw AS (
       |  SELECT doc_id, text, lang,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM (SELECT doc_id, text, lang FROM documents
@@ -725,7 +750,10 @@ object Curation {
       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
       |    FROM raw) WHERE doc_id = keep_id),
       |s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
-      |s3 AS (SELECT * FROM s2 WHERE n_tokens BETWEEN 20 AND 1000)
+      |s3 AS (SELECT * FROM s2 WHERE n_tokens BETWEEN 20 AND 1000),
+      |s4 AS (
+      |  SELECT s3.doc_id, s3.n_tokens - coalesce(rc.rm, 0) AS n_tokens
+      |  FROM s3 LEFT JOIN rc USING (doc_id))
       |SELECT * FROM (
       |  SELECT 0 AS stage_id, 'raw' AS stage,
       |    CAST(count(*) AS BIGINT) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM raw
@@ -734,7 +762,9 @@ object Curation {
       |  UNION ALL
       |  SELECT 2, 'lang_en', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s2
       |  UNION ALL
-      |  SELECT 3, 'length_20_1000', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3)
+      |  SELECT 3, 'length_20_1000', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s3
+      |  UNION ALL
+      |  SELECT 4, 'exactsubstr_trim', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s4)
       |ORDER BY stage_id""".stripMargin
 
   def queries: Seq[GraftQuery] = Seq(

@@ -1032,7 +1032,11 @@ object Dedup {
     * shuffle-partitioned by pair, O(matches log matches) at any
     * corpus size.
     */
-  def q290ExactSubstring(s: SparkSession, dir: String): DataFrame = {
+  /** The q290 span machinery, factored for its consumer q304: returns
+    * (toks — persisted (doc_id, t) over span-eligible docs, spans —
+    * (doc_a, doc_b, a_start, b_start, span_len) maximal shared spans).
+    */
+  private def exactSubstrSpans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val L = ExactSubstrMinLen
     val toks = tSpread(s, dir, "documents")
@@ -1061,6 +1065,12 @@ object Dedup {
         (max($"pa") - min($"pa") + L).cast("long").as("span_len"))
       .select($"doc_a", $"doc_b", $"a_start".cast("long").as("a_start"),
         ($"a_start" - $"diag").cast("long").as("b_start"), $"span_len")
+    (toks, spans)
+  }
+
+  def q290ExactSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (toks, spans) = exactSubstrSpans(s, dir)
     spans
       .join(toks.select($"doc_id".as("doc_a"), $"t"), "doc_a")
       .select($"doc_a", $"doc_b", $"a_start", $"b_start", $"span_len",
@@ -1069,9 +1079,15 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b", $"a_start", $"b_start")
   }
 
-  private val q290Sql = {
+  /** Shared DuckDB CTE chain for the ExactSubstr family (q290 report,
+    * q304 trim): tokenization → anchor grams → df-capped keep → aligned
+    * matches → diagonal runs → maximal spans.
+    */
+  private[operators] def exactSubstrCtesShared: String = exactSubstrCtes
+
+  private val exactSubstrCtes: String = {
     val L = ExactSubstrMinLen
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= $L),
       |grams AS (
@@ -1099,13 +1115,110 @@ object Dedup {
       |    CAST(min(pa) AS BIGINT) AS a_start,
       |    CAST(min(pa) - diag AS BIGINT) AS b_start,
       |    CAST(max(pa) - min(pa) + $L AS BIGINT) AS span_len
-      |  FROM runs GROUP BY doc_a, doc_b, diag, rid)
+      |  FROM runs GROUP BY doc_a, doc_b, diag, rid)""".stripMargin
+  }
+
+  private val q290Sql = {
+    s"""WITH $exactSubstrCtes
       |SELECT s.doc_a, s.doc_b, s.a_start, s.b_start, s.span_len,
       |  array_to_string(list_slice(t.t, CAST(s.a_start AS INT),
       |    CAST(s.a_start + s.span_len - 1 AS INT)), ' ') AS span
       |FROM spans s JOIN toks t ON t.doc_id = s.doc_a
       |ORDER BY s.doc_a, s.doc_b, s.a_start, s.b_start""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q304
+
+  /** q304: EXACTSUBSTR TRIM — the CONSUMER half of q290 (Lee et al.'s
+    * pipeline doesn't just report duplicated spans, it REWRITES the
+    * corpus): every position covered by the b-side of a maximal shared
+    * span is removed — doc_b > doc_a always, so each duplicated span's
+    * FIRST (lowest-doc-id) occurrence is the one retained — and the
+    * cleaned corpus re-assembles from the surviving positions. Output
+    * is one row per document: original/removed/kept token counts (the
+    * token-mass conservation removed + kept = original is a column
+    * identity the hash enforces) plus an md5 of the re-joined kept
+    * text, so a single resurrected or mis-dropped token anywhere in
+    * the corpus breaks the gate. Scale shape: the removal set
+    * materializes one row per removed token position — the same
+    * byte-range bookkeeping Lee et al.'s suffix-array pipeline emits —
+    * and every join keys on (doc_id, pos); nothing is pairwise.
+    * Overlap caveat (inherent to ExactSubstr): when two spans overlap
+    * in the canonical doc, the canonical copy itself can lose tokens
+    * to the other span's removal — the trim guarantees no b-side
+    * occurrence survives, not that every span text survives somewhere
+    * ([[graft.ExactSubstrSpec]] pins both the conservation and the
+    * no-resurrection invariants).
+    */
+  /** (doc_id, pos) — every token position the trim removes (the b-side
+    * cover of the maximal-span set). Shared by q304 and q300's funnel
+    * trim stage.
+    */
+  private[operators] def exactSubstrRemovedPositions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, spans) = exactSubstrSpans(s, dir)
+    spans
+      .select($"doc_b".as("doc_id"),
+        explode(sequence($"b_start", $"b_start" + $"span_len" - 1)).as("pos"))
+      .distinct()
+  }
+
+  def q304ExactSubstrTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rem = exactSubstrRemovedPositions(s, dir).persist()
+    val allToks = t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .persist()
+    val tokpos = allToks
+      .select($"doc_id", posexplode($"t"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("tok"))
+    val keptAgg = tokpos.join(rem, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")), " ")).as("kept_hash"))
+    val remCnt = rem.groupBy($"doc_id").agg(count(lit(1)).as("removed_tokens"))
+    allToks.select($"doc_id", size($"t").cast("long").as("n_tokens"))
+      .join(remCnt, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"removed_tokens", lit(0L)).as("removed_tokens"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"kept_hash", md5(lit(""))).as("kept_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val q304Sql =
+    s"""WITH $exactSubstrCtes,
+      |rem0 AS (
+      |  SELECT doc_b AS doc_id, b_start,
+      |    unnest(generate_series(1, CAST(span_len AS INT))) AS o
+      |  FROM spans),
+      |rem AS (SELECT DISTINCT doc_id, b_start + o - 1 AS pos FROM rem0),
+      |alltoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tokpos AS (
+      |  SELECT doc_id, t[i] AS tok, CAST(i AS BIGINT) AS pos
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+      |        FROM alltoks)),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+      |                    WHERE r.doc_id = tp.doc_id AND r.pos = tp.pos)),
+      |ka AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+      |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kept_hash
+      |  FROM kept GROUP BY doc_id),
+      |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_tokens
+      |       FROM rem GROUP BY doc_id)
+      |SELECT a.doc_id, CAST(len(a.t) AS BIGINT) AS n_tokens,
+      |  coalesce(rc.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+      |  coalesce(ka.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+      |  coalesce(ka.kept_hash, md5('')) AS kept_hash
+      |FROM alltoks a
+      |LEFT JOIN rc USING (doc_id)
+      |LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q220
 
@@ -1385,6 +1498,9 @@ object Dedup {
     GraftQuery("q290_exact_substring", Seq("EXT-dedup", "W1", "J1"),
       "ExactSubstr maximal-span dedup (Lee et al.): anchor-gram index + diagonal run-grouping, df-capped, never all-pairs",
       q290ExactSubstring, Some(q290Sql)),
+    GraftQuery("q304_exactsubstr_trim", Seq("EXT-dedup"),
+      "ExactSubstr trim pass: drop every non-first occurrence of each maximal shared span, re-assemble the cleaned corpus, conserve token mass",
+      q304ExactSubstrTrim, Some(q304Sql)),
     GraftQuery("q76_incremental_dedup", Seq("EXT-dedup", "S6"),
       "incremental re-crawl dedup: delta bands probe the base index only",
       q76IncrementalDedup, Some(q76Sql)),

@@ -57,4 +57,57 @@ class ExactSubstrSpec extends AnyFunSuite {
         }
       }
   }
+
+  /** q304's invariants against a brute-force replay of the removal rule:
+    * (1) token-mass conservation per doc; (2) the kept text is EXACTLY
+    * the original minus the b-side-covered positions (no resurrection,
+    * no over-trim); (3) first-occurrence retention: every span's kept
+    * canonical (doc_a) copy survives whenever no OTHER span's removal
+    * overlaps it — and at least one such clean retention exists.
+    */
+  test("q304 trim conserves token mass, removes exactly the b-side cover, keeps first occurrences") {
+    import spark.implicits._
+    val out = operators.Dedup.q304ExactSubstrTrim(spark, dir).collect()
+    val spans = operators.Dedup.q290ExactSubstring(spark, dir).collect()
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    // brute-force removal sets from the span list
+    val removed = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    spans.foreach { r =>
+      val db = r.getAs[Long]("doc_b")
+      val bs = r.getAs[Long]("b_start")
+      removed(db) = removed(db) ++ (bs until bs + r.getAs[Long]("span_len"))
+    }
+    assert(removed.nonEmpty)
+    var trimmedDocs = 0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = toks(id)
+      val rm = removed(id)
+      assert(r.getAs[Long]("n_tokens") == t.size)
+      assert(r.getAs[Long]("removed_tokens") == rm.size,
+        s"doc $id: removal set mismatch")
+      assert(r.getAs[Long]("removed_tokens") + r.getAs[Long]("kept_tokens") ==
+        r.getAs[Long]("n_tokens"), s"doc $id: token mass not conserved")
+      val keptText = t.zipWithIndex
+        .collect { case (tok, i) if !rm.contains(i + 1L) => tok }
+        .mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(keptText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("kept_hash") == md, s"doc $id: kept text differs")
+      if (rm.nonEmpty) trimmedDocs += 1
+    }
+    assert(trimmedDocs > 0, "corpus must contain trimmed documents")
+    // first-occurrence retention where no other span interferes
+    val cleanRetentions = spans.count { r =>
+      val da = r.getAs[Long]("doc_a")
+      val as0 = r.getAs[Long]("a_start")
+      val range = (as0 until as0 + r.getAs[Long]("span_len")).toSet
+      range.intersect(removed(da)).isEmpty // canonical copy untouched
+    }
+    assert(cleanRetentions > 0,
+      "expected at least one span whose canonical copy survives intact")
+  }
 }
