@@ -217,7 +217,10 @@ object ScaleSmoke {
       // keyed); q303 signs only the delta and probes the band artifact;
       // q304's removal set is one row per removed token (df-capped span
       // mass), every join keyed on (doc_id, pos)
-      "q302_graph_append", "q303_lsh_index_probe", "q304_exactsubstr_trim")
+      "q302_graph_append", "q303_lsh_index_probe", "q304_exactsubstr_trim",
+      // q305: one kernel scan + a per-(frame,band) collision join —
+      // the rotation keeps cross-replica frame hashes distinct
+      "q305_video_near_dup")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

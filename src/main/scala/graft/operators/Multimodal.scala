@@ -957,6 +957,236 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q305
+
+  /** Frames per synthesized video — each hashed independently, matched
+    * sequence-aligned (frame i against frame i).
+    */
+  val VideoFrames = 4
+
+  /** Bands per FRAME hash: 2 × 32-bit chunks (not q291's 4 × 16) — the
+    * 256-bit cross-frame signature already yields VideoFrames · 2 = 8
+    * chunks, so pigeonhole completeness at tol ≤ 3 holds with room,
+    * and 32-bit buckets kill the random 16-bit birthday collisions
+    * that made candidate volume grow ~quadratically at 10× corpus
+    * (measured: 3.3× runtime before, collision-rate-bound after).
+    */
+  val VideoBands = 2
+
+  /** MP4 payload builder for the q305 corpus (kernel synthesis, the
+    * q294 discipline — the relational hex assembly was that family's
+    * measured cost driver): ftyp (brand rotates with doc_id % 3) + a
+    * doc-id-sized `free` spacer (defeats fixed offsets, same device as
+    * q295) + moov/mvhd + an `mdat` carrying the doc's bytes as the
+    * stand-in frame stream, each byte shifted by `shift` — the
+    * monotone brightness shift of a re-encode (ASCII ≤ 0x7f, so +32
+    * never wraps and every pairwise ordering survives).
+    */
+  def buildVideoMp4(docId: Long, body: Array[Byte], shift: Int): Array[Byte] = {
+    val freeLen = (docId % 16 + 8).toInt
+    val out = new Array[Byte](16 + freeLen + 116 + 8 + body.length)
+    var p = 0
+    def w32(v: Int): Unit = {
+      out(p) = ((v >> 24) & 0xff).toByte; out(p + 1) = ((v >> 16) & 0xff).toByte
+      out(p + 2) = ((v >> 8) & 0xff).toByte; out(p + 3) = (v & 0xff).toByte
+      p += 4
+    }
+    def wTag(t: String): Unit = { t.getBytes("US-ASCII").foreach { b => out(p) = b; p += 1 } }
+    val brand = (docId % 3) match {
+      case 0 => "isom"; case 1 => "mp41"; case _ => "mp42"
+    }
+    w32(16); wTag("ftyp"); wTag(brand); w32(0x200)
+    w32(freeLen); wTag("free"); p += freeLen - 8
+    w32(116); wTag("moov")
+    w32(108); wTag("mvhd"); w32(0); w32(0); w32(0)
+    w32(((docId % 3 + 1) * 1000).toInt); w32((docId * 31 % 100000).toInt)
+    p += 108 - 8 - 20
+    w32(body.length + 8); wTag("mdat")
+    var i = 0
+    while (i < body.length) { out(p) = (body(i) + shift).toByte; p += 1; i += 1 }
+    out
+  }
+
+  /** The q305 hash kernel: locate the mdat body by the SAME guarded
+    * box walk as [[mp4Header]] (every position from the size chain —
+    * the spacer defeats fixed offsets), split it into [[VideoFrames]]
+    * equal frames, and dHash each frame independently (72
+    * nearest-neighbor samples, horizontal-gradient bits — the q291
+    * kernel per frame). Gradients compare RELATIVE values, so the
+    * re-encode's +32 brightness shift and the re-container's different
+    * header geometry both leave every frame hash bit-identical.
+    */
+  def videoFrameHashes(payload: Array[Byte]): Array[Long] = {
+    def be32(i: Int): Long = ((payload(i) & 0xffL) << 24) |
+      ((payload(i + 1) & 0xffL) << 16) | ((payload(i + 2) & 0xffL) << 8) |
+      (payload(i + 3) & 0xffL)
+    var p = 0; var off = -1; var blen = 0
+    while (off < 0 && p + 8 <= payload.length) {
+      val size = be32(p).toInt
+      if (size < 8) p = payload.length
+      else {
+        if (new String(payload, p + 4, 4, "US-ASCII") == "mdat") {
+          off = p + 8; blen = math.min(size - 8, payload.length - off)
+        }
+        p += size
+      }
+    }
+    val hs = new Array[Long](VideoFrames)
+    if (off < 0 || blen <= 0) return hs
+    var f = 0
+    while (f < VideoFrames) {
+      val fs = ((f.toLong * blen) / VideoFrames).toInt
+      val fl = (((f + 1).toLong * blen) / VideoFrames).toInt - fs
+      val s = new Array[Int](72)
+      var j = 0
+      while (j < 72) {
+        s(j) = payload(off + fs + ((j.toLong * fl) / 72).toInt) & 0xff
+        j += 1
+      }
+      var hsh = 0L
+      var b = 0
+      while (b < 64) {
+        val r = b / 8; val c = b % 8
+        if (s(r * 9 + c) < s(r * 9 + c + 1)) hsh |= (1L << b)
+        b += 1
+      }
+      hs(f) = hsh
+      f += 1
+    }
+    hs
+  }
+
+  /** q305 corpus: one synthesized MP4 per document with ≥ 72 body
+    * bytes, plus — for every 10th doc — a RE-ENCODED (+32 brightness
+    * shift, different bytes on every frame) and RE-CONTAINERED
+    * (different brand/spacer/timescale, twin id drives the header) copy
+    * under a new id. Returns (doc_id, payload).
+    */
+  def videoPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "documents")
+      .filter(length($"text") >= 72)
+      .select($"doc_id", $"text")
+    val corpus = base.select($"doc_id", $"text", lit(0).as("shift"))
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + Dedup.TwinOffset).as("doc_id"), $"text",
+          lit(32).as("shift")))
+    corpus.as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, shift) =>
+        (id, buildVideoMp4(id, text.getBytes("UTF-8"), shift))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** The q305 hash stage alone — also the spec's brute-force hook. */
+  def videoHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoPayloads(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFrameHashes(bytes).zipWithIndex.map { case (h, f) => (id, f, h) }
+      })
+      .toDF("doc_id", "f", "h")
+  }
+
+  /** q305: VIDEO CONTENT NEAR-DUP — completes the multimodal triad
+    * (q291 image, q294 audio, and now the q295 MP4 lane's CONTENT):
+    * per-frame dHash over the demuxed frame stream, SEQUENCE-ALIGNED
+    * banding (band key = (frame, band, 32-bit chunk) — a collision
+    * must agree on the frame index, so temporally shuffled content
+    * never pairs), verified by the TOTAL cross-frame Hamming distance.
+    * Pigeonhole completeness lifts from q291: ≤ [[DHashHammingTol]]
+    * differing bits cannot touch all [[VideoFrames]]·[[VideoBands]]
+    * = 8 chunks.
+    * The corpus plants re-encoded + re-containered twins, so a
+    * matching pair proves the pipeline demuxes (box walk), decodes
+    * (frame split), and hashes CONTENT — never container bytes. The
+    * oracle recomputes every frame hash from the synthesis parameters
+    * with independent char-offset arithmetic, then re-derives bands,
+    * candidates, and distances relationally. Scale shape: one kernel
+    * scan + a collision-rate band join — never all-pairs.
+    */
+  def q305VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = videoHashes(s, dir).persist()
+    val bandCols = array((0 until VideoBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"h", b * 32).bitwiseAND(lit(0xffffffffL)).as("bv"))
+    }: _*)
+    val bands = hashes.select($"doc_id", $"f", explode(bandCols).as("x"))
+      .select($"doc_id", $"f", $"x.band".as("band"), $"x.bv".as("bv"))
+    val keep = bands.groupBy($"f", $"band", $"bv").agg(count(lit(1)).as("n"))
+      .filter($"n" <= DHashBandDfCap).select($"f", $"band", $"bv")
+    val bf = bands.join(broadcast(keep), Seq("f", "band", "bv"))
+    val cand = bf.select($"doc_id".as("doc_a"), $"f", $"band", $"bv").as("x")
+      .join(bf.select($"doc_id".as("doc_b"), $"f", $"band", $"bv").as("y"),
+        col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
+          col("x.bv") === col("y.bv") && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(hashes.select($"doc_id".as("doc_a"), $"f", $"h".as("ha")), Seq("doc_a"))
+      .join(hashes.select($"doc_id".as("doc_b"), $"f", $"h".as("hb")),
+        Seq("doc_b", "f"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(bit_count($"ha".bitwiseXOR($"hb"))).cast("long").as("hamming"))
+      .filter($"hamming" <= DHashHammingTol)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q305Sql = {
+    // per-frame grid: L = char length, fs = (f*L)//4, fl = ((f+1)*L)//4
+    // - fs, sample j at fs + (j*fl)//72 (0-based) — the kernel's exact
+    // integer arithmetic re-expressed over char offsets (ASCII pinned
+    // by ImageDhashSpec). The twin's +32 shift rides the samples; the
+    // gradient comparisons are shift-invariant by construction.
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text, 0 AS shift FROM documents WHERE length(text) >= 72
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, 32 FROM documents
+      |  WHERE doc_id % 10 = 0 AND length(text) >= 72),
+      |g AS (
+      |  SELECT doc_id, f,
+      |    list_transform(range(0, 72), j -> ascii(substr(text,
+      |      CAST((f * length(text)) // $VideoFrames
+      |        + (j * (((f + 1) * length(text)) // $VideoFrames
+      |                - (f * length(text)) // $VideoFrames)) // 72
+      |        AS INTEGER) + 1, 1)) + shift) AS s
+      |  FROM corpus, (SELECT unnest(range(0, $VideoFrames)) AS f) fr),
+      |h AS (
+      |  SELECT doc_id, f,
+      |    CAST(list_sum(list_transform(range(0, 63),
+      |      b -> CASE WHEN s[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
+      |                   < s[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 2]
+      |           THEN 1::BIGINT << CAST(b AS INTEGER) ELSE 0::BIGINT END))
+      |      AS BIGINT)
+      |    + CASE WHEN s[71] < s[72] THEN -9223372036854775808 ELSE 0 END
+      |      AS h
+      |  FROM g),
+      |bands AS (
+      |  SELECT doc_id, f, b.band,
+      |    (h >> CAST(b.band * 32 AS INTEGER)) & 4294967295 AS bv
+      |  FROM h, (SELECT unnest(range(0, $VideoBands)) AS band) b),
+      |keep AS (
+      |  SELECT f, band, bv FROM bands GROUP BY f, band, bv
+      |  HAVING count(*) <= $DHashBandDfCap),
+      |bf AS (SELECT bands.* FROM bands JOIN keep USING (f, band, bv)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bf x JOIN bf y
+      |    ON x.f = y.f AND x.band = y.band AND x.bv = y.bv
+      |      AND x.doc_id < y.doc_id),
+      |d AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN h a ON a.doc_id = c.doc_a
+      |  JOIN h b ON b.doc_id = c.doc_b AND b.f = a.f
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM d
+      |WHERE hamming <= $DHashHammingTol
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q234_wav_features", Seq("EXT-multimodal"),
       "audio lane: real RIFF/WAVE chunk walk over relationally-built PCM payloads, integer-exact loudness statistics",
@@ -978,6 +1208,9 @@ object Multimodal {
     GraftQuery("q294_audio_fingerprint", Seq("EXT-multimodal", "EXT-dedup"),
       "perceptual audio near-dup: RIFF walk + frame-energy sign-delta fingerprint, amplitude-invariant, q291's pigeonhole-complete band join",
       q294AudioFingerprint, Some(q294Sql)),
+    GraftQuery("q305_video_near_dup", Seq("EXT-multimodal", "EXT-dedup"),
+      "video content near-dup: box-walk demux, per-frame dHash, sequence-aligned (frame,band) collision join, cross-frame Hamming verify",
+      q305VideoNearDup, Some(q305Sql)),
     GraftQuery("q295_mp4_header", Seq("EXT-multimodal"),
       "video-container lane: byte-real ISO-BMFF box walk (ftyp/free/moov/mvhd/mdat) over relationally-built payloads; spacer box defeats fixed offsets",
       q295Mp4Header, Some(q295Sql)))
