@@ -217,6 +217,11 @@ object ScaleSmoke {
       // keyed); q303 signs only the delta and probes the band artifact;
       // q304's removal set is one row per removed token (df-capped span
       // mass), every join keyed on (doc_id, pos)
+      // q292: both equivalence arms inside the SemDedupGaugeCap
+      // md5-ranked slice since round 11 (the q220 treatment) — the
+      // gauge cost is corpus-size-free; the production O(delta) arm is
+      // DeltaSelectSmoke's measurement
+      "q292_incremental_semdedup",
       "q302_graph_append", "q303_lsh_index_probe", "q304_exactsubstr_trim",
       // q305: one kernel scan + a per-(frame,band) collision join —
       // the rotation keeps cross-replica frame hashes distinct

@@ -1458,11 +1458,29 @@ object Similarity {
     * cell-occupancy) pair work + one O(|delta|·k) routing pass, never
     * a corpus re-scan (the base×base term reads the materialized
     * verdicts; [[graft.DeltaSelectSmoke]] measures exactly that split:
-    * bytes read by the delta arm vs the full recompute).
+    * bytes read by the delta arm vs the full recompute). Round 11:
+    * both arms run inside the [[SemDedupGaugeCap]] md5-ranked slice —
+    * see the cap's scaladoc; gate-SF outputs unchanged.
     */
+  /** Fixed vector-slice budget for q292's oracle-carried equivalence
+    * arm (the q220 fixed-sample rule): the full-recompute oracle is
+    * inherently O(n^1.5) in cell-pair votes, so BOTH arms run inside
+    * the [[SemDedupGaugeCap]] smallest-md5(vec_id) vectors — the
+    * equivalence theorem is corpus-size-free, and the gauge cost stops
+    * scaling with the corpus. At the correctness-gate SFs (≤ cap
+    * vectors) the slice IS the corpus, so outputs there are unchanged.
+    * The PRODUCTION arm's O(delta) claim is measured separately on the
+    * uncapped corpus by [[graft.DeltaSelectSmoke]].
+    */
+  val SemDedupGaugeCap = 2000
+
   def q292IncrementalSemdedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val sample = t(s, dir, "embeddings").select($"vec_id")
+      .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)
+      .limit(SemDedupGaugeCap)
     val all = t(s, dir, "embeddings")
+      .join(broadcast(sample), "vec_id")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
     val base = all.filter($"vec_id" % 10 =!= 7)
@@ -1519,11 +1537,15 @@ object Similarity {
   }
 
   private def q292Sql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings WHERE vec_id % 10 <> 7),
+    s"""WITH sl AS (
+      |  SELECT vec_id FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SemDedupGaugeCap),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |      FROM embeddings JOIN sl USING (vec_id) WHERE vec_id % 10 <> 7),
       |$ivfDimsSql,
       |${ivfCbSql("c", "c")},
-      |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |         FROM embeddings JOIN sl USING (vec_id)),
       |sc292 AS (
       |  SELECT a.vec_id, c.cid,
       |    round(list_dot_product(a.v, c.cv) /
