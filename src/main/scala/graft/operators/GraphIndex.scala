@@ -28,7 +28,14 @@ import graft.pipeline.ParquetIO
   *    directions materialized, the form every consumer wants);
   *  - `degrees` (src, deg)  — per-node degree over that edge list, the
   *    iteration-invariant the PageRank family pre-joins once (hoisted
-  *    round 10; the artifact makes the hoist free for q224 too).
+  *    round 10; the artifact makes the hoist free for q224 too);
+  *  - `support` (src, dst, support) — co-supply pair support (distinct
+  *    (order, supplier) self-join within the order), the SUFFICIENT
+  *    STATISTIC of the k-NN sparsification: appends merge increments
+  *    into it instead of re-scanning history;
+  *  - `knn` (sa, sb) — the deterministic top-[[KnnK]] cut of `support`
+  *    (the q102/q202/q203/q208 substrate, previously re-derived by a
+  *    lineitem self-join inside each query).
   *
   * Freshness/locking are [[AnnIndex]]'s exact protocol: an md5
   * fingerprint of the SOURCE listing (orders + lineitem file
@@ -77,9 +84,14 @@ object GraphIndex extends ArtifactStore {
     */
   val AlgoVersion = 1
 
+  /** Top-k partners per supplier in the co-supply sparsification (see
+    * [[knnEdges]]) — part of the geometry fingerprint.
+    */
+  val KnnK = 3
+
   protected def storeKind: String = "graph"
-  protected def geometry: String = s"g:$AlgoVersion"
-  protected def allTables: Seq[String] = Seq("edges", "degrees")
+  protected def geometry: String = s"g:$AlgoVersion,$KnnK"
+  protected def allTables: Seq[String] = Seq("edges", "degrees", "support", "knn")
 
   private val SourceTables = Seq("orders", "lineitem")
 
@@ -116,6 +128,41 @@ object GraphIndex extends ArtifactStore {
   /** The one expensive pass: derive edges + degrees from exactly the
     * snapshot's files and commit both atomically.
     */
+  /** Co-supply pair support over exactly these lineitem files: distinct
+    * (orderkey, suppkey) self-joined within the order, counted per
+    * DIRECTED supplier pair — the sufficient statistic the k-NN cut
+    * derives from, and the table the append arm merges O(delta).
+    * Within-order pairing is why the transactional batch contract
+    * makes the delta exact: an order's lineitems never straddle
+    * batches, so no cross-batch pair can exist.
+    */
+  private def deriveSupport(s: SparkSession, lineitemFiles: Seq[String]): DataFrame = {
+    import s.implicits._
+    if (lineitemFiles.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("src", "dst", "support")
+    val base = s.read.parquet(lineitemFiles: _*)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    base.as("a").join(base.as("b"), Seq("ok"))
+      .filter($"a.sk" =!= $"b.sk")
+      .groupBy($"a.sk".as("src"), $"b.sk".as("dst"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** The deterministic top-[[KnnK]] cut of a support table into the
+    * canonical (sa < sb) sparsified edge list — O(support table), the
+    * cheap re-cut an append pays after merging increments.
+    */
+  private def knnCut(support: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wK = Window.partitionBy(col("src"))
+      .orderBy(col("support").desc, col("dst").asc)
+    support.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= KnnK)
+      .select(least(col("src"), col("dst")).as("sa"),
+        greatest(col("src"), col("dst")).as("sb"))
+      .distinct()
+  }
+
   protected def build(s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
     import s.implicits._
     require(snap.nonEmpty, s"graph index build: no orders/lineitem files for $root")
@@ -123,15 +170,22 @@ object GraphIndex extends ArtifactStore {
     val edges = deriveEdges(s, of, lf)
       .repartition(s.sparkContext.defaultParallelism, $"src")
       .persist()
+    val lines = snap.map(_._1).toSet
     try {
       ParquetIO.overwriteSwap(edges, root.resolve("edges").toString)
       ParquetIO.overwriteSwap(
         edges.groupBy($"src").agg(count(lit(1)).as("deg")),
         root.resolve("degrees").toString)
-      val lines = snap.map(_._1).toSet
       writeSources(root, "edges", lines)
       writeSources(root, "degrees", lines)
     } finally edges.unpersist(false)
+    val support = deriveSupport(s, lf).persist()
+    try {
+      ParquetIO.overwriteSwap(support, root.resolve("support").toString)
+      ParquetIO.overwriteSwap(knnCut(support), root.resolve("knn").toString)
+      writeSources(root, "support", lines)
+      writeSources(root, "knn", lines)
+    } finally support.unpersist(false)
   }
 
   /** The incremental arm: derive edges from ONLY the new files, drop
@@ -200,6 +254,36 @@ object GraphIndex extends ArtifactStore {
         degT)
       writeSources(root, "degrees", eAppliedAfter)
     }
+
+    // co-supply lane: merge the delta's pair-support increments into the
+    // persisted sufficient statistic (full-outer sum, O(support + delta)
+    // — support is NOT derivable from the knn cut, which is why the
+    // statistic itself is the committed table), then re-cut the
+    // deterministic top-K edge list from the merged table. The read
+    // inside overwriteSwap is pinned to the pre-swap version, the same
+    // device the degree merge relies on.
+    val supT = root.resolve("support").toString
+    val knnT = root.resolve("knn").toString
+    val sApplied0 = appliedSources(root, "support").getOrElse(return false)
+    val sSub = newFiles.filterNot(f => sApplied0.contains(f._1))
+    val sAppliedAfter = sApplied0 ++ sSub.map(_._1)
+    if (sSub.nonEmpty) {
+      val (_, lfS) = splitByTable(sSub)
+      val dSup = deriveSupport(s, lfS)
+      val merged = ParquetIO.read(s, supT)
+        .withColumnRenamed("support", "s0")
+        .join(dSup.withColumnRenamed("support", "s1"), Seq("src", "dst"), "full")
+        .select($"src", $"dst",
+          (coalesce($"s0", lit(0L)) + coalesce($"s1", lit(0L))).as("support"))
+      ParquetIO.overwriteSwap(merged, supT)
+      writeSources(root, "support", sAppliedAfter)
+      ParquetIO.overwriteSwap(knnCut(ParquetIO.read(s, supT)), knnT)
+      writeSources(root, "knn", sAppliedAfter)
+    } else if (!appliedSources(root, "knn").contains(sAppliedAfter)) {
+      // torn retry: support landed, the cut did not — re-cut (cheap)
+      ParquetIO.overwriteSwap(knnCut(ParquetIO.read(s, supT)), knnT)
+      writeSources(root, "knn", sAppliedAfter)
+    }
     true
   }
 
@@ -213,6 +297,16 @@ object GraphIndex extends ArtifactStore {
 
   /** (src, deg) — per-node degree over [[edges]]. */
   def degrees(s: SparkSession, dir: String): DataFrame = read(s, dir, "degrees")
+
+  /** (sa, sb) — the canonical (sa < sb) k-NN-sparsified co-supply edge
+    * list (top-[[KnnK]] partners per supplier by shared-order support):
+    * the shared substrate of the q102 triangle census, q202 k-core,
+    * q203 clustering profile and q208 k-truss, previously re-derived by
+    * a lineitem self-join inside each. The per-pair support statistic
+    * is persisted alongside (`support`) so appends merge increments and
+    * re-cut — never re-scan history.
+    */
+  def knnEdges(s: SparkSession, dir: String): DataFrame = read(s, dir, "knn")
 
   /** (src, dst, deg) — edges pre-annotated with the source node's
     * degree: the iteration-invariant join the PageRank family hoists,

@@ -75,7 +75,7 @@ object Warehouse {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
-  private val KnnK = 3
+  private val KnnK = GraphIndex.KnnK // oracle CTEs pin the literal 3
 
   /** q102: triangle census of the k-NN-sparsified co-supply graph —
     * nodes are suppliers; each keeps an edge only to its top-3 partners
@@ -99,21 +99,13 @@ object Warehouse {
     * pass scale: degree — and therefore wedge, triangle and peel work —
     * is bounded by a constant at any corpus size.
     */
-  private def knnCoSupplyEdges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = t(s, dir, "lineitem")
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val pairs = base.as("a").join(base.as("b"), Seq("ok"))
-      .filter($"a.sk" =!= $"b.sk")
-      .select($"a.sk".as("src"), $"b.sk".as("dst"))
-    val support = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("support"))
-    val wK = Window.partitionBy($"src")
-      .orderBy($"support".desc, $"dst".asc)
-    support.withColumn("rn", row_number().over(wK))
-      .filter($"rn" <= KnnK)
-      .select(least($"src", $"dst").as("sa"), greatest($"src", $"dst").as("sb"))
-      .distinct()
-  }
+  private def knnCoSupplyEdges(s: SparkSession, dir: String): DataFrame =
+    // round 11: reads the [[GraphIndex]] artifact (support statistic +
+    // deterministic top-K cut persisted once, O(delta)-appendable)
+    // instead of re-running the lineitem self-join per query; a pure
+    // function of the source bytes, so the q102/q202/q203/q208 oracles'
+    // relational re-derivation stays exact
+    GraphIndex.knnEdges(s, dir)
 
   /** The DuckDB mirror of [[knnCoSupplyEdges]] — CTEs ending in `e`
     * (canonical sa < sb rows), shared by the q102/q202/q203 oracles.

@@ -1578,9 +1578,13 @@ object StreamingOps {
       def bandsOf(signed: DataFrame, idCol: String): DataFrame =
         signed.select($"doc_id".as(idCol), posexplode(bandKeys))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      val baseDocs = sign(graft.Tables.loadSpread(s, dir, "documents")
-        .filter($"doc_id" % 5 =!= 0)).persist()
-      val baseBands = bandsOf(baseDocs, "dup_of").persist()
+      // the static side: the PERSISTED band index ([[graft.operators
+      // .LshIndex]] artifact, round 11) — the stream probes a committed
+      // parquet table; the base corpus is never re-shingled or re-signed
+      // inside this query (the q76 posture, streaming-served)
+      val baseBands = graft.operators.LshIndex.bands(s, dir)
+        .filter($"doc_id" % 5 =!= 0)
+        .withColumnRenamed("doc_id", "dup_of").persist()
 
       // seed the result with the right (possibly final) empty schema so
       // a dup-free stream still yields a readable, zero-row table
@@ -1599,9 +1603,16 @@ object StreamingOps {
             val cand = bandsOf(bd, "new_doc")
               .join(baseBands, Seq("band", "bkey"))
               .select($"new_doc", $"dup_of").distinct()
+            // verification fetches shingles for ONLY the candidate base
+            // docs (left-semi into the corpus — O(candidates) per batch)
+            val baseShs = graft.Tables.load(s, dir, "documents")
+              .join(cand.select($"dup_of".as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+              .select($"doc_id".as("dup_of"),
+                array_distinct(Dedup.shingles($"text")).as("shs_b"))
             cand
               .join(bd.select($"doc_id".as("new_doc"), $"shs".as("shs_a")), "new_doc")
-              .join(baseDocs.select($"doc_id".as("dup_of"), $"shs".as("shs_b")), "dup_of")
+              .join(baseShs, "dup_of")
               .select($"new_doc", $"dup_of",
                 size(array_intersect($"shs_a", $"shs_b")).cast("long").as("n_common"),
                 size($"shs_a").as("na"), size($"shs_b").as("nb"))
@@ -1619,7 +1630,7 @@ object StreamingOps {
       val out = s.read.parquet(outDir)
         .orderBy($"new_doc", $"dup_of")
       val rows = out.collect()
-      baseDocs.unpersist(false); baseBands.unpersist(false)
+      baseBands.unpersist(false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -54,6 +54,18 @@ class GraphIndexSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
   }
 
+  private def knnSet(dir: String): Set[(Long, Long)] = {
+    import spark.implicits._
+    operators.GraphIndex.knnEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+  }
+
+  private def supportMap(dir: String): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    pipeline.ParquetIO.read(spark, operators.GraphIndex.tableDir(dir, "support"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, c) => (a, b) -> c }.toMap
+  }
+
   test("append of new order+lineitem files ≡ full rebuild; O(delta) arm taken") {
     import spark.implicits._
     val o = Tables.load(spark, sf, "orders").select($"o_orderkey", $"o_custkey")
@@ -95,6 +107,12 @@ class GraphIndexSpec extends AnyFunSuite {
       s"append != rebuild: missing=${(fullEdges -- grownEdges).take(5)} " +
         s"extra=${(grownEdges -- fullEdges).take(5)}")
     assert(grownDegs == fullDegs, "merged degrees != recomputed degrees")
+    // co-supply lane: support increments merged + top-K re-cut must equal
+    // the from-scratch derivation over the union
+    assert(supportMap(grownDir.toString) == supportMap(fullDir.toString),
+      "merged co-supply support != recomputed support")
+    assert(knnSet(grownDir.toString) == knnSet(fullDir.toString),
+      "re-cut knn edges != recomputed knn edges")
 
     // fast path: a second ensure with an unchanged listing moves nothing
     operators.GraphIndex.ensure(spark, grownDir.toString)
