@@ -1479,10 +1479,14 @@ object Similarity {
     val sample = t(s, dir, "embeddings").select($"vec_id")
       .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc)
       .limit(SemDedupGaugeCap)
+    // persisted: the codebook's Lloyd rounds and both assign passes
+    // re-evaluate this frame — without the cache each pass would re-run
+    // the slice join it now carries
     val all = t(s, dir, "embeddings")
       .join(broadcast(sample), "vec_id")
       .select($"vec_id", d($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
+      .persist()
     val base = all.filter($"vec_id" % 10 =!= 7)
     val delta = all.filter($"vec_id" % 10 === 7)
     val cb = ivfCodebookOf(s, base.select($"vec_id", $"v"), "c")
