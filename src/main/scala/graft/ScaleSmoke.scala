@@ -225,7 +225,10 @@ object ScaleSmoke {
       "q302_graph_append", "q303_lsh_index_probe", "q304_exactsubstr_trim",
       // q305: one kernel scan + a per-(frame,band) collision join —
       // the rotation keeps cross-replica frame hashes distinct
-      "q305_video_near_dup")
+      "q305_video_near_dup",
+      // q306: n-gram-count joins + the range-partitioned global rank
+      // (never a single-partition window) — both linear-shaped
+      "q306_ccnet_perplexity")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

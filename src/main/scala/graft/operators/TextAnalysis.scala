@@ -1445,7 +1445,106 @@ object TextAnalysis {
       |FROM by_term CROSS JOIN n
       |ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q306
+
+  /** The q306 reference-corpus rule: every third document (doc_id % 3 =
+    * 0) plays the clean reference the language model trains on — the
+    * CCNet posture where the LM comes from a trusted corpus (Wikipedia
+    * in the paper) and scores the whole crawl.
+    */
+  val PplRefMod = 3
+
+  /** q306: CCNET-STYLE PERPLEXITY FILTER (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — the LM-perplexity bucketing every modern pretraining
+    * corpus runs): an add-one-smoothed BIGRAM language model trains on
+    * the reference slice, every document scores by its mean negative
+    * log-likelihood per bigram (log-space only — no exp, so the one
+    * transcendental is ln of a rational, the q82 BM25 cross-engine
+    * precedent), and the corpus splits into CCNet's head/middle/tail
+    * terciles by the corpus-wide score sort. The tercile assignment is
+    * the one total-order stage and uses [[GlobalRank]]'s
+    * range-partition + P-row-offset device, NEVER a single-partition
+    * window — exactly how a 100 TB corpus would be perplexity-sorted.
+    * Joins key on (w1, w2)/(w1) — n-gram-count shaped, collision-rate
+    * bound; the model tables are reference-vocabulary sized.
+    */
+  def q306CcnetPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .persist()
+    val bi = toks
+      .select($"doc_id", $"w", explode(sequence(lit(1), size($"w") - 1)).as("i"))
+      .select($"doc_id", element_at($"w", $"i").as("w1"),
+        element_at($"w", $"i" + 1).as("w2"))
+    val isRef = (c: Column) => c % PplRefMod === 0
+    val c2 = bi.filter(isRef($"doc_id"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val refUni = toks.filter(isRef($"doc_id"))
+      .select(explode($"w").as("w1"))
+      .persist()
+    val c1 = refUni.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // |V|: the reference vocabulary — a driver scalar, the q06 HWM shape
+    val vocab = refUni.select($"w1").distinct().count().toDouble
+    val scored = bi
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .select($"doc_id",
+        (-log((coalesce($"c2", lit(0L)) + lit(1L)).cast("double") /
+          (coalesce($"c1", lit(0L)).cast("double") + lit(vocab)))).as("nll"))
+    val agg = scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"nll"), 6).as("avg_nll"))
+    val (ranked, n) = graft.operators.GlobalRank.withGlobalRankCounted(
+      agg, "rk", $"avg_nll".asc, $"doc_id".asc)
+    ranked
+      .select($"doc_id", $"n_bigrams", $"avg_nll",
+        when($"rk" * 3 <= n, lit("head"))
+          .when($"rk" * 3 <= 2 * n, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val q306Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM toks)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+      |       WHERE doc_id % $PplRefMod = 0 GROUP BY w1, w2),
+      |uni AS (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % $PplRefMod = 0),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vocab FROM uni),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    -ln((coalesce(c2.c2, 0) + 1) /
+      |        (coalesce(c1.c1, 0) + (SELECT vocab FROM v))) AS nll
+      |  FROM bi
+      |  LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+      |  LEFT JOIN c1 ON bi.w1 = c1.w1),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(nll), 6) AS avg_nll
+      |  FROM sc GROUP BY doc_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_nll, doc_id) AS rk,
+      |    (SELECT count(*) FROM agg) AS n
+      |  FROM agg)
+      |SELECT doc_id, n_bigrams, avg_nll,
+      |  CASE WHEN rk * 3 <= n THEN 'head'
+      |       WHEN rk * 3 <= 2 * n THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q306_ccnet_perplexity", Seq("EXT-text", "EXT-curation"),
+      "CCNet perplexity filter: add-one bigram LM trained on the reference slice, mean per-bigram NLL, head/middle/tail terciles via the range-partitioned global rank",
+      q306CcnetPerplexity, Some(q306Sql)),
     GraftQuery("q283_term_burstiness",
       Seq("EXT-text", "EXT-curation", "A2"),
       "Church-Gale term burstiness + index of dispersion: integer-exact tf sufficient statistics, vocabulary-bounded rollup",
