@@ -199,7 +199,7 @@ object ScaleSmoke {
       // two scan-shaped gram passes + a 256-row broadcast + the
       // bounded-heap budget cut.
       "q290_exact_substring", "q291_image_dhash",
-      "q292_incremental_semdedup", "q293_incremental_dsir",
+      "q293_incremental_dsir",
       // q294 = q291's shape on the audio lane (kernel scan + capped
       // 16-bit band buckets); q295 is a pure scan-shaped kernel pass
       // (the q216 shape); q296 is the q288/q289 round-trip shape over
@@ -228,7 +228,12 @@ object ScaleSmoke {
       "q305_video_near_dup",
       // q306: n-gram-count joins + the range-partitioned global rank
       // (never a single-partition window) — both linear-shaped
-      "q306_ccnet_perplexity")
+      "q306_ccnet_perplexity",
+      // q307/q310 are the q306 shape (n-gram-count joins + GlobalRank
+      // cut) with two models / KN fan-out tables respectively; q308's
+      // candidate volume is prefix-gram collision-bound (the q204
+      // argument for the edit-distance metric)
+      "q307_moore_lewis", "q308_edjoin", "q310_kneser_ney")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

@@ -767,7 +767,105 @@ object Curation {
       |  SELECT 4, 'exactsubstr_trim', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM s4)
       |ORDER BY stage_id""".stripMargin
 
+  // ---------------------------------------------------------------- q309
+
+  /** q309 epoch cap: no language may be repeated more than 2× (tighter
+    * than q189's 4× so the cap actually binds on this corpus — four of
+    * five languages hit it and the redistribution branch is exercised,
+    * not just the uniform one). */
+  val UniMaxEpochs = 2L
+
+  /** q309: UNIMAX LANGUAGE-SAMPLING ALLOCATION (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining") — the waterfilling step
+    * q189's mixture solver stops short of: q189 caps each source's
+    * epochs against a FIXED uniform target and reports the shortfall;
+    * UniMax REDISTRIBUTES that shortfall, growing every uncapped
+    * language's share until the budget is exhausted. Closed form
+    * instead of the paper's loop: sort languages by capacity
+    * (= epochs·tokens) ascending; language i is capped iff
+    * cap_i·(L−i+1) < B − prefix_{i−1}, a condition that is provably
+    * monotone down the sort (if it fails at i it fails at every j > i,
+    * since cap_j ≥ cap_i and the remaining budget shrinks by ≥ the
+    * uniform share), so capped languages form a PREFIX and one window
+    * pass + one aggregate decide the whole allocation — no iteration,
+    * no driver loop. The flag comparison is pure BIGINT arithmetic
+    * (exact in both engines); only the final uniform share divides.
+    * The per-language table is |langs|-sized (bounded-dimension, the
+    * q255/q189 adjudication), so its windows never see corpus-scaled
+    * data; the corpus-sized work is one groupBy(lang) token count.
+    */
+  def q309UnimaxAllocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = t(s, dir, "documents")
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_tokens"))
+      .persist()
+    // budget = 1.5× the corpus, L = |langs| — driver scalars (q06 shape)
+    val tot = perLang.agg(sum($"n_tokens"), count(lit(1))).head()
+    val budget = tot.getLong(0) * 3 / 2
+    val nLang = tot.getLong(1)
+    val wSort = Window.orderBy($"capacity".asc, $"lang".asc)
+    val flagged = perLang
+      .withColumn("capacity", $"n_tokens" * UniMaxEpochs)
+      .withColumn("i", row_number().over(wSort).cast("long"))
+      .withColumn("pfx", sum($"capacity").over(
+        wSort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        $"capacity" * (lit(nLang) - $"i" + 1) <
+          lit(budget) - ($"pfx" - $"capacity"))
+      .persist()
+    val cappedStats = flagged.agg(
+      coalesce(sum(when($"capped", $"capacity")), lit(0L)).as("capped_sum"),
+      coalesce(sum(when($"capped", 1L)), lit(0L)).as("n_capped"))
+    flagged.crossJoin(broadcast(cappedStats))
+      .select($"lang", $"n_tokens", $"capacity", $"capped",
+        round(when($"capped", $"capacity".cast("double"))
+          .otherwise((lit(budget) - $"capped_sum").cast("double") /
+            (lit(nLang) - $"n_capped")), 4).as("alloc"))
+      .withColumn("epochs_used", round($"alloc" / $"n_tokens", 6))
+      .orderBy($"lang")
+  }
+
+  private val q309Sql =
+    s"""WITH tok AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 2 AS budget,
+      |             CAST(count(*) AS BIGINT) AS l FROM tok),
+      |srt AS (
+      |  SELECT lang, n_tokens, ${UniMaxEpochs} * n_tokens AS capacity,
+      |    CAST(row_number() OVER (ORDER BY ${UniMaxEpochs} * n_tokens, lang)
+      |      AS BIGINT) AS i,
+      |    sum(${UniMaxEpochs} * n_tokens) OVER (
+      |      ORDER BY ${UniMaxEpochs} * n_tokens, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      |  FROM tok),
+      |flag AS (
+      |  SELECT s.*, b.budget, b.l,
+      |    s.capacity * (b.l - s.i + 1) < b.budget - (s.pfx - s.capacity)
+      |      AS capped
+      |  FROM srt s CROSS JOIN b),
+      |cs AS (
+      |  SELECT coalesce(sum(capacity) FILTER (WHERE capped), 0)
+      |      AS capped_sum,
+      |    coalesce(count(*) FILTER (WHERE capped), 0) AS n_capped
+      |  FROM flag)
+      |SELECT lang, n_tokens, capacity, capped,
+      |  round(CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+      |    ELSE CAST(budget - capped_sum AS DOUBLE) / (l - n_capped) END, 4)
+      |    AS alloc,
+      |  round(round(CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+      |    ELSE CAST(budget - capped_sum AS DOUBLE) / (l - n_capped) END, 4)
+      |    / n_tokens, 6) AS epochs_used
+      |FROM flag CROSS JOIN cs
+      |ORDER BY lang""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q309_unimax_allocation", Seq("EXT-curation", "A2"),
+      "UniMax language-sampling waterfilling: epochs-capped capacities, monotone capped-prefix closed form, BIGINT-exact cap decisions, budget-exhausting redistribution",
+      q309UnimaxAllocation, Some(q309Sql)),
     GraftQuery("q300_curation_funnel", Seq("EXT-curation", "A2", "EXT-dedup"),
       "curation funnel report: raw -> exact-dedup -> lang -> length with per-stage doc/token mass, one scan + one hash shuffle",
       q300CurationFunnel, Some(q300Sql)),

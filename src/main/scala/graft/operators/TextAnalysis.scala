@@ -1541,7 +1541,252 @@ object TextAnalysis {
       |FROM rk
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q307
+
+  /** q307 slice assignment: doc_id ≡ 0 (mod 3) is the IN-DOMAIN corpus
+    * (the same trusted slice q306's CCNet filter trains on), ≡ 1 is the
+    * GENERAL corpus standing in for the raw crawl's background
+    * distribution, and ≡ 2 is the candidate POOL being scored — three
+    * disjoint slices, so neither model ever trains on a document it
+    * scores.
+    */
+  val MlPoolMod = 2
+
+  /** q307: MOORE–LEWIS CROSS-ENTROPY DIFFERENCE SELECTION (Moore &
+    * Lewis 2010, "Intelligent Selection of Language Model Training
+    * Data" — the classic domain-targeted data-selection method, and the
+    * perplexity-DIFFERENCE counterpart to q306's single-model CCNet
+    * filter): train an add-one bigram LM on the in-domain slice and a
+    * second one on the general slice, score every pool document by
+    * H_in(d) − H_gen(d) (mean per-bigram NLL difference), and select
+    * the lowest-scoring quartile — documents that look like the target
+    * domain AND unlike the background, which a raw perplexity filter
+    * (q306) cannot distinguish from merely-easy text. Same engine
+    * devices as q306: log-space only (ln of a rational per bigram), the
+    * model count tables are n-gram-shaped keyed joins, and the one
+    * corpus-wide total-order (the selection cut) runs on
+    * [[GlobalRank]]'s range-partition + P-row-offset device, never a
+    * single-partition window. DSIR (q162) is the hashed-FEATURE
+    * importance sampler; this is the LM-likelihood member of the same
+    * selection family.
+    */
+  def q307MooreLewis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .persist()
+    val bi = toks
+      .select($"doc_id", $"w", explode(sequence(lit(1), size($"w") - 1)).as("i"))
+      .select($"doc_id", element_at($"w", $"i").as("w1"),
+        element_at($"w", $"i" + 1).as("w2"))
+      .persist()
+    // one add-one bigram model per training slice (the q306 estimator,
+    // parameterized by slice): bigram counts, context counts, |V|
+    def model(m: Int, tag: String): (DataFrame, DataFrame, Double) = {
+      val c2 = bi.filter($"doc_id" % 3 === m)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as(s"c2_$tag"))
+      val uni = toks.filter($"doc_id" % 3 === m)
+        .select(explode($"w").as("w1")).persist()
+      val c1 = uni.groupBy($"w1").agg(count(lit(1)).as(s"c1_$tag"))
+      val vocab = uni.select($"w1").distinct().count().toDouble
+      uni.unpersist(false)
+      (c2, c1, vocab)
+    }
+    val (inC2, inC1, inV) = model(0, "in")
+    val (genC2, genC1, genV) = model(1, "gen")
+    def nll(c2: Column, c1: Column, v: Double): Column =
+      -log((coalesce(c2, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(c1, lit(0L)).cast("double") + lit(v)))
+    val scored = bi.filter($"doc_id" % 3 === MlPoolMod)
+      .join(inC2, Seq("w1", "w2"), "left")
+      .join(inC1, Seq("w1"), "left")
+      .join(genC2, Seq("w1", "w2"), "left")
+      .join(genC1, Seq("w1"), "left")
+      .select($"doc_id",
+        nll($"c2_in", $"c1_in", inV).as("nll_in"),
+        nll($"c2_gen", $"c1_gen", genV).as("nll_gen"))
+    val agg = scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"nll_in"), 6).as("ce_in"),
+        round(avg($"nll_gen"), 6).as("ce_gen"),
+        round(avg($"nll_in" - $"nll_gen"), 6).as("ce_diff"))
+    val (ranked, n) = graft.operators.GlobalRank.withGlobalRankCounted(
+      agg, "rk", $"ce_diff".asc, $"doc_id".asc)
+    ranked
+      .select($"doc_id", $"n_bigrams", $"ce_in", $"ce_gen", $"ce_diff",
+        ($"rk" * 4 <= n).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  private val q307Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM toks)),
+      |in_c2 AS (SELECT w1, w2, count(*) AS c2_in FROM bi
+      |          WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+      |in_uni AS (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 3 = 0),
+      |in_c1 AS (SELECT w1, count(*) AS c1_in FROM in_uni GROUP BY w1),
+      |in_v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM in_uni),
+      |gen_c2 AS (SELECT w1, w2, count(*) AS c2_gen FROM bi
+      |           WHERE doc_id % 3 = 1 GROUP BY w1, w2),
+      |gen_uni AS (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 3 = 1),
+      |gen_c1 AS (SELECT w1, count(*) AS c1_gen FROM gen_uni GROUP BY w1),
+      |gen_v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM gen_uni),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    -ln((coalesce(in_c2.c2_in, 0) + 1) /
+      |        (coalesce(in_c1.c1_in, 0) + (SELECT v FROM in_v))) AS nll_in,
+      |    -ln((coalesce(gen_c2.c2_gen, 0) + 1) /
+      |        (coalesce(gen_c1.c1_gen, 0) + (SELECT v FROM gen_v))) AS nll_gen
+      |  FROM bi
+      |  LEFT JOIN in_c2 ON bi.w1 = in_c2.w1 AND bi.w2 = in_c2.w2
+      |  LEFT JOIN in_c1 ON bi.w1 = in_c1.w1
+      |  LEFT JOIN gen_c2 ON bi.w1 = gen_c2.w1 AND bi.w2 = gen_c2.w2
+      |  LEFT JOIN gen_c1 ON bi.w1 = gen_c1.w1
+      |  WHERE bi.doc_id % 3 = $MlPoolMod),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(nll_in), 6) AS ce_in,
+      |    round(avg(nll_gen), 6) AS ce_gen,
+      |    round(avg(nll_in - nll_gen), 6) AS ce_diff
+      |  FROM sc GROUP BY doc_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY ce_diff, doc_id) AS rk,
+      |    (SELECT count(*) FROM agg) AS n
+      |  FROM agg)
+      |SELECT doc_id, n_bigrams, ce_in, ce_gen, ce_diff,
+      |  rk * 4 <= n AS selected
+      |FROM rk
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q310
+
+  /** q310 absolute discount D = 0.75 (the Chen & Goodman default; 0.75
+    * is exactly representable in binary, so the subtraction is
+    * bit-deterministic in both engines). */
+  val KnDiscount = 0.75
+
+  /** q310: INTERPOLATED KNESER–NEY BIGRAM LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form — the smoothing inside KenLM,
+    * which is what CCNet actually ships): the estimator upgrade over
+    * q306's add-one. Add-one hammers every unseen bigram with the same
+    * 1/(c1+V) mass; KN discounts each SEEN bigram by a fixed D and
+    * redistributes exactly the freed mass (D·N1+(w1,·)/c(w1)) over a
+    * CONTINUATION distribution — P_cont(w2) ∝ how many distinct
+    * contexts w2 follows, the "San Francisco" device that stops
+    * frequent-but-bound words from soaking up backoff mass. All
+    * sufficient statistics are integer tables derived from ONE bigram
+    * count: c(w1,w2), c(w1) = Σc, N1+(w1,·), N1+(·,w2), N1+(·,·) —
+    * n-gram-count-shaped keyed joins, the q306 scale argument.
+    * Deviation, documented: the continuation distribution carries a +1
+    * over (N1+(·,·) + V + 1) so OOV words score finitely (KenLM's
+    * <unk> role); unseen CONTEXTS back off to P_cont alone. Log-space
+    * only; same GlobalRank tercile cut as q306 so the two estimators'
+    * bucketings are directly comparable.
+    */
+  def q310KneserNey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .persist()
+    val bi = toks
+      .select($"doc_id", $"w", explode(sequence(lit(1), size($"w") - 1)).as("i"))
+      .select($"doc_id", element_at($"w", $"i").as("w1"),
+        element_at($"w", $"i" + 1).as("w2"))
+      .persist()
+    val isRef = (c: Column) => c % PplRefMod === 0
+    val c2 = bi.filter(isRef($"doc_id"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+      .persist()
+    // context totals + fan-out from the ONE bigram-count table
+    val ctx = c2.groupBy($"w1")
+      .agg(sum($"c2").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val bwd = c2.groupBy($"w2").agg(count(lit(1)).as("n1p_bwd"))
+    val n1pAll = c2.count().toDouble
+    val vocab = toks.filter(isRef($"doc_id"))
+      .select(explode($"w").as("t")).distinct().count().toDouble
+    val pcont = (coalesce($"n1p_bwd", lit(0L)) + 1).cast("double") /
+      lit(n1pAll + vocab + 1)
+    val pkn = when(coalesce($"c1", lit(0L)) > 0,
+      (greatest(coalesce($"c2", lit(0L)).cast("double") - KnDiscount, lit(0.0))
+        + lit(KnDiscount) * $"n1p_fwd" * pcont) / $"c1")
+      .otherwise(pcont)
+    val scored = bi
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .select($"doc_id", (-log(pkn)).as("nll"))
+    val agg = scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg($"nll"), 6).as("avg_nll"))
+    val (ranked, n) = graft.operators.GlobalRank.withGlobalRankCounted(
+      agg, "rk", $"avg_nll".asc, $"doc_id".asc)
+    ranked
+      .select($"doc_id", $"n_bigrams", $"avg_nll",
+        when($"rk" * 3 <= n, lit("head"))
+          .when($"rk" * 3 <= 2 * n, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val q310Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM toks)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+      |       WHERE doc_id % $PplRefMod = 0 GROUP BY w1, w2),
+      |ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p_fwd
+      |        FROM c2 GROUP BY w1),
+      |bwd AS (SELECT w2, count(*) AS n1p_bwd FROM c2 GROUP BY w2),
+      |gl AS (SELECT CAST(count(*) AS DOUBLE) AS n1p_all FROM c2),
+      |uni AS (SELECT unnest(w) AS t FROM toks WHERE doc_id % $PplRefMod = 0),
+      |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vocab FROM uni),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    -ln(CASE WHEN coalesce(ctx.c1, 0) > 0 THEN
+      |      (greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE) - $KnDiscount, 0.0)
+      |       + $KnDiscount * ctx.n1p_fwd *
+      |         ((coalesce(bwd.n1p_bwd, 0) + 1) /
+      |          ((SELECT n1p_all FROM gl) + (SELECT vocab FROM v) + 1)))
+      |      / ctx.c1
+      |    ELSE (coalesce(bwd.n1p_bwd, 0) + 1) /
+      |         ((SELECT n1p_all FROM gl) + (SELECT vocab FROM v) + 1)
+      |    END) AS nll
+      |  FROM bi
+      |  LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+      |  LEFT JOIN ctx ON bi.w1 = ctx.w1
+      |  LEFT JOIN bwd ON bi.w2 = bwd.w2),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(nll), 6) AS avg_nll
+      |  FROM sc GROUP BY doc_id),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY avg_nll, doc_id) AS rk,
+      |    (SELECT count(*) FROM agg) AS n
+      |  FROM agg)
+      |SELECT doc_id, n_bigrams, avg_nll,
+      |  CASE WHEN rk * 3 <= n THEN 'head'
+      |       WHEN rk * 3 <= 2 * n THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q310_kneser_ney", Seq("EXT-text", "EXT-curation"),
+      "interpolated Kneser-Ney bigram LM: absolute discount + continuation-count backoff from one bigram-count table, tercile cut via the range-partitioned global rank",
+      q310KneserNey, Some(q310Sql)),
+    GraftQuery("q307_moore_lewis", Seq("EXT-text", "EXT-curation"),
+      "Moore-Lewis cross-entropy difference selection: in-domain vs general add-one bigram LMs over disjoint slices, lowest-quartile cut via the range-partitioned global rank",
+      q307MooreLewis, Some(q307Sql)),
     GraftQuery("q306_ccnet_perplexity", Seq("EXT-text", "EXT-curation"),
       "CCNet perplexity filter: add-one bigram LM trained on the reference slice, mean per-bigram NLL, head/middle/tail terciles via the range-partitioned global rank",
       q306CcnetPerplexity, Some(q306Sql)),

@@ -76,6 +76,40 @@ class CurationQaSpec extends AnyFunSuite {
     out.unpersist(false)
   }
 
+  test("q309: UniMax waterfilling — budget exhausted, caps respected, uncapped shares uniform") {
+    import spark.implicits._
+    val rows = operators.Curation.q309UnimaxAllocation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = totalTokens * 3 / 2
+    // 1. the allocation spends exactly the budget (waterfilling's whole
+    //    point over q189's fixed-target shortfall)
+    val spent = rows.map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(spent - budget) < 1e-3, s"spent $spent vs budget $budget")
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("capacity").toDouble
+      val alloc = r.getAs[Double]("alloc")
+      // 2. no language exceeds its epochs capacity
+      assert(alloc <= cap + 1e-9, s"${r.getAs[String]("lang")} over capacity")
+      // 3. capped rows get exactly their capacity
+      if (r.getAs[Boolean]("capped")) assert(alloc == cap)
+      // 4. epochs_used consistency
+      assert(math.abs(r.getAs[Double]("epochs_used") -
+        alloc / r.getAs[Long]("n_tokens")) < 1e-5)
+    }
+    // 5. all uncapped languages share one uniform allocation, and it is
+    //    >= every capped capacity (max-min fairness: nobody capped would
+    //    have preferred the uniform share)
+    val (capped, uncapped) = rows.partition(_.getAs[Boolean]("capped"))
+    assert(uncapped.nonEmpty, "budget < total capacity yet nothing uncapped")
+    val shares = uncapped.map(_.getAs[Double]("alloc")).distinct
+    assert(shares.length == 1, s"uncapped shares not uniform: ${shares.toSeq}")
+    if (capped.nonEmpty)
+      assert(capped.map(_.getAs[Long]("capacity").toDouble).max <= shares.head + 1e-9)
+    // 6. the cap binds on this corpus (redistribution branch exercised)
+    assert(capped.nonEmpty, "no language capped — waterfilling untested")
+  }
+
   test("q190: the first document is fully novel; fractions in [0,1]; totals consistent") {
     import spark.implicits._
     val out = operators.Curation.q190NgramNovelty(spark, dir).persist()

@@ -178,6 +178,8 @@ class PlanShapeSpec extends AnyFunSuite {
     //    plus the Lloyd trainer's bounded sample×k products
     //  - q293: q162's two scalar attaches against the base-frozen
     //    model (gram totals; the TakeOrdered budget boundary)
+    //  - q309: crossJoin(broadcast(<1-row capped-prefix stats>)) onto
+    //    the |langs|-row capacity table (scalar attach)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -197,7 +199,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q280_theil_decomposition", "q282_cumulative_gains",
       "q283_term_burstiness", "q286_wilson_interval",
       "q287_abc_classification",
-      "q292_incremental_semdedup", "q293_incremental_dsir")),
+      "q292_incremental_semdedup", "q293_incremental_dsir",
+      "q309_unimax_allocation")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -253,7 +256,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q270_seasonal_decomp",
       // q282: cumulative walk over the 10-row decile census — the
       // input grain is the decile count, never the customer stream
-      "q282_cumulative_gains")
+      "q282_cumulative_gains",
+      // q309: UniMax waterfilling sort/prefix windows run over the
+      // per-LANGUAGE capacity table (|langs| rows — the q59/q90
+      // bounded-dimension argument); the corpus is touched exactly
+      // once, in the lang-token groupBy
+      "q309_unimax_allocation")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {
