@@ -231,8 +231,8 @@ object ScaleSmoke {
       "q306_ccnet_perplexity",
       // q307/q310 are the q306 shape (n-gram-count joins + GlobalRank
       // cut) with two models / KN fan-out tables respectively; q308's
-      // candidate volume is prefix-gram collision-bound (the q204
-      // argument for the edit-distance metric)
+      // candidate volume is exact-segment collision-bound (PassJoin —
+      // measured 22k candidates for 55k strings at K=10)
       "q307_moore_lewis", "q308_edjoin", "q310_kneser_ney")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build

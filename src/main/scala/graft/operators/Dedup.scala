@@ -321,35 +321,38 @@ object Dedup {
 
   // ---------------------------------------------------------------- q308
 
-  /** q308 geometry: τ = 2 edits over 48-char document keys, q = 3-grams,
-    * so the ED-Join prefix is q·τ + 1 = 7 grams per string. */
+  /** q308 geometry: τ = 2 edits over 48-char document keys, so PassJoin
+    * partitions every string into τ + 1 = 3 segments of ~16 chars. */
   val EdTau = 2
-  val EdPrefix = 7 // 3 * EdTau + 1
+  val EdParts = EdTau + 1
 
-  /** q308: COMPLETE edit-distance threshold self-join via ED-Join prefix
-    * filtering (Xiao, Wang & Lin, "Ed-Join: An Efficient Algorithm for
-    * Similarity Joins with Edit Distance Constraints", VLDB'08) — the
-    * EDIT-DISTANCE member of the exact-join family next to q204's
-    * set-Jaccard PPJoin. q92/q147 SCORE constructed pairs; this JOINS:
-    * find every string pair within τ = $EdTau$ edits without an
-    * all-pairs verify. The filter chain: (1) POSITIONAL q-grams with an
-    * occurrence index — an edit destroys at most q grams of the
-    * positional multiset, so strings within τ edits share all but q·τ
-    * occurrence-indexed grams (Gravano et al.'s count bound, realized
-    * as set intersection by the occurrence trick); (2) order every
-    * string's grams by GLOBAL (df asc, gram, occ) — the universal
-    * rare-first order — and keep only the first q·τ + 1 = $EdPrefix$:
-    * by pigeonhole any qualifying pair must share a PREFIX gram, so the
-    * prefix join alone is complete, and rare-first makes its posting
-    * lists the short ones; (3) the length filter |len_a − len_b| ≤ τ
-    * prunes inside the join; (4) `levenshtein` (exact integer DP,
-    * codegen'd) verifies only the candidates. Measured at sf0.01: 12.4k
-    * candidates from 550 strings vs 151k length-filtered all-pairs,
-    * with all 81 true pairs surviving — the oracle proves completeness
-    * by brute force. Corpus: 48-char document keys plus re-crawl twins
-    * (every 10th doc, one char deleted + one substituted — exactly τ
-    * edits), the q17 twin scheme. Scale: two keyed shuffles (gram df,
-    * prefix self-join) + candidate-bounded verify; never all-pairs.
+  /** q308: COMPLETE edit-distance threshold self-join via PassJoin
+    * segment matching (Li, Deng & Feng, "PASS-JOIN: A Partition-based
+    * Method for Similarity Joins", VLDB'11) — the EDIT-DISTANCE member
+    * of the exact-join family next to q204's set-Jaccard PPJoin.
+    * q92/q147 SCORE constructed pairs; this JOINS: find every string
+    * pair within τ = $EdTau$ edits without an all-pairs verify.
+    * Pigeonhole: partition every string into τ + 1 segments — τ edits
+    * cannot touch all of them, so for any qualifying pair (a, b) at
+    * least one segment of b survives UNEDITED inside a, shifted by at
+    * most τ positions (each indel shifts later characters by one). So
+    * candidates = exact matches between b's segments and a's substrings
+    * of the same length within ±τ of the segment's home position —
+    * then the BANDED `levenshtein(·,·,τ+1)` threshold DP (O(τ·len),
+    * not O(len²)) verifies only those. Gram-prefix filtering (ED-Join,
+    * the first cut of this operator) DEGENERATES on this corpus — the
+    * ~30-word vocabulary gives 5-grams only ~5k distinct values over
+    * 5.5k strings, and the rare-first prefix join still emitted 0.73M
+    * candidates at sf0.1 and ~15× that at 10× data; exact ~16-char
+    * segment matching is the entropy the grams don't have: measured
+    * 22k candidates for 55k strings (8.2k of them true pairs), flat
+    * per-string cost. Segment geometry is a |lengths|×3-row broadcast
+    * table; probe substrings are (2τ+1)·(τ+1)·(2τ+1)-bounded per
+    * string; every shuffle keys on (part, length, substring). The
+    * oracle proves end-to-end completeness by brute force over the
+    * length-filtered pair universe. Corpus: 48-char document keys plus
+    * re-crawl twins (every 10th doc, one char deleted + one
+    * substituted — exactly τ edits), the q17 twin scheme.
     */
   def q308EdJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -363,31 +366,53 @@ object Dedup {
     val u = base.unionByName(twins)
       .withColumn("lk", length($"k"))
       .persist()
-    val g = u
+    // segment geometry per (length, part): part lengths differ by at
+    // most 1 (first parts get floor(l/3), the last l mod 3 get +1);
+    // p1 = 1, p2 = 1 + m1, p3 = l + 1 - m3. A |distinct lengths| × 3
+    // table — broadcast-sized at any corpus scale.
+    val geom = u.select($"lk".as("l")).distinct()
+      .select($"l", explode(sequence(lit(1), lit(EdParts))).as("i"))
+      .withColumn("m",
+        when($"i" <= lit(EdParts) - $"l" % EdParts, floor($"l" / EdParts))
+          .otherwise(floor($"l" / EdParts) + 1).cast("int"))
+      .withColumn("p",
+        when($"i" === 1, lit(1))
+          .when($"i" === 2, lit(1) + floor($"l" / EdParts))
+          .otherwise($"l" + 1 -
+            when(lit(EdParts) <= lit(EdParts) - $"l" % EdParts,
+              floor($"l" / EdParts))
+              .otherwise(floor($"l" / EdParts) + 1)).cast("int"))
+    // index side: every string's own 3 segments
+    val idx = u.join(broadcast(geom), $"lk" === $"l")
+      .select($"id", $"l", $"i", expr("substring(k, p, m)").as("seg"))
+    // probe side: for each partner length within ±τ and each part, the
+    // substrings at the segment's home position shifted by -τ..τ
+    val probe = u
       .select($"id", $"lk", $"k",
-        explode(sequence(lit(1), $"lk" - 2)).as("i"))
-      .select($"id", $"lk", expr("substring(k, i, 3)").as("g"), $"i")
-    val occ = g.withColumn("occ",
-      row_number().over(Window.partitionBy($"id", $"g").orderBy($"i".asc)))
-    val df = occ.groupBy($"g", $"occ").agg(count(lit(1)).as("df"))
-    val pfx = occ.join(df, Seq("g", "occ"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy($"id").orderBy($"df".asc, $"g".asc, $"occ".asc)))
-      .filter($"pos" <= EdPrefix)
-      .select($"id", $"lk", $"g", $"occ")
-    val cand = pfx.as("a")
-      .join(pfx.as("b"),
-        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
-          col("a.id") < col("b.id") &&
-          abs(col("a.lk") - col("b.lk")) <= EdTau)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        explode(sequence($"lk" - EdTau, $"lk" + EdTau)).as("l"))
+      .join(broadcast(geom), Seq("l"))
+      .select($"id", $"lk", $"k", $"l", $"i", $"m",
+        explode(sequence($"p" - EdTau, $"p" + EdTau)).as("st"))
+      .filter($"st" >= 1 && $"st" + $"m" - 1 <= $"lk")
+      .select($"id", $"l", $"i", expr("substring(k, st, m)").as("sub"))
       .distinct()
+    // localCheckpoint: the candidate id-pair set is two longs per row —
+    // cutting the segment-join lineage keeps the verify plan flat
+    val cand = probe.as("a")
+      .join(idx.as("b"),
+        col("a.i") === col("b.i") && col("a.l") === col("b.l") &&
+          col("a.sub") === col("b.seg") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint()
     cand
-      .join(u.select($"id".as("doc_a"), $"k".as("ka")), Seq("doc_a"))
-      .join(u.select($"id".as("doc_b"), $"k".as("kb")), Seq("doc_b"))
+      .join(u.select($"id".as("doc_a"), $"k".as("ka"), $"lk".as("la")), Seq("doc_a"))
+      .join(u.select($"id".as("doc_b"), $"k".as("kb"), $"lk".as("lb")), Seq("doc_b"))
+      .filter(abs($"la" - $"lb") <= EdTau)
       .select($"doc_a", $"doc_b",
-        levenshtein($"ka", $"kb").cast("long").as("lev"))
-      .filter($"lev" <= EdTau)
+        levenshtein($"ka", $"kb", EdTau + 1).cast("long").as("lev"))
+      .filter($"lev" >= 0 && $"lev" <= EdTau)
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -400,30 +425,11 @@ object Dedup {
       |  FROM (SELECT id, substring(k, 1, 4) || substring(k, 6) AS kd
       |        FROM base WHERE id % 10 = 0)),
       |u AS (SELECT *, len(k) AS lk
-      |      FROM (SELECT * FROM base UNION ALL SELECT * FROM twins)),
-      |g0 AS (
-      |  SELECT id, lk, substring(k, i, 3) AS g, i
-      |  FROM u, unnest(generate_series(1, len(k) - 2)) AS t(i)),
-      |g AS (
-      |  SELECT id, lk, g,
-      |    row_number() OVER (PARTITION BY id, g ORDER BY i) AS occ
-      |  FROM g0),
-      |df AS (SELECT g, occ, count(*) AS df FROM g GROUP BY g, occ),
-      |pfx AS (
-      |  SELECT id, lk, g, occ FROM (
-      |    SELECT g.id, g.lk, g.g, g.occ,
-      |      row_number() OVER (PARTITION BY g.id
-      |        ORDER BY d.df, g.g, g.occ) AS pos
-      |    FROM g JOIN df d ON g.g = d.g AND g.occ = d.occ)
-      |  WHERE pos <= $EdPrefix),
-      |cand AS (
-      |  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-      |  FROM pfx a JOIN pfx b ON a.g = b.g AND a.occ = b.occ AND a.id < b.id
-      |  WHERE abs(a.lk - b.lk) <= $EdTau)
-      |SELECT c.doc_a, c.doc_b,
+      |      FROM (SELECT * FROM base UNION ALL SELECT * FROM twins))
+      |SELECT a.id AS doc_a, b.id AS doc_b,
       |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
-      |FROM cand c JOIN u a ON a.id = c.doc_a JOIN u b ON b.id = c.doc_b
-      |WHERE levenshtein(a.k, b.k) <= $EdTau
+      |FROM u a JOIN u b ON a.id < b.id
+      |WHERE abs(a.lk - b.lk) <= $EdTau AND levenshtein(a.k, b.k) <= $EdTau
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val NumHashes = 8
@@ -1631,7 +1637,7 @@ object Dedup {
       "COMPLETE Jaccard>=0.6 self-join via PPJoin prefix filtering: provably no missed pairs, rare-first prefixes bound candidates",
       q204PpjoinExact, Some(q204Sql)),
     GraftQuery("q308_edjoin", Seq("EXT-dedup", "EXT-fuzzy"),
-      "COMPLETE edit-distance<=2 self-join via ED-Join prefix filtering: occurrence-indexed positional q-grams, rare-first 7-gram prefixes, levenshtein verify on candidates only",
+      "COMPLETE edit-distance<=2 self-join via PassJoin segment matching: tau+1 segments, +-tau shifted probe substrings, banded threshold-levenshtein verify on candidates only",
       q308EdJoin, Some(q308Sql)),
     GraftQuery("q19_dedup_minhash_lsh", Seq("EXT-dedup"),
       "deterministic MinHash + LSH banding", q19DedupMinhashLsh, Some(q19Sql)),

