@@ -233,7 +233,14 @@ object ScaleSmoke {
       // cut) with two models / KN fan-out tables respectively; q308's
       // candidate volume is exact-segment collision-bound (PassJoin —
       // measured 22k candidates for 55k strings at K=10)
-      "q307_moore_lewis", "q308_edjoin", "q310_kneser_ney")
+      "q307_moore_lewis", "q308_edjoin", "q310_kneser_ney",
+      // q311: log(maxlen) keyed rounds, each one equi-join + one
+      // range-partitioned densify over n suffix rows — round count is
+      // corpus-INDEPENDENT, so the ratio measures the per-round joins;
+      // q312: the broadcast test set scales with the corpus (mod rule),
+      // so the distance matrix grows 100× at 10× — the smoke documents
+      // that the EXACT arm is quadratic in the sample rules by design
+      "q311_suffix_ranks", "q312_knn_shapley")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

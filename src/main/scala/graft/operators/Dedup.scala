@@ -432,6 +432,137 @@ object Dedup {
       |WHERE abs(a.lk - b.lk) <= $EdTau AND levenshtein(a.k, b.k) <= $EdTau
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q311
+
+  /** q311 corpus rule: every 10th document enters the suffix pool — the
+    * cap that keeps the oracle's brute-force suffix sort (one string
+    * per suffix) tractable; the Spark arm never materializes a suffix. */
+  val SufMod = 10
+
+  /** q311 base depth: the initial rank orders suffixes by their first
+    * 32 chars in ONE range-partitioned pass over the distinct windows,
+    * replacing doubling rounds h = 1..16. */
+  val SufBase = 32
+
+  /** q311: DISTRIBUTED SUFFIX RANKING by prefix doubling (Manber &
+    * Myers 1990 — the O(n log n) suffix-array construction; the
+    * distributed shape is the standard Spark/MPI re-expression, e.g.
+    * Flick & Aluru SC'15). q290/q304 (ExactSubstr) work on fixed-width
+    * anchor grams; a suffix ARRAY is the full-generality structure
+    * underneath that family — ordered suffixes give arbitrary-length
+    * repeated-substring queries, and this query computes the exact
+    * lexicographic rank of every suffix of the document pool without
+    * ever materializing a suffix string. The doubling invariant: after
+    * round h, rank(doc,pos) orders suffixes by their first 2h chars; a
+    * round refines ranks by the pair (rank(p), rank(p+h)) — one keyed
+    * self-join — then densifies via [[GlobalRank]] over the DISTINCT
+    * pairs (range-partitioned, never a single-partition window).
+    * Out-of-range lookups take sentinel −1 < every char code, giving
+    * exactly binary-string comparison semantics (shorter prefix sorts
+    * first), which is what the oracle's ORDER BY on materialized
+    * suffix strings does under ASCII. Rounds stop at the partition-
+    * refinement fixpoint: the distinct-rank count is monotone and a
+    * round that splits nothing can never split anything later (equal
+    * ranks then mean truly identical suffixes — cross-document shared
+    * tails — which the final output rank tie-breaks by (doc, pos),
+    * matching the oracle). Per-round cost: one equi-join + one
+    * distinct + one range-partitioned rank over n rows, log(maxlen)
+    * rounds; localCheckpoint per round keeps plan depth constant (the
+    * q133 discipline).
+    */
+  def q311SuffixRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (fin, docs) = suffixRanksFull(s, dir)
+    fin
+      .filter($"rank" <= 30 || $"rank" % 2500 === 1)
+      .join(docs, Seq("doc_id"))
+      .select($"rank", $"doc_id", $"pos",
+        expr("substring(text, pos, 40)").as("head40"))
+      .orderBy($"rank")
+  }
+
+  /** The full (rank, doc_id, pos) suffix permutation q311 samples from —
+    * exposed so SuffixRankSpec can check the WHOLE permutation, not just
+    * the oracle-carried sample. Returns (ranks, pool docs).
+    */
+  private[graft] def suffixRanksFull(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .filter($"doc_id" % SufMod === 0 && length($"text") >= 1)
+      .select($"doc_id", $"text")
+      .persist()
+    val maxLen = docs.agg(max(length($"text"))).head().getInt(0)
+    // base case at depth SufBase instead of the textbook single char:
+    // one range-partitioned rank over the distinct 32-char windows
+    // replaces doubling rounds h = 1..16 (substring comparison is
+    // byte-order, identical to the rank-pair order those rounds
+    // induce; a window shorter than SufBase chars is the whole
+    // remaining suffix and sorts prefix-first, same as the sentinel
+    // semantics)
+    val grams = docs
+      .select($"doc_id", explode(sequence(lit(1), length($"text"))).as("pos"),
+        $"text")
+      .select($"doc_id", $"pos",
+        expr(s"substring(text, pos, $SufBase)").as("g"))
+    val (baseRank, _) = GlobalRank.withGlobalRankCounted(
+      grams.select($"g").distinct(), "r0", $"g".asc)
+    var cur = grams.join(baseRank, Seq("g"))
+      .select($"doc_id", $"pos", $"r0".as("r"))
+      .localCheckpoint()
+    val n = cur.count()
+    var h = SufBase
+    var prevDistinct = 0L
+    var stable = false
+    var dense = false // alternate: arithmetic-encode, then densify
+    while (h < maxLen && !stable) {
+      val shifted = cur.select($"doc_id", ($"pos" - h).as("pos"), $"r".as("r2"))
+      val paired = cur.join(shifted, Seq("doc_id", "pos"), "left")
+        .select($"doc_id", $"pos", $"r", coalesce($"r2", lit(-1L)).as("r2"))
+      if (dense) {
+        val (ranked, nDistinct) = GlobalRank.withGlobalRankCounted(
+          paired.select($"r", $"r2").distinct(), "nr", $"r".asc, $"r2".asc)
+        cur = paired.join(ranked, Seq("r", "r2"))
+          .select($"doc_id", $"pos", $"nr".as("r"))
+          .localCheckpoint()
+        stable = nDistinct == prevDistinct || nDistinct == n
+        prevDistinct = nDistinct
+      } else {
+        // the refined rank only needs to EMBED the (r, r2) lexicographic
+        // order, not be dense — r·M + r2 + 2 with M > max(r2) + 2 is a
+        // strictly monotone encoding and costs a projection instead of a
+        // distinct + global rank + join-back. Values stay ≤ (n+2)²
+        // (< 2^63 for any n < 3e9) because the PREVIOUS round was dense;
+        // alternating restores density before a second composition could
+        // overflow. Fixpoint detection happens on dense rounds only.
+        val m = n + 3
+        cur = paired
+          .select($"doc_id", $"pos", ($"r" * m + $"r2" + 2).as("r"))
+          .localCheckpoint()
+      }
+      dense = !dense
+      h *= 2
+    }
+    val (fin, _) = GlobalRank.withGlobalRankCounted(
+      cur, "rank", $"r".asc, $"doc_id".asc, $"pos".asc)
+    (fin.select($"rank", $"doc_id", $"pos"), docs)
+  }
+
+  private val q311Sql =
+    s"""WITH s AS (
+      |  SELECT doc_id, i AS pos, substring(text, i) AS suf,
+      |    substring(text, i, 40) AS head40
+      |  FROM documents, unnest(generate_series(1, len(text))) AS t(i)
+      |  WHERE doc_id % $SufMod = 0),
+      |r AS (
+      |  SELECT doc_id, pos, head40,
+      |    CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT)
+      |      AS rank
+      |  FROM s)
+      |SELECT rank, doc_id, pos, head40 FROM r
+      |WHERE rank <= 30 OR rank % 2500 = 1
+      |ORDER BY rank""".stripMargin
+
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 rows
 
@@ -1639,6 +1770,9 @@ object Dedup {
     GraftQuery("q308_edjoin", Seq("EXT-dedup", "EXT-fuzzy"),
       "COMPLETE edit-distance<=2 self-join via PassJoin segment matching: tau+1 segments, +-tau shifted probe substrings, banded threshold-levenshtein verify on candidates only",
       q308EdJoin, Some(q308Sql)),
+    GraftQuery("q311_suffix_ranks", Seq("EXT-dedup", "EXT-text"),
+      "distributed suffix ranking by prefix doubling: pair-refine + range-partitioned densify per round, partition-refinement fixpoint stop, no suffix string ever materialized",
+      q311SuffixRanks, Some(q311Sql)),
     GraftQuery("q19_dedup_minhash_lsh", Seq("EXT-dedup"),
       "deterministic MinHash + LSH banding", q19DedupMinhashLsh, Some(q19Sql)),
     GraftQuery("q20_dedup_simhash", Seq("EXT-dedup"),

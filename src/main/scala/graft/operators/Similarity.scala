@@ -2319,7 +2319,157 @@ object Similarity {
       |FROM dorig d JOIN dproj p ON d.a = p.a AND d.b = p.b
       |ORDER BY d.a, d.b""".stripMargin
 
+  // ---------------------------------------------------------------- q312
+
+  /** q312 neighborhood size (the K in KNN-Shapley). */
+  val ShapK = 5
+
+  /** q312 test-set rule: a FIXED-SIZE md5-ranked panel of 20 held-out
+    * test points (the q220 fixed-sample device) — the valuation matrix
+    * is tests × train, so a corpus-proportional test rule would make
+    * the exact arm quadratic at scale; a fixed panel keeps it linear
+    * in the training corpus. */
+  val ShapTestN = 20
+
+  /** q312: KNN-SHAPLEY DATA VALUATION (Jia et al., "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * VLDB 2019) — per-EXAMPLE worth, the data-selection lens q162/q163
+    * (distribution- and geometry-level) don't give: the exact Shapley
+    * value of every training point for a K-NN surrogate classifier,
+    * computable in closed form (the general Shapley value is
+    * exponential; the K-NN structure collapses it to one sorted pass
+    * per test point). Per test t, with training points ranked
+    * nearest-first α₁..α_N: s(α_N) = 1[y=y_t]/N, then
+    * s(αᵢ) = s(αᵢ₊₁) + (1[yᵢ=y_t] − 1[yᵢ₊₁=y_t])·min(K,i)/(K·i) —
+    * a SUFFIX recursion, so it is one `lead` + one
+    * current-to-unbounded-following window sum over the
+    * distance-sorted partition; both engines evaluate the cumulative
+    * sum in the SAME frame order, so the float trajectory is
+    * IEEE-identical without decimal pinning (the pinning happens once,
+    * at the cross-test aggregation: per-(test,train) values round(9)
+    * into DECIMAL before the order-free sum). Distances are round(6)
+    * cosine, tie-broken by train id. Scale: test points are
+    * independent — the corpus-sized per-test sort parallelizes across
+    * them (and production truncates the tail, where s decays as K/i;
+    * here N is exact because the oracle must be).
+    */
+  def q312KnnShapley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "embeddings")
+      .select($"vec_id", d($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+      .persist()
+    val tests = v
+      .withColumn("mk", md5(concat(lit("shap:"), $"vec_id".cast("string"))))
+      .orderBy($"mk", $"vec_id").limit(ShapTestN)
+      .select($"vec_id".as("test_id"), $"v".as("tv"),
+        $"nrm".as("tn"), $"label".as("ty"))
+    val train = v
+      .join(broadcast(tests.select($"test_id".as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .select($"vec_id".as("train_id"), $"v", $"nrm", $"label")
+      .persist()
+    val nTrain = train.count()
+    val scored = train.crossJoin(broadcast(tests))
+      .select($"test_id", $"train_id", $"label",
+        round(dot($"v", $"tv") / ($"nrm" * $"tn"), 6).as("csim"),
+        when($"label" === $"ty", 1.0).otherwise(0.0).as("ind"))
+    val wRank = Window.partitionBy($"test_id")
+      .orderBy($"csim".desc, $"train_id".asc)
+    // RUNNING (unbounded-preceding) frame + whole-partition total: the
+    // suffix sum is total − prefix + current. A literal current-row →
+    // unbounded-following frame would be O(n²) — Spark's
+    // UnboundedFollowing frame re-aggregates per row (measured: 19 s at
+    // sf0.1 vs ~4 s with this form); DECIMAL makes the two forms
+    // exactly equal, so the oracle keeps the textbook suffix frame.
+    val wPrefix = wRank
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPart = Window.partitionBy($"test_id")
+    // per-term round(12) into DECIMAL before the window sums: engines
+    // (and the two frame forms) disagree on float ADDITION ORDER, so
+    // every summed term must be order-free — the q82 discipline
+    // applied to a window aggregate
+    val dec12 = org.apache.spark.sql.types.DecimalType(22, 12)
+    val perPair = scored
+      .withColumn("i", row_number().over(wRank).cast("long"))
+      .withColumn("nxt", lead($"ind", 1).over(wRank))
+      .withColumn("term",
+        when($"nxt".isNull, lit(0.0)) // the αN base term is added below
+          .otherwise(($"ind" - $"nxt") *
+            least(lit(ShapK.toLong), $"i").cast("double") /
+            (lit(ShapK.toDouble) * $"i")))
+      .withColumn("term_dec", round($"term", 12).cast(dec12))
+      .withColumn("tail_ind", // 1[y_{αN} = y_t] for every row
+        max(when($"i" === nTrain, $"ind")).over(wPart))
+      .withColumn("s_dec",
+        sum($"term_dec").over(wPart) - sum($"term_dec").over(wPrefix) +
+          $"term_dec" +
+          round($"tail_ind" / lit(nTrain.toDouble), 12).cast(dec12))
+    // stay in DECIMAL to the end: the final 8-dp cut is round() ON THE
+    // EXACT DECIMAL (half-away-from-zero in both engines), never a
+    // float round — a 12-dp-pinned sum CAN land exactly on an 8-dp
+    // tie, where binary rounding disagrees with decimal rounding (and
+    // a decimal CAST won't do either: DuckDB's rescale truncates)
+    perPair
+      .groupBy($"train_id", $"label")
+      .agg(count(lit(1)).as("n_tests"),
+        round(sum($"s_dec"), 8).cast("double").as("shapley"))
+      .orderBy($"train_id")
+  }
+
+  private def q312Sql =
+    s"""WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    label
+      |  FROM embeddings),
+      |nv AS (
+      |  SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM v),
+      |panel AS (
+      |  SELECT vec_id FROM nv
+      |  ORDER BY md5('shap:' || vec_id), vec_id LIMIT $ShapTestN),
+      |tests AS (
+      |  SELECT vec_id AS test_id, v AS tv, nrm AS tn, label AS ty
+      |  FROM nv WHERE vec_id IN (SELECT vec_id FROM panel)),
+      |train AS (
+      |  SELECT vec_id AS train_id, v, nrm, label
+      |  FROM nv WHERE vec_id NOT IN (SELECT vec_id FROM panel)),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_train FROM train),
+      |scored AS (
+      |  SELECT t.test_id, tr.train_id, tr.label,
+      |    round(list_dot_product(tr.v, t.tv) / (tr.nrm * t.tn), 6) AS csim,
+      |    CASE WHEN tr.label = t.ty THEN 1.0e0 ELSE 0.0e0 END AS ind
+      |  FROM train tr CROSS JOIN tests t),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER w AS BIGINT) AS i,
+      |    lead(ind, 1) OVER w AS nxt
+      |  FROM scored
+      |  WINDOW w AS (PARTITION BY test_id ORDER BY csim DESC, train_id)),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(round(CASE WHEN nxt IS NULL THEN 0.0e0
+      |      ELSE (ind - nxt) * CAST(least($ShapK, i) AS DOUBLE)
+      |           / (${ShapK}.0e0 * i) END, 12) AS DECIMAL(22,12)) AS term_dec
+      |  FROM ranked),
+      |suff AS (
+      |  SELECT test_id, train_id, label,
+      |    sum(term_dec) OVER ws
+      |      + CAST(round(last_value(ind) OVER ws / (SELECT n_train FROM n),
+      |          12) AS DECIMAL(22,12)) AS s_dec
+      |  FROM terms
+      |  WINDOW ws AS (PARTITION BY test_id ORDER BY csim DESC, train_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT train_id, label, CAST(count(*) AS BIGINT) AS n_tests,
+      |  CAST(round(sum(s_dec), 8) AS DOUBLE) AS shapley
+      |FROM suff
+      |GROUP BY train_id, label
+      |ORDER BY train_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q312_knn_shapley", Seq("EXT-similarity", "EXT-curation"),
+      "KNN-Shapley data valuation: closed-form exact Shapley values via one distance-sorted suffix-recursion window per test point, decimal-pinned cross-test sum",
+      q312KnnShapley, Some(q312Sql)),
     GraftQuery("q222_silhouette", Seq("EXT-similarity", "EXT-approx"),
       "simplified-silhouette cluster quality over q91's k-means: centroid-distance a/b, decimal-exact per-cluster means",
       q222Silhouette, Some(q222Sql)),

@@ -180,6 +180,10 @@ class PlanShapeSpec extends AnyFunSuite {
     //    model (gram totals; the TakeOrdered budget boundary)
     //  - q309: crossJoin(broadcast(<1-row capped-prefix stats>)) onto
     //    the |langs|-row capacity table (scalar attach)
+    //  - q312: the q53/q98 shape — the broadcast held-out test set
+    //    scored against the training corpus (O(tests·n), the exact
+    //    closed form's required distance matrix) + the 1-row n_train
+    //    scalar attach
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -200,7 +204,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q283_term_burstiness", "q286_wilson_interval",
       "q287_abc_classification",
       "q292_incremental_semdedup", "q293_incremental_dsir",
-      "q309_unimax_allocation")),
+      "q309_unimax_allocation", "q312_knn_shapley")),
       s"unexpected cross products in: $offenders")
   }
 
