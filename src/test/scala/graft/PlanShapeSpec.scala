@@ -184,6 +184,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //    scored against the training corpus (O(tests·n), the exact
     //    closed form's required distance matrix) + the 1-row n_train
     //    scalar attach
+    //  - q313: bins²-bounded products — the 10×10 kernel spine, the
+    //    1-row histogram-total and transport-cost scalar attaches; the
+    //    corpus is touched once, in the length-bucket groupBy
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -204,7 +207,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q283_term_burstiness", "q286_wilson_interval",
       "q287_abc_classification",
       "q292_incremental_semdedup", "q293_incremental_dsir",
-      "q309_unimax_allocation", "q312_knn_shapley")),
+      "q309_unimax_allocation", "q312_knn_shapley",
+      "q313_sinkhorn_ot")),
       s"unexpected cross products in: $offenders")
   }
 
