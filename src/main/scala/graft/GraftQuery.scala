@@ -47,6 +47,7 @@ object Registry {
       graft.operators.Mining.queries ++
       graft.operators.GraphIndex.queries ++
       graft.operators.LshIndex.queries ++
+      graft.operators.TrimIndex.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

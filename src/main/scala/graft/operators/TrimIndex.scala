@@ -1,0 +1,252 @@
+package graft.operators
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.pipeline.ParquetIO
+
+/** Materialized ExactSubstr removal set — the [[ArtifactStore]]
+  * protocol applied to the span-dedup family (VERDICT r11 "What's
+  * wrong" #2): through round 11 both q304 (the trim report) and q300's
+  * funnel stage 4 re-ran the ENTIRE q290 anchor-gram chain per
+  * invocation — tokenize, gram, df-cap, pair-join, run-group, b-cover —
+  * paying the ExactSubstr machinery twice per bench pass. The removal
+  * set is a pure function of the source bytes, exactly the derived
+  * state the artifact discipline exists for. Tables:
+  *
+  *  - `grams`   (doc_id, pos, g) — anchor-gram postings over
+  *    span-eligible docs ([[Dedup.exactSubstrGrams]]). Persisted
+  *    because the APPEND arm needs the base side's postings to pair
+  *    delta grams against without re-tokenizing history; also the
+  *    substrate any future span consumer probes.
+  *  - `removed` (doc_id, pos) — the b-side position cover of the
+  *    maximal-span set over the CURRENT corpus (what q304's rewrite
+  *    and q300's trim stage consume).
+  *
+  * Incremental growth ([[appendBuild]]) — the removal set composes by
+  * which side of the base/delta split a span's members came from:
+  *
+  *   removed(base ∪ delta) = removed(base)            [the committed
+  *       table: base×base spans are untouched by a delta — see guard]
+  *                         ∪ bcover(spans(pairs with ≥1 delta member))
+  *
+  * Delta-involving pairs are complete from the DELTA's grams alone:
+  * any kept gram shared by such a pair occurs in the delta member, so
+  * candidate grams = (union-keep set) ∩ (grams posted by delta docs),
+  * and their postings come from ONE scan of the compact `grams`
+  * artifact — history is never re-tokenized. Gram document frequencies
+  * merge additively (docs are whole within one file, so per-side
+  * distinct-doc counts add exactly). The one non-additive hazard is
+  * the [[Dedup.ExactSubstrDfCap]] boundary: a delta that pushes a gram
+  * with base-nd ∈ [2, cap] OVER the cap would retroactively kill
+  * base×base spans that used it — the append arm detects exactly that
+  * (one join of the two df partials) and falls back to the full
+  * rebuild rather than committing a stale base term. New removal
+  * positions anti-join the committed table (a base doc can be the
+  * b-side of both an old and a new span), so `removed` stays a
+  * distinct set across any append sequence.
+  *
+  * The artifact is a pure function of the source bytes, so q304's and
+  * q300's DuckDB oracles — which re-derive the removal set
+  * relationally — stay exact; [[q314TrimAppend]] oracle-carries the
+  * append ALGEBRA itself (base+delta composition ≡ full recompute, the
+  * q302 pattern); [[graft.TrimIndexSpec]] proves the same at the FILE
+  * level across an append plus the cap-crossing fallback; and
+  * [[graft.TrimAppendSmoke]] measures the O(delta) claim.
+  */
+object TrimIndex extends ArtifactStore {
+
+  /** Bump on ANY change to the span algebra the geometry knobs below
+    * don't capture (tokenization, anchor hash, run grouping, cover
+    * rule).
+    */
+  val AlgoVersion = 1
+
+  protected def storeKind: String = "trim"
+  protected def geometry: String =
+    s"g:$AlgoVersion,${Dedup.ExactSubstrMinLen},${Dedup.ExactSubstrDfCap}"
+  protected def allTables: Seq[String] = Seq("grams", "removed")
+
+  protected def listing(dir: String): Seq[(String, String)] =
+    tableListing(dir, "documents")
+
+  private def docsOf(s: SparkSession, files: Seq[String]): DataFrame =
+    s.read.parquet(files: _*).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+
+  protected def build(s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    require(snap.nonEmpty, s"trim index build: no documents files for $root")
+    val grams = Dedup.exactSubstrGrams(
+      Dedup.exactSubstrToks(docsOf(s, snap.map(_._2)))).persist()
+    ParquetIO.overwriteSwap(grams, root.resolve("grams").toString)
+    val keep = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2 && $"nd" <= Dedup.ExactSubstrDfCap)
+      .select($"g")
+    val removed = Dedup.exactSubstrBCover(
+      Dedup.exactSubstrSpansFromPostings(grams.join(broadcast(keep), "g")))
+    ParquetIO.overwriteSwap(removed, root.resolve("removed").toString)
+    writeSources(root, "grams", snap.map(_._1).toSet)
+    writeSources(root, "removed", snap.map(_._1).toSet)
+    grams.unpersist(false)
+  }
+
+  protected def appendBuild(
+      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
+    import s.implicits._
+    val appliedG = appliedSources(root, "grams").getOrElse(return false)
+    val appliedR = appliedSources(root, "removed").getOrElse(return false)
+    // a torn retry can leave `grams` ahead of `removed`; the span math
+    // below keys off the files `removed` has not seen, and the base
+    // posting side excludes those docs wherever they already landed
+    val subR = newFiles.filterNot(f => appliedR.contains(f._1))
+    if (subR.nonEmpty) {
+      val deltaGrams = Dedup.exactSubstrGrams(
+        Dedup.exactSubstrToks(docsOf(s, subR.map(_._2)))).persist()
+      val deltaDocs = deltaGrams.select($"doc_id").distinct()
+      // everything below needs history ONLY at grams the delta touches:
+      // other grams' df is unchanged (no crossing possible) and their
+      // pairs have no delta member. One scan of the posting artifact,
+      // semi-joined down before any shuffle — never a full-width
+      // aggregation over history.
+      val relOld = ParquetIO.read(s, root.resolve("grams").toString)
+        .join(deltaGrams.select($"g").distinct(), Seq("g"), "left_semi")
+        .join(deltaDocs, Seq("doc_id"), "left_anti") // torn-retry overlap
+        .persist()
+      val dfOld = relOld.groupBy($"g").agg(count_distinct($"doc_id").as("nd_b"))
+      val dfU = deltaGrams.groupBy($"g").agg(count_distinct($"doc_id").as("nd_d"))
+        .join(dfOld, Seq("g"), "left")
+        .select($"g", coalesce($"nd_b", lit(0L)).as("nd_b"),
+          (coalesce($"nd_b", lit(0L)) + $"nd_d").as("nd_u"))
+        .persist()
+      // cap-crossing guard: a gram alive in the base world (nd_b ∈
+      // [2, cap]) that the delta pushes over the cap invalidates
+      // committed base×base spans — only the full rebuild can retract
+      val crossed = dfU
+        .filter($"nd_b" >= 2 && $"nd_b" <= Dedup.ExactSubstrDfCap &&
+          $"nd_u" > Dedup.ExactSubstrDfCap)
+        .limit(1).count()
+      if (crossed > 0) {
+        deltaGrams.unpersist(false); relOld.unpersist(false); dfU.unpersist(false)
+        return false
+      }
+      val candG = dfU
+        .filter($"nd_u" >= 2 && $"nd_u" <= Dedup.ExactSubstrDfCap)
+        .select($"g")
+      val postings = relOld.withColumn("is_new", lit(false))
+        .unionByName(deltaGrams.withColumn("is_new", lit(true)))
+        .join(candG, Seq("g"), "left_semi")
+      val m = postings
+        .select($"doc_id".as("doc_a"), $"pos".as("pa"), $"g", $"is_new".as("na")).as("a")
+        .join(postings
+          .select($"doc_id".as("doc_b"), $"pos".as("pb"), $"g", $"is_new".as("nb")).as("b"),
+          col("a.g") === col("b.g") && col("doc_a") < col("doc_b"))
+        .filter($"na" || $"nb") // base×base pairs are already committed
+        .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+      val fresh = Dedup.exactSubstrBCover(Dedup.exactSubstrSpanRuns(m))
+        .join(ParquetIO.read(s, root.resolve("removed").toString),
+          Seq("doc_id", "pos"), "left_anti")
+      ParquetIO.appendAsVersion(fresh, root.resolve("removed").toString)
+      writeSources(root, "removed", appliedR ++ subR.map(_._1))
+      val subG = newFiles.filterNot(f => appliedG.contains(f._1))
+      if (subG.nonEmpty) {
+        // reuse the derived frame when the gram delta is the same files
+        val gRows =
+          if (subG.map(_._1).toSet == subR.map(_._1).toSet) deltaGrams
+          else Dedup.exactSubstrGrams(Dedup.exactSubstrToks(docsOf(s, subG.map(_._2))))
+        ParquetIO.appendAsVersion(gRows, root.resolve("grams").toString)
+        writeSources(root, "grams", appliedG ++ subG.map(_._1))
+      }
+      deltaGrams.unpersist(false); relOld.unpersist(false); dfU.unpersist(false)
+    } else {
+      val subG = newFiles.filterNot(f => appliedG.contains(f._1))
+      if (subG.nonEmpty) {
+        ParquetIO.appendAsVersion(Dedup.exactSubstrGrams(
+          Dedup.exactSubstrToks(docsOf(s, subG.map(_._2)))),
+          root.resolve("grams").toString)
+        writeSources(root, "grams", appliedG ++ subG.map(_._1))
+      }
+    }
+    true
+  }
+
+  /** (doc_id, pos) — the committed removal set. */
+  def removedPositions(s: SparkSession, dir: String): DataFrame = {
+    ensure(s, dir)
+    ParquetIO.read(s, tableDir(dir, "removed"))
+  }
+
+  // ---------------------------------------------------------------- q314
+
+  /** q314: EXACTSUBSTR TRIM APPEND — the append ALGEBRA of the
+    * [[TrimIndex]] artifact, oracle-carried on the q302 pattern: the
+    * corpus splits on the q301 delta convention (doc_id % 10 = 7 is
+    * today's batch), the Spark arm composes the removal set as
+    * base-world removals ∪ delta-involving-span covers, and the DuckDB
+    * oracle recomputes the trim over the WHOLE corpus in one pass
+    * (q304's exact SQL) — hash equality IS the equivalence theorem
+    * that makes the artifact's O(delta) arm safe to trust at
+    * production cadence. One generalization beyond [[appendBuild]]:
+    * where the artifact REBUILDS on a df-cap crossing (it cannot
+    * retract committed spans), the in-query base term filters its keep
+    * set by the UNION-world df (nd_base ≥ 2 AND nd_union ≤ cap), so
+    * the decomposition is exact on ANY corpus — crossing or not — and
+    * the guard-free theorem is what the hash locks. Output is q304's
+    * per-document accounting over the composed set, so a single
+    * resurrected or mis-dropped token breaks the gate.
+    */
+  def q314TrimAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    val gramsB = Dedup.exactSubstrGrams(
+      Dedup.exactSubstrToks(docs.filter($"doc_id" % 10 =!= 7))).persist()
+    val gramsD = Dedup.exactSubstrGrams(
+      Dedup.exactSubstrToks(docs.filter($"doc_id" % 10 === 7))).persist()
+    val dfB = gramsB.groupBy($"g").agg(count_distinct($"doc_id").as("nd_b"))
+    val dfD = gramsD.groupBy($"g").agg(count_distinct($"doc_id").as("nd_d"))
+    val dfU = dfB.join(dfD, Seq("g"), "full")
+      .select($"g", coalesce($"nd_b", lit(0L)).as("nd_b"),
+        (coalesce($"nd_b", lit(0L)) + coalesce($"nd_d", lit(0L))).as("nd_u"))
+      .persist()
+    // base term: base×base spans in the UNION world — kept grams need
+    // nd_b ≥ 2 (two base members) and nd_u ≤ cap (union-world df cap)
+    val keepB = dfU
+      .filter($"nd_b" >= 2 && $"nd_u" <= Dedup.ExactSubstrDfCap).select($"g")
+    val remBase = Dedup.exactSubstrBCover(
+      Dedup.exactSubstrSpansFromPostings(gramsB.join(broadcast(keepB), "g")))
+    // delta term: pairs with ≥1 delta member, complete from grams the
+    // delta posts (any shared kept gram occurs in the delta member)
+    val candG = dfU
+      .filter($"nd_u" >= 2 && $"nd_u" <= Dedup.ExactSubstrDfCap).select($"g")
+      .join(gramsD.select($"g").distinct(), Seq("g"), "left_semi")
+    val postings = gramsB.withColumn("is_new", lit(false))
+      .unionByName(gramsD.withColumn("is_new", lit(true)))
+      .join(candG, Seq("g"), "left_semi")
+    val m = postings
+      .select($"doc_id".as("doc_a"), $"pos".as("pa"), $"g", $"is_new".as("na")).as("a")
+      .join(postings
+        .select($"doc_id".as("doc_b"), $"pos".as("pb"), $"g", $"is_new".as("nb")).as("b"),
+        col("a.g") === col("b.g") && col("doc_a") < col("doc_b"))
+      .filter($"na" || $"nb")
+      .select($"doc_a", $"doc_b", $"pa", $"pb", ($"pa" - $"pb").as("diag"))
+    val remDelta = Dedup.exactSubstrBCover(Dedup.exactSubstrSpanRuns(m))
+    val removed = remBase.unionByName(remDelta).distinct()
+    Dedup.trimAccounting(s,
+      Tables.load(s, dir, "documents").select($"doc_id", $"text"), removed)
+  }
+
+  /** The oracle recomputes the whole-corpus trim in one pass (q304's
+    * SQL verbatim) — equality with the Spark arm's base+delta
+    * composition is the theorem under test.
+    */
+  private def q314Sql: String = Dedup.q304SqlShared
+
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q314_trim_append", Seq("EXT-dedup", "S6"),
+      "incremental ExactSubstr maintenance: base-world removals + delta-involving span covers composed, proven equal to a full-corpus recompute",
+      q314TrimAppend, Some(q314Sql)))
+}
