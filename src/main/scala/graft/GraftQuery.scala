@@ -48,6 +48,7 @@ object Registry {
       graft.operators.GraphIndex.queries ++
       graft.operators.LshIndex.queries ++
       graft.operators.TrimIndex.queries ++
+      graft.operators.SuffixIndex.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

@@ -472,8 +472,14 @@ object Dedup {
     */
   def q311SuffixRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (fin, docs) = suffixRanksFull(s, dir)
-    fin
+    // round 12: the permutation is read from the [[SuffixIndex]]
+    // artifact (built once per corpus fingerprint by the SAME
+    // construction below) — q311's oracle still proves the committed
+    // ranks equal brute-force sorted-suffix truth, and q315 (the LCP
+    // layer) reads the same artifact.
+    val ranks = SuffixIndex.ranks(s, dir)
+    val docs = suffixPoolDocs(t(s, dir, "documents"))
+    ranks
       .filter($"rank" <= 30 || $"rank" % 2500 === 1)
       .join(docs, Seq("doc_id"))
       .select($"rank", $"doc_id", $"pos",
@@ -481,17 +487,28 @@ object Dedup {
       .orderBy($"rank")
   }
 
+  /** The q311 suffix pool: every [[SufMod]]-th non-empty document. */
+  private[graft] def suffixPoolDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % SufMod === 0 && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+
   /** The full (rank, doc_id, pos) suffix permutation q311 samples from —
     * exposed so SuffixRankSpec can check the WHOLE permutation, not just
     * the oracle-carried sample. Returns (ranks, pool docs).
     */
   private[graft] def suffixRanksFull(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = suffixPoolDocs(t(s, dir, "documents")).persist()
+    (suffixRanksOf(s, docs), docs)
+  }
+
+  /** The prefix-doubling construction over an explicit pool-docs frame —
+    * the seam the [[SuffixIndex]] artifact's build shares with the
+    * in-query form above.
+    */
+  private[operators] def suffixRanksOf(
+      s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val docs = t(s, dir, "documents")
-      .filter($"doc_id" % SufMod === 0 && length($"text") >= 1)
-      .select($"doc_id", $"text")
-      .persist()
     val maxLen = docs.agg(max(length($"text"))).head().getInt(0)
     // base case at depth SufBase instead of the textbook single char:
     // one range-partitioned rank over the distinct 32-char windows
@@ -545,7 +562,7 @@ object Dedup {
     }
     val (fin, _) = GlobalRank.withGlobalRankCounted(
       cur, "rank", $"r".asc, $"doc_id".asc, $"pos".asc)
-    (fin.select($"rank", $"doc_id", $"pos"), docs)
+    fin.select($"rank", $"doc_id", $"pos")
   }
 
   private val q311Sql =

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q315 (suffix-array LCP layer) against brute-force truth: materialize
+  * every pool suffix, sort, take adjacent common-prefix lengths, group
+  * — the query's banded/survivor-split computation must reproduce it
+  * exactly. Plus the anchor-gram cross-check VERDICT r11 asked for:
+  * every q290 maximal span between pool docs lower-bounds the LCP
+  * layer's global max (the span text is a repeated substring, and the
+  * longest repeated substring is always attained at a rank-adjacent
+  * pair), while LCP additionally surfaces repeats SHORTER than the
+  * 8-token anchor window or not token-aligned — what anchor grams miss.
+  */
+class SuffixLcpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Brute-force (doc_a, doc_b, n_adj, max_lcp, sum_lcp) over a pool
+    * corpus, survivor threshold = SufBase.
+    */
+  private def truth(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+    val sufs = for ((id, t) <- docs; p <- 1 to t.length) yield (t.substring(p - 1), id, p)
+    val sorted = sufs.sortBy(x => (x._1, x._2, x._3))
+    val pairs = sorted.sliding(2).collect { case Seq((sa, da, _), (sb, db, _)) =>
+      val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size.toLong
+      (math.min(da, db), math.max(da, db), lcp)
+    }.toSeq.filter(_._3 >= operators.Dedup.SufBase)
+    pairs.groupBy(x => (x._1, x._2)).map { case ((a, b), xs) =>
+      (a, b, xs.size.toLong, xs.map(_._3).max, xs.map(_._3).sum)
+    }.toSet
+  }
+
+  private def q315Set(dir: String): Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    operators.SuffixIndex.q315SuffixLcp(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("q315 equals brute-force adjacent-suffix LCP on a synthetic pool with long repeats") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"block$i").mkString(" ") // ~90 chars
+    val innerRep = "zqx" * 15 // 45-char non-token-aligned repeat inside ONE doc
+    val docs = Seq(
+      (10L, s"alpha beta gamma $shared delta omega"),
+      (20L, s"first words here $shared and a tail $innerRep middle $innerRep end"),
+      (30L, "completely unrelated text with no long repeats at all in it"),
+      (40L, s"prefix $shared")) // repeat ends at doc end (suffix-length tie path)
+    val dir = Files.createTempDirectory("lcp-corpus")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    assert(q315Set(dir.toString) == truth(docs))
+  }
+
+  test("q315 on the shared corpus: equals brute force; q290 pool spans lower-bound the global max") {
+    import spark.implicits._
+    val docs = operators.Dedup.suffixPoolDocs(
+      Tables.load(spark, sf, "documents"))
+      .as[(Long, String)].collect().toSeq
+    val tr = truth(docs)
+    val got = q315Set(sf)
+    assert(got == tr, s"missing=${(tr -- got).take(3)} extra=${(got -- tr).take(3)}")
+
+    // anchor-gram cross-check: q290 spans whose BOTH docs are in the
+    // pool are verbatim repeats, so their char length cannot exceed the
+    // LCP layer's longest repeated substring
+    val poolIds = docs.map(_._1).toSet
+    val spanChars = operators.Dedup.q290ExactSubstring(spark, sf)
+      .select("doc_a", "doc_b", "span").as[(Long, Long, String)].collect()
+      .filter(x => poolIds.contains(x._1) && poolIds.contains(x._2))
+      .map(_._3.length.toLong)
+    val globalMax = (got.map(_._4) + 0L).max
+    assert(spanChars.forall(_ <= globalMax),
+      s"a q290 pool span (${spanChars.max} chars) exceeds q315's global max $globalMax")
+  }
+}
