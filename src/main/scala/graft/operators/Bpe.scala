@@ -201,11 +201,251 @@ object Bpe {
        |ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q316
+
+  /** q316 geometry. Candidate pieces are substrings up to
+    * [[UlmMaxPiece]] chars; the seed keeps the [[UlmSeedN]] most
+    * frequent plus every single char (coverage); pruning keeps the
+    * [[UlmVocabTarget]] highest-count multi-char pieces (single chars
+    * are never pruned — SentencePiece's required-character rule); the
+    * trainer runs on the [[UlmTrainWords]] most frequent word types ≤
+    * [[UlmMaxWordLen]] chars (the standard trainer input is a
+    * frequency-cut word table, which also bounds every lattice frame
+    * by the LANGUAGE, not the corpus). [[UlmRounds]] squaring rounds
+    * give the (I+A)^16 closure — enough for any ≤ 16-edge path.
+    */
+  val UlmMaxPiece = 6
+  val UlmSeedN = 256
+  val UlmVocabTarget = 64
+  val UlmTrainWords = 5000
+  val UlmMaxWordLen = 16
+  val UlmRounds = 4
+
+  /** q316: UNIGRAM-LM TOKENIZER TRAINER (Kudo 2018, SentencePiece's
+    * second model next to BPE q136/q153) — the tokenizer family's
+    * missing member (VERDICT r11 "What's missing" #3). Viterbi hard-EM
+    * over the candidate-piece lattice of every word type:
+    *
+    *  - E-step: each word's BEST segmentation under current piece
+    *    probabilities. The lattice DP is not run positionally —
+    *    max-product path weight is an idempotent semiring, so the
+    *    whole per-word DP is the matrix closure (I+A)^(2^k) computed
+    *    by [[UlmRounds]] SQUARING rounds of one keyed join + one
+    *    (max)-aggregation each: log(maxlen) rounds instead of a
+    *    per-position sweep, every frame bounded by word-type count ×
+    *    len². Identity (pause) steps multiply by 1.0 — exact, and
+    *    harmless under max. An edge is ON an optimal path iff
+    *    (f[a]·p)·g[b] = Z with f/g/Z read from the SAME closure (row
+    *    0 / column len / corner) — every float on both sides of that
+    *    equality is produced by the identical operation tree in
+    *    Spark and DuckDB (products inside max-aggregations, then one
+    *    pinned two-multiply chain), so the comparison is
+    *    engine-deterministic; ties credit every co-optimal edge once
+    *    (uniform edge credit across co-optimal segmentations — the
+    *    hard-EM analogue of lattice expected counts).
+    *  - M-step: piece count = Σ word-freq over its optimal edges
+    *    (exact long sums), probability = round(cnt/total, 12) — the
+    *    q313 pinning discipline.
+    *  - Prune after iteration 1 (vocab shrinks monotonically —
+    *    [[graft.UnigramLmSpec]] locks it), then one more iteration on
+    *    the pruned vocabulary.
+    *
+    * Corpus-sized work is ONE word-count aggregation (q136's shape);
+    * everything after runs on the frequency-cut type table. Output:
+    * the final vocabulary with use counts and pinned probabilities.
+    */
+  def q316UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // all three vocabulary cuts below are CONSTANT-bounded (TrainWords /
+    // SeedN / VocabTarget), so they are orderBy().limit() TakeOrdered
+    // heaps — the ivfCodebookOf shape — never a global rank
+    val words = t(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= UlmMaxWordLen)
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .orderBy($"wc".desc, $"w".asc).limit(UlmTrainWords)
+      .select($"w", $"wc", length($"w").as("wl"))
+      .persist()
+    // seed: every substring occurrence ≤ UlmMaxPiece chars, corpus-weighted
+    val occ = words
+      .select($"w", $"wc", $"wl", explode(sequence(lit(1), $"wl")).as("i"))
+      .select($"wc",
+        explode(sequence(lit(1), least(lit(UlmMaxPiece), $"wl" - $"i" + 1))).as("l"),
+        $"w", $"i")
+      .select(expr("substring(w, i, l)").as("piece"), $"wc")
+    val pieceCnt = occ.groupBy($"piece").agg(sum($"wc").as("cnt")).persist()
+    val seed = pieceCnt
+      .orderBy($"cnt".desc, $"piece".asc).limit(UlmSeedN)
+      .unionByName(pieceCnt.filter(length($"piece") === 1))
+      .distinct() // a single char inside the top-SeedN would union twice
+      .persist()
+
+    // (piece, cnt) → (piece, p): pinned normalization (scalar-attach)
+    def probsOf(cnts: DataFrame): DataFrame = {
+      val tot = cnts.agg(sum($"cnt").as("tot"))
+      cnts.crossJoin(broadcast(tot))
+        .select($"piece",
+          round($"cnt".cast("double") / $"tot".cast("double"), 12).as("p"))
+    }
+
+    // one Viterbi-EM iteration: vocab (piece, p) → optimal-edge counts
+    def emIter(vocab: DataFrame): DataFrame = {
+      val edges = words
+        .select($"w", $"wc", $"wl", explode(sequence(lit(0), $"wl" - 1)).as("a"))
+        .select($"w", $"wc", $"wl", $"a",
+          explode(sequence(lit(1), least(lit(UlmMaxPiece), $"wl" - $"a"))).as("l"))
+        .select($"w", $"wc", $"wl", $"a", ($"a" + $"l").as("b"),
+          expr("substring(w, a + 1, l)").as("piece"))
+        .join(vocab, Seq("piece"))
+        .persist()
+      var m = edges.select($"w", $"a".as("i"), $"b".as("j"), $"p".as("v"))
+        .unionByName(words
+          .select($"w", explode(sequence(lit(0), $"wl")).as("i"))
+          .select($"w", $"i", $"i".as("j"), lit(1.0).as("v")))
+        .localCheckpoint()
+      for (k <- 1 to UlmRounds) {
+        val sq = m.as("x").join(m.as("y"),
+            col("x.w") === col("y.w") && col("x.j") === col("y.i"))
+          .select(col("x.w").as("w"), col("x.i").as("i"), col("y.j").as("j"),
+            (col("x.v") * col("y.v")).as("v"))
+          .groupBy($"w", $"i", $"j").agg(max($"v").as("v"))
+        // checkpoint every second round: two squarings of lineage stay
+        // flat, and each eager materialization is a whole scheduled job
+        // on a vocabulary-sized frame — halving the job count is the
+        // q313 overhead lesson
+        m = if (k % 2 == 0 || k == UlmRounds) sq.localCheckpoint() else sq
+      }
+      val withLen = m.join(words.select($"w", $"wl"), "w")
+      val f = m.filter($"i" === 0).select($"w", $"j".as("a"), $"v".as("fv"))
+      val g = withLen.filter($"j" === $"wl")
+        .select($"w", $"i".as("b"), $"v".as("gv"))
+      val z = withLen.filter($"i" === 0 && $"j" === $"wl")
+        .select($"w", $"v".as("zv"))
+      val out = edges
+        .join(f, Seq("w", "a")).join(g, Seq("w", "b")).join(z, Seq("w"))
+        .filter(($"fv" * $"p") * $"gv" === $"zv" && $"zv" > 0)
+        .groupBy($"piece").agg(sum($"wc").as("cnt"))
+        .localCheckpoint()
+      edges.unpersist(false)
+      out
+    }
+
+    val c1 = emIter(probsOf(seed)).persist()
+    val vocab2Cnt = c1.filter(length($"piece") > 1)
+      .orderBy($"cnt".desc, $"piece".asc).limit(UlmVocabTarget)
+      .select($"piece", $"cnt")
+      .unionByName(seed.filter(length($"piece") === 1).select($"piece")
+        .join(c1, Seq("piece"), "left")
+        .select($"piece", coalesce($"cnt", lit(0L)).as("cnt")))
+    val c2 = emIter(probsOf(vocab2Cnt)).persist()
+    val tot2 = c2.agg(sum($"cnt").as("tot"))
+    c2.crossJoin(broadcast(tot2))
+      .select($"piece", $"cnt".as("n_uses"),
+        round($"cnt".cast("double") / $"tot".cast("double"), 12).as("prob"))
+      .orderBy($"piece")
+  }
+
+  /** The oracle replays the identical trainer: same seed ranks, same
+    * fixed squaring rounds (generated CTE blocks, MATERIALIZED so each
+    * closure level evaluates once), same pinned equalities and
+    * normalizations.
+    */
+  private def q316Sql: String = {
+    def emBlock(i: Int, vocabCte: String): String = {
+      val m0 =
+        s"""m${i}_0 AS MATERIALIZED (
+          |  SELECT e.w, e.a AS i, e.b AS j, e.p AS v FROM edges$i e
+          |  UNION ALL
+          |  SELECT w, d.i, d.i, 1e0
+          |  FROM (SELECT w, unnest(generate_series(0, wl)) AS i FROM words) d)"""
+          .stripMargin
+      val rounds = (1 to UlmRounds).map { k =>
+        s"""m${i}_$k AS MATERIALIZED (
+          |  SELECT x.w, x.i, y.j, max(x.v * y.v) AS v
+          |  FROM m${i}_${k - 1} x JOIN m${i}_${k - 1} y
+          |    ON x.w = y.w AND x.j = y.i
+          |  GROUP BY 1, 2, 3)""".stripMargin
+      }.mkString(",\n")
+      s"""pos$i AS (
+        |  SELECT w, wc, wl, unnest(generate_series(0, wl - 1)) AS a FROM words),
+        |edges$i AS MATERIALIZED (
+        |  SELECT e.w, e.wc, e.wl, e.a, e.b, e.piece, v.p
+        |  FROM (SELECT p.w, p.wc, p.wl, p.a, p.a + l.l AS b,
+        |          substr(p.w, CAST(p.a + 1 AS INT), CAST(l.l AS INT)) AS piece
+        |        FROM pos$i p
+        |        CROSS JOIN (SELECT unnest(generate_series(1, $UlmMaxPiece)) AS l) l
+        |        WHERE p.a + l.l <= p.wl) e
+        |  JOIN $vocabCte v USING (piece)),
+        |$m0,
+        |$rounds,
+        |f$i AS (SELECT w, j AS a, v AS fv FROM m${i}_$UlmRounds WHERE i = 0),
+        |g$i AS (SELECT m.w, m.i AS b, m.v AS gv
+        |        FROM m${i}_$UlmRounds m JOIN words USING (w) WHERE m.j = wl),
+        |z$i AS (SELECT m.w, m.v AS zv
+        |        FROM m${i}_$UlmRounds m JOIN words USING (w)
+        |        WHERE m.i = 0 AND m.j = wl),
+        |cnt$i AS MATERIALIZED (
+        |  SELECT e.piece, CAST(sum(e.wc) AS BIGINT) AS cnt
+        |  FROM edges$i e
+        |  JOIN f$i USING (w, a) JOIN g$i USING (w, b) JOIN z$i USING (w)
+        |  WHERE (fv * e.p) * gv = zv AND zv > 0
+        |  GROUP BY 1)""".stripMargin
+    }
+    s"""WITH wraw AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS wc, len(w) AS wl
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE len(w) >= 1 AND len(w) <= $UlmMaxWordLen
+      |  GROUP BY w),
+      |words AS MATERIALIZED (
+      |  SELECT w, wc, wl FROM (
+      |    SELECT *, row_number() OVER (ORDER BY wc DESC, w ASC) AS wr FROM wraw)
+      |  WHERE wr <= $UlmTrainWords),
+      |occ AS (
+      |  SELECT substr(p.w, CAST(p.i AS INT), CAST(l.l AS INT)) AS piece, p.wc
+      |  FROM (SELECT w, wc, wl, unnest(generate_series(1, wl)) AS i FROM words) p
+      |  CROSS JOIN (SELECT unnest(generate_series(1, $UlmMaxPiece)) AS l) l
+      |  WHERE p.i + l.l - 1 <= p.wl),
+      |pc AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+      |seed AS MATERIALIZED (
+      |  SELECT piece, cnt FROM (
+      |    SELECT *, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS pr FROM pc)
+      |  WHERE pr <= $UlmSeedN OR len(piece) = 1),
+      |vocab1 AS (
+      |  SELECT piece,
+      |    round(CAST(cnt AS DOUBLE) /
+      |          CAST((SELECT sum(cnt) FROM seed) AS DOUBLE), 12) AS p
+      |  FROM seed),
+      |${emBlock(1, "vocab1")},
+      |v2base AS MATERIALIZED (
+      |  SELECT piece, cnt FROM (
+      |    SELECT *, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS cr
+      |    FROM cnt1 WHERE len(piece) > 1)
+      |  WHERE cr <= $UlmVocabTarget
+      |  UNION ALL
+      |  SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+      |  FROM seed s LEFT JOIN cnt1 c USING (piece)
+      |  WHERE len(s.piece) = 1),
+      |vocab2 AS (
+      |  SELECT piece,
+      |    round(CAST(cnt AS DOUBLE) /
+      |          CAST((SELECT sum(cnt) FROM v2base) AS DOUBLE), 12) AS p
+      |  FROM v2base),
+      |${emBlock(2, "vocab2")}
+      |SELECT piece, cnt AS n_uses,
+      |  round(CAST(cnt AS DOUBLE) /
+      |        CAST((SELECT sum(cnt) FROM cnt2) AS DOUBLE), 12) AS prob
+      |FROM cnt2
+      |ORDER BY piece""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q136_bpe_train", Seq("EXT-text", "A2"),
       "BPE merge training: one corpus pass, K vocabulary-local merge rounds, engine-deterministic merge table",
       q136BpeTrain, Some(q136Sql)),
     GraftQuery("q152_bpe_encode", Seq("EXT-text", "A2", "J1"),
       "BPE encode with the learned merges: vocabulary-local apply, per-language token economics",
-      q152BpeEncode, Some(q152Sql)))
+      q152BpeEncode, Some(q152Sql)),
+    GraftQuery("q316_unigram_lm", Seq("EXT-text", "A2"),
+      "unigram-LM (SentencePiece) tokenizer trainer: Viterbi hard-EM over the piece lattice via max-product matrix-closure squaring rounds, prune + retrain, pinned probabilities",
+      q316UnigramLm, Some(q316Sql)))
 }
