@@ -676,35 +676,48 @@ object Dedup {
     */
   private[operators] def minhashCtesShared: String = minhashCtes
 
-  private lazy val minhashCtes: String = {
+  /** The MinHash-LSH relational chain (shingles → signatures → bands →
+    * candidates → exact-Jaccard verify) over a named source relation,
+    * CTE names prefixed with `p` so the chain composes next to other
+    * band machinery (q317 runs it beside the dHash chain over a shared
+    * twin-corpus CTE).
+    */
+  private[operators] def minhashCtesOver(src: String, p: String): String = {
     val sigExprs = (0 until NumHashes)
       .map(i => s"min(md5('$i:' || sh)) AS s$i").mkString(", ")
     val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
       val cols = (0 until BandSize).map(r => s"s${bnd * BandSize + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM sig"
+      s"SELECT doc_id, $bnd AS band, md5($cols) AS bkey FROM ${p}sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shinglesCte,
-      |sig AS (SELECT doc_id, $sigExprs FROM sh GROUP BY doc_id),
-      |bands AS (
+    s"""${p}toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+      |${p}sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM ${p}toks WHERE len(t) >= 3),
+      |${p}sig AS (SELECT doc_id, $sigExprs FROM ${p}sh GROUP BY doc_id),
+      |${p}bands AS (
       |  $bandSelects),
-      |cand AS (
+      |${p}cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bands x JOIN bands y
+      |  FROM ${p}bands x JOIN ${p}bands y
       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
+      |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY doc_id),
+      |${p}inter AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      |  FROM cand c
-      |  JOIN sh a ON a.doc_id = c.doc_a
-      |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      |  FROM ${p}cand c
+      |  JOIN ${p}sh a ON a.doc_id = c.doc_a
+      |  JOIN ${p}sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
       |  GROUP BY 1, 2),
-      |verified AS (
+      |${p}verified AS (
       |  SELECT doc_a, doc_b, n_common,
       |    CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-      |  FROM inter
-      |  JOIN sz sa ON sa.doc_id = doc_a
-      |  JOIN sz sb ON sb.doc_id = doc_b)""".stripMargin
+      |  FROM ${p}inter
+      |  JOIN ${p}sz sa ON sa.doc_id = doc_a
+      |  JOIN ${p}sz sb ON sb.doc_id = doc_b)""".stripMargin
   }
+
+  private lazy val minhashCtes: String = minhashCtesOver("documents", "")
 
   private val q19Sql =
     s"""WITH $minhashCtes

@@ -432,6 +432,15 @@ object Multimodal {
 
   def q291ImageDhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    dhashPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The q291 pair chain minus the final sort — (doc_a, doc_b, hamming ≤
+    * [[DHashHammingTol]]) over the twin corpus; factored so q317 (the
+    * cross-modal joiner) reuses the image lane verbatim.
+    */
+  private[operators] def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val hashes = dhashes(s, dir).persist()
     val bandCols = array((0 until DHashBands).map { b =>
       struct(lit(b).as("band"),
@@ -453,23 +462,28 @@ object Multimodal {
       .select($"doc_a", $"doc_b",
         bit_count($"dha".bitwiseXOR($"dhb")).cast("long").as("hamming"))
       .filter($"hamming" <= DHashHammingTol)
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  private val q291Sql = {
-    // grid index for bit b: row b//8, col b%8 → 0-based sample r*9+c,
-    // 1-based list index +1; bit 63 reproduced via explicit two's-
-    // complement wrap (DuckDB raises on 1::BIGINT << 63)
-    s"""WITH corpus AS (
+  /** The q291 relational chain (twin corpus → sampled luma grid → dHash
+    * → 16-bit bands → df-capped buckets → verified pairs), ending at an
+    * `img` CTE of (doc_a, doc_b, hamming ≤ tol) — shared verbatim with
+    * q317's image lane. Grid index for bit b: row b//8, col b%8 →
+    * 0-based sample r*9+c, 1-based list index +1; bit 63 reproduced via
+    * explicit two's-complement wrap (DuckDB raises on 1::BIGINT << 63).
+    * CTE names are img-prefixed so the chain composes next to the text
+    * lane's band CTEs without collisions.
+    */
+  private[operators] val dhashCtes: String =
+    s"""corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 10 = 0),
-      |g AS (
+      |ig AS (
       |  SELECT doc_id, list_transform(range(0, 72),
       |    j -> ascii(substr(text,
       |           CAST((j * length(text)) // 72 AS INTEGER) + 1, 1))) AS s
       |  FROM corpus WHERE length(text) > 0),
-      |h AS (
+      |ih AS (
       |  SELECT doc_id,
       |    CAST(list_sum(list_transform(range(0, 63),
       |      b -> CASE WHEN s[CAST((b // 8) * 9 + (b % 8) AS INTEGER) + 1]
@@ -478,26 +492,30 @@ object Multimodal {
       |      AS BIGINT)
       |    + CASE WHEN s[71] < s[72] THEN -9223372036854775808 ELSE 0 END
       |      AS dh
-      |  FROM g),
-      |bands AS (
+      |  FROM ig),
+      |ibands AS (
       |  SELECT doc_id, b.band, (dh >> CAST(b.band * 16 AS INTEGER)) & 65535 AS bv
-      |  FROM h, (SELECT unnest(range(0, $DHashBands)) AS band) b),
-      |keep AS (
-      |  SELECT band, bv FROM bands GROUP BY band, bv
+      |  FROM ih, (SELECT unnest(range(0, $DHashBands)) AS band) b),
+      |ikeep AS (
+      |  SELECT band, bv FROM ibands GROUP BY band, bv
       |  HAVING count(*) <= $DHashBandDfCap),
-      |bf AS (SELECT bands.* FROM bands JOIN keep USING (band, bv)),
-      |cand AS (
+      |ibf AS (SELECT ibands.* FROM ibands JOIN ikeep USING (band, bv)),
+      |icand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |  FROM bf x JOIN bf y
-      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-      |SELECT c.doc_a, c.doc_b,
-      |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
-      |FROM cand c
-      |JOIN h a ON a.doc_id = c.doc_a
-      |JOIN h b ON b.doc_id = c.doc_b
-      |WHERE bit_count(xor(a.dh, b.dh)) <= $DHashHammingTol
-      |ORDER BY c.doc_a, c.doc_b""".stripMargin
-  }
+      |  FROM ibf x JOIN ibf y
+      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |img AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+      |  FROM icand c
+      |  JOIN ih a ON a.doc_id = c.doc_a
+      |  JOIN ih b ON b.doc_id = c.doc_b
+      |  WHERE bit_count(xor(a.dh, b.dh)) <= $DHashHammingTol)""".stripMargin
+
+  private val q291Sql =
+    s"""WITH $dhashCtes
+      |SELECT doc_a, doc_b, hamming FROM img
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Decoded-audio metadata row (what a PCM feature extractor emits). */
   final case class WavMeta(
@@ -1187,7 +1205,99 @@ object Multimodal {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q317
+
+  /** q317 text-lane verdict threshold: a candidate pair is a caption
+    * near-dup when exact shingle Jaccard reaches this (twins sit at
+    * 1.0; the banding only generates candidates, the verify decides).
+    */
+  val CrossModalJaccardMin = 0.5
+
+  /** q317: CROSS-MODAL NEAR-DUP JOINER — the joint-modality dedup a
+    * multimodal corpus needs (VERDICT r11 "Next round" #6): a pair of
+    * documents is a duplicate when EITHER its caption lane (MinHash-LSH
+    * banding + exact-Jaccard verify ≥ [[CrossModalJaccardMin]]) or its
+    * image lane (q291's dHash banding + Hamming ≤ [[DHashHammingTol]])
+    * says so, and the row reports both verdicts plus the agreement
+    * class (`both` / `text_only` / `image_only`) — the report that
+    * decides whether one modality's dedup can stand in for the other's.
+    * Both lanes REUSE existing band machinery over the shared q17 twin
+    * scheme:
+    *
+    *  - text lane: the PERSISTED [[LshIndex]] band artifact supplies
+    *    the base corpus's rows; twin rows are derived by an ID SHIFT of
+    *    the originals' — a byte-identical re-crawl has byte-identical
+    *    shingles, hence the identical signature and band keys, so the
+    *    twin half costs zero re-signing (the oracle re-derives the
+    *    twins' banding from text and hash equality proves the shift
+    *    sound). Candidates then verify by exact shingle intersection.
+    *  - image lane: [[dhashPairs]] — q291's chain verbatim.
+    *
+    * Banded in both lanes, never all-pairs; the full-outer lane join
+    * keys on the pair. At 100 TB each lane scales exactly as its
+    * standalone operator does.
+    */
+  def q317CrossModalDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseBands = LshIndex.bands(s, dir)
+    val allBands = baseBands.unionByName(
+      baseBands.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + Dedup.TwinOffset).as("doc_id"), $"band", $"bkey"))
+    val candT = allBands.as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val base = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + Dedup.TwinOffset).as("doc_id"), $"text"))
+    val shs = Dedup.docShingles(corpus).persist()
+    val sz = shs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = candT
+      .join(shs.select($"doc_id".as("doc_a"), $"sh"), Seq("doc_a"))
+      .join(shs.select($"doc_id".as("doc_b"), $"sh"), Seq("doc_b", "sh"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+    val txt = inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+      .filter($"jaccard" >= CrossModalJaccardMin)
+    val img = dhashPairs(s, dir)
+    txt.join(img, Seq("doc_a", "doc_b"), "full")
+      .select($"doc_a", $"doc_b",
+        $"jaccard".isNotNull.as("text_dup"),
+        $"hamming".isNotNull.as("image_dup"),
+        coalesce(round($"jaccard", 6), lit(-1.0)).as("jaccard"),
+        coalesce($"hamming", lit(-1L)).as("hamming"),
+        when($"jaccard".isNotNull && $"hamming".isNotNull, lit("both"))
+          .when($"jaccard".isNotNull, lit("text_only"))
+          .otherwise(lit("image_only")).as("verdict"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q317Sql =
+    s"""WITH $dhashCtes,
+      |${Dedup.minhashCtesOver("corpus", "t")},
+      |txt AS (
+      |  SELECT doc_a, doc_b, jaccard FROM tverified
+      |  WHERE jaccard >= $CrossModalJaccardMin)
+      |SELECT doc_a, doc_b,
+      |  t.jaccard IS NOT NULL AS text_dup,
+      |  i.hamming IS NOT NULL AS image_dup,
+      |  coalesce(round(t.jaccard, 6), -1.0) AS jaccard,
+      |  coalesce(i.hamming, -1) AS hamming,
+      |  CASE WHEN t.jaccard IS NOT NULL AND i.hamming IS NOT NULL THEN 'both'
+      |       WHEN t.jaccard IS NOT NULL THEN 'text_only'
+      |       ELSE 'image_only' END AS verdict
+      |FROM txt t FULL JOIN img i USING (doc_a, doc_b)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q317_cross_modal_dup", Seq("EXT-multimodal", "EXT-dedup"),
+      "cross-modal near-dup joiner: persisted LSH bands (+id-shifted twins) for the caption lane, q291 dHash banding for the image lane, full-outer agreement report",
+      q317CrossModalDup, Some(q317Sql)),
     GraftQuery("q234_wav_features", Seq("EXT-multimodal"),
       "audio lane: real RIFF/WAVE chunk walk over relationally-built PCM payloads, integer-exact loudness statistics",
       q234WavFeatures, Some(q234Sql)),
