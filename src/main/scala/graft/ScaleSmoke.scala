@@ -240,7 +240,19 @@ object ScaleSmoke {
       // q312: the broadcast test set scales with the corpus (mod rule),
       // so the distance matrix grows 100× at 10× — the smoke documents
       // that the EXACT arm is quadratic in the sample rules by design
-      "q311_suffix_ranks", "q312_knn_shapley")
+      "q311_suffix_ranks", "q312_knn_shapley",
+      // q313: the corpus is touched once (length-bucket groupBy); the
+      // Sinkhorn rounds run on bins²-sized frames, corpus-independent —
+      // the ratio measures the one scan (row added per r11 verdict ask)
+      "q313_sinkhorn_ot",
+      // round-12: q314 composes base+delta gram chains (both df-capped,
+      // the q290 shape); q315 is an artifact read + two (doc,pos)-keyed
+      // window joins + survivor-only text extension; q316's corpus work
+      // is one word-count scan (everything after runs on the
+      // frequency-cut type table); q317 is two collision-bounded band
+      // joins + a pair-keyed full-outer
+      "q314_trim_append", "q315_suffix_lcp", "q316_unigram_lm",
+      "q317_cross_modal_dup")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as
@@ -255,7 +267,28 @@ object ScaleSmoke {
     val builds = Seq(
       timed("ann_index_build") { operators.AnnIndex.ensure(spark, dir); () },
       timed("graph_index_build") { operators.GraphIndex.ensure(spark, dir); () },
-      timed("lsh_index_build") { operators.LshIndex.ensure(spark, dir); () })
+      timed("lsh_index_build") { operators.LshIndex.ensure(spark, dir); () },
+      timed("trim_index_build") { operators.TrimIndex.ensure(spark, dir); () },
+      timed("suffix_index_build") { operators.SuffixIndex.ensure(spark, dir); () },
+      timed("sem_codebook_build") { operators.SemCodebook.ensure(spark, dir); () })
+    // q267's long-pinned sufficient statistics are exact only while a
+    // user's rating count keeps the scaled term sums under 2^53 (the
+    // DECIMAL-parity bound is n_u ≈ 176, documented at the q267 site);
+    // TPC-H keeps per-customer lineitems far below it, but a future
+    // corpus with heavier fan-out must fail HERE, loudly, not by a
+    // silent exactness drift (ADVICE r11)
+    locally {
+      import org.apache.spark.sql.functions._
+      val maxNu = Tables.load(spark, dir, "lineitem")
+        .join(Tables.load(spark, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      require(maxNu <= 176L,
+        s"q267 long-sum exactness bound exceeded: max ratings/user $maxNu > 176 " +
+          "- move the five sufficient statistics back to DECIMAL(28,12) sums")
+      System.err.println(s"[scale-smoke] q267 exactness bound: max ratings/user = $maxNu (<= 176)")
+    }
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("q231_hyperball_sketch" -> operators.Mining.hyperballSketchOnly _)
         .filter(_._1.matches(pat))

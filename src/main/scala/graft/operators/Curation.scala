@@ -905,6 +905,13 @@ object Curation {
       sum(when($"lang" === "de", 1L).otherwise(0L)).as("nb"))
     val spine = s.range(0, OtBins).select($"id".cast("int").as("i"))
     val tot = counts.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    // degenerate-corpus guard (ADVICE r11): an empty language slice
+    // would null the marginals and every when($"a" > 0) arm would fall
+    // through to a silent all-zero plan — fail fast instead. One driver
+    // read of a 1-row aggregate.
+    val tr = tot.select(coalesce($"ta", lit(0L)), coalesce($"tb", lit(0L))).head()
+    require(tr.getLong(0) > 0 && tr.getLong(1) > 0,
+      s"q313 needs both language slices non-empty, got en=${tr.getLong(0)} de=${tr.getLong(1)}")
     val ab = spine
       .join(counts.withColumnRenamed("b", "i"), Seq("i"), "left")
       .crossJoin(broadcast(tot))

@@ -42,9 +42,12 @@ class EdJoinSpec extends AnyFunSuite {
     val twins = base.filter(_._1 % 10 == 0).map { case (id, k) =>
       val kd = k.substring(0, math.min(4, k.length)) +
         (if (k.length > 5) k.substring(5) else "")
-      val kt =
-        if (kd.length > 20) kd.substring(0, 19) + "q" + kd.substring(20)
-        else kd
+      // mirror the query's SQL exactly: concat(substring(kd,1,19), 'q',
+      // substring(kd,21)) — substring past the end is "", so a short kd
+      // still gains the 'q' (take/drop are the Scala equivalents; the
+      // previous `if (kd.length > 20)` guard left short keys unchanged
+      // and would diverge from the query on a short-text corpus)
+      val kt = kd.take(19) + "q" + kd.drop(20)
       (id + operators.Dedup.TwinOffset, kt)
     }
     val u = base ++ twins
