@@ -1099,15 +1099,21 @@ object Platform {
     }
     val reps = t(s, dir, "orders")
       .select($"o_orderkey", $"o_totalprice".cast(dec).as("x"),
-        explode(sequence(lit(0), lit(BootReps - 1))).as("rep"))
+        explode(sequence(lit(0), lit(BootReps / 4 - 1))).as("blk"))
       // one md5 per 4-REPLICATE block: the digest's 32 hex digits carry
-      // four independent 8-hex unit-line coins (lane = rep % 4), so the
-      // scan hashes BootReps/4 times per row, not BootReps (the q294
-      // lesson applied here: md5 volume, 9.2 s -> ~4 s at sf0.1)
-      .withColumn("h", substring(md5(concat(lit("bs:"),
-        floor($"rep" / 4).cast("int").cast("string"), lit(":"),
-        $"o_orderkey".cast("string"))),
-        ($"rep" % 4).cast("int") * 8 + 1, lit(8)))
+      // four independent 8-hex unit-line coins (lane = rep % 4). Round
+      // 12: the digest is computed on the BLOCK row and the lanes
+      // explode AFTER it — the earlier rep-first explode re-evaluated
+      // the identical md5 on all four lane rows (projection expressions
+      // don't CSE across generated rows), 4.8M hashes instead of 1.2M
+      // at sf0.1. Values are bit-identical: h(rep) still reads lane
+      // rep%4 of digest(bs:⌊rep/4⌋:key).
+      .withColumn("hh", md5(concat(lit("bs:"), $"blk".cast("string"),
+        lit(":"), $"o_orderkey".cast("string"))))
+      .select($"o_orderkey", $"x", $"blk", $"hh",
+        explode(sequence(lit(0), lit(3))).as("lane"))
+      .select($"o_orderkey", $"x", ($"blk" * 4 + $"lane").as("rep"),
+        $"hh".substr($"lane" * 8 + 1, lit(8)).as("h"))
       .withColumn("w", w)
       .groupBy($"rep")
       .agg(sum($"w").as("n"), sum($"x" * $"w").as("sx"))
