@@ -256,10 +256,27 @@ object Bpe {
     */
   def q316UnigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // round 12: the trainer runs once per corpus fingerprint inside the
+    // [[UlmIndex]] artifact build (tokenizers are trained once and
+    // shipped — the SuffixIndex/SemCodebook posture); q316 reads the
+    // committed vocabulary and its oracle still replays the full
+    // trainer relationally per gate run. q318 encodes with the same
+    // artifact.
+    UlmIndex.vocab(s, dir)
+      .select($"piece", $"cnt".as("n_uses"), $"p".as("prob"))
+      .orderBy($"piece")
+  }
+
+  /** The full trainer over an explicit (doc_id, text) frame — the seam
+    * [[UlmIndex.build]] shares with q316's oracle contract. Returns the
+    * final vocabulary (piece, cnt, p) with pinned probabilities.
+    */
+  private[operators] def unigramTrain(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
     // all three vocabulary cuts below are CONSTANT-bounded (TrainWords /
     // SeedN / VocabTarget), so they are orderBy().limit() TakeOrdered
     // heaps — the ivfCodebookOf shape — never a global rank
-    val words = t(s, dir, "documents")
+    val words = docs
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 1 && length($"w") <= UlmMaxWordLen)
       .groupBy($"w").agg(count(lit(1)).as("wc"))
@@ -340,9 +357,8 @@ object Bpe {
     val c2 = emIter(probsOf(vocab2Cnt)).persist()
     val tot2 = c2.agg(sum($"cnt").as("tot"))
     c2.crossJoin(broadcast(tot2))
-      .select($"piece", $"cnt".as("n_uses"),
-        round($"cnt".cast("double") / $"tot".cast("double"), 12).as("prob"))
-      .orderBy($"piece")
+      .select($"piece", $"cnt",
+        round($"cnt".cast("double") / $"tot".cast("double"), 12).as("p"))
   }
 
   /** The oracle replays the identical trainer: same seed ranks, same
@@ -350,7 +366,18 @@ object Bpe {
     * closure level evaluates once), same pinned equalities and
     * normalizations.
     */
-  private def q316Sql: String = {
+  private def q316Sql: String =
+    s"""WITH $ulmTrainCtes
+      |SELECT piece, cnt AS n_uses,
+      |  round(CAST(cnt AS DOUBLE) /
+      |        CAST((SELECT sum(cnt) FROM cnt2) AS DOUBLE), 12) AS prob
+      |FROM cnt2
+      |ORDER BY piece""".stripMargin
+
+  /** The trainer's full relational chain through `cnt2` (the final
+    * counts) — shared by q316's and q318's oracles.
+    */
+  private def ulmTrainCtes: String = {
     def emBlock(i: Int, vocabCte: String): String = {
       val m0 =
         s"""m${i}_0 AS MATERIALIZED (
@@ -391,7 +418,7 @@ object Bpe {
         |  WHERE (fv * e.p) * gv = zv AND zv > 0
         |  GROUP BY 1)""".stripMargin
     }
-    s"""WITH wraw AS (
+    s"""wraw AS (
       |  SELECT w, CAST(count(*) AS BIGINT) AS wc, len(w) AS wl
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
       |  WHERE len(w) >= 1 AND len(w) <= $UlmMaxWordLen
@@ -430,15 +457,132 @@ object Bpe {
       |    round(CAST(cnt AS DOUBLE) /
       |          CAST((SELECT sum(cnt) FROM v2base) AS DOUBLE), 12) AS p
       |  FROM v2base),
-      |${emBlock(2, "vocab2")}
-      |SELECT piece, cnt AS n_uses,
-      |  round(CAST(cnt AS DOUBLE) /
-      |        CAST((SELECT sum(cnt) FROM cnt2) AS DOUBLE), 12) AS prob
-      |FROM cnt2
-      |ORDER BY piece""".stripMargin
+      |${emBlock(2, "vocab2")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q318
+
+  /** q318: UNIGRAM-LM ENCODE — the apply side of q316 (what q152 is to
+    * q136): every distinct corpus word ≤ [[UlmMaxWordLen]] chars is
+    * Viterbi-segmented under the COMMITTED [[UlmIndex]] vocabulary and
+    * the per-language token economics (tokens/word, chars/token — the
+    * numbers that price a training run) roll up from the type table.
+    * The best segmentation's TOKEN COUNT needs a deterministic
+    * tie-break among co-optimal paths, so the closure runs in the
+    * tropical-LEX semiring: entries carry (v, −ntok) structs, multiply
+    * is (product, sum), and the max is lexicographic — probability
+    * first, then FEWEST tokens (struct max; associative, so the same
+    * [[UlmRounds]] squaring rounds apply, and DuckDB's struct max
+    * reproduces the order exactly). A word whose every segmentation
+    * has pinned probability 0 (all its pieces pruned to zero mass)
+    * still encodes — all path values tie at 0.0 and the lex tie-break
+    * picks the fewest-token cover, identically in both engines.
+    * Corpus-sized work is ONE (lang, word)-count scan; the closure is
+    * vocabulary-sized.
+    */
+  def q318UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = UlmIndex.vocab(s, dir).select($"piece", $"p")
+    val lw = t(s, dir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= UlmMaxWordLen)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val ewords = lw.select($"w").distinct()
+      .withColumn("wl", length($"w")).persist()
+    val edges = ewords
+      .select($"w", $"wl", explode(sequence(lit(0), $"wl" - 1)).as("a"))
+      .select($"w", $"wl", $"a",
+        explode(sequence(lit(1), least(lit(UlmMaxPiece), $"wl" - $"a"))).as("l"))
+      .select($"w", $"a", ($"a" + $"l").as("b"),
+        expr("substring(w, a + 1, l)").as("piece"))
+      .join(vocab, Seq("piece"))
+    var m = edges
+      .select($"w", $"a".as("i"), $"b".as("j"),
+        struct($"p".as("v"), lit(-1).as("nt")).as("m"))
+      .unionByName(ewords
+        .select($"w", explode(sequence(lit(0), $"wl")).as("i"))
+        .select($"w", $"i", $"i".as("j"),
+          struct(lit(1.0).as("v"), lit(0).as("nt")).as("m")))
+      .localCheckpoint()
+    for (k <- 1 to UlmRounds) {
+      val sq = m.as("x").join(m.as("y"),
+          col("x.w") === col("y.w") && col("x.j") === col("y.i"))
+        .select(col("x.w").as("w"), col("x.i").as("i"), col("y.j").as("j"),
+          struct((col("x.m.v") * col("y.m.v")).as("v"),
+            (col("x.m.nt") + col("y.m.nt")).as("nt")).as("m"))
+        .groupBy($"w", $"i", $"j").agg(max($"m").as("m"))
+      m = if (k % 2 == 0 || k == UlmRounds) sq.localCheckpoint() else sq
+    }
+    val enc = m.join(ewords, Seq("w"))
+      .filter($"i" === 0 && $"j" === $"wl")
+      .select($"w", (-$"m.nt").cast("long").as("ntok"),
+        $"wl".cast("long").as("nchar"))
+    lw.join(enc, Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_words"),
+        sum($"cnt" * $"ntok").as("n_tokens"),
+        sum($"cnt" * $"nchar").as("n_chars"))
+      .select($"lang", $"n_words", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_words", 6).as("tokens_per_word"),
+        round($"n_chars".cast("double") / $"n_tokens", 6).as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  private def q318Sql: String = {
+    val rounds = (1 to UlmRounds).map { k =>
+      s"""e$k AS MATERIALIZED (
+        |  SELECT x.w, x.i, y.j,
+        |    max(struct_pack(v := x.m.v * y.m.v, nt := x.m.nt + y.m.nt)) AS m
+        |  FROM e${k - 1} x JOIN e${k - 1} y ON x.w = y.w AND x.j = y.i
+        |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ulmTrainCtes,
+      |vocabF AS (
+      |  SELECT piece,
+      |    round(CAST(cnt AS DOUBLE) /
+      |          CAST((SELECT sum(cnt) FROM cnt2) AS DOUBLE), 12) AS p
+      |  FROM cnt2),
+      |lw AS (
+      |  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE len(w) >= 1 AND len(w) <= $UlmMaxWordLen
+      |  GROUP BY 1, 2),
+      |ew AS (SELECT w, len(w) AS wl FROM (SELECT DISTINCT w FROM lw)),
+      |epos AS (SELECT w, wl, unnest(generate_series(0, wl - 1)) AS a FROM ew),
+      |eed AS MATERIALIZED (
+      |  SELECT e.w, e.a, e.b, v.p
+      |  FROM (SELECT p.w, p.a, p.a + l.l AS b,
+      |          substr(p.w, CAST(p.a + 1 AS INT), CAST(l.l AS INT)) AS piece
+      |        FROM epos p
+      |        CROSS JOIN (SELECT unnest(generate_series(1, $UlmMaxPiece)) AS l) l
+      |        WHERE p.a + l.l <= p.wl) e
+      |  JOIN vocabF v USING (piece)),
+      |e0 AS MATERIALIZED (
+      |  SELECT w, a AS i, b AS j, struct_pack(v := p, nt := -1) AS m FROM eed
+      |  UNION ALL
+      |  SELECT w, d.i, d.i, struct_pack(v := 1e0, nt := 0)
+      |  FROM (SELECT w, unnest(generate_series(0, wl)) AS i FROM ew) d),
+      |$rounds,
+      |enc AS (
+      |  SELECT m.w, CAST(-(m.m.nt) AS BIGINT) AS ntok
+      |  FROM e$UlmRounds m JOIN ew USING (w)
+      |  WHERE m.i = 0 AND m.j = wl)
+      |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(cnt * ntok) AS DOUBLE) /
+      |        CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_word,
+      |  round(CAST(sum(cnt * len(w)) AS DOUBLE) /
+      |        CAST(sum(cnt * ntok) AS DOUBLE), 6) AS chars_per_token
+      |FROM lw JOIN enc USING (w)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
   }
 
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q318_unigram_encode", Seq("EXT-text", "A2", "J1"),
+      "unigram-LM encode with the committed vocabulary: tropical-lex (probability, fewest-tokens) matrix-closure Viterbi, per-language token economics",
+      q318UnigramEncode, Some(q318Sql)),
     GraftQuery("q136_bpe_train", Seq("EXT-text", "A2"),
       "BPE merge training: one corpus pass, K vocabulary-local merge rounds, engine-deterministic merge table",
       q136BpeTrain, Some(q136Sql)),

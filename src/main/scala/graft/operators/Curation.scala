@@ -1013,7 +1013,101 @@ object Curation {
       |ORDER BY plan.i, plan.j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q319
+
+  /** q319 geometry: a position starts a noise span with probability
+    * [[ScStartP]] = 0.05 = corruption-rate 0.15 / mean-span 3 (T5's
+    * defaults), span length 1 + md5-lane % [[ScLenMod]] (uniform 1..5,
+    * mean 3). Deterministic md5 coins (the q264/q299 idiom).
+    */
+  val ScLenMod = 5
+  val ScStartHex = "0ccccccd" // 0.05 of the 32-bit lane
+
+  /** q319: SPAN-CORRUPTION BATCH PREP (T5 / UL2 denoising objective —
+    * Raffel et al. 2020 §3.1.4) — the per-document accounting a
+    * pretraining data loader needs BEFORE a batch is shaped: noise-span
+    * starts are drawn per position from deterministic md5 coins, spans
+    * extend 1..[[ScLenMod]] tokens (clipped at the document end), and
+    * OVERLAPPING spans merge (the standard implementation detail —
+    * each maximal noised run becomes ONE sentinel). Per doc: token
+    * count, noised-token count, merged-span (=sentinel) count, and the
+    * resulting encoder/decoder lengths — inputs = kept + one sentinel
+    * per span, targets = noised + one sentinel per span + EOS — the
+    * exact numbers that size a packed batch (q297's packer consumes
+    * lengths like these). Scale shape: one explode over token
+    * positions, the run-grouping window keyed per doc (q290's rid
+    * device), everything else per-doc aggregates.
+    */
+  def q319SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .filter($"n" >= 1)
+      .persist()
+    val pos = docs
+      .select($"doc_id", $"n", explode(sequence(lit(1L), $"n")).as("i"))
+      .withColumn("h", md5(concat(lit("sc:"), $"doc_id".cast("string"),
+        lit(":"), $"i".cast("string"))))
+    val starts = pos
+      .filter(substring($"h", 1, 8) < ScStartHex)
+      .withColumn("len",
+        lit(1L) + conv(substring($"h", 9, 8), 16, 10).cast("long") % ScLenMod)
+    val covered = starts
+      .select($"doc_id",
+        explode(sequence($"i", least($"i" + $"len" - 1, $"n"))).as("pos"))
+      .distinct()
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = covered
+      .withColumn("rid", $"pos" - row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_noised"), count_distinct($"rid").as("n_spans"))
+    docs.join(runs, Seq("doc_id"), "left")
+      .select($"doc_id", $"n".as("n_tokens"),
+        coalesce($"n_noised", lit(0L)).as("n_noised"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        ($"n" - coalesce($"n_noised", lit(0L)) +
+          coalesce($"n_spans", lit(0L))).as("inputs_len"),
+        (coalesce($"n_noised", lit(0L)) +
+          coalesce($"n_spans", lit(0L)) + 1).as("targets_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q319Sql =
+    s"""WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 1),
+      |pos AS (
+      |  SELECT doc_id, n, i, md5('sc:' || doc_id || ':' || i) AS h
+      |  FROM (SELECT doc_id, n, unnest(generate_series(1, n)) AS i FROM d)),
+      |st AS (
+      |  SELECT doc_id, n, i,
+      |    1 + (('0x' || substr(h, 9, 8))::BIGINT % $ScLenMod) AS len
+      |  FROM pos WHERE substr(h, 1, 8) < '$ScStartHex'),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, i + o AS p
+      |  FROM st, unnest(generate_series(0, least(len - 1, n - i))) AS t(o)),
+      |runs AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_noised,
+      |    CAST(count(DISTINCT rid) AS BIGINT) AS n_spans
+      |  FROM (SELECT doc_id, p,
+      |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      |        FROM cov)
+      |  GROUP BY 1)
+      |SELECT d.doc_id, d.n AS n_tokens,
+      |  coalesce(r.n_noised, 0) AS n_noised,
+      |  coalesce(r.n_spans, 0) AS n_spans,
+      |  CAST(d.n - coalesce(r.n_noised, 0) + coalesce(r.n_spans, 0) AS BIGINT)
+      |    AS inputs_len,
+      |  CAST(coalesce(r.n_noised, 0) + coalesce(r.n_spans, 0) + 1 AS BIGINT)
+      |    AS targets_len
+      |FROM d LEFT JOIN runs r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q319_span_corruption", Seq("EXT-curation", "EXT-text"),
+      "T5/UL2 span-corruption batch prep: md5-coin span starts, clipped 1..5 lengths, overlapping spans merged to sentinels, encoder/decoder length accounting",
+      q319SpanCorruption, Some(q319Sql)),
     GraftQuery("q313_sinkhorn_ot", Seq("EXT-curation", "EXT-approx"),
       "Sinkhorn entropic optimal transport between corpus length distributions: fixed-round matrix scaling, decimal-pinned kernel products inside the iteration, bins-squared bounded frames",
       q313SinkhornOt, Some(q313Sql)),

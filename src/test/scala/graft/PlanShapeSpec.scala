@@ -187,6 +187,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q313: bins²-bounded products — the 10×10 kernel spine, the
     //    1-row histogram-total and transport-cost scalar attaches; the
     //    corpus is touched once, in the length-bucket groupBy
+    //  - q316: crossJoin(broadcast(<1-row count total>)) onto the
+    //    vocabulary table per M-step normalization (scalar attach,
+    //    three times: seed, pruned, final)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
@@ -208,7 +211,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q287_abc_classification",
       "q292_incremental_semdedup", "q293_incremental_dsir",
       "q309_unimax_allocation", "q312_knn_shapley",
-      "q313_sinkhorn_ot")),
+      "q313_sinkhorn_ot", "q316_unigram_lm")),
       s"unexpected cross products in: $offenders")
   }
 
