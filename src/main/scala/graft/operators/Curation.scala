@@ -895,7 +895,6 @@ object Curation {
     */
   def q313SinkhornOt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val docs = t(s, dir, "documents")
       .filter($"lang".isin("en", "de"))
       .select(least(lit(OtBins - 1),
@@ -903,60 +902,64 @@ object Curation {
     val counts = docs.groupBy($"b").agg(
       sum(when($"lang" === "en", 1L).otherwise(0L)).as("na"),
       sum(when($"lang" === "de", 1L).otherwise(0L)).as("nb"))
-    val spine = s.range(0, OtBins).select($"id".cast("int").as("i"))
-    val tot = counts.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
-    // degenerate-corpus guard (ADVICE r11): an empty language slice
-    // would null the marginals and every when($"a" > 0) arm would fall
-    // through to a silent all-zero plan — fail fast instead. One driver
-    // read of a 1-row aggregate.
-    val tr = tot.select(coalesce($"ta", lit(0L)), coalesce($"tb", lit(0L))).head()
-    require(tr.getLong(0) > 0 && tr.getLong(1) > 0,
-      s"q313 needs both language slices non-empty, got en=${tr.getLong(0)} de=${tr.getLong(1)}")
-    val ab = spine
-      .join(counts.withColumnRenamed("b", "i"), Seq("i"), "left")
-      .crossJoin(broadcast(tot))
-      .select($"i",
-        (coalesce($"na", lit(0L)).cast("double") / $"ta").as("a"),
-        (coalesce($"nb", lit(0L)).cast("double") / $"tb").as("bm"))
-      .persist()
-    val k = spine.select($"i")
-      .crossJoin(spine.select($"i".as("j")))
-      .select($"i", $"j", round(exp(-abs($"i" - $"j")), 12).as("kij"))
-      .persist()
-    var u = ab.select($"i", lit(1.0).as("ui"))
-    var v = ab.select($"i".as("j"), lit(1.0).as("vj"))
-    for (_ <- 1 to OtIters) {
-      val su = k.join(v, Seq("j"))
-        .groupBy($"i")
-        .agg(sum(round($"kij" * $"vj", 12).cast(dec)).as("s"))
-      u = ab.join(su, Seq("i"))
-        .select($"i", when($"a" > 0, $"a" / $"s".cast("double"))
-          .otherwise(lit(0.0)).as("ui"))
-      val sv = k.join(u, Seq("i"))
-        .groupBy($"j")
-        .agg(sum(round($"kij" * $"ui", 12).cast(dec)).as("s"))
-      v = ab.select($"i".as("j"), $"bm").join(sv, Seq("j"))
-        .select($"j", when($"bm" > 0, $"bm" / $"s".cast("double"))
-          .otherwise(lit(0.0)).as("vj"))
-      // checkpoint EVERY round: with bins-sized frames the binding cost
-      // is Catalyst re-optimizing a growing join tree, not the
-      // materialization (checkpointing every 5th round measured ~1.7x
-      // slower than per-round)
-      u = u.localCheckpoint()
-      v = v.localCheckpoint()
+    // The corpus is touched exactly once (the length-bucket groupBy
+    // above); everything after is OtBins-bounded — 10 marginal values
+    // and a 10×10 kernel — so the 15 scaling rounds run DRIVER-SIDE on
+    // the collected histogram (the decile-edges/offset-map bounded-
+    // collect class; round 11 ran them as 30 localCheckpointed 10-row
+    // jobs and paid ~7 s of pure scheduling). Every operation below
+    // replicates the engine arithmetic bit-for-bit: round(x, n) =
+    // BigDecimal.valueOf(x).setScale(n, HALF_UP) (Spark's Round on
+    // DoubleType), the DECIMAL(28,12) sums are exact BigDecimal sums of
+    // the 12dp-rounded terms (valueOf + setScale(12) recovers the exact
+    // 12dp decimal: the double is within 1e-16 of it, far inside the
+    // 5e-13 rounding granularity), divisions and the (ui·kij)·vj
+    // product keep the Spark expression's association order, and
+    // exp = java.lang.Math.exp — the same JVM intrinsic Spark's codegen
+    // calls. The DuckDB oracle is untouched and re-proves equality per
+    // gate run.
+    val hist = counts.collect()
+    val na = Array.fill(OtBins)(0L)
+    val nb = Array.fill(OtBins)(0L)
+    hist.foreach { r =>
+      val b = r.getInt(0); na(b) = r.getLong(1); nb(b) = r.getLong(2)
     }
-    val plan = k.join(u, Seq("i")).join(v, Seq("j"))
-      .select($"i", $"j", ($"ui" * $"kij" * $"vj").as("p"))
-    val cost = plan
-      .agg(sum(round($"p" * abs($"i" - $"j"), 12).cast(dec))
-        .cast("double").as("c"))
-      .select(round($"c", 8).as("transport_cost"))
-    plan
-      .join(ab.select($"i", round($"a", 8).as("mass_en")), Seq("i"))
-      .join(ab.select($"i".as("j"), round($"bm", 8).as("mass_de")), Seq("j"))
-      .crossJoin(broadcast(cost))
-      .select($"i", $"j", round($"p", 8).as("plan"),
-        $"mass_en", $"mass_de", $"transport_cost")
+    val ta = na.sum
+    val tb = nb.sum
+    // degenerate-corpus guard (ADVICE r11): an empty language slice
+    // would zero the marginals and emit a silent all-zero plan
+    require(ta > 0 && tb > 0,
+      s"q313 needs both language slices non-empty, got en=$ta de=$tb")
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rnd(x: Double, sc: Int): Double =
+      JBD.valueOf(x).setScale(sc, RM.HALF_UP).doubleValue
+    def exact12(x: Double): JBD = JBD.valueOf(x).setScale(12, RM.HALF_UP)
+    val a = Array.tabulate(OtBins)(i => na(i).toDouble / ta.toDouble)
+    val bm = Array.tabulate(OtBins)(j => nb(j).toDouble / tb.toDouble)
+    val km = Array.tabulate(OtBins, OtBins)((i, j) =>
+      rnd(math.exp(-math.abs(i - j).toDouble), 12))
+    val u = Array.fill(OtBins)(1.0)
+    val v = Array.fill(OtBins)(1.0)
+    for (_ <- 1 to OtIters) {
+      for (i <- 0 until OtBins) {
+        var su = JBD.ZERO
+        for (j <- 0 until OtBins) su = su.add(exact12(rnd(km(i)(j) * v(j), 12)))
+        u(i) = if (a(i) > 0) a(i) / su.doubleValue else 0.0
+      }
+      for (j <- 0 until OtBins) {
+        var sv = JBD.ZERO
+        for (i <- 0 until OtBins) sv = sv.add(exact12(rnd(km(i)(j) * u(i), 12)))
+        v(j) = if (bm(j) > 0) bm(j) / sv.doubleValue else 0.0
+      }
+    }
+    def p(i: Int, j: Int): Double = (u(i) * km(i)(j)) * v(j)
+    var costSum = JBD.ZERO
+    for (i <- 0 until OtBins; j <- 0 until OtBins)
+      costSum = costSum.add(exact12(rnd(p(i, j) * math.abs(i - j).toDouble, 12)))
+    val cost = rnd(costSum.doubleValue, 8)
+    val rows = for (i <- 0 until OtBins; j <- 0 until OtBins)
+      yield (i, j, rnd(p(i, j), 8), rnd(a(i), 8), rnd(bm(j), 8), cost)
+    rows.toDF("i", "j", "plan", "mass_en", "mass_de", "transport_cost")
       .orderBy($"i", $"j")
   }
 
