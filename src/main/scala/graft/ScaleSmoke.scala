@@ -252,7 +252,10 @@ object ScaleSmoke {
       // frequency-cut type table); q317 is two collision-bounded band
       // joins + a pair-keyed full-outer
       "q314_trim_append", "q315_suffix_lcp", "q316_unigram_lm",
-      "q317_cross_modal_dup")
+      "q317_cross_modal_dup",
+      // q318's closure is vocabulary-bounded (one corpus word-count
+      // scan); q319 is one position explode + per-doc run windows
+      "q318_unigram_encode", "q319_span_corruption")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as
@@ -270,7 +273,8 @@ object ScaleSmoke {
       timed("lsh_index_build") { operators.LshIndex.ensure(spark, dir); () },
       timed("trim_index_build") { operators.TrimIndex.ensure(spark, dir); () },
       timed("suffix_index_build") { operators.SuffixIndex.ensure(spark, dir); () },
-      timed("sem_codebook_build") { operators.SemCodebook.ensure(spark, dir); () })
+      timed("sem_codebook_build") { operators.SemCodebook.ensure(spark, dir); () },
+      timed("ulm_vocab_build") { operators.UlmIndex.ensure(spark, dir); () })
     // q267's long-pinned sufficient statistics are exact only while a
     // user's rating count keeps the scaled term sums under 2^53 (the
     // DECIMAL-parity bound is n_u ≈ 176, documented at the q267 site);
