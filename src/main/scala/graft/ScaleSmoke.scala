@@ -255,7 +255,11 @@ object ScaleSmoke {
       "q317_cross_modal_dup",
       // q318's closure is vocabulary-bounded (one corpus word-count
       // scan); q319 is one position explode + per-doc run windows
-      "q318_unigram_encode", "q319_span_corruption")
+      "q318_unigram_encode", "q319_span_corruption",
+      // q320: one q307-shaped scoring pass + DrmRounds filtered
+      // groupBys over the persisted doc-stats frame (solver driver-side
+      // on |domains| rows)
+      "q320_doremi")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

@@ -1107,7 +1107,157 @@ object Curation {
       |FROM d LEFT JOIN runs r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q320
+
+  /** q320 geometry: [[DrmRounds]] multiplicative-weights rounds with
+    * step [[DrmEta]]; each round's domain weights mix with uniform at
+    * [[DrmSmooth]] ([[DrmKeep]] = 1 − smooth is its OWN constant so
+    * both engines use the identical double literal, never a computed
+    * 1.0 − 0.1).
+    */
+  val DrmRounds = 8
+  val DrmEta = 1.0
+  val DrmSmooth = 0.1
+  val DrmKeep = 0.9
+
+  /** q320: DOREMI DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * the Group-DRO mixture optimizer, batch-shaped): domains are the
+    * `lang` column; per-document EXCESS LOSS is max(0, proxy − ref)
+    * cross-entropy under q307's two bigram LMs (ref = the in-domain
+    * slice's model, proxy = the general slice's — reusing
+    * [[TextAnalysis.mooreLewisScores]] verbatim); each round draws a
+    * weight-proportional sample per domain (deterministic md5 coins,
+    * the q299 unit-line device — inclusion probability IS the current
+    * weight, so the minibatch composition tracks the mixture exactly
+    * as DoReMi's sampler does), measures the sampled per-domain mean
+    * excess, and updates weights by multiplicative weights with
+    * uniform smoothing: α ← norm(α·(1 + η·λ̄))·(1−c) + c/|D| — the
+    * rational first-order form of DoReMi's exponentiated gradient
+    * (Arora et al.'s MWU), chosen because exp of DATA-DEPENDENT
+    * arguments at 12dp pinning would expose cross-engine libm ulp
+    * differences where pure +,·,/ are IEEE-identical by construction. Output is
+    * the whole trajectory — one row per (round, domain) with the
+    * sample size, the measured excess, and the weight — so a single
+    * drifted round anywhere breaks the hash. Engine determinism: the
+    * per-round update runs DRIVER-SIDE on the |domains|-row collect
+    * (the q313 bounded-solver class; the corpus-sized work is the one
+    * scoring pass plus one filtered groupBy per round over the pooled
+    * doc-stats frame), with sums as exact DECIMAL(18,6)/(18,12)
+    * reductions, round = BigDecimal HALF_UP (Spark's Round), and the
+    * update rule is transcendental-free (see above).
+    */
+  def q320Doremi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = TextAnalysis.mooreLewisScores(s, dir)
+    val coins = (1 to DrmRounds).map { t =>
+      ((conv(substring(md5(concat(lit(s"drm:$t:"), $"doc_id".cast("string"))),
+        1, 8), 16, 10).cast("long").cast("double") + lit(0.5)) /
+        lit(4294967296.0)).as(s"u$t")
+    }
+    val pool = scores
+      .join(t(s, dir, "documents").select($"doc_id", $"lang"), Seq("doc_id"))
+      .select(Seq($"doc_id", $"lang",
+        round(greatest(lit(0.0), $"ce_gen" - $"ce_in"), 6).as("excess")) ++
+        coins: _*)
+      .persist()
+    val langs = pool.select($"lang").distinct()
+      .as[String].collect().sorted
+    require(langs.nonEmpty, "q320 needs a non-empty scored pool")
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rnd(x: Double, sc: Int): Double =
+      JBD.valueOf(x).setScale(sc, RM.HALF_UP).doubleValue
+    val ndD = langs.length.toDouble
+    var alpha = langs.map(l => l -> rnd(1.0 / ndD, 12)).toMap
+    val out = Seq.newBuilder[(Int, String, Long, Double, Double)]
+    langs.foreach(l => out += ((0, l, 0L, 0.0, alpha(l))))
+    for (t <- 1 to DrmRounds) {
+      val aCol = langs.tail.foldLeft(
+        when($"lang" === langs.head, lit(alpha(langs.head)))) {
+        (c, l) => c.when($"lang" === l, lit(alpha(l)))
+      }.otherwise(lit(0.0))
+      val rows = pool.filter(col(s"u$t") < aCol)
+        .groupBy($"lang")
+        .agg(sum($"excess".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("se"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+      val lam = langs.map { l =>
+        l -> rows.get(l).map { case (se, n) => se.doubleValue / n.toDouble }
+          .getOrElse(0.0)
+      }.toMap
+      val ap = langs.map(l =>
+        l -> rnd(alpha(l) * rnd(1.0 + DrmEta * lam(l), 12), 12)).toMap
+      var sBD = JBD.ZERO
+      langs.foreach(l => sBD = sBD.add(
+        JBD.valueOf(ap(l)).setScale(12, RM.HALF_UP)))
+      val sD = sBD.doubleValue
+      alpha = langs.map(l =>
+        l -> rnd(DrmKeep * (ap(l) / sD) + DrmSmooth / ndD, 12)).toMap
+      langs.foreach { l =>
+        out += ((t, l, rows.get(l).map(_._2).getOrElse(0L),
+          rnd(lam(l), 6), alpha(l)))
+      }
+    }
+    out.result().toDF("round", "lang", "n_sampled", "lambda", "weight")
+      .orderBy($"round", $"lang")
+  }
+
+  private def q320Sql: String = {
+    val coinCols = (1 to DrmRounds).map { t =>
+      s"(('0x' || substr(md5('drm:$t:' || s.doc_id), 1, 8))::BIGINT + 0.5e0)" +
+        s" / 4294967296e0 AS u$t"
+    }.mkString(",\n|    ")
+    val rounds = (1 to DrmRounds).map { t =>
+      s"""s$t AS (
+        |  SELECT p.lang, sum(CAST(p.excess AS DECIMAL(18,6))) AS se,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pool p JOIN r${t - 1} r ON r.lang = p.lang
+        |  WHERE p.u$t < r.alpha
+        |  GROUP BY 1),
+        |e$t AS (
+        |  SELECT r.lang, r.alpha,
+        |    coalesce(CAST(s.se AS DOUBLE) / s.n, 0.0e0) AS lam,
+        |    coalesce(s.n, 0) AS n
+        |  FROM r${t - 1} r LEFT JOIN s$t s ON s.lang = r.lang),
+        |a$t AS (
+        |  SELECT lang, n, lam,
+        |    round(alpha * round(1.0 + $DrmEta * lam, 12), 12) AS ap
+        |  FROM e$t),
+        |r$t AS MATERIALIZED (
+        |  SELECT lang, n, lam,
+        |    round($DrmKeep * (ap /
+        |      (SELECT CAST(sum(CAST(ap AS DECIMAL(18,12))) AS DOUBLE) FROM a$t))
+        |      + $DrmSmooth / (SELECT CAST(count(*) AS DOUBLE) FROM r0), 12)
+        |      AS alpha
+        |  FROM a$t)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to DrmRounds).map(t =>
+      s"SELECT $t AS round, lang, n AS n_sampled, round(lam, 6) AS lambda," +
+        s" alpha AS weight FROM r$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${TextAnalysis.mlAggCtes},
+      |pool AS MATERIALIZED (
+      |  SELECT s.doc_id, d.lang,
+      |    round(greatest(0.0e0, s.ce_gen - s.ce_in), 6) AS excess,
+      |    $coinCols
+      |  FROM agg s JOIN documents d ON d.doc_id = s.doc_id),
+      |r0 AS MATERIALIZED (
+      |  SELECT lang,
+      |    round(1.0 / (SELECT CAST(count(DISTINCT lang) AS DOUBLE) FROM pool),
+      |      12) AS alpha
+      |  FROM (SELECT DISTINCT lang FROM pool)),
+      |$rounds
+      |SELECT 0 AS round, lang, CAST(0 AS BIGINT) AS n_sampled,
+      |  0.0e0 AS lambda, alpha AS weight FROM r0
+      |UNION ALL $outs
+      |ORDER BY round, lang""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q320_doremi", Seq("EXT-curation", "EXT-text", "A2"),
+      "DoReMi domain reweighting: per-domain excess loss under q307's two LMs, weight-proportional md5-coin minibatches, multiplicative-weights trajectory with uniform smoothing",
+      q320Doremi, Some(q320Sql)),
     GraftQuery("q319_span_corruption", Seq("EXT-curation", "EXT-text"),
       "T5/UL2 span-corruption batch prep: md5-coin span starts, clipped 1..5 lengths, overlapping spans merged to sentinels, encoder/decoder length accounting",
       q319SpanCorruption, Some(q319Sql)),

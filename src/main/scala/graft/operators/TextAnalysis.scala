@@ -1572,6 +1572,21 @@ object TextAnalysis {
     */
   def q307MooreLewis(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val agg = mooreLewisScores(s, dir)
+    val (ranked, n) = graft.operators.GlobalRank.withGlobalRankCounted(
+      agg, "rk", $"ce_diff".asc, $"doc_id".asc)
+    ranked
+      .select($"doc_id", $"n_bigrams", $"ce_in", $"ce_gen", $"ce_diff",
+        ($"rk" * 4 <= n).as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** q307's per-document cross-entropy table (doc_id, n_bigrams, ce_in,
+    * ce_gen, ce_diff) over the pool slice — factored so q320 (DoReMi
+    * domain reweighting) consumes the same two-model scores.
+    */
+  private[operators] def mooreLewisScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val toks = t(s, dir, "documents")
       .select($"doc_id", split(lower($"text"), " ").as("w"))
       .filter(size($"w") >= 2)
@@ -1606,21 +1621,29 @@ object TextAnalysis {
       .select($"doc_id",
         nll($"c2_in", $"c1_in", inV).as("nll_in"),
         nll($"c2_gen", $"c1_gen", genV).as("nll_gen"))
-    val agg = scored.groupBy($"doc_id")
+    scored.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg($"nll_in"), 6).as("ce_in"),
         round(avg($"nll_gen"), 6).as("ce_gen"),
         round(avg($"nll_in" - $"nll_gen"), 6).as("ce_diff"))
-    val (ranked, n) = graft.operators.GlobalRank.withGlobalRankCounted(
-      agg, "rk", $"ce_diff".asc, $"doc_id".asc)
-    ranked
-      .select($"doc_id", $"n_bigrams", $"ce_in", $"ce_gen", $"ce_diff",
-        ($"rk" * 4 <= n).as("selected"))
-      .orderBy($"doc_id")
   }
 
   private val q307Sql =
-    s"""WITH toks AS (
+    s"""WITH $mlAggCtes,
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY ce_diff, doc_id) AS rk,
+      |    (SELECT count(*) FROM agg) AS n
+      |  FROM agg)
+      |SELECT doc_id, n_bigrams, ce_in, ce_gen, ce_diff,
+      |  rk * 4 <= n AS selected
+      |FROM rk
+      |ORDER BY doc_id""".stripMargin
+
+  /** The q307 relational chain through `agg` (per-doc ce_in/ce_gen/
+    * ce_diff over the pool slice) — shared with q320's oracle.
+    */
+  private[operators] def mlAggCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2),
       |bi AS (
@@ -1654,15 +1677,7 @@ object TextAnalysis {
       |    round(avg(nll_in), 6) AS ce_in,
       |    round(avg(nll_gen), 6) AS ce_gen,
       |    round(avg(nll_in - nll_gen), 6) AS ce_diff
-      |  FROM sc GROUP BY doc_id),
-      |rk AS (
-      |  SELECT *, row_number() OVER (ORDER BY ce_diff, doc_id) AS rk,
-      |    (SELECT count(*) FROM agg) AS n
-      |  FROM agg)
-      |SELECT doc_id, n_bigrams, ce_in, ce_gen, ce_diff,
-      |  rk * 4 <= n AS selected
-      |FROM rk
-      |ORDER BY doc_id""".stripMargin
+      |  FROM sc GROUP BY doc_id)""".stripMargin
 
   // ---------------------------------------------------------------- q310
 
