@@ -258,8 +258,9 @@ object ScaleSmoke {
       "q318_unigram_encode", "q319_span_corruption",
       // q320: one q307-shaped scoring pass + DrmRounds filtered
       // groupBys over the persisted doc-stats frame (solver driver-side
-      // on |domains| rows)
-      "q320_doremi")
+      // on |domains| rows); q321: count-table derivation + one
+      // aggregation per EM iterate over the persisted held-out events
+      "q320_doremi", "q321_jelinek_mercer")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

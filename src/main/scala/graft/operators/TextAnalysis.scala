@@ -1795,7 +1795,143 @@ object TextAnalysis {
       |FROM rk
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q321
+
+  /** q321 geometry: [[JmIters]] EM iterations from λ₀ = 0.5; slices are
+    * the q307 layout (train % 3 = 0, HELD-OUT % 3 = 1 for tuning,
+    * % 3 = 2 evaluation).
+    */
+  val JmIters = 6
+
+  /** q321: JELINEK–MERCER INTERPOLATION EM (Jelinek & Mercer 1980;
+    * Chen & Goodman 1999 §2.4 — deleted-interpolation weight tuning,
+    * the third estimator on the LM shelf next to add-one q306 and
+    * Kneser–Ney q310): p(w2|w1) = λ·p_ML(w2|w1) + (1−λ)·p_uni(w2),
+    * with λ fit by EM on a HELD-OUT slice the counts never saw. The
+    * E-step responsibility of the bigram component is λ·p_bi / p —
+    * divisions of fixed per-event probabilities only, so the whole EM
+    * loop is TRANSCENDENTAL-FREE (the q320 lesson: exp/ln inside an
+    * iteration would expose cross-engine libm ulps; the one ln in this
+    * query is the REPORTING column, pinned at q306's proven 6dp).
+    * M-step: λ' = mean responsibility, as a DECIMAL-exact sum of
+    * 12dp-rounded terms over the held-out events, updated DRIVER-SIDE
+    * (one scalar per round — the q313/q320 bounded-solver class; the
+    * corpus-sized work is the count-table derivation plus ONE
+    * aggregation per round over the persisted event frame). Output:
+    * the λ trajectory with the held-out mean NLL at each iterate — the
+    * monotone-likelihood curve EM guarantees, every point hash-locked.
+    */
+  def q321JelinekMercer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+      .persist()
+    val bi = toks
+      .select($"doc_id", $"w", explode(sequence(lit(1), size($"w") - 1)).as("i"))
+      .select($"doc_id", element_at($"w", $"i").as("w1"),
+        element_at($"w", $"i" + 1).as("w2"))
+    // train-slice sufficient statistics (ML bigram + add-one unigram)
+    val c2 = bi.filter($"doc_id" % 3 === 0)
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    val uni = toks.filter($"doc_id" % 3 === 0)
+      .select(explode($"w").as("w2")).persist()
+    val c1 = uni.groupBy($"w2".as("w1")).agg(count(lit(1)).as("c1"))
+    val cu = uni.groupBy($"w2").agg(count(lit(1)).as("cu"))
+    val nTrain = uni.count().toDouble
+    val vocab = uni.select($"w2").distinct().count().toDouble
+    uni.unpersist(false)
+    // held-out events with their two fixed component probabilities:
+    // p_bi = ML c2/c1 (0 where the context or pair is unseen),
+    // p_uni = add-one (cu+1)/(N+V) — strictly positive, so the mixture
+    // never zeroes and responsibilities stay defined
+    val ev = bi.filter($"doc_id" % 3 === 1)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cu, Seq("w2"), "left")
+      .select(
+        when($"c1".isNotNull && $"c2".isNotNull,
+          $"c2".cast("double") / $"c1".cast("double"))
+          .otherwise(lit(0.0)).as("pb"),
+        ((coalesce($"cu", lit(0L)) + lit(1L)).cast("double") /
+          lit(nTrain + vocab)).as("pu"))
+      .persist()
+    val nEv = ev.count()
+    require(nEv > 0, "q321 needs a non-empty held-out slice")
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def rnd(x: Double, sc: Int): Double =
+      JBD.valueOf(x).setScale(sc, RM.HALF_UP).doubleValue
+    var lambda = 0.5
+    val out = Seq.newBuilder[(Int, Double, Double)]
+    for (it <- 0 to JmIters) {
+      // ONE aggregation per iterate: the reporting NLL at the CURRENT
+      // λ (6dp — the q306 ln/avg parity) and the E-step responsibility
+      // sum for the NEXT λ share the same pass over the event frame
+      val mix = lit(lambda) * $"pb" + lit(1.0 - lambda) * $"pu"
+      val r = ev.agg(
+        round(avg(-log(mix)), 6),
+        sum(round(lit(lambda) * $"pb" / mix, 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))))
+        .head()
+      out += ((it, lambda, r.getDouble(0)))
+      if (it < JmIters)
+        lambda = rnd(r.getDecimal(1).doubleValue / nEv.toDouble, 12)
+    }
+    out.result().toDF("iter", "lambda", "heldout_nll")
+      .orderBy($"iter")
+  }
+
+  private def q321Sql: String = {
+    def mix(l: String) = s"($l * pb + (1.0 - $l) * pu)"
+    val iters = (1 to JmIters).map { it =>
+      val prev = s"(SELECT l FROM lam${it - 1})"
+      s"""lam$it AS MATERIALIZED (
+        |  SELECT round(CAST(sum(CAST(round($prev * pb /
+        |      ${mix(prev)}, 12) AS DECIMAL(28,12))) AS DOUBLE) /
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM ev), 12) AS l
+        |  FROM ev)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to JmIters).map { it =>
+      s"""SELECT $it AS iter, (SELECT l FROM lam$it) AS lambda,
+        |  (SELECT round(avg(-ln((SELECT l FROM lam$it) * pb +
+        |     (1.0 - (SELECT l FROM lam$it)) * pu)), 6) FROM ev)
+        |  AS heldout_nll""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |        FROM toks)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi
+      |       WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+      |tuni AS (SELECT unnest(w) AS w2 FROM toks WHERE doc_id % 3 = 0),
+      |c1 AS (SELECT w2 AS w1, count(*) AS c1 FROM tuni GROUP BY w2),
+      |cu AS (SELECT w2, count(*) AS cu FROM tuni GROUP BY w2),
+      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |              CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM tuni),
+      |ev AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN c1.c1 IS NOT NULL AND c2.c2 IS NOT NULL
+      |         THEN CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+      |         ELSE 0.0e0 END AS pb,
+      |    (coalesce(cu.cu, 0) + 1) / (SELECT n + v FROM nv) AS pu
+      |  FROM bi
+      |  LEFT JOIN c2 ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+      |  LEFT JOIN c1 ON bi.w1 = c1.w1
+      |  LEFT JOIN cu ON bi.w2 = cu.w2
+      |  WHERE bi.doc_id % 3 = 1),
+      |lam0 AS (SELECT 0.5e0 AS l),
+      |$iters
+      |$rows
+      |ORDER BY iter""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q321_jelinek_mercer", Seq("EXT-text", "EXT-curation"),
+      "Jelinek-Mercer interpolation EM on a held-out slice: transcendental-free responsibilities, DECIMAL-pinned M-step, lambda + held-out NLL trajectory",
+      q321JelinekMercer, Some(q321Sql)),
     GraftQuery("q310_kneser_ney", Seq("EXT-text", "EXT-curation"),
       "interpolated Kneser-Ney bigram LM: absolute discount + continuation-count backoff from one bigram-count table, tercile cut via the range-partitioned global rank",
       q310KneserNey, Some(q310Sql)),
