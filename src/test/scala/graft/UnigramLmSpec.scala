@@ -31,6 +31,20 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out == Seq(("banana", 4L, 1.0)))
   }
 
+  test("q318 encode: whole-word vocab gives 1 token/word economics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ulm-enc")
+    Seq((1L, "banana banana banana banana", "en"),
+      (2L, "banana banana", "de"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val out = operators.Bpe.q318UnigramEncode(spark, dir.toString)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    // vocab trains to {banana}; Viterbi picks the single-piece cover,
+    // so every word encodes to exactly one 6-char token
+    assert(out == Seq(("de", 2L, 2L, 1.0, 6.0), ("en", 4L, 4L, 1.0, 6.0)))
+  }
+
   test("pruning is monotone and pieces are in-bounds substrings; trainer is deterministic") {
     val docs = Seq(
       (1L, "unfolding unfolding refolding refolding folding"),
