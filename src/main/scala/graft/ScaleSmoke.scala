@@ -279,29 +279,39 @@ object ScaleSmoke {
       timed("trim_index_build") { operators.TrimIndex.ensure(spark, dir); () },
       timed("suffix_index_build") { operators.SuffixIndex.ensure(spark, dir); () },
       timed("sem_codebook_build") { operators.SemCodebook.ensure(spark, dir); () },
-      timed("ulm_vocab_build") { operators.UlmIndex.ensure(spark, dir); () })
+      timed("ulm_vocab_build") { operators.UlmIndex.ensure(spark, dir); () },
+      timed("ml_scores_build") { operators.MlIndex.ensure(spark, dir); () })
     // q267's long-pinned sufficient statistics are exact only while a
     // user's rating count keeps the scaled term sums under 2^53 (the
-    // DECIMAL-parity bound is n_u ≈ 176, documented at the q267 site);
-    // TPC-H keeps per-customer lineitems far below it, but a future
-    // corpus with heavier fan-out must fail HERE, loudly, not by a
-    // silent exactness drift (ADVICE r11)
-    locally {
+    // DECIMAL-parity bound is n_u ≈ 176, documented at the q267 site).
+    // Measured tail (driver testdata, round 13): max lineitems/customer
+    // = 84 at sf0.001, 93 at sf0.01, 105 at sf0.1 — headroom 1.7× at
+    // the largest SF this smoke targets, but the tail GROWS with SF, so
+    // a breach at sf1+ is plausible (ADVICE r12): on breach, SKIP the
+    // q267 metric with a loud report instead of aborting the whole
+    // smoke — the bound protects one query's exactness claim, not the
+    // run.
+    val q267Ok = locally {
       import org.apache.spark.sql.functions._
       val maxNu = Tables.load(spark, dir, "lineitem")
         .join(Tables.load(spark, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
         .agg(max(col("n"))).head().getLong(0)
-      require(maxNu <= 176L,
-        s"q267 long-sum exactness bound exceeded: max ratings/user $maxNu > 176 " +
-          "- move the five sufficient statistics back to DECIMAL(28,12) sums")
-      System.err.println(s"[scale-smoke] q267 exactness bound: max ratings/user = $maxNu (<= 176)")
+      if (maxNu > 176L)
+        System.err.println(
+          s"[scale-smoke] SKIPPING q267: max ratings/user $maxNu > 176 breaks " +
+            "the long-sum exactness bound - move the five sufficient " +
+            "statistics back to DECIMAL(28,12) sums before trusting q267 here")
+      else
+        System.err.println(
+          s"[scale-smoke] q267 exactness bound: max ratings/user = $maxNu (<= 176)")
+      maxNu <= 176L
     }
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] =
       Seq("q231_hyperball_sketch" -> operators.Mining.hyperballSketchOnly _)
         .filter(_._1.matches(pat))
-    val times = (queries.map(n =>
+    val times = (queries.filter(n => q267Ok || !n.startsWith("q267")).map(n =>
         n -> Registry.all.find(_.name == n).get.fn) ++ extras).map {
       case (name, fn) =>
         spark.catalog.clearCache()

@@ -197,8 +197,8 @@ object AnnIndex extends ArtifactStore {
     * files that table has not yet landed: idempotency without reading
     * the index.
     */
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = {
     import s.implicits._
     val baseStats = readDrift(root)
     if (Salts.exists(salt => !baseStats.contains(salt))) return false

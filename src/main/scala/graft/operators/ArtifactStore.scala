@@ -80,8 +80,14 @@ private[graft] trait ArtifactStore {
   /** Full derivation over exactly the snapshot's files. */
   protected def build(s: SparkSession, root: Path, snap: Seq[(String, String)]): Unit
 
-  /** O(delta) arm over only the new files; false = take the rebuild. */
-  protected def appendBuild(s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean
+  /** O(delta) arm over only the new files; false = take the rebuild.
+    * `snap` is the full current listing the same ensure() decision saw
+    * (newFiles ⊆ snap) — for stores whose delta math needs the BASE
+    * source bytes too (e.g. [[SuffixIndex]]'s merge reads base text for
+    * its comparison windows), not just the committed tables.
+    */
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean
 
   /** How long a waiting builder tolerates a holder it cannot prove dead
     * before erroring out. System-property override is for tests.
@@ -200,7 +206,7 @@ private[graft] trait ArtifactStore {
           val delta = incrementalDelta(root, snap)
           // stale marker off FIRST: a crash below leaves no committed claim
           Files.deleteIfExists(root.resolve("_fingerprint"))
-          val appended = delta.exists(newFiles => appendBuild(s, root, newFiles))
+          val appended = delta.exists(newFiles => appendBuild(s, root, newFiles, snap))
           if (!appended) build(s, root, snap)
           // manifest before fingerprint: the fingerprint IS the commit
           // marker (written LAST), so a crash between the two re-runs the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -338,11 +339,34 @@ object Bpe {
         .select($"w", $"i".as("b"), $"v".as("gv"))
       val z = withLen.filter($"i" === 0 && $"j" === $"wl")
         .select($"w", $"v".as("zv"))
-      val out = edges
+      val credited = edges
         .join(f, Seq("w", "a")).join(g, Seq("w", "b")).join(z, Seq("w"))
         .filter(($"fv" * $"p") * $"gv" === $"zv" && $"zv" > 0)
-        .groupBy($"piece").agg(sum($"wc").as("cnt"))
+        .persist()
+      // FP-associativity guard (ADVICE r12): the on-path test above
+      // compares two differently-parenthesized product trees — zv is a
+      // balanced squaring-round product, f·p·g a left chain — so on
+      // optimal paths of ≥3 edges an ulp of non-associativity could
+      // silently drop every co-optimal edge covering some position and
+      // the M-step counts would drift from true Viterbi. Cross-engine
+      // hash parity would survive (both engines build identical trees),
+      // so the drift would be INVISIBLE to the gate: fail loudly here
+      // instead. Bounded work — ≤ TrainWords words × ≤ MaxWordLen
+      // positions — and it runs only where the trainer runs (artifact
+      // build + specs), never on the query path.
+      val creditedPos = credited
+        .select($"w", explode(sequence($"a", $"b" - 1)).as("pos"))
+      val nUncov = words.join(z.filter($"zv" > 0), Seq("w"))
+        .select($"w", explode(sequence(lit(0), $"wl" - 1)).as("pos"))
+        .join(creditedPos, Seq("w", "pos"), "left_anti").count()
+      require(nUncov == 0,
+        s"unigram EM: $nUncov word positions lost every co-optimal edge " +
+          "(FP associativity drop in the on-path product test) — counts " +
+          "would silently diverge from Viterbi; quantize the closure or " +
+          "revisit the edge-recovery equality before trusting this build")
+      val out = credited.groupBy($"piece").agg(sum($"wc").as("cnt"))
         .localCheckpoint()
+      credited.unpersist(false)
       edges.unpersist(false)
       out
     }
@@ -479,8 +503,32 @@ object Bpe {
     * picks the fewest-token cover, identically in both engines.
     * Corpus-sized work is ONE (lang, word)-count scan; the closure is
     * vocabulary-sized.
+    *
+    * Unencodable words are DROPPED, by design (ADVICE r12): a corpus
+    * word containing a character the trained vocabulary has no piece
+    * for (possible — single-char coverage comes only from the
+    * frequency-cut [[UlmTrainWords]] types) has no lattice path, so the
+    * inner join on `enc` excludes it from every per-language count.
+    * SentencePiece would emit `<unk>` and count it; these economics
+    * price only the encodable mass. The drop is deterministic and
+    * mirrored exactly in the oracle (same inner join), so the gate
+    * hashes the same statistic both sides.
     */
   def q318UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramEconomics(s, dir)
+      .select($"lang", $"n_words", $"n_tokens",
+        round($"n_tokens".cast("double") / $"n_words", 6).as("tokens_per_word"),
+        round($"n_chars".cast("double") / $"n_tokens", 6).as("chars_per_token"))
+      .orderBy($"lang")
+  }
+
+  /** (lang, n_words, n_tokens, n_chars) over the encodable corpus words
+    * under the committed [[UlmIndex]] vocabulary — q318's economics
+    * aggregate, factored so q324 (tokenizer-true UniMax) prices its
+    * budget from the SAME table q318 reports.
+    */
+  private[operators] def unigramEconomics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = UlmIndex.vocab(s, dir).select($"piece", $"p")
     val lw = t(s, dir, "documents")
@@ -523,13 +571,25 @@ object Bpe {
       .agg(sum($"cnt").as("n_words"),
         sum($"cnt" * $"ntok").as("n_tokens"),
         sum($"cnt" * $"nchar").as("n_chars"))
-      .select($"lang", $"n_words", $"n_tokens",
-        round($"n_tokens".cast("double") / $"n_words", 6).as("tokens_per_word"),
-        round($"n_chars".cast("double") / $"n_tokens", 6).as("chars_per_token"))
-      .orderBy($"lang")
   }
 
-  private def q318Sql: String = {
+  private def q318Sql: String =
+    s"""WITH $ulmEncodeCtes
+      |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |  CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(cnt * ntok) AS DOUBLE) /
+      |        CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_word,
+      |  round(CAST(sum(cnt * len(w)) AS DOUBLE) /
+      |        CAST(sum(cnt * ntok) AS DOUBLE), 6) AS chars_per_token
+      |FROM lw JOIN enc USING (w)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** The encode chain through `lw` (per-language word-type counts) and
+    * `enc` (per-word optimal token counts) — shared by q318's and
+    * q324's oracles.
+    */
+  private def ulmEncodeCtes: String = {
     val rounds = (1 to UlmRounds).map { k =>
       s"""e$k AS MATERIALIZED (
         |  SELECT x.w, x.i, y.j,
@@ -537,7 +597,7 @@ object Bpe {
         |  FROM e${k - 1} x JOIN e${k - 1} y ON x.w = y.w AND x.j = y.i
         |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $ulmTrainCtes,
+    s"""$ulmTrainCtes,
       |vocabF AS (
       |  SELECT piece,
       |    round(CAST(cnt AS DOUBLE) /
@@ -567,19 +627,100 @@ object Bpe {
       |enc AS (
       |  SELECT m.w, CAST(-(m.m.nt) AS BIGINT) AS ntok
       |  FROM e$UlmRounds m JOIN ew USING (w)
-      |  WHERE m.i = 0 AND m.j = wl)
-      |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
-      |  CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens,
-      |  round(CAST(sum(cnt * ntok) AS DOUBLE) /
-      |        CAST(sum(cnt) AS DOUBLE), 6) AS tokens_per_word,
-      |  round(CAST(sum(cnt * len(w)) AS DOUBLE) /
-      |        CAST(sum(cnt * ntok) AS DOUBLE), 6) AS chars_per_token
-      |FROM lw JOIN enc USING (w)
-      |GROUP BY lang
+      |  WHERE m.i = 0 AND m.j = wl)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q324
+
+  /** q324: TOKENIZER-TRUE UNIMAX ALLOCATION (VERDICT r12 "Next round"
+    * #7) — q309 waterfills per-language budgets priced in WHITESPACE
+    * words; a real pretraining run buys TRAINED-TOKENIZER tokens, and
+    * the two currencies diverge per language exactly by q318's
+    * tokens_per_word. This query re-runs q309's closed-form
+    * waterfilling (capacity = [[Curation.UniMaxEpochs]] × tokens,
+    * budget = 1.5× corpus, capped languages form a provable prefix of
+    * the capacity sort) over [[unigramEconomics]] — the per-language
+    * token masses the committed [[UlmIndex]] vocabulary actually
+    * yields — so the allocation is in the units the cluster bills.
+    * n_words/n_tokens are BY CONSTRUCTION q318's own totals (same
+    * frame), which [[graft.UnigramLmSpec]] asserts; the solver is
+    * |langs|-sized, the corpus-sized work is q318's one (lang,
+    * word)-count scan, and the closure is vocabulary-bounded.
+    */
+  def q324TokenizerUnimax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = unigramEconomics(s, dir)
+      .select($"lang", $"n_words", $"n_tokens").persist()
+    val tot = perLang.agg(sum($"n_tokens"), count(lit(1))).head()
+    val budget = tot.getLong(0) * 3 / 2
+    val nLang = tot.getLong(1)
+    val wSort = Window.orderBy($"capacity".asc, $"lang".asc)
+    val flagged = perLang
+      .withColumn("capacity", $"n_tokens" * Curation.UniMaxEpochs)
+      .withColumn("i", row_number().over(wSort).cast("long"))
+      .withColumn("pfx", sum($"capacity").over(
+        wSort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        $"capacity" * (lit(nLang) - $"i" + 1) <
+          lit(budget) - ($"pfx" - $"capacity"))
+      .persist()
+    val cappedStats = flagged.agg(
+      coalesce(sum(when($"capped", $"capacity")), lit(0L)).as("capped_sum"),
+      coalesce(sum(when($"capped", 1L)), lit(0L)).as("n_capped"))
+    flagged.crossJoin(broadcast(cappedStats))
+      .select($"lang", $"n_words", $"n_tokens", $"capacity", $"capped",
+        round(when($"capped", $"capacity".cast("double"))
+          .otherwise((lit(budget) - $"capped_sum").cast("double") /
+            (lit(nLang) - $"n_capped")), 4).as("alloc_tokens"))
+      .withColumn("epochs_used", round($"alloc_tokens" / $"n_tokens", 6))
+      .withColumn("tokens_per_word",
+        round($"n_tokens".cast("double") / $"n_words", 6))
+      .orderBy($"lang")
+  }
+
+  private def q324Sql: String = {
+    val E = Curation.UniMaxEpochs
+    s"""WITH $ulmEncodeCtes,
+      |econ AS (
+      |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+      |    CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens
+      |  FROM lw JOIN enc USING (w) GROUP BY lang),
+      |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 2 AS budget,
+      |             CAST(count(*) AS BIGINT) AS l FROM econ),
+      |srt AS (
+      |  SELECT lang, n_words, n_tokens, $E * n_tokens AS capacity,
+      |    CAST(row_number() OVER (ORDER BY $E * n_tokens, lang)
+      |      AS BIGINT) AS i,
+      |    sum($E * n_tokens) OVER (
+      |      ORDER BY $E * n_tokens, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+      |  FROM econ),
+      |flag AS (
+      |  SELECT s.*, b.budget, b.l,
+      |    s.capacity * (b.l - s.i + 1) < b.budget - (s.pfx - s.capacity)
+      |      AS capped
+      |  FROM srt s CROSS JOIN b),
+      |cs AS (
+      |  SELECT coalesce(sum(capacity) FILTER (WHERE capped), 0)
+      |      AS capped_sum,
+      |    coalesce(count(*) FILTER (WHERE capped), 0) AS n_capped
+      |  FROM flag)
+      |SELECT lang, n_words, n_tokens, capacity, capped,
+      |  round(CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+      |    ELSE CAST(budget - capped_sum AS DOUBLE) / (l - n_capped) END, 4)
+      |    AS alloc_tokens,
+      |  round(round(CASE WHEN capped THEN CAST(capacity AS DOUBLE)
+      |    ELSE CAST(budget - capped_sum AS DOUBLE) / (l - n_capped) END, 4)
+      |    / n_tokens, 6) AS epochs_used,
+      |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS tokens_per_word
+      |FROM flag CROSS JOIN cs
       |ORDER BY lang""".stripMargin
   }
 
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q324_tokenizer_unimax", Seq("EXT-text", "A2", "W2"),
+      "tokenizer-true UniMax: q309's closed-form waterfilling re-priced in trained-tokenizer tokens from the committed unigram vocabulary's per-language economics",
+      q324TokenizerUnimax, Some(q324Sql)),
     GraftQuery("q318_unigram_encode", Seq("EXT-text", "A2", "J1"),
       "unigram-LM encode with the committed vocabulary: tropical-lex (probability, fewest-tokens) matrix-closure Viterbi, per-language token economics",
       q318UnigramEncode, Some(q318Sql)),

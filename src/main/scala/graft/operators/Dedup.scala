@@ -565,6 +565,13 @@ object Dedup {
     fin.select($"rank", $"doc_id", $"pos")
   }
 
+  /** q311's oracle — shared verbatim with q322 ([[SuffixIndex]]'s merge
+    * algebra), whose Spark arm must produce the same full-pool
+    * permutation by merging a committed base with a freshly-ranked
+    * delta.
+    */
+  private[operators] def q311SqlShared: String = q311Sql
+
   private val q311Sql =
     s"""WITH s AS (
       |  SELECT doc_id, i AS pos, substring(text, i) AS suf,
@@ -1398,11 +1405,19 @@ object Dedup {
     */
   private[operators] def exactSubstrCtesShared: String = exactSubstrCtes
 
-  private val exactSubstrCtes: String = {
+  /** The same chain restricted to the [[SufMod]] suffix pool — q323's
+    * anchor arm (the pool-world ExactSubstr the LCP cover must contain).
+    */
+  private[operators] def exactSubstrCtesPool: String =
+    exactSubstrCtesWith(s"doc_id % $SufMod = 0 AND ")
+
+  private val exactSubstrCtes: String = exactSubstrCtesWith("")
+
+  private def exactSubstrCtesWith(extraWhere: String): String = {
     val L = ExactSubstrMinLen
     s"""toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= $L),
+      |  WHERE ${extraWhere}len(string_split(text, ' ')) >= $L),
       |grams AS (
       |  SELECT doc_id, i AS pos,
       |    md5(array_to_string(list_slice(t, i, i + ${L - 1}), ' ')) AS g
@@ -1476,19 +1491,6 @@ object Dedup {
     */
   private[operators] def exactSubstrRemovedPositions(s: SparkSession, dir: String): DataFrame =
     TrimIndex.removedPositions(s, dir)
-
-  /** The in-query removal-set derivation (toks ∪ grams ∪ df-cap ∪ spans
-    * ∪ b-cover) — the one derivation [[TrimIndex.build]] commits and
-    * the full-recompute arms compare against.
-    */
-  private[operators] def exactSubstrRemovedPositionsOf(docs: DataFrame): DataFrame = {
-    val grams = exactSubstrGrams(exactSubstrToks(docs))
-    val keep = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2 && col("nd") <= ExactSubstrDfCap)
-      .select(col("g"))
-    exactSubstrBCover(exactSubstrSpansFromPostings(grams.join(broadcast(keep), "g")))
-  }
 
   /** q304's per-document trim accounting over an explicit removal set —
     * factored so q314 (the append-algebra oracle) reuses the exact

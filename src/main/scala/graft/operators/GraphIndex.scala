@@ -195,8 +195,8 @@ object GraphIndex extends ArtifactStore {
     * attempt (edges committed, degrees not) is healed by recounting
     * degrees from the committed edge artifact.
     */
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = {
     import s.implicits._
     val edgesT = root.resolve("edges").toString
     val degT = root.resolve("degrees").toString

@@ -72,8 +72,8 @@ object LshIndex extends ArtifactStore {
     writeSources(root, "bands", snap.map(_._1).toSet)
   }
 
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = {
     val applied = appliedSources(root, "bands").getOrElse(return false)
     val sub = newFiles.filterNot(f => applied.contains(f._1))
     if (sub.nonEmpty) {

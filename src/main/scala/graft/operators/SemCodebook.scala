@@ -64,8 +64,8 @@ object SemCodebook extends ArtifactStore {
   }
 
   /** Appends can displace md5-ranked slice members — always rebuild. */
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = false
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = false
 
   /** (centroid_id, cv, cnrm) — the committed slice codebook. */
   def codebook(s: SparkSession, dir: String): DataFrame = {

@@ -1582,12 +1582,21 @@ object TextAnalysis {
   }
 
   /** q307's per-document cross-entropy table (doc_id, n_bigrams, ce_in,
-    * ce_gen, ce_diff) over the pool slice — factored so q320 (DoReMi
-    * domain reweighting) consumes the same two-model scores.
+    * ce_gen, ce_diff) over the pool slice. Round 13 (VERDICT r12 "Next
+    * round" #6): the two-LM scoring pass runs once per corpus
+    * fingerprint inside the [[MlIndex]] artifact build; both consumers
+    * (q307 selection, q320 DoReMi) read the committed table, and their
+    * oracles still re-derive the scores relationally per gate run.
     */
-  private[operators] def mooreLewisScores(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def mooreLewisScores(s: SparkSession, dir: String): DataFrame =
+    MlIndex.scores(s, dir)
+
+  /** The scoring derivation over an explicit (doc_id, text) frame — the
+    * seam [[MlIndex.build]] commits.
+    */
+  private[operators] def mooreLewisScoresOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val toks = t(s, dir, "documents")
+    val toks = docs
       .select($"doc_id", split(lower($"text"), " ").as("w"))
       .filter(size($"w") >= 2)
       .persist()

@@ -95,8 +95,8 @@ object TrimIndex extends ArtifactStore {
     grams.unpersist(false)
   }
 
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = {
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = {
     import s.implicits._
     val appliedG = appliedSources(root, "grams").getOrElse(return false)
     val appliedR = appliedSources(root, "removed").getOrElse(return false)

@@ -57,8 +57,8 @@ object UlmIndex extends ArtifactStore {
   }
 
   /** Appends shift the frequency-cut trainer input — always rebuild. */
-  protected def appendBuild(
-      s: SparkSession, root: Path, newFiles: Seq[(String, String)]): Boolean = false
+  protected def appendBuild(s: SparkSession, root: Path,
+      newFiles: Seq[(String, String)], snap: Seq[(String, String)]): Boolean = false
 
   /** (piece, cnt, p) — the committed vocabulary. */
   def vocab(s: SparkSession, dir: String): DataFrame = {

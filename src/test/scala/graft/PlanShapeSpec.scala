@@ -178,6 +178,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //    plus the Lloyd trainer's bounded sample×k products
     //  - q293: q162's two scalar attaches against the base-frozen
     //    model (gram totals; the TakeOrdered budget boundary)
+    //  - q324: q309's waterfilling shape re-priced in tokenizer
+    //    tokens — the same 1-row capped-stats scalar attach onto the
+    //    |langs|-row table
     //  - q309: crossJoin(broadcast(<1-row capped-prefix stats>)) onto
     //    the |langs|-row capacity table (scalar attach)
     //  - q312: the q53/q98 shape — the broadcast held-out test set
@@ -211,7 +214,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q287_abc_classification",
       "q292_incremental_semdedup", "q293_incremental_dsir",
       "q309_unimax_allocation", "q312_knn_shapley",
-      "q313_sinkhorn_ot", "q316_unigram_lm")),
+      "q313_sinkhorn_ot", "q316_unigram_lm",
+      "q324_tokenizer_unimax")),
       s"unexpected cross products in: $offenders")
   }
 
@@ -272,7 +276,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // per-LANGUAGE capacity table (|langs| rows — the q59/q90
       // bounded-dimension argument); the corpus is touched exactly
       // once, in the lang-token groupBy
-      "q309_unimax_allocation")
+      "q309_unimax_allocation",
+      // q324: the same waterfilling windows over the same |langs|-row
+      // table, priced from q318's economics aggregate
+      "q324_tokenizer_unimax")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val bad =
         try q.fn(spark, dir).queryExecution.optimizedPlan.collect {

@@ -54,6 +54,65 @@ class SuffixLcpSpec extends AnyFunSuite {
     assert(q315Set(dir.toString) == truth(docs))
   }
 
+  /** Brute-force q323 LCP char cover per doc: sorted suffixes, each
+    * suffix's max adjacent LCP (either neighbor, any doc), ranges
+    * [p, p + maxadj − 1] unioned.
+    */
+  private def lcpCoverTruth(docs: Seq[(Long, String)]): Map[Long, Long] = {
+    val sufs = for ((id, t) <- docs; p <- 1 to t.length) yield (t.substring(p - 1), id, p)
+    val sorted = sufs.sortBy(x => (x._1, x._2, x._3))
+    val lcps = sorted.sliding(2).collect { case Seq((sa, _, _), (sb, _, _)) =>
+      sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+    }.toArray
+    val cov = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Int]]()
+    for (i <- sorted.indices) {
+      val m = math.max(if (i > 0) lcps(i - 1) else 0,
+        if (i < lcps.length) lcps(i) else 0)
+      if (m >= operators.SuffixIndex.LcpTrimMinSpan) {
+        val (_, id, p) = sorted(i)
+        val set = cov.getOrElseUpdate(id, scala.collection.mutable.Set[Int]())
+        (p until p + m).foreach(set += _)
+      }
+    }
+    docs.map { case (id, _) =>
+      id -> cov.get(id).map(_.size.toLong).getOrElse(0L)
+    }.toMap
+  }
+
+  test("q323: LCP cover equals brute force, contains the anchor cover, and is strictly larger") {
+    import spark.implicits._
+    // pool docs 10/20 share a 10-token span (anchor-arm-visible:
+    // pool-world df = 2); docs 10/30 share a 20-char NON-token-aligned
+    // repeat only the suffix structure sees; doc 40 is repeat-free
+    val span = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val short = "qqwweerrttyyuuiioopp"
+    val docs = Seq(
+      (10L, s"$span leading ${short}finish here"),
+      (20L, s"other start then $span trailing words"),
+      (30L, s"unrelated body with ${short}suffix text"),
+      (40L, "zebra yak walrus vulture unique content"))
+    val dir = Files.createTempDirectory("lcptrim-corpus")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val out = operators.SuffixIndex.q323LcpTrim(spark, dir.toString)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, nc, lr, ar, ao) => id -> ((nc, lr, ar, ao)) }.toMap
+    // containment: no anchor-removed char escapes the LCP cover
+    assert(out.values.forall(_._4 == 0L),
+      s"anchor_only > 0 somewhere: $out")
+    // the anchor arm fires on the shared span (b-side = doc 20)
+    assert(out(20L)._3 > 0L, s"anchor arm silent on doc 20: $out")
+    // strictness: the short repeat is LCP-only on doc 30
+    assert(out(30L)._2 >= short.length && out(30L)._3 == 0L,
+      s"LCP-only repeat missed on doc 30: $out")
+    assert(out(40L)._2 == 0L && out(40L)._3 == 0L)
+    // exact cover counts vs brute force
+    val tr = lcpCoverTruth(docs)
+    docs.foreach { case (id, _) =>
+      assert(out(id)._2 == tr(id), s"doc $id cover ${out(id)._2} != truth ${tr(id)}")
+    }
+  }
+
   test("q315 on the shared corpus: equals brute force; q290 pool spans lower-bound the global max") {
     import spark.implicits._
     val docs = operators.Dedup.suffixPoolDocs(

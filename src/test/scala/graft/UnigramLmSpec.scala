@@ -45,6 +45,32 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out == Seq(("de", 2L, 2L, 1.0, 6.0), ("en", 4L, 4L, 1.0, 6.0)))
   }
 
+  test("q324 tokenizer-true UniMax: per-language masses equal q318's economics; allocation conserves the budget") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val econ = operators.Bpe.q318UnigramEncode(spark, sf)
+      .select("lang", "n_words", "n_tokens")
+      .as[(String, Long, Long)].collect()
+      .map { case (l, w, t) => l -> ((w, t)) }.toMap
+    val um = operators.Bpe.q324TokenizerUnimax(spark, sf)
+      .select("lang", "n_words", "n_tokens", "capacity", "capped", "alloc_tokens")
+      .as[(String, Long, Long, Long, Boolean, Double)].collect()
+    assert(um.nonEmpty)
+    // consistency with q318: the allocation is priced from EXACTLY the
+    // economics q318 reports (same committed vocabulary, same drops)
+    um.foreach { case (l, w, t, _, _, _) =>
+      assert(econ(l) == ((w, t)), s"lang $l masses diverge from q318")
+    }
+    // capped languages get exactly their capacity; the full allocation
+    // exhausts the budget (up to the 4dp rounding of each uncapped share)
+    val budget = um.map(_._3).sum * 3 / 2
+    um.filter(_._5).foreach { case (l, _, _, cap, _, alloc) =>
+      assert(alloc == cap.toDouble, s"capped lang $l alloc != capacity")
+    }
+    assert(math.abs(um.map(_._6).sum - budget) <= 0.0001 * um.length,
+      s"allocation ${um.map(_._6).sum} does not exhaust budget $budget")
+  }
+
   test("pruning is monotone and pieces are in-bounds substrings; trainer is deterministic") {
     val docs = Seq(
       (1L, "unfolding unfolding refolding refolding folding"),
