@@ -260,7 +260,14 @@ object ScaleSmoke {
       // groupBys over the persisted doc-stats frame (solver driver-side
       // on |domains| rows); q321: count-table derivation + one
       // aggregation per EM iterate over the persisted held-out events
-      "q320_doremi", "q321_jelinek_mercer")
+      "q320_doremi", "q321_jelinek_mercer",
+      // round-13: q322 is window prefix-sums (one range shuffle) +
+      // collision-bounded comparison joins; q323 is the q315 pair
+      // machinery + per-doc interval unions (doc-partitioned windows)
+      // + a pool-sized anchor arm from the committed grams artifact;
+      // q324's corpus work is q318's one word-count scan (the
+      // waterfilling is |langs|-row)
+      "q322_suffix_merge", "q323_lcp_trim", "q324_tokenizer_unimax")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

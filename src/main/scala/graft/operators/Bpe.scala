@@ -222,6 +222,13 @@ object Bpe {
   val UlmMaxWordLen = 16
   val UlmRounds = 4
 
+  /** One lattice edge of the unigram trainer's per-word Viterbi: word,
+    * corpus weight, word length, span [a, b), the piece it spells, and
+    * the piece's pinned probability.
+    */
+  final case class UlmEdge(
+      w: String, wc: Long, wl: Int, a: Int, b: Int, piece: String, p: Double)
+
   /** q316: UNIGRAM-LM TOKENIZER TRAINER (Kudo 2018, SentencePiece's
     * second model next to BPE q136/q153) — the tokenizer family's
     * missing member (VERDICT r11 "What's missing" #3). Viterbi hard-EM
@@ -306,7 +313,28 @@ object Bpe {
           round($"cnt".cast("double") / $"tot".cast("double"), 12).as("p"))
     }
 
-    // one Viterbi-EM iteration: vocab (piece, p) → optimal-edge counts
+    // One Viterbi-EM iteration: vocab (piece, p) → optimal-edge counts.
+    //
+    // Round 13 REWRITE (ADVICE r12, validated at 10× scale): the first
+    // cut recovered optimal edges by testing (fv·p)·gv === zv over a
+    // balanced squaring-round closure — two differently-parenthesized
+    // FP product trees. The position-cover guard added for that hazard
+    // FIRED on the 10× scale-smoke corpus (183 word positions lost
+    // every co-optimal edge to ulp non-associativity), so the recovery
+    // is now ASSOCIATION-INDEPENDENT by construction: a per-word
+    // topological Viterbi where f(j) is the max over single-multiply
+    // candidates f(a)·p — the stored max IS one of those candidate
+    // doubles — and both the backward on-path markers and the credit
+    // test compare f(a)·p against f(b) as the IDENTICAL operation tree.
+    // No equality ever spans two parenthesizations, so no ulp can drop
+    // (or admit) an edge. The lattice is bounded (≤ MaxWordLen
+    // positions × ≤ MaxPiece lengths ≤ 96 edges over ≤ TrainWords
+    // types), so the per-word DP is exactly the per-element scalar work
+    // the mapGroups/mapPartitions family exists for — and one
+    // groupByKey shuffle replaces the old closure's four squaring
+    // joins. The oracle replays the same DP as MaxWordLen relaxation
+    // rounds + backward marker rounds (identical candidate sets ⇒
+    // identical doubles ⇒ identical credited sets, cross-engine).
     def emIter(vocab: DataFrame): DataFrame = {
       val edges = words
         .select($"w", $"wc", $"wl", explode(sequence(lit(0), $"wl" - 1)).as("a"))
@@ -315,60 +343,58 @@ object Bpe {
         .select($"w", $"wc", $"wl", $"a", ($"a" + $"l").as("b"),
           expr("substring(w, a + 1, l)").as("piece"))
         .join(vocab, Seq("piece"))
-        .persist()
-      var m = edges.select($"w", $"a".as("i"), $"b".as("j"), $"p".as("v"))
-        .unionByName(words
-          .select($"w", explode(sequence(lit(0), $"wl")).as("i"))
-          .select($"w", $"i", $"i".as("j"), lit(1.0).as("v")))
+        .select($"w", $"wc", $"wl".cast("int").as("wl"), $"a".cast("int").as("a"),
+          $"b".cast("int").as("b"), $"piece", $"p")
+        .as[UlmEdge]
+      val credited = edges.groupByKey(_.w).flatMapGroups { (w, it) =>
+        val es = it.toArray
+        val wl = es.head.wl
+        // forward: positions are a DAG in ascending order, so one
+        // topological pass gives final f(j) from already-final f(a);
+        // -1 marks unreachable (every real path value is ≥ 0)
+        val f = Array.fill(wl + 1)(-1.0)
+        f(0) = 1.0
+        var j = 1
+        while (j <= wl) {
+          var best = -1.0
+          es.foreach { e =>
+            if (e.b == j && f(e.a) >= 0) {
+              val c = f(e.a) * e.p
+              if (c > best) best = c
+            }
+          }
+          f(j) = best
+          j += 1
+        }
+        // backward: node j is on some optimal path iff an edge (j, k)
+        // to an on-path k achieves f(k) exactly — the single-multiply
+        // identical-tree test
+        val on = Array.fill(wl + 1)(false)
+        on(wl) = f(wl) >= 0
+        var i = wl - 1
+        while (i >= 0) {
+          on(i) = es.exists(e =>
+            e.a == i && on(e.b) && f(e.a) >= 0 && f(e.a) * e.p == f(e.b))
+          i -= 1
+        }
+        def onPath(e: UlmEdge): Boolean =
+          on(e.b) && f(e.a) >= 0 && f(e.a) * e.p == f(e.b)
+        // loud tripwire (ADVICE r12): with identical-tree equalities the
+        // cover is complete by construction (the stored max is one of
+        // its candidates); if this ever fires, the recovery regressed
+        if (f(wl) >= 0) {
+          val cov = Array.fill(wl)(false)
+          es.foreach(e => if (onPath(e)) {
+            var k = e.a; while (k < e.b) { cov(k) = true; k += 1 }
+          })
+          require(cov.forall(identity),
+            s"unigram EM: word '$w' has positions no credited edge covers " +
+              "- the association-independent recovery invariant broke")
+        }
+        es.iterator.filter(onPath).map(e => (e.piece, e.wc))
+      }.toDF("piece", "wc")
+      credited.groupBy($"piece").agg(sum($"wc").as("cnt"))
         .localCheckpoint()
-      for (k <- 1 to UlmRounds) {
-        val sq = m.as("x").join(m.as("y"),
-            col("x.w") === col("y.w") && col("x.j") === col("y.i"))
-          .select(col("x.w").as("w"), col("x.i").as("i"), col("y.j").as("j"),
-            (col("x.v") * col("y.v")).as("v"))
-          .groupBy($"w", $"i", $"j").agg(max($"v").as("v"))
-        // checkpoint every second round: two squarings of lineage stay
-        // flat, and each eager materialization is a whole scheduled job
-        // on a vocabulary-sized frame — halving the job count is the
-        // q313 overhead lesson
-        m = if (k % 2 == 0 || k == UlmRounds) sq.localCheckpoint() else sq
-      }
-      val withLen = m.join(words.select($"w", $"wl"), "w")
-      val f = m.filter($"i" === 0).select($"w", $"j".as("a"), $"v".as("fv"))
-      val g = withLen.filter($"j" === $"wl")
-        .select($"w", $"i".as("b"), $"v".as("gv"))
-      val z = withLen.filter($"i" === 0 && $"j" === $"wl")
-        .select($"w", $"v".as("zv"))
-      val credited = edges
-        .join(f, Seq("w", "a")).join(g, Seq("w", "b")).join(z, Seq("w"))
-        .filter(($"fv" * $"p") * $"gv" === $"zv" && $"zv" > 0)
-        .persist()
-      // FP-associativity guard (ADVICE r12): the on-path test above
-      // compares two differently-parenthesized product trees — zv is a
-      // balanced squaring-round product, f·p·g a left chain — so on
-      // optimal paths of ≥3 edges an ulp of non-associativity could
-      // silently drop every co-optimal edge covering some position and
-      // the M-step counts would drift from true Viterbi. Cross-engine
-      // hash parity would survive (both engines build identical trees),
-      // so the drift would be INVISIBLE to the gate: fail loudly here
-      // instead. Bounded work — ≤ TrainWords words × ≤ MaxWordLen
-      // positions — and it runs only where the trainer runs (artifact
-      // build + specs), never on the query path.
-      val creditedPos = credited
-        .select($"w", explode(sequence($"a", $"b" - 1)).as("pos"))
-      val nUncov = words.join(z.filter($"zv" > 0), Seq("w"))
-        .select($"w", explode(sequence(lit(0), $"wl" - 1)).as("pos"))
-        .join(creditedPos, Seq("w", "pos"), "left_anti").count()
-      require(nUncov == 0,
-        s"unigram EM: $nUncov word positions lost every co-optimal edge " +
-          "(FP associativity drop in the on-path product test) — counts " +
-          "would silently diverge from Viterbi; quantize the closure or " +
-          "revisit the edge-recovery equality before trusting this build")
-      val out = credited.groupBy($"piece").agg(sum($"wc").as("cnt"))
-        .localCheckpoint()
-      credited.unpersist(false)
-      edges.unpersist(false)
-      out
     }
 
     val c1 = emIter(probsOf(seed)).persist()
@@ -385,10 +411,10 @@ object Bpe {
         round($"cnt".cast("double") / $"tot".cast("double"), 12).as("p"))
   }
 
-  /** The oracle replays the identical trainer: same seed ranks, same
-    * fixed squaring rounds (generated CTE blocks, MATERIALIZED so each
-    * closure level evaluates once), same pinned equalities and
-    * normalizations.
+  /** The oracle replays the identical trainer: same seed ranks, the
+    * same per-word Viterbi as MaxWordLen relaxation + backward marker
+    * rounds (generated CTE blocks, MATERIALIZED so each level evaluates
+    * once), same identical-tree equalities and normalizations.
     */
   private def q316Sql: String =
     s"""WITH $ulmTrainCtes
@@ -403,19 +429,33 @@ object Bpe {
     */
   private def ulmTrainCtes: String = {
     def emBlock(i: Int, vocabCte: String): String = {
-      val m0 =
-        s"""m${i}_0 AS MATERIALIZED (
-          |  SELECT e.w, e.a AS i, e.b AS j, e.p AS v FROM edges$i e
-          |  UNION ALL
-          |  SELECT w, d.i, d.i, 1e0
-          |  FROM (SELECT w, unnest(generate_series(0, wl)) AS i FROM words) d)"""
-          .stripMargin
-      val rounds = (1 to UlmRounds).map { k =>
-        s"""m${i}_$k AS MATERIALIZED (
-          |  SELECT x.w, x.i, y.j, max(x.v * y.v) AS v
-          |  FROM m${i}_${k - 1} x JOIN m${i}_${k - 1} y
-          |    ON x.w = y.w AND x.j = y.i
-          |  GROUP BY 1, 2, 3)""".stripMargin
+      // forward Viterbi as MaxWordLen relaxation rounds: after round r,
+      // f(j ≤ r) is final (lattice edges only go forward), and the
+      // final f(j) is the max over EXACTLY the single-multiply
+      // candidates fa·p the Spark DP sees — identical doubles, so the
+      // identical-tree on-path equalities below decide identically
+      val fRounds = (1 to UlmMaxWordLen).map { k =>
+        s"""f${i}_$k AS MATERIALIZED (
+          |  SELECT n.w, n.j,
+          |    greatest(n.fv, coalesce(max(
+          |      CASE WHEN fa.fv >= 0 THEN fa.fv * e.p END), -1e0)) AS fv
+          |  FROM f${i}_${k - 1} n
+          |  LEFT JOIN edges$i e ON e.w = n.w AND e.b = n.j
+          |  LEFT JOIN f${i}_${k - 1} fa ON fa.w = e.w AND fa.j = e.a
+          |  GROUP BY n.w, n.j, n.fv)""".stripMargin
+      }.mkString(",\n")
+      val fL = s"f${i}_$UlmMaxWordLen"
+      // backward on-path markers: ≤ MaxWordLen edges per path
+      val onRounds = (1 to UlmMaxWordLen).map { k =>
+        s"""on${i}_$k AS MATERIALIZED (
+          |  SELECT w, j FROM on${i}_${k - 1}
+          |  UNION
+          |  SELECT e.w, e.a AS j
+          |  FROM edges$i e
+          |  JOIN on${i}_${k - 1} o ON o.w = e.w AND o.j = e.b
+          |  JOIN $fL fa ON fa.w = e.w AND fa.j = e.a
+          |  JOIN $fL fb ON fb.w = e.w AND fb.j = e.b
+          |  WHERE fa.fv >= 0 AND fa.fv * e.p = fb.fv)""".stripMargin
       }.mkString(",\n")
       s"""pos$i AS (
         |  SELECT w, wc, wl, unnest(generate_series(0, wl - 1)) AS a FROM words),
@@ -427,19 +467,21 @@ object Bpe {
         |        CROSS JOIN (SELECT unnest(generate_series(1, $UlmMaxPiece)) AS l) l
         |        WHERE p.a + l.l <= p.wl) e
         |  JOIN $vocabCte v USING (piece)),
-        |$m0,
-        |$rounds,
-        |f$i AS (SELECT w, j AS a, v AS fv FROM m${i}_$UlmRounds WHERE i = 0),
-        |g$i AS (SELECT m.w, m.i AS b, m.v AS gv
-        |        FROM m${i}_$UlmRounds m JOIN words USING (w) WHERE m.j = wl),
-        |z$i AS (SELECT m.w, m.v AS zv
-        |        FROM m${i}_$UlmRounds m JOIN words USING (w)
-        |        WHERE m.i = 0 AND m.j = wl),
+        |f${i}_0 AS MATERIALIZED (
+        |  SELECT w, d.j, CASE WHEN d.j = 0 THEN 1e0 ELSE -1e0 END AS fv
+        |  FROM (SELECT w, unnest(generate_series(0, wl)) AS j FROM words) d),
+        |$fRounds,
+        |on${i}_0 AS MATERIALIZED (
+        |  SELECT f.w, f.j FROM $fL f JOIN words USING (w)
+        |  WHERE f.j = wl AND f.fv >= 0),
+        |$onRounds,
         |cnt$i AS MATERIALIZED (
         |  SELECT e.piece, CAST(sum(e.wc) AS BIGINT) AS cnt
         |  FROM edges$i e
-        |  JOIN f$i USING (w, a) JOIN g$i USING (w, b) JOIN z$i USING (w)
-        |  WHERE (fv * e.p) * gv = zv AND zv > 0
+        |  JOIN on${i}_$UlmMaxWordLen o ON o.w = e.w AND o.j = e.b
+        |  JOIN $fL fa ON fa.w = e.w AND fa.j = e.a
+        |  JOIN $fL fb ON fb.w = e.w AND fb.j = e.b
+        |  WHERE fa.fv >= 0 AND fa.fv * e.p = fb.fv
         |  GROUP BY 1)""".stripMargin
     }
     s"""wraw AS (

@@ -35,7 +35,7 @@ object UlmIndex extends ArtifactStore {
   /** Bump on ANY change to the trainer algebra the geometry knobs
     * below don't capture.
     */
-  val AlgoVersion = 1
+  val AlgoVersion = 2 // r13: association-independent per-word Viterbi edge recovery
 
   protected def storeKind: String = "ulm"
   protected def geometry: String =
