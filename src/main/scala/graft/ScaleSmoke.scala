@@ -267,7 +267,9 @@ object ScaleSmoke {
       // + a pool-sized anchor arm from the committed grams artifact;
       // q324's corpus work is q318's one word-count scan (the
       // waterfilling is |langs|-row)
-      "q322_suffix_merge", "q323_lcp_trim", "q324_tokenizer_unimax")
+      "q322_suffix_merge", "q323_lcp_trim", "q324_tokenizer_unimax",
+      // q325 rides q323's cover machinery + one char explode per pool doc
+      "q325_lcp_rewrite")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

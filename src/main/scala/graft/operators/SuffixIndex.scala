@@ -346,9 +346,9 @@ object SuffixIndex extends ArtifactStore {
     * committed artifact (filtered to base docs and densified
     * order-preservingly — relative order among base suffixes is
     * delta-independent, so this is exactly the committed base-world
-    * array, never a re-run of the doubling), the DELTA is ranked alone
+    * array, never a re-run of the doubling), the DELTA is merged
     * in-query, and [[mergeRanks]] composes final ranks by cross-side
-    * merge-counting. The oracle is q311's brute-force sorted-suffix
+    * merge-counting (doubling-free — see the method doc). The oracle is q311's brute-force sorted-suffix
     * truth over the WHOLE pool — hash equality IS the merge ≡ rebuild
     * theorem that makes the artifact's O(delta) arm safe to trust at
     * production cadence. Output is q311's sample shape, so a single
@@ -409,9 +409,15 @@ object SuffixIndex extends ArtifactStore {
     * `anchor_removed` in aggregate is the strictness half: sub-8-token
     * and non-token-aligned repeats only the suffix structure finds.
     */
-  def q323LcpTrim(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, st, en) — the DISJOINT removal intervals of the LCP trim
+    * over the given pool frame (per-doc interval union of the
+    * [p, p + maxadj − 1] ranges, maxadj ≥ [[LcpTrimMinSpan]]) — the
+    * machinery shared by q323 (accounting + containment theorem) and
+    * q325 (the rewrite). Persisted; the caller's clearCache releases.
+    */
+  private def lcpCoverIntervals(
+      s: SparkSession, dir: String, pool: DataFrame): DataFrame = {
     import s.implicits._
-    val pool = Dedup.suffixPoolDocs(Tables.load(s, dir, "documents")).persist()
     val rk = ranks(s, dir)
     // attach each suffix's window ONCE, then one rank self-join (the
     // exchange is reused across both sides) instead of q315's
@@ -464,7 +470,7 @@ object SuffixIndex extends ArtifactStore {
     // membership tests below. The window is doc-partitioned — never a
     // global sort.
     val wd = Window.partitionBy($"doc_id").orderBy($"st", $"en")
-    val coverIv = rk.join(maxadj, Seq("rank"))
+    rk.join(maxadj, Seq("rank"))
       .select($"doc_id", $"pos".cast("long").as("st"),
         ($"pos".cast("long") + $"madj" - 1).as("en"))
       .withColumn("pmax",
@@ -473,6 +479,12 @@ object SuffixIndex extends ArtifactStore {
         .otherwise(0)).over(wd))
       .groupBy($"doc_id", $"grp").agg(min($"st").as("st"), max($"en").as("en"))
       .persist()
+  }
+
+  def q323LcpTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pool = Dedup.suffixPoolDocs(Tables.load(s, dir, "documents")).persist()
+    val coverIv = lcpCoverIntervals(s, dir, pool)
     // anchor arm: pool-world ExactSubstr from the committed gram
     // postings, b-side token cover mapped to char positions
     val gramsPool = TrimIndex.gramsPostings(s, dir)
@@ -521,9 +533,13 @@ object SuffixIndex extends ArtifactStore {
     * pool-filtered ExactSubstr CTE chain with the identical
     * token→char-offset mapping.
     */
-  private def q323Sql: String =
-    s"""WITH ${Dedup.exactSubstrCtesPool},
-      |sfx AS (
+  /** The adjacent-LCP → maxadj → position-cover chain plus the pool
+    * frame — the oracle prefix shared by q323 and q325 (the cover is
+    * position-form here; the engines' interval form counts and tests
+    * identically).
+    */
+  private def lcpCoverCtes: String =
+    s"""sfx AS (
       |  SELECT doc_id, i AS pos, substring(text, i) AS suf
       |  FROM documents, unnest(generate_series(1, len(text))) AS u(i)
       |  WHERE doc_id % ${Dedup.SufMod} = 0),
@@ -552,6 +568,13 @@ object SuffixIndex extends ArtifactStore {
       |  SELECT DISTINCT r.doc_id, CAST(r.pos + q.k AS BIGINT) AS cpos
       |  FROM r JOIN madj USING (rank),
       |    unnest(generate_series(0, madj - 1)) q(k)),
+      |pool AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % ${Dedup.SufMod} = 0 AND len(text) >= 1)""".stripMargin
+
+  private def q323Sql: String =
+    s"""WITH ${Dedup.exactSubstrCtesPool},
+      |$lcpCoverCtes,
       |bcov AS MATERIALIZED (
       |  SELECT DISTINCT doc_b AS doc_id, b_start + q.k AS pos
       |  FROM spans, unnest(generate_series(0, span_len - 1)) q(k)),
@@ -564,10 +587,7 @@ object SuffixIndex extends ArtifactStore {
       |          len(t.t[CAST(b.pos AS INT)]) AS tl
       |        FROM bcov b JOIN toks t USING (doc_id)) x,
       |    unnest(generate_series(0, x.tl - 1)) q(k)
-      |  WHERE x.tl > 0),
-      |pool AS (
-      |  SELECT doc_id, text FROM documents
-      |  WHERE doc_id % ${Dedup.SufMod} = 0 AND len(text) >= 1)
+      |  WHERE x.tl > 0)
       |SELECT p.doc_id, CAST(len(p.text) AS BIGINT) AS n_chars,
       |  coalesce(lcnt.c, 0) AS lcp_removed,
       |  coalesce(acnt.c, 0) AS anchor_removed,
@@ -583,7 +603,81 @@ object SuffixIndex extends ArtifactStore {
       |           WHERE c.doc_id IS NULL GROUP BY 1) mcnt USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q325
+
+  /** q325: LCP TRIM REWRITE — the consumer half of q323 (what q304 is
+    * to q290): every char position inside the LCP removal intervals is
+    * dropped and the cleaned pool corpus re-assembles from the
+    * survivors. Output is one row per pool document — original /
+    * removed / kept char counts (removed + kept = n_chars is a column
+    * identity the hash enforces) plus an md5 of the re-joined kept
+    * text, so a single resurrected or mis-dropped CHARACTER anywhere in
+    * the pool breaks the gate. This is the char-level analogue of
+    * q304's token rewrite: both copies of a duplicated region fall
+    * (the q323 policy), which is the conservative dedup a contamination
+    * scrub wants, vs q304's keep-first-occurrence. Plumbing: the
+    * interval set is doc-keyed and disjoint, membership is one
+    * doc-equi + range anti-join, and the kept-text hash is the q304
+    * collect_list(struct(pos, ch)) → array_sort → md5 device — every
+    * stage keyed on doc_id, nothing pairwise.
+    */
+  def q325LcpRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pool = Dedup.suffixPoolDocs(Tables.load(s, dir, "documents")).persist()
+    val cov = lcpCoverIntervals(s, dir, pool)
+    val chars = pool
+      .select($"doc_id",
+        explode(sequence(lit(1L), length($"text").cast("long"))).as("cpos"),
+        $"text")
+      .select($"doc_id", $"cpos",
+        expr("substring(text, CAST(cpos AS INT), 1)").as("ch"))
+    val kept = chars
+      .join(cov.select($"doc_id".as("did"), $"st", $"en"),
+        $"doc_id" === $"did" && $"cpos".between($"st", $"en"), "left_anti")
+    val keptAgg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_chars"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"cpos", $"ch"))),
+            x => x.getField("ch")), "")).as("kept_hash"))
+    val remCnt = cov.groupBy($"doc_id")
+      .agg(sum($"en" - $"st" + 1).as("removed_chars"))
+    pool.select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .join(remCnt, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"removed_chars", lit(0L)).as("removed_chars"),
+        coalesce($"kept_chars", lit(0L)).as("kept_chars"),
+        coalesce($"kept_hash", md5(lit(""))).as("kept_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private def q325Sql: String =
+    s"""WITH $lcpCoverCtes,
+      |chars AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS cpos,
+      |    substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM pool, unnest(generate_series(1, len(text))) AS u(i)),
+      |kept AS MATERIALIZED (
+      |  SELECT c.doc_id, c.cpos, c.ch
+      |  FROM chars c LEFT JOIN cover v
+      |    ON v.doc_id = c.doc_id AND v.cpos = c.cpos
+      |  WHERE v.doc_id IS NULL)
+      |SELECT p.doc_id, CAST(len(p.text) AS BIGINT) AS n_chars,
+      |  coalesce(rc.c, 0) AS removed_chars,
+      |  coalesce(ka.c, 0) AS kept_chars,
+      |  coalesce(ka.h, md5('')) AS kept_hash
+      |FROM pool p
+      |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+      |           FROM cover GROUP BY 1) rc USING (doc_id)
+      |LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS c,
+      |             md5(string_agg(ch, '' ORDER BY cpos)) AS h
+      |           FROM kept GROUP BY 1) ka USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q325_lcp_rewrite", Seq("EXT-dedup", "EXT-text"),
+      "LCP trim rewrite: the cleaned pool corpus re-assembled from surviving char positions, kept-text md5 per doc locking the exact rewrite",
+      q325LcpRewrite, Some(q325Sql)),
     GraftQuery("q315_suffix_lcp", Seq("EXT-dedup", "EXT-text"),
       "suffix-array LCP layer: rank-adjacent window join + survivor-only char extension over the persisted permutation; variable-length duplicate spans + longest repeated substring",
       q315SuffixLcp, Some(q315Sql)),

@@ -113,6 +113,53 @@ class SuffixLcpSpec extends AnyFunSuite {
     }
   }
 
+  test("q325 rewrite: char-mass conservation and brute-force kept text") {
+    import spark.implicits._
+    val shared = ("the quick brown fox jumps over the lazy dog " * 2).trim
+    val docs = Seq(
+      (10L, s"start $shared middle unique ten"),
+      (20L, s"other $shared closing twenty"),
+      (30L, "entirely novel content with no repeats whatsoever"))
+    val dir = Files.createTempDirectory("lcprw-corpus")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val out = operators.SuffixIndex.q325LcpRewrite(spark, dir.toString)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map { case (id, nc, rm, kp, h) => id -> ((nc, rm, kp, h)) }.toMap
+    def md5(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute-force kept text from the cover-truth positions
+    val sufs = for ((id, t) <- docs; p <- 1 to t.length) yield (t.substring(p - 1), id, p)
+    val sorted = sufs.sortBy(x => (x._1, x._2, x._3))
+    val lcps = sorted.sliding(2).collect { case Seq((sa, _, _), (sb, _, _)) =>
+      sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+    }.toArray
+    val cov = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Int]]()
+    for (i <- sorted.indices) {
+      val m = math.max(if (i > 0) lcps(i - 1) else 0,
+        if (i < lcps.length) lcps(i) else 0)
+      if (m >= operators.SuffixIndex.LcpTrimMinSpan) {
+        val (_, id, p) = sorted(i)
+        val set = cov.getOrElseUpdate(id, scala.collection.mutable.Set[Int]())
+        (p until p + m).foreach(set += _)
+      }
+    }
+    docs.foreach { case (id, t) =>
+      val removed = cov.get(id).map(_.size.toLong).getOrElse(0L)
+      val keptTxt = t.zipWithIndex
+        .collect { case (c, i) if !cov.get(id).exists(_.contains(i + 1)) => c }
+        .mkString
+      val (nc, rm, kp, h) = out(id)
+      assert(nc == t.length.toLong && rm == removed &&
+        kp == nc - rm && h == md5(keptTxt),
+        s"doc $id rewrite mismatch: got ${out(id)}, want " +
+          s"(${t.length}, $removed, ${t.length - removed}, ${md5(keptTxt)})")
+    }
+    // the shared block is duplicated, so something was actually removed
+    assert(out(10L)._2 > 0 && out(20L)._2 > 0 && out(30L)._2 == 0)
+  }
+
   test("q315 on the shared corpus: equals brute force; q290 pool spans lower-bound the global max") {
     import spark.implicits._
     val docs = operators.Dedup.suffixPoolDocs(
