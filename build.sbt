@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 325-query bench session generates thousands of Janino codegen
+  // classes; the JDK default 240 MB code cache fills mid-registry and
+  // HotSpot stops compiling NEW generated code — late queries then run
+  // their whole-stage codegen interpreted (r13: q314 measured 14 s on
+  // its first full-pass rep vs 5.0 s isolated, declining as its classes
+  // finally got compiled). Headroom keeps per-query numbers
+  // session-position-independent.
+  "-XX:ReservedCodeCacheSize=1g",
 )
