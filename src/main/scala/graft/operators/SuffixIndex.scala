@@ -682,7 +682,7 @@ object SuffixIndex extends ArtifactStore {
       "suffix-array LCP layer: rank-adjacent window join + survivor-only char extension over the persisted permutation; variable-length duplicate spans + longest repeated substring",
       q315SuffixLcp, Some(q315Sql)),
     GraftQuery("q322_suffix_merge", Seq("EXT-dedup", "S6"),
-      "incremental suffix-array maintenance: committed base permutation + delta-only doubling merged by window prefix-sums and collision-only char extension, proven equal to full-pool sorted-suffix truth",
+      "incremental suffix-array maintenance: committed base permutation merged with the delta by window prefix-sums and collision-only char extension (doubling-free), proven equal to full-pool sorted-suffix truth",
       q322SuffixMerge, Some(Dedup.q311SqlShared)),
     GraftQuery("q323_lcp_trim", Seq("EXT-dedup", "EXT-text"),
       "LCP-driven variable-length char trim over the persisted permutation, with per-doc accounting proving it contains the pool-world anchor-gram removal set",
