@@ -76,7 +76,9 @@ object SuffixAppendSmoke {
     System.err.println(
       f"[suffix-append-smoke] build: $buildSec%.2f s / ${buildBytes / 1e6}%.1f MB read; " +
         f"append: $appendSec%.2f s / ${appendBytes / 1e6}%.1f MB read; " +
-        s"arm=$arm (ranks $nBefore -> $nAfter)")
+        s"arm=$arm (ranks $nBefore -> $nAfter) " +
+        s"kernelRows=${operators.SuffixIndex.lastMergeKernelRows} " +
+        s"rounds=${operators.SuffixIndex.lastMergeRounds}")
     println(s"""{"src":"$src","build_sec":${f"$buildSec%.2f"},""" +
       s""""append_sec":${f"$appendSec%.2f"},"build_bytes":$buildBytes,""" +
       s""""append_bytes":$appendBytes,"append_arm":${arm == "merge"}}""")

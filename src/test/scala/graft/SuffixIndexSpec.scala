@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Path, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.{length, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** File-level contract of the [[operators.SuffixIndex]] merge arm
@@ -45,6 +46,13 @@ class SuffixIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
   }
 
+  private def coverTriples(dir: String): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    operators.SuffixIndex.cover(spark, dir)
+      .selectExpr("CAST(doc_id AS LONG)", "CAST(st AS LONG)", "CAST(en AS LONG)")
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
   private def lastArm(dir: String): String =
     Files.readString(
       operators.SuffixIndex.indexPathFor(dir).resolve("_last_arm")).trim
@@ -75,13 +83,21 @@ class SuffixIndexSpec extends AnyFunSuite {
 
     landDelta(delta, grownDir)
     val grownRanks = rankTriples(grownDir.toString)
+    val grownCover = coverTriples(grownDir.toString)
     assert(lastArm(grownDir.toString) == "merge",
       "append of new part files must take the merge arm")
 
-    val fullRanks = rankTriples(corpusDir(base.unionByName(delta)).toString)
+    val fullDir = corpusDir(base.unionByName(delta)).toString
+    val fullRanks = rankTriples(fullDir)
     assert(grownRanks == fullRanks,
       s"merge != rebuild: missing=${(fullRanks -- grownRanks).take(5)} " +
         s"extra=${(grownRanks -- fullRanks).take(5)}")
+    // the O(delta) cover increment (old intervals ∪ delta-touching
+    // pairs) must equal the from-scratch cover derivation exactly
+    val fullCover = coverTriples(fullDir)
+    assert(grownCover == fullCover,
+      s"cover append != rebuild: missing=${(fullCover -- grownCover).take(5)} " +
+        s"extra=${(grownCover -- fullCover).take(5)}")
     assert(grownRanks.size > baseRanks.size)
     // dense permutation 1..N
     val n = grownRanks.size.toLong
@@ -108,5 +124,51 @@ class SuffixIndexSpec extends AnyFunSuite {
     assert(rankTriples(grownDir.toString) == before)
     assert(pipeline.ParquetIO.currentVersion(rT).get == vBefore,
       "an empty pool delta must not rewrite the ranks table")
+    assert(lastArm(grownDir.toString) == "noop",
+      "ADVICE r13: a no-op append must not leave a stale arm breadcrumb")
+  }
+
+  test("high-multiplicity boilerplate: merge ≡ rebuild with the kernel bounded at cap·|delta|") {
+    import spark.implicits._
+    // one boilerplate string shared across every doc — the collision
+    // groups carry the FULL doc population (far past MergeCollisionCap),
+    // the quadratic worst case of the r13 all-pairs kernel. The tailed
+    // docs force multiple chunk-extension rounds (the shared prefix is
+    // 4+ windows deep); the tail-less docs are verbatim-identical, so
+    // whole identical-suffix cohorts resolve in the terminal tie-break.
+    val boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 3).trim
+    require(boiler.length > 4 * operators.Dedup.SufBase)
+    val base = (
+      (1 to 60).map(i => (i * 10L, s"$boiler tail number $i")) ++
+        (1 to 20).map(i => (10000L + i * 10L, boiler)) ++
+        Seq((7L, "never pooled"))).toDF("doc_id", "text")
+    val delta = (
+      (1 to 15).map(i => (20000L + i * 10L, s"$boiler fresh delta $i")) ++
+        (1 to 6).map(i => (30000L + i * 10L, boiler))).toDF("doc_id", "text")
+
+    val grownDir = corpusDir(base)
+    operators.SuffixIndex.ensure(spark, grownDir.toString)
+    landDelta(delta, grownDir)
+    val grownRanks = rankTriples(grownDir.toString)
+    val grownCover = coverTriples(grownDir.toString)
+    assert(lastArm(grownDir.toString) == "merge")
+    // design theorem: a delta suffix reaches at most ONE within-cap
+    // kernel subgroup, so comparison rows ≤ cap · |delta suffixes| —
+    // k·cap, never the k² of pairing whole collision groups
+    val deltaSuffixes = delta.filter($"doc_id" % operators.Dedup.SufMod === 0)
+      .select(sum(length($"text"))).head().getLong(0)
+    val kernelRows = operators.SuffixIndex.lastMergeKernelRows
+    assert(kernelRows >= 0 &&
+      kernelRows <= operators.SuffixIndex.MergeCollisionCap * deltaSuffixes,
+      s"kernel rows $kernelRows past cap*|delta| = " +
+        s"${operators.SuffixIndex.MergeCollisionCap * deltaSuffixes}")
+    assert(operators.SuffixIndex.lastMergeRounds >= 2,
+      "the boilerplate groups must have taken the chunk-extension path")
+
+    val fullDir = corpusDir(base.unionByName(delta)).toString
+    assert(grownRanks == rankTriples(fullDir),
+      "high-multiplicity merge must equal the rebuild permutation")
+    assert(grownCover == coverTriples(fullDir),
+      "high-multiplicity cover append must equal the rebuild cover")
   }
 }
