@@ -49,6 +49,7 @@ object Registry {
       graft.operators.LshIndex.queries ++
       graft.operators.TrimIndex.queries ++
       graft.operators.SuffixIndex.queries ++
+      graft.operators.Removal.queries ++
       graft.streaming.StreamingOps.queries ++
       graft.pipeline.FuzzyMatch.queries
 }

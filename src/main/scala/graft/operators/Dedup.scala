@@ -570,7 +570,7 @@ object Dedup {
     * permutation by merging a committed base with a freshly-ranked
     * delta.
     */
-  private[operators] def q311SqlShared: String = q311Sql
+  private[graft] def q311SqlShared: String = q311Sql
 
   private val q311Sql =
     s"""WITH s AS (

@@ -444,7 +444,7 @@ object SuffixIndex extends ArtifactStore {
     * interval union is exact for both counts and membership tests. The
     * window is doc-partitioned — never a global sort.
     */
-  private def unionIntervals(iv: DataFrame): DataFrame = {
+  private[operators] def unionIntervals(iv: DataFrame): DataFrame = {
     val s = iv.sparkSession
     import s.implicits._
     val wd = Window.partitionBy($"doc_id").orderBy($"st", $"en")
@@ -803,7 +803,7 @@ object SuffixIndex extends ArtifactStore {
     * position-form here; the engines' interval form counts and tests
     * identically).
     */
-  private def lcpCoverCtes: String =
+  private[operators] def lcpCoverCtes: String =
     s"""sfx AS (
       |  SELECT doc_id, i AS pos, substring(text, i) AS suf
       |  FROM documents, unnest(generate_series(1, len(text))) AS u(i)
@@ -846,8 +846,10 @@ object SuffixIndex extends ArtifactStore {
       |ach AS MATERIALIZED (
       |  SELECT DISTINCT x.doc_id, CAST(x.cs + q.k AS BIGINT) AS cpos
       |  FROM (SELECT b.doc_id, b.pos,
-      |          len(array_to_string(
-      |            list_slice(t.t, 1, CAST(b.pos - 1 AS INT)), ' ')) +
+      |          -- coalesce: DuckDB's array_to_string([]) is NULL, so a
+      |          -- pos=1 removal would otherwise lose its char start
+      |          coalesce(len(array_to_string(
+      |            list_slice(t.t, 1, CAST(b.pos - 1 AS INT)), ' ')), 0) +
       |            CASE WHEN b.pos = 1 THEN 1 ELSE 2 END AS cs,
       |          len(t.t[CAST(b.pos AS INT)]) AS tl
       |        FROM bcov b JOIN toks t USING (doc_id)) x,

@@ -1373,7 +1373,151 @@ object StreamingOps {
       |WHERE cnt * 100 > (SELECT CAST(sum(cnt) AS BIGINT) FROM c)
       |ORDER BY lang, tok""".stripMargin
 
+  /** q327: STREAMING SUFFIX-ARRAY MAINTENANCE (round 14 — VERDICT r13
+    * "Next round" #6): the [[graft.operators.SuffixIndex]] merge arm
+    * made the suffix family append-capable; this operationalizes it as
+    * the foreachBatch sink loop the lakehouse family already runs
+    * (q172/q184's shape). A STAGED copy of the suffix pool streams in
+    * three installments — 80% of pool docs land as the initial corpus
+    * (full build, the one-time cost), the remaining two 10% slices
+    * arrive as file-source micro-batches — and the foreachBatch
+    * consumer does exactly what a production ingest sink would: land
+    * the batch's part files into the corpus table, then
+    * `SuffixIndex.ensure()`, which takes the MERGE arm (window
+    * prefix-sums + bounded collision resolution, never a doubling
+    * re-run) and the O(delta) cover union. Output is q311's sampled
+    * permutation over the final committed ranks plus the `_last_arm`
+    * breadcrumb as an `arm` column; the oracle is q311's brute-force
+    * sorted-suffix truth over the WHOLE pool with `arm` pinned to
+    * 'merge' — so the hash simultaneously proves (a) the
+    * stream-maintained artifact equals a one-shot build over
+    * everything the stream delivered and (b) the maintenance actually
+    * went through the merge arm, not a quiet rebuild. Per batch the
+    * work is one base-window scan + delta windows + bounded collisions
+    * ([[graft.SuffixAppendSmoke]] measures the bytes: the two-batch
+    * cadence reads O(base + delta) per batch, vs the rebuild's full
+    * doubling); the staged world is fingerprinted by the source
+    * listing, so testdata regeneration re-exercises the whole loop
+    * while repeat invocations on the same corpus read the committed
+    * result (every artifact query's pricing posture).
+    */
+  def q327StreamSuffixMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import graft.operators.{Dedup, SuffixIndex}
+    val srcTable = Paths.get(dir, "documents.parquet")
+    // staged-world key: the source corpus listing (name:size:mtime) —
+    // regenerated testdata gets a fresh stage, same bytes reuse it
+    val listing = {
+      val files =
+        if (Files.isDirectory(srcTable)) {
+          val st = Files.list(srcTable)
+          try st.iterator().asScala.toSeq
+            .filter(p => !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .sortBy(_.getFileName.toString)
+          finally st.close()
+        } else Seq(srcTable)
+      files.map(p => s"${p.getFileName}:${Files.size(p)}:" +
+        s"${Files.getLastModifiedTime(p).toMillis}").mkString("\n")
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$srcTable\n$listing".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val streamRoot = Paths.get(sys.props("java.io.tmpdir"), "graft-suffix-stream")
+    val stageRoot = streamRoot.resolve(key)
+    val staged = stageRoot.resolve("corpus")
+    val docTable = staged.resolve("documents.parquet")
+    val done = stageRoot.resolve("_complete")
+    if (!Files.exists(done)) {
+      // clean any partial state (and stale sibling stages of older
+      // testdata generations) before re-exercising the loop
+      if (Files.exists(streamRoot)) {
+        val st = Files.list(streamRoot)
+        try st.iterator().asScala.toSeq.foreach(rmTree)
+        finally st.close()
+      }
+      val stale = SuffixIndex.indexPathFor(staged.toString)
+      if (Files.exists(stale)) rmTree(stale)
+      Files.createDirectories(staged)
+      val pool = Dedup.suffixPoolDocs(graft.Tables.load(s, dir, "documents"))
+        .persist()
+      val isB1 = $"doc_id" % 100 === 20
+      val isB2 = $"doc_id" % 100 === 40
+      pool.filter(!isB1 && !isB2)
+        .write.mode("overwrite").parquet(docTable.toString)
+      SuffixIndex.ensure(s, staged.toString) // initial build (rebuild arm)
+      val incoming = stageRoot.resolve("incoming")
+      Seq(("b1", pool.filter(isB1)), ("b2", pool.filter(isB2))).foreach {
+        case (tag, df) =>
+          val scratch = Files.createTempDirectory("graft-q327-stage")
+          df.repartition(1).write.mode("overwrite").parquet(scratch.toString)
+          Files.createDirectories(incoming)
+          val st = Files.list(scratch)
+          try st.iterator().asScala.toSeq
+            .filter(p => !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .foreach(p => Files.move(p,
+              incoming.resolve(s"$tag-${p.getFileName}"),
+              StandardCopyOption.ATOMIC_MOVE))
+          finally st.close()
+          rmTree(scratch)
+      }
+      pool.unpersist(false)
+      val ckpt = stageRoot.resolve("ckpt")
+      val q = s.readStream
+        .schema(s.read.parquet(incoming.toString).schema)
+        .option("maxFilesPerTrigger", 1) // two staged files -> two batches
+        .parquet(incoming.toString)
+        .writeStream.foreachBatch {
+          (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+            // the production sink loop: land the micro-batch as part
+            // files of the corpus table, then maintain the artifact —
+            // ensure() takes the merge arm against the committed ranks
+            val scratch = Files.createTempDirectory("graft-q327-batch")
+            batch.toDF().write.mode("overwrite").parquet(scratch.toString)
+            val st = Files.list(scratch)
+            try st.iterator().asScala.toSeq
+              .filter(p => !p.getFileName.toString.startsWith("_") &&
+                !p.getFileName.toString.startsWith("."))
+              .foreach(p => Files.move(p,
+                docTable.resolve(s"delta$id-${p.getFileName}"),
+                StandardCopyOption.ATOMIC_MOVE))
+            finally st.close()
+            rmTree(scratch)
+            SuffixIndex.ensure(s, staged.toString)
+            ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Files.writeString(done, "ok")
+    }
+    val arm = Files.readString(
+      SuffixIndex.indexPathFor(staged.toString).resolve("_last_arm")).trim
+    val docs = Dedup.suffixPoolDocs(
+      graft.Tables.load(s, staged.toString, "documents"))
+    SuffixIndex.ranks(s, staged.toString)
+      .filter($"rank" <= 30 || $"rank" % 2500 === 1)
+      .join(docs, Seq("doc_id"))
+      .select($"rank", $"doc_id", $"pos",
+        expr("substring(text, pos, 40)").as("head40"), lit(arm).as("arm"))
+      .orderBy($"rank")
+  }
+
+  /** q311's brute-force truth with the maintenance-path assertion
+    * pinned: the compare sorts rows, so wrapping the ordered sample is
+    * safe.
+    */
+  private def q327Sql: String =
+    s"""SELECT q.*, 'merge' AS arm
+      |FROM (${graft.operators.Dedup.q311SqlShared}) q""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q327_stream_suffix_maintain", Seq("EXT-streaming", "EXT-dedup", "S6"),
+      "streaming suffix-array maintenance: micro-batched corpus growth through a foreachBatch sink that lands each batch and merge-maintains the committed permutation + cover, proven equal to one-shot truth with the merge arm pinned",
+      q327StreamSuffixMaintain, Some(q327Sql)),
     GraftQuery("q247_stream_mg_tiles", Seq("EXT-streaming", "EXT-approx", "A2"),
       "streaming Misra-Gries tiles: per-batch counts merged into <=K-row state via the mergeable-summaries trim; heavy keys reproduce batch q70",
       q247StreamMgTiles, Some(q247Sql)),
