@@ -269,7 +269,15 @@ object ScaleSmoke {
       // waterfilling is |langs|-row)
       "q322_suffix_merge", "q323_lcp_trim", "q324_tokenizer_unimax",
       // q325 rides q323's cover machinery + one char explode per pool doc
-      "q325_lcp_rewrite")
+      "q325_lcp_rewrite",
+      // round-14: q323/q325 now read the committed cover artifact, so
+      // their ratios measure artifact read + anchor arm / char explode;
+      // q326 is three artifact/broadcast-shaped sources + a touched-doc
+      // char explode (untouched docs short-circuit to md5(text));
+      // q327's first run pays the staged build+2-merge loop (the
+      // maintenance cost itself — recorded as the honest number),
+      // repeat runs read the committed result
+      "q326_removal_scrub", "q327_stream_suffix_maintain")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

@@ -73,15 +73,33 @@ object SuffixAppendSmoke {
     val nAfter = pipeline.ParquetIO.read(spark, rT).count()
     val arm = Files.readString(
       operators.SuffixIndex.indexPathFor(dir).resolve("_last_arm")).trim
+
+    // second batch — the q327 streaming cadence: per-batch bytes must
+    // stay O(base + delta) (one history window scan each), not grow
+    // with how many batches came before
+    landDelta(
+      base.filter($"doc_id" % (operators.Dedup.SufMod * 10) ===
+          operators.Dedup.SufMod * 3)
+        .select(($"doc_id" + lit(operators.Dedup.TwinOffset) * 30).as("doc_id"),
+          $"text"),
+      s"$dir/documents.parquet", s"$work/scratch")
+    val (_, append2Sec, append2Bytes) =
+      measured(operators.SuffixIndex.ensure(spark, dir))
+    val arm2 = Files.readString(
+      operators.SuffixIndex.indexPathFor(dir).resolve("_last_arm")).trim
+
     System.err.println(
       f"[suffix-append-smoke] build: $buildSec%.2f s / ${buildBytes / 1e6}%.1f MB read; " +
         f"append: $appendSec%.2f s / ${appendBytes / 1e6}%.1f MB read; " +
-        s"arm=$arm (ranks $nBefore -> $nAfter) " +
+        f"append2: $append2Sec%.2f s / ${append2Bytes / 1e6}%.1f MB read; " +
+        s"arm=$arm/$arm2 (ranks $nBefore -> $nAfter) " +
         s"kernelRows=${operators.SuffixIndex.lastMergeKernelRows} " +
         s"rounds=${operators.SuffixIndex.lastMergeRounds}")
     println(s"""{"src":"$src","build_sec":${f"$buildSec%.2f"},""" +
       s""""append_sec":${f"$appendSec%.2f"},"build_bytes":$buildBytes,""" +
-      s""""append_bytes":$appendBytes,"append_arm":${arm == "merge"}}""")
+      s""""append_bytes":$appendBytes,""" +
+      s""""append2_sec":${f"$append2Sec%.2f"},"append2_bytes":$append2Bytes,""" +
+      s""""append_arm":${arm == "merge" && arm2 == "merge"}}""")
     spark.stop()
   }
 
