@@ -277,7 +277,10 @@ object ScaleSmoke {
       // q327's first run pays the staged build+2-merge loop (the
       // maintenance cost itself — recorded as the honest number),
       // repeat runs read the committed result
-      "q326_removal_scrub", "q327_stream_suffix_maintain")
+      "q326_removal_scrub", "q327_stream_suffix_maintain",
+      // q328: one groupBy over the committed ranks + a per-doc kernel
+      // whose state is O(|doc|) positions + text — scan-shaped
+      "q328_substring_complexity")
       .filter(_.matches(pat))
     // the ANN/graph/LSH queries read build-once indexes: time each build
     // as its OWN metric so query times measure search/probe, exactly as

@@ -942,7 +942,93 @@ object SuffixIndex extends ArtifactStore {
       |           FROM kept GROUP BY 1) ka USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q328
+
+  /** q328: SUBSTRING COMPLEXITY — the per-document consumer of the
+    * committed permutation that the quality-filter family was missing:
+    * the EXACT number of distinct substrings of each pool document,
+    * via the suffix-array identity  distinct(d) = Σ|suffix| − Σ
+    * LCP(rank-adjacent suffixes of d).  q43's Gopher/C4-style gauges
+    * count duplicated token SHINGLES at one fixed width; the
+    * distinct-substring ratio (distinct / n·(n+1)/2) is the char-exact,
+    * every-width generalization — a heavily templated or repetitive
+    * document has compressibility the fixed-width gauge underestimates
+    * (the σ(d) statistic of compressed-indexing literature). The
+    * doc-restricted order needs NO new sort: the global permutation
+    * filtered to one document IS that document's own suffix array
+    * (within-doc ties are impossible — equal suffixes of one string
+    * are the same suffix), so one groupBy(doc_id) collects each doc's
+    * rank-sorted positions and a per-doc kernel walks consecutive
+    * pairs char-exact. Per-doc state is O(|doc|) positions + the text
+    * — the mapPartitions family's bounded-group charter; nothing
+    * pairwise, one shuffle. The oracle is deliberately INDEPENDENT of
+    * the identity: it materializes every substring and counts
+    * DISTINCT — hash equality proves the suffix-array algebra against
+    * brute-force truth. The ratio is one exact-long division, the
+    * cross-engine-deterministic double the q43 family established.
+    */
+  def q328SubstringComplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pool = Dedup.suffixPoolDocs(Tables.load(s, dir, "documents"))
+    val perDoc = ranks(s, dir)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"rank", $"pos"))).as("ps"))
+      .join(pool, Seq("doc_id"))
+      .select($"doc_id", $"ps", $"text")
+      .as[(Long, Seq[(Long, Long)], String)]
+    val stats = perDoc.mapPartitions(_.map { case (did, ps, text) =>
+      val n = text.length
+      var sumLen = 0L
+      var sumLcp = 0L
+      var prev = -1
+      ps.foreach { case (_, posL) =>
+        val pos = posL.toInt
+        sumLen += (n - pos + 1).toLong
+        if (prev > 0) {
+          val lim = math.min(n - prev + 1, n - pos + 1)
+          var i = 0
+          while (i < lim && text.charAt(prev - 1 + i) == text.charAt(pos - 1 + i))
+            i += 1
+          sumLcp += i.toLong
+        }
+        prev = pos
+      }
+      (did, n.toLong, sumLen - sumLcp)
+    }).toDF("doc_id", "n_chars", "n_distinct")
+    stats.select($"doc_id", $"n_chars",
+        // n(n+1)/2 exactly: Spark's / on longs is double division
+        ($"n_chars" * ($"n_chars" + 1) / 2).cast("long").as("n_substr_total"),
+        $"n_distinct",
+        ($"n_distinct".cast("double") /
+          ($"n_chars" * ($"n_chars" + 1) / 2))
+          .as("distinct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private def q328Sql: String =
+    s"""WITH pool AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % ${Dedup.SufMod} = 0 AND len(text) >= 1),
+      |subs AS (
+      |  SELECT doc_id, substr(text, CAST(u.i AS INT), CAST(v.l AS INT)) AS s
+      |  FROM pool,
+      |    unnest(generate_series(1, len(text))) u(i),
+      |    unnest(generate_series(1, len(text))) v(l)
+      |  WHERE u.i + v.l - 1 <= len(text)),
+      |d AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_distinct
+      |      FROM subs GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(len(p.text) AS BIGINT) AS n_chars,
+      |  CAST(len(p.text) * (len(p.text) + 1) / 2 AS BIGINT) AS n_substr_total,
+      |  d.n_distinct,
+      |  CAST(d.n_distinct AS DOUBLE) /
+      |    CAST(len(p.text) * (len(p.text) + 1) / 2 AS DOUBLE) AS distinct_ratio
+      |FROM pool p JOIN d USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q328_substring_complexity", Seq("EXT-text", "EXT-dedup"),
+      "per-document exact distinct-substring count via the committed suffix permutation (sum-of-suffix-lengths minus doc-restricted adjacent LCPs), proven against brute-force substring enumeration",
+      q328SubstringComplexity, Some(q328Sql)),
     GraftQuery("q325_lcp_rewrite", Seq("EXT-dedup", "EXT-text"),
       "LCP trim rewrite: the cleaned pool corpus re-assembled from surviving char positions via the committed cover artifact, kept-text md5 per doc locking the exact rewrite",
       q325LcpRewrite, Some(q325Sql)),
