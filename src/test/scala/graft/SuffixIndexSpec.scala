@@ -128,6 +128,39 @@ class SuffixIndexSpec extends AnyFunSuite {
       "ADVICE r13: a no-op append must not leave a stale arm breadcrumb")
   }
 
+  test("non-BMP collision ties: kernel orders by code point, merge ≡ rebuild") {
+    import spark.implicits._
+    // ADVICE r13: Java's charAt order puts surrogate pairs (U+10000+,
+    // high surrogates 0xD800-0xDBFF) BELOW U+E000-U+FFFF text, while
+    // the committed permutation, the window prefix-sums and the chunk
+    // windows all sort UTF-8 bytes = code points — where U+1F600 >
+    // U+E000. These suffixes share a 40-char prefix (one full window),
+    // so the divergence lands exactly in the pairwise comparison
+    // kernel; with the old charAt tie the merged permutation would
+    // swap them relative to the rebuild.
+    val pfx = "shared prefix text well past the window " // 40 chars
+    require(pfx.length > operators.Dedup.SufBase)
+    val base = Seq(
+      (10L, pfx + "\uE000 private-use plane tail"),
+      (20L, pfx + "\uD83D\uDE00 emoji tail"),
+      (30L, "unrelated filler document")).toDF("doc_id", "text")
+    val delta = Seq(
+      (40L, pfx + "\uE001 second private-use tail"),
+      (50L, pfx + "\uD83D\uDE01 second emoji tail")).toDF("doc_id", "text")
+
+    val grownDir = corpusDir(base)
+    operators.SuffixIndex.ensure(spark, grownDir.toString)
+    landDelta(delta, grownDir)
+    val grownRanks = rankTriples(grownDir.toString)
+    assert(lastArm(grownDir.toString) == "merge")
+
+    val fullDir = corpusDir(base.unionByName(delta)).toString
+    assert(grownRanks == rankTriples(fullDir),
+      "supplementary-plane vs private-use ties must merge in code-point " +
+        "(UTF-8 byte) order, matching the rebuild")
+    assert(coverTriples(grownDir.toString) == coverTriples(fullDir))
+  }
+
   test("high-multiplicity boilerplate: merge ≡ rebuild with the kernel bounded at cap·|delta|") {
     import spark.implicits._
     // one boilerplate string shared across every doc — the collision
