@@ -1430,7 +1430,17 @@ object StreamingOps {
     val staged = stageRoot.resolve("corpus")
     val docTable = staged.resolve("documents.parquet")
     val done = stageRoot.resolve("_complete")
-    if (!Files.exists(done)) {
+    // The staged world is usable only if BOTH halves survive: the corpus
+    // (`_complete` under streamRoot) AND the maintained index (under the
+    // independently lifecycled index root — SPARK_GRAFT_INDEX_DIR,
+    // documented rm-rf-safe). A marker without a committed `_last_arm`
+    // is a torn state (index wiped, crash before ensure() committed, or
+    // a different index root than the run that staged) — re-reading it
+    // would crash here and a bare ensure() would take the REBUILD arm
+    // and break the 'merge' pin, so the only correct move is to
+    // re-exercise the whole loop.
+    val armFile = SuffixIndex.indexPathFor(staged.toString).resolve("_last_arm")
+    if (!Files.exists(done) || !Files.exists(armFile)) {
       // clean any partial state (and stale sibling stages of older
       // testdata generations) before re-exercising the loop
       if (Files.exists(streamRoot)) {
@@ -1494,11 +1504,14 @@ object StreamingOps {
       q.awaitTermination()
       Files.writeString(done, "ok")
     }
-    val arm = Files.readString(
-      SuffixIndex.indexPathFor(staged.toString).resolve("_last_arm")).trim
     val docs = Dedup.suffixPoolDocs(
       graft.Tables.load(s, staged.toString, "documents"))
-    SuffixIndex.ranks(s, staged.toString)
+    // ranks() first: its ensure() re-validates the committed fingerprint,
+    // so the breadcrumb read below reports the index state the returned
+    // frame actually came from
+    val rk = SuffixIndex.ranks(s, staged.toString)
+    val arm = Files.readString(armFile).trim
+    rk
       .filter($"rank" <= 30 || $"rank" % 2500 === 1)
       .join(docs, Seq("doc_id"))
       .select($"rank", $"doc_id", $"pos",
