@@ -65,6 +65,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "TypedImperativeAggregate should plan as ObjectHashAggregate")
   }
 
+  test("q100: the distinct-count Expand pass stays hash-aggregated") {
+    // r14 optimization lock: string min/max buffers are not
+    // HashAggregate-mutable, so fusing them with the count_distincts
+    // sort-aggregated the Expand(x7)-multiplied table (a full sort of
+    // 7x|orders| wide rows). The split keeps every aggregate ABOVE the
+    // Expand long-buffered (hash), leaving the string pass on the
+    // un-expanded scan. In the plan text the Expand subtree prints
+    // before the min/max branch, so no SortAggregate may precede it.
+    val plan = physicalPlan("q100_column_profile")
+    val lines = plan.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, "expected an Expand for the count_distincts")
+    assert(!lines.take(expandIdx).exists(_.contains("SortAggregate")),
+      "SortAggregate over the Expand subtree — the r14 split regressed")
+  }
+
   test("only the documented baselines use a cartesian product") {
     // q22 (brute-force ANN ground truth) is crossJoin BY DESIGN, q53
     // re-runs it as the recall harness's truth side, and q75's exact
@@ -146,6 +162,9 @@ class PlanShapeSpec extends AnyFunSuite {
     //  - q222: the q91 shape: broadcast-k centroid scoring pass (k=5)
     //  - q225: crossJoin(broadcast(<1-row weight/doc totals>)) onto the
     //    20-row per-source stratum table (scalar attach)
+    //  - q100: crossJoin of TWO 1-row aggregates (the hash-aggregated
+    //    null/distinct-count pass × the string min/max pass the r14
+    //    optimization split out of the Expand subtree) — a 1×1 product
     //  - q254: crossJoin of TWO 1-row scalar aggregates (order-level and
     //    lineitem-level sufficient statistics) — a 1×1 product
     //  - q264: crossJoin of the 1-row point-estimate aggregate with the
@@ -195,6 +214,7 @@ class PlanShapeSpec extends AnyFunSuite {
     //    three times: seed, pruned, final)
     assert(offenders.toSet.subsetOf(Set("q45_ivf_ann", "q54_ivf_multiprobe",
       "q80_countmin_freq", "q81_kmv_overlap", "q82_bm25", "q88_bigram_lm",
+      "q100_column_profile",
       "q91_kmeans_assign", "q98_rrf_hybrid", "q102_triangles",
       "q105_copurchase_lift", "q116_fk_audit", "q118_keyset_pagination",
       "q121_sparse_cosine", "q136_bpe_train", "q152_bpe_encode",
