@@ -1943,7 +1943,12 @@ object Mining {
         .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
     def pinned(x: Column): Column =
       round(round(x, 12) * lit(1e12)).cast("long")
-    val r = t(s, dir, "lineitem")
+    // r14 optimization: the two md5-derived features evaluate per
+    // lineitem row BEFORE the user-keyed shuffle, and the broadcast join
+    // preserves the scan's 1-3-partition layout - the md5 chain ran on
+    // 3 of 32 cores. Spread first (the pinned-long sums are exact and
+    // order-free). Measured sf0.1: 3.99 s -> 1.79 s median.
+    val r = Tables.loadSpread(s, dir, "lineitem")
       .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("user_id"),
         $"l_quantity".cast("double").as("r"),

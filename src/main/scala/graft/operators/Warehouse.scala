@@ -1183,7 +1183,10 @@ object Warehouse {
     // multiplies DECIMAL(18)s in int64 and overflows; (12,2)x(12,2) and
     // (16,4)x(16,4) stay exact in int128, and Spark never enters its
     // precision-loss path.
-    val li = t(s, dir, "lineitem").select($"l_returnflag",
+    // r14 optimization: 10 exact-decimal product-sums per row over a
+    // 1-3-task scan serialize the query; spread first (sums are exact
+    // decimals - order-free). Measured sf0.1: 2.22 s -> 1.81 s median.
+    val li = Tables.loadSpread(s, dir, "lineitem").select($"l_returnflag",
       $"l_quantity".cast(DecimalType(9, 2)).as("q"),
       $"l_extendedprice".cast(DecimalType(12, 2)).as("p"),
       ($"l_extendedprice".cast(DecimalType(12, 2)) *
